@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs representative engine queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect overhead).  The flagship metric is total wall seconds across
+the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from presto_ethereum_spark.plans import battery  # noqa: E402
+from presto_ethereum_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_regional_revenue",
+    "rel_top_customers",
+    "rel_window_topn",
+    "rel_event_deltas",
+    "rel_set_ops",
+    "rel_rollup_revenue",
+    "doc_exact_dedup",
+    "emb_norms",
+    "eth_erc20_movement",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = battery.queries()
+
+    # Warm the JVM/parquet-footers once with a trivial action so the first
+    # measured query doesn't pay session spin-up.
+    qs["rel_having"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,843 @@
+"""The driver-facing query battery: one entry per operator/capability from
+SURVEY.md §2, each as (Spark callable, DuckDB oracle SQL).
+
+Design rules for exact cross-engine determinism:
+
+- every computed column is aliased identically on both sides (the driver
+  hash-compares by sorted column name);
+- SUMs of doubles either have a dominant-magnitude distribution and are
+  ROUND()ed, or are cast to DECIMAL(38,x) pre-sum (exact, order-independent)
+  and back to double after — double summation order differs between engines
+  and would otherwise flip low bits;
+- erc20 value sums (magnitudes up to ~1e107, where ROUND is a no-op) are
+  narrowed to float32 on both sides: a deterministic 7-significant-digit
+  representation that absorbs order noise;
+- windows always carry a total ordering (ties broken by a unique key);
+- timestamps: events.ts is read as epoch-nanosecond longs on the Spark side
+  (spark.sql.legacy.parquet.nanosAsLong) and via epoch_ns() in DuckDB.
+
+Scale annotations accompany each query: what shuffles, what broadcasts, and
+why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent.parent.parent
+ETH = REPO / "fixtures" / "eth"
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn: SparkQuery):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver-provided table.  nanosAsLong makes events.ts readable
+    (int64 epoch-ns); it's a no-op for every other table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over the driver tables (SURVEY.md §2.B)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rel_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(CAST(l_quantity      AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_price,
+           CAST(sum(CAST(l_discount      AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash agg.  Partial aggregation is
+    map-side (6 groups), so the shuffle carries ~#partitions*6 rows — scale
+    invariant.  Filter + 7-column projection push to the parquet scan."""
+    li = t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # avgs of decimal-valued data: exact decimal sum / count —
+            # order-independent, no rounding-tie risk (money-like values make
+            # round(avg) land exactly on rounding boundaries).
+            (F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,8)")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "rel_top_customers",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(o_totalprice), 2) AS total_spent,
+           count(*) AS n_orders
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def rel_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Join + agg + top-k.  Catalyst broadcasts customer when small; at
+    100 TB both sides shuffle on custkey but the agg pre-shrinks; top-k is
+    TakeOrderedAndProject (no global sort materialization)."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "rel_regional_revenue",
+    """
+    SELECT r_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(DISTINCT c_custkey)   AS n_customers,
+           count(*)                    AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+)
+def rel_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-join: region and nation are broadcast explicitly (they are
+    O(10-100) rows at ANY scale factor — never shuffle a fact table to join
+    a dimension).  Only the customer⋈orders equi-join shuffles."""
+    r, n = F.broadcast(t(spark, sf, "region")), F.broadcast(t(spark, sf, "nation"))
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "rel_orders_per_customer",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def rel_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join preserving zero-order customers; count(col) skips the
+    nulls the outer join introduces."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "rel_semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def rel_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS -> left_semi: no row multiplication, the probe side streams."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(
+        o.where(F.col("o_orderstatus") == "F"),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "rel_anti_join",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def rel_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@q(
+    "rel_full_outer_nation_counts",
+    """
+    SELECT coalesce(s.nk, c.nk) AS nationkey,
+           coalesce(s.n_suppliers, 0) AS n_suppliers,
+           coalesce(c.n_customers, 0) AS n_customers
+    FROM (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+    FULL OUTER JOIN
+         (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+    ON s.nk = c.nk
+    """,
+)
+def rel_full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
+    s = (
+        t(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    c = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return s.join(c, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+    )
+
+
+@q(
+    "rel_event_deltas",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta_us
+    FROM events
+    QUALIFY delta_us IS NOT NULL
+    """,
+)
+def rel_event_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-event gap — the Ethereum block-delta pattern on a
+    partitionable key: the window parallelizes across users (no global
+    sort), unlike the reference's chain-global self-join.  Deltas are in
+    microseconds: DuckDB timestamps are µs-precision, so the ns tail of the
+    parquet values exists only on the Spark side and must be truncated."""
+    ev = t(spark, sf, "events")
+    us = F.expr("ts DIV 1000")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    return (
+        ev.withColumn("us", us)
+        .withColumn("delta_us", F.col("us") - F.lag("us").over(w))
+        .where(F.col("delta_us").isNotNull())
+        .select("user_id", "event_id", "delta_us")
+    )
+
+
+@q(
+    "rel_event_ntile",
+    """
+    SELECT bucket, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM (SELECT value, event_id, ntile(10) OVER (ORDER BY value, event_id) AS bucket FROM events)
+    GROUP BY bucket
+    """,
+)
+def rel_event_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile bucketing (use-cases.sql:32 pattern).  Total order tie-broken by
+    event_id; global window is inherent to ntile semantics."""
+    ev = t(spark, sf, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@q(
+    "rel_window_topn",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def rel_window_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-N per group via row_number: Spark's WindowGroupLimit pushes the
+    rn<=3 limit into the shuffle (partial top-k per map task)."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@q(
+    "rel_window_running",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+    FROM orders
+    """,
+)
+def rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Running total with an explicit ROWS frame: accumulation order is fixed
+    by the frame, so double results are bit-stable across engines."""
+    o = t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+@q(
+    "rel_rollup_revenue",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS acctbal_sum
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rel_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    r, n = F.broadcast(t(spark, sf, "region")), F.broadcast(t(spark, sf, "nation"))
+    c = t(spark, sf, "customer")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+    )
+
+
+@q(
+    "rel_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@q(
+    "rel_distinct_segments",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def rel_distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@q(
+    "rel_set_ops",
+    """
+    SELECT custkey FROM (
+      (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       UNION
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      INTERSECT
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+      EXCEPT
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    """,
+)
+def rel_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT with set (distinct) semantics, composed in SQL
+    evaluation order: ((A UNION B) INTERSECT C) EXCEPT D."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    pos = c.where(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey"))
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return a.union(b).distinct().intersect(pos).subtract(auto)
+
+
+@q(
+    "rel_scalar_subquery",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def rel_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    avg_bal = c.select(F.avg("c_acctbal").alias("a"))
+    return c.join(avg_bal).where(F.col("c_acctbal") > F.col("a")).select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@q(
+    "rel_expr_project",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)  AS order_year,
+           month(o_orderdate) AS order_month,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 'urgent'
+                WHEN o_orderpriority LIKE '2%' THEN 'high'
+                ELSE 'normal' END AS pri_class,
+           lower(o_orderstatus) AS status_lower,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+           substr(o_orderpriority, 1, 1) AS pri_digit
+    FROM orders
+    """,
+)
+def rel_expr_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-function surface: date parts, CASE, LIKE, string ops,
+    arithmetic — all whole-stage-codegen'd, no shuffle at all."""
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.when(F.col("o_orderpriority").like("1%"), "urgent")
+        .when(F.col("o_orderpriority").like("2%"), "high")
+        .otherwise("normal")
+        .alias("pri_class"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_bucket"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_digit"),
+    )
+
+
+@q(
+    "rel_having",
+    """
+    SELECT n_name, count(*) AS n_customers
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING count(*) > 5
+    """,
+)
+def rel_having(spark: SparkSession, sf: str) -> DataFrame:
+    n, c = F.broadcast(t(spark, sf, "nation")), t(spark, sf, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .where(F.col("n_customers") > 5)
+    )
+
+
+@q(
+    "rel_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(stddev_samp(l_extendedprice), 4)      AS price_stddev,
+           CAST(sum(CAST(l_tax AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS avg_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        (F.sum(F.col("l_tax").cast("decimal(18,8)")).cast("double") / F.count("*")).alias("avg_tax"),
+    )
+
+
+@q(
+    "rel_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS DOUBLE)/count(*) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction from the JSON-ish props column via regexp
+    (portable across both engines without a JSON extension)."""
+    ev = t(spark, sf, "events")
+    k = F.regexp_extract("props", r"([0-9]+)", 1).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        # integer sums are exact in double; plain division is deterministic
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ethereum-domain golden queries (SURVEY.md §2.B corpus) — Spark derives the
+# tables from the NESTED chain snapshot through the full decode pipeline; the
+# oracle reads the independently-generated golden parquet.  This makes the
+# driver's t2 gate a differential test of the whole connector-equivalent path.
+# ---------------------------------------------------------------------------
+
+
+def _eth_tables(spark: SparkSession):
+    from presto_ethereum_spark.sources.fixture import EthereumFixtureSource
+
+    src = EthereumFixtureSource(spark, str(ETH / "chain_blocks.parquet"))
+    return src
+
+
+@q(
+    "eth_block_time_deltas",
+    f"""
+    SELECT b.bn, (b.block_timestamp - a.block_timestamp) AS delta
+    FROM (SELECT block_number AS bn, block_timestamp
+          FROM read_parquet('{ETH}/block.parquet')
+          WHERE block_number>=1 AND block_number<=50) AS a
+    JOIN (SELECT (block_number-1) AS bn, block_timestamp
+          FROM read_parquet('{ETH}/block.parquet')
+          WHERE block_number>=2 AND block_number<=51) AS b
+    ON a.bn = b.bn
+    """,
+)
+def eth_block_time_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    from presto_ethereum_spark.plans import golden
+
+    return golden.block_time_deltas(_eth_tables(spark).table("block"), 1, 50)
+
+
+@q(
+    "eth_avg_block_time_chunks",
+    f"""
+    WITH X AS (
+      SELECT b.bn, (b.block_timestamp - a.block_timestamp) AS delta
+      FROM (SELECT block_number AS bn, block_timestamp
+            FROM read_parquet('{ETH}/block.parquet')
+            WHERE block_number>=1 AND block_number<=2000) AS a
+      JOIN (SELECT (block_number-1) AS bn, block_timestamp
+            FROM read_parquet('{ETH}/block.parquet')
+            WHERE block_number>=2 AND block_number<=2001) AS b
+      ON a.bn = b.bn)
+    SELECT min(bn) AS chunkstart, avg(delta) AS avg_delta
+    FROM (SELECT ntile(10) OVER (ORDER BY bn) AS chunk, * FROM X) AS T
+    GROUP BY chunk
+    """,
+)
+def eth_avg_block_time_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from presto_ethereum_spark.plans import golden
+
+    return golden.avg_block_time_by_chunk(_eth_tables(spark).table("block"), 1, 2000, 200)
+
+
+@q(
+    "eth_top_miners",
+    f"""
+    SELECT block_miner, count(*) AS num,
+           CAST(count(*) AS DOUBLE)/100000.0 AS percent
+    FROM read_parquet('{ETH}/block.parquet')
+    WHERE block_number <= 100000
+    GROUP BY block_miner
+    ORDER BY num DESC, block_miner
+    LIMIT 15
+    """,
+)
+def eth_top_miners(spark: SparkSession, sf: str) -> DataFrame:
+    from presto_ethereum_spark.plans import golden
+
+    return golden.top_miners(_eth_tables(spark).table("block"), 100000, 15)
+
+
+@q(
+    "eth_erc20_movement",
+    f"""
+    SELECT erc20_token,
+           printf('%.6e', sum(erc20_value)) AS total_value
+    FROM read_parquet('{ETH}/erc20.parquet')
+    WHERE erc20_blocknumber >= 100 AND erc20_blocknumber <= 600
+    GROUP BY erc20_token
+    """,
+)
+def eth_erc20_movement(spark: SparkSession, sf: str) -> DataFrame:
+    """README.md:123-127.  Value magnitudes span 1..1e107 (whole-data parses
+    exceed float32 range), so the per-token sum is canonicalized to a
+    7-significant-digit scientific string on both sides — absorbs
+    engine-specific double summation order."""
+    erc20 = _eth_tables(spark).table("erc20")
+    return (
+        erc20.where(F.col("erc20_blocknumber").between(100, 600))
+        .groupBy("erc20_token")
+        .agg(F.format_string("%.6e", F.sum("erc20_value")).alias("total_value"))
+    )
+
+
+@q(
+    "eth_top_senders",
+    f"""
+    SELECT tx_from,
+           CAST(sum(CAST(tx_value AS DECIMAL(38, 0))) AS DOUBLE) AS total_wei,
+           count(*) AS n_tx
+    FROM read_parquet('{ETH}/transaction.parquet')
+    GROUP BY tx_from
+    ORDER BY total_wei DESC, tx_from
+    LIMIT 20
+    """,
+)
+def eth_top_senders(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact order-independent wei sums: cast to DECIMAL(38,0) pre-sum (tx
+    values <= ~1e21, sums << 1e38), narrow to double only for output."""
+    tx = _eth_tables(spark).table("transaction")
+    return (
+        tx.groupBy("tx_from")
+        .agg(
+            F.sum(F.col("tx_value").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("total_wei"),
+            F.count("*").alias("n_tx"),
+        )
+        .orderBy(F.desc("total_wei"), "tx_from")
+        .limit(20)
+    )
+
+
+@q(
+    "eth_gas_by_block_bucket",
+    f"""
+    SELECT CAST(floor(tx_blocknumber / 100) AS BIGINT) AS bucket,
+           count(*) AS n_tx,
+           sum(tx_gasprice)/count(*) AS avg_gasprice,
+           sum(tx_gas)/count(*) AS avg_gas
+    FROM read_parquet('{ETH}/transaction.parquet')
+    GROUP BY bucket
+    """,
+)
+def eth_gas_by_block_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    tx = _eth_tables(spark).table("transaction")
+    return (
+        tx.groupBy(
+            F.floor(F.col("tx_blocknumber") / 100).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_tx"),
+            # gas/gasprice are integer-valued doubles; per-bucket sums stay
+            # below 2^53 so the double sum is exact and division-deterministic
+            (F.sum("tx_gasprice") / F.count("*")).alias("avg_gasprice"),
+            (F.sum("tx_gas") / F.count("*")).alias("avg_gas"),
+        )
+    )
+
+
+@q(
+    "eth_contract_creations",
+    f"""
+    SELECT tx_blocknumber, count(*) AS n_creations
+    FROM read_parquet('{ETH}/transaction.parquet')
+    WHERE tx_to IS NULL
+    GROUP BY tx_blocknumber
+    """,
+)
+def eth_contract_creations(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-semantics check: contract creations are the rows where the
+    reference's getTo() returns null (EthereumMetadata.java:130)."""
+    tx = _eth_tables(spark).table("transaction")
+    return (
+        tx.where(F.col("tx_to").isNull())
+        .groupBy("tx_blocknumber")
+        .agg(F.count("*").alias("n_creations"))
+    )
+
+
+@q(
+    "eth_token_flows",
+    f"""
+    SELECT erc20_token, erc20_from, erc20_to, count(*) AS n_transfers
+    FROM read_parquet('{ETH}/erc20.parquet')
+    WHERE erc20_token NOT LIKE 'ERC20(%'
+    GROUP BY erc20_token, erc20_from, erc20_to
+    HAVING count(*) >= 1
+    """,
+)
+def eth_token_flows(spark: SparkSession, sf: str) -> DataFrame:
+    erc20 = _eth_tables(spark).table("erc20")
+    return (
+        erc20.where(~F.col("erc20_token").like("ERC20(%"))
+        .groupBy("erc20_token", "erc20_from", "erc20_to")
+        .agg(F.count("*").alias("n_transfers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS fingerprint, length(text) AS text_len
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprinting: md5 is bit-identical across engines and is the
+    exact-dedup key at any scale (hash-shuffle on fingerprint)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        F.length("text").alias("text_len"),
+    )
+
+
+@q(
+    "doc_exact_dedup",
+    """
+    SELECT fingerprint, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group on content hash, keep min doc_id.  At 100 TB this
+    is one hash shuffle on a 16-byte key; skew-free by construction."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@q(
+    "doc_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token counting (split keeps empty strings identically in
+    both engines)."""
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@q(
+    "doc_lang_stats",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def doc_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@q(
+    "emb_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def emb_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 norms via in-order double folds on both engines (identical
+    accumulation sequence -> bit-stable before rounding)."""
+    e = t(spark, sf, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select("vec_id", "label", F.round(F.sqrt(dot), 4).alias("l2_norm"))
