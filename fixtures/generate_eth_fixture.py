@@ -416,9 +416,18 @@ def main() -> None:
         "transaction": (golden_transaction_rows(chain), TXTBL_T),
         "erc20": (golden_erc20_rows(chain), ERC20_T),
     }
+    # Small row groups (200 blocks' worth) so block-range predicates exercise
+    # real parquet row-group pruning, mirroring the reference's split-level
+    # scan pruning (EthereumSplitManager.java:55-61).
+    row_group = {"chain_blocks": 200, "block": 200, "transaction": 2000, "erc20": 2000}
     for name, (rows, schema) in tables.items():
         table = pa.Table.from_pylist(rows, schema=schema)
-        pq.write_table(table, OUT_DIR / f"{name}.parquet", compression="zstd")
+        pq.write_table(
+            table,
+            OUT_DIR / f"{name}.parquet",
+            compression="zstd",
+            row_group_size=row_group[name],
+        )
         print(f"{name}: {table.num_rows} rows -> {OUT_DIR / f'{name}.parquet'}")
 
 

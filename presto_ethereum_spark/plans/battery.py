@@ -640,7 +640,7 @@ def eth_erc20_movement(spark: SparkSession, sf: str) -> DataFrame:
     exceed float32 range), so the per-token sum is canonicalized to a
     7-significant-digit scientific string on both sides — absorbs
     engine-specific double summation order."""
-    erc20 = _eth_tables(spark).table("erc20")
+    erc20 = _eth_tables(spark).table_for_block_range("erc20", 100, 600)
     return (
         erc20.where(F.col("erc20_blocknumber").between(100, 600))
         .groupBy("erc20_token")

@@ -57,6 +57,33 @@ class EthereumFixtureSource:
         # EthereumMetadata.java:71-81.
         raise ValueError(f"Unknown table: {name!r} (expected block|transaction|erc20)")
 
+    def table_for_block_range(
+        self, name: str, lo: int | None = None, hi: int | None = None
+    ) -> DataFrame:
+        """Block-range pushdown, the reference's only documented predicate
+        transposition (EthereumMetadata.java:179-199, README.md:15): a range
+        on block_number / tx_blocknumber / erc20_blocknumber restricts the
+        *chain scan* itself (parquet row-group pruning on ``number``) instead
+        of filtering after the explode.  Matches the reference's unenforced
+        contract: every row of the pruned scan is still produced, and the
+        caller's own filter re-applies the predicate (EthereumMetadata.java:236).
+        """
+        from pyspark.sql import functions as F
+
+        chain = self.chain
+        if lo is not None:
+            chain = chain.where(F.col("number") >= lo)
+        if hi is not None:
+            chain = chain.where(F.col("number") <= hi)
+        name = name.lower()
+        if name == TABLE_BLOCK:
+            return blocks_from_chain(chain)
+        if name == TABLE_TRANSACTION:
+            return transactions_from_chain(chain)
+        if name == TABLE_ERC20:
+            return erc20_from_chain(chain)
+        raise ValueError(f"Unknown table: {name!r} (expected block|transaction|erc20)")
+
     def register_views(self) -> None:
         """``SHOW TABLES`` parity: block / erc20 / transaction."""
         for name in (TABLE_BLOCK, TABLE_TRANSACTION, TABLE_ERC20):

@@ -42,3 +42,25 @@ def test_erc20_decode_edge_coverage(spark, chain_source):
         .count()
     )
     assert total_logs > erc20.count()
+
+
+def test_block_range_pushdown_unenforced_contract(spark, chain_source):
+    """table_for_block_range prunes the scan but never changes results when
+    the caller re-applies the predicate (the reference's unenforced-pushdown
+    contract, EthereumMetadata.java:236)."""
+    from pyspark.sql import functions as F
+
+    full = chain_source.table("erc20").where(
+        F.col("erc20_blocknumber").between(100, 600)
+    )
+    pruned = chain_source.table_for_block_range("erc20", 100, 600).where(
+        F.col("erc20_blocknumber").between(100, 600)
+    )
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    # open-ended ranges too
+    lo_only = chain_source.table_for_block_range("transaction", lo=2000)
+    assert (
+        lo_only.where("tx_blocknumber >= 2000").count()
+        == chain_source.table("transaction").where("tx_blocknumber >= 2000").count()
+    )
