@@ -223,88 +223,23 @@ def generate_chain() -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
-# Independent golden decode (mirrors EthereumRecordCursor.java semantics)
+# Golden decode via the pure-Python row producer (sources/pyrows.py) — the
+# Spark column-expression pipeline stays the independent differential side.
 # ---------------------------------------------------------------------------
 
+from presto_ethereum_spark.sources import pyrows  # noqa: E402
+
+
 def golden_block_rows(chain: list[dict]) -> list[dict]:
-    return [
-        {
-            "block_number": b["number"],
-            "block_hash": b["hash"],
-            "block_parenthash": b["parenthash"],
-            "block_nonce": b["nonce"],
-            "block_sha3uncles": b["sha3uncles"],
-            "block_logsbloom": b["logsbloom"],
-            "block_transactionsroot": b["transactionsroot"],
-            "block_stateroot": b["stateroot"],
-            "block_miner": b["miner"],
-            "block_difficulty": b["difficulty"],
-            "block_totaldifficulty": b["totaldifficulty"],
-            "block_size": b["size"],
-            "block_extradata": b["extradata"],
-            "block_gaslimit": b["gaslimit"],
-            "block_gasused": b["gasused"],
-            "block_timestamp": b["timestamp"],
-            "block_transactions": [t["hash"] for t in b["transactions"]],
-            "block_uncles": b["uncles"],
-        }
-        for b in chain
-    ]
+    return [pyrows.block_row(b) for b in chain]
 
 
 def golden_transaction_rows(chain: list[dict]) -> list[dict]:
-    return [
-        {
-            "tx_hash": t["hash"],
-            "tx_nonce": t["nonce"],
-            "tx_blockhash": t["blockhash"],
-            "tx_blocknumber": t["blocknumber"],
-            "tx_transactionindex": t["transactionindex"],
-            "tx_from": t["from"],
-            "tx_to": t["to"],
-            "tx_value": t["value"],
-            "tx_gas": t["gas"],
-            "tx_gasprice": t["gasprice"],
-            "tx_input": t["input"],
-        }
-        for b in chain
-        for t in b["transactions"]
-    ]
+    return [r for b in chain for r in pyrows.transaction_rows(b)]
 
 
 def golden_erc20_rows(chain: list[dict]) -> list[dict]:
-    """ERC-20 Transfer decode, EthereumRecordCursor.java:151-189."""
-    rows = []
-    for b in chain:
-        for t in b["transactions"]:
-            for log in t["logs"]:
-                topics = list(log["topics"])
-                data = log["data"]
-                if topics[0].lower() != TRANSFER_EVENT_TOPIC:
-                    continue
-                if len(topics) < 3 and len(topics) + (len(data) - 2) // 64 != 4:
-                    continue  # "weird" event
-                if len(topics) < 3:
-                    fields = [
-                        data[2 + 64 * i : 2 + 64 * (i + 1)]
-                        for i in range((len(data) - 2) // 64)
-                    ]
-                    i = 0
-                    while len(topics) < 3:
-                        topics.append("0x" + fields[i])
-                        i += 1
-                    data = "0x" + fields[i]
-                rows.append(
-                    {
-                        "erc20_token": lookup_token(log["address"]),
-                        "erc20_from": h32_to_h20(topics[1]),
-                        "erc20_to": h32_to_h20(topics[2]),
-                        "erc20_value": hex_to_double(data),
-                        "erc20_txhash": log["transactionhash"],
-                        "erc20_blocknumber": log["blocknumber"],
-                    }
-                )
-    return rows
+    return [r for b in chain for r in pyrows.erc20_rows(b)]
 
 
 # ---------------------------------------------------------------------------

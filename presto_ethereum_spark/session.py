@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (block-range transposition in
+        # sources/rpc.py) is gated behind this flag in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # 128 MiB input splits: at 100 TB that is ~800k tasks — fine for a
         # 1000-executor cluster; raise for fewer/larger tasks if scheduling
         # overhead dominates.

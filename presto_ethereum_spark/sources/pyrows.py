@@ -1,0 +1,101 @@
+"""Pure-Python row production from nested chain-block dicts.
+
+This is the row-at-a-time decode used (a) by the live RPC reader on
+executors — where rows arrive as JSON-RPC dicts and Python-side decode is
+free relative to network cost — and (b) by the fixture generator to produce
+golden tables.  It mirrors the reference cursor's row semantics
+(EthereumRecordCursor.java:109-189) and is deliberately INDEPENDENT of the
+Spark column-expression pipeline in ``sources/decode.py``; the two are
+differential-tested against each other.
+"""
+
+from __future__ import annotations
+
+from presto_ethereum_spark.constants import (
+    TRANSFER_EVENT_TOPIC,
+    h32_to_h20,
+    hex_to_double,
+    lookup_token,
+)
+
+__all__ = ["block_row", "transaction_rows", "erc20_rows"]
+
+
+def block_row(b: dict) -> dict:
+    """EthBlock -> 18-column block row (EthereumRecordCursor.java:109-135)."""
+    return {
+        "block_number": b["number"],
+        "block_hash": b["hash"],
+        "block_parenthash": b["parenthash"],
+        "block_nonce": b["nonce"],
+        "block_sha3uncles": b["sha3uncles"],
+        "block_logsbloom": b["logsbloom"],
+        "block_transactionsroot": b["transactionsroot"],
+        "block_stateroot": b["stateroot"],
+        "block_miner": b["miner"],
+        "block_difficulty": b["difficulty"],
+        "block_totaldifficulty": b["totaldifficulty"],
+        "block_size": b["size"],
+        "block_extradata": b["extradata"],
+        "block_gaslimit": b["gaslimit"],
+        "block_gasused": b["gasused"],
+        "block_timestamp": b["timestamp"],
+        "block_transactions": [t["hash"] for t in b["transactions"]],
+        "block_uncles": b["uncles"],
+    }
+
+
+def transaction_rows(b: dict) -> list[dict]:
+    """Embedded tx list -> 11-column rows (EthereumRecordCursor.java:136-150)."""
+    return [
+        {
+            "tx_hash": t["hash"],
+            "tx_nonce": t["nonce"],
+            "tx_blockhash": t["blockhash"],
+            "tx_blocknumber": t["blocknumber"],
+            "tx_transactionindex": t["transactionindex"],
+            "tx_from": t["from"],
+            "tx_to": t["to"],
+            "tx_value": t["value"],
+            "tx_gas": t["gas"],
+            "tx_gasprice": t["gasprice"],
+            "tx_input": t["input"],
+        }
+        for t in b["transactions"]
+    ]
+
+
+def erc20_rows(b: dict) -> list[dict]:
+    """ERC-20 Transfer decode (EthereumRecordCursor.java:151-189):
+    case-insensitive topic match, weird-event drop, unindexed-param
+    promotion, h32->h20 narrowing, hex->double with 0.0 fallback."""
+    rows = []
+    for t in b["transactions"]:
+        for log in t.get("logs") or []:
+            topics = list(log["topics"])
+            data = log["data"]
+            if not topics or topics[0].lower() != TRANSFER_EVENT_TOPIC:
+                continue
+            if len(topics) < 3 and len(topics) + (len(data) - 2) // 64 != 4:
+                continue  # "weird" event (:160-161)
+            if len(topics) < 3:
+                fields = [
+                    data[2 + 64 * i : 2 + 64 * (i + 1)]
+                    for i in range((len(data) - 2) // 64)
+                ]
+                i = 0
+                while len(topics) < 3:
+                    topics.append("0x" + fields[i])
+                    i += 1
+                data = "0x" + fields[i]
+            rows.append(
+                {
+                    "erc20_token": lookup_token(log["address"]),
+                    "erc20_from": h32_to_h20(topics[1]),
+                    "erc20_to": h32_to_h20(topics[2]),
+                    "erc20_value": hex_to_double(data),
+                    "erc20_txhash": log["transactionhash"],
+                    "erc20_blocknumber": log["blocknumber"],
+                }
+            )
+    return rows

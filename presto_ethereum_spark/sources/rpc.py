@@ -1,0 +1,427 @@
+"""Live Ethereum source on the PySpark 4 Python DataSource API.
+
+The reference connector's execution shape (SURVEY.md §3):
+
+  coordinator: constraint -> block ranges -> one split PER BLOCK
+               (EthereumSplitManager.java:55-68)
+  worker:      one eth_getBlockByNumber RPC per split
+               (EthereumRecordSet.java:48-56), plus one
+               eth_getTransactionReceipt per tx for erc20
+               (EthereumLogLazyIterator.java:29-61)
+
+Spark re-expression, with the round-trip economics fixed:
+
+  driver:   ``pushFilters`` transposes predicates to a BlockRange
+            (plans/pushdown.py — incl. the reference's planning-time
+            hash->number and timestamp->number resolutions), then
+            ``partitions()`` chunks the range into ``blocks_per_partition``
+            blocks per InputPartition (default 200 vs the reference's 1 —
+            a Spark task is far heavier than a Presto split);
+  executor: ``read(partition)`` issues BATCHED JSON-RPC posts
+            (``rpc_batch_size`` blocks per POST, receipts batched
+            likewise) — >=100x fewer HTTP round-trips than the reference's
+            1 + |txs| per block; receipts are only fetched for the erc20
+            table and only for blocks that contain transactions (the
+            empty-receipt skip, EthereumLogLazyIterator.java:43-45).
+
+Transports:
+  - ``HttpJsonRpcTransport``: real JSON-RPC 2.0 batch client (hex-quantity
+    decoding per the Ethereum wire format);
+  - ``ParquetChainTransport``: serves the same interface from a nested
+    chain parquet — hermetic tests of the full DataSource machinery.
+
+Usage::
+
+    spark.dataSource.register(EthereumDataSource)
+    df = (spark.read.format("ethereum")
+          .option("table", "transaction")
+          .option("url", "http://localhost:8545/")
+          .option("start_block", 4_000_000)
+          .option("end_block", 4_100_000)
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from presto_ethereum_spark.plans.pushdown import (
+    OPEN_END,
+    BlockRange,
+    ranges_from_filters,
+)
+from presto_ethereum_spark.schemas import SCHEMAS, TABLES
+
+DEFAULT_BLOCKS_PER_PARTITION = 200
+DEFAULT_RPC_BATCH = 50
+
+
+# ---------------------------------------------------------------------------
+# Transports
+# ---------------------------------------------------------------------------
+
+
+def _hex_int(v) -> int:
+    return int(v, 16) if isinstance(v, str) else int(v)
+
+
+def _hex_float(v) -> float:
+    return float(int(v, 16)) if isinstance(v, str) else float(v)
+
+
+class HttpJsonRpcTransport:
+    """JSON-RPC 2.0 batch client over urllib (stdlib-only, picklable by
+    construction: the connection is opened lazily per process)."""
+
+    def __init__(self, url: str, timeout: float = 60.0):
+        self.url = url
+        self.timeout = timeout
+
+    def _post(self, calls: list[dict]) -> list:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url,
+            data=json.dumps(calls).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            out = json.loads(resp.read())
+        if isinstance(out, dict):
+            out = [out]
+        by_id = {r["id"]: r for r in out}
+        return [by_id[c["id"]].get("result") for c in calls]
+
+    def block_number(self) -> int:
+        [r] = self._post(
+            [{"jsonrpc": "2.0", "id": 0, "method": "eth_blockNumber", "params": []}]
+        )
+        return _hex_int(r)
+
+    def block_number_by_hash(self, block_hash: str) -> int | None:
+        [r] = self._post(
+            [
+                {
+                    "jsonrpc": "2.0",
+                    "id": 0,
+                    "method": "eth_getBlockByHash",
+                    "params": [block_hash, False],
+                }
+            ]
+        )
+        return _hex_int(r["number"]) if r else None
+
+    def block_timestamp(self, number: int) -> int:
+        [r] = self._post(
+            [
+                {
+                    "jsonrpc": "2.0",
+                    "id": 0,
+                    "method": "eth_getBlockByNumber",
+                    "params": [hex(number), False],
+                }
+            ]
+        )
+        return _hex_int(r["timestamp"])
+
+    def get_blocks(self, numbers: Sequence[int]) -> list[dict]:
+        """Batched eth_getBlockByNumber(n, fullTx=True): one POST for the
+        whole batch (vs one RPC per block, EthereumRecordSet.java:51)."""
+        calls = [
+            {
+                "jsonrpc": "2.0",
+                "id": i,
+                "method": "eth_getBlockByNumber",
+                "params": [hex(n), True],
+            }
+            for i, n in enumerate(numbers)
+        ]
+        return [self._wire_block(r) for r in self._post(calls) if r]
+
+    def get_receipt_logs(self, tx_hashes: Sequence[str]) -> dict[str, list[dict]]:
+        """Batched eth_getTransactionReceipt; returns tx_hash -> logs."""
+        calls = [
+            {
+                "jsonrpc": "2.0",
+                "id": i,
+                "method": "eth_getTransactionReceipt",
+                "params": [h],
+            }
+            for i, h in enumerate(tx_hashes)
+        ]
+        out: dict[str, list[dict]] = {}
+        for h, r in zip(tx_hashes, self._post(calls)):
+            logs = (r or {}).get("logs") or []
+            out[h] = [
+                {
+                    "address": lg.get("address"),
+                    "topics": list(lg.get("topics") or []),
+                    "data": lg.get("data") or "0x",
+                    "transactionhash": lg.get("transactionHash"),
+                    "blocknumber": _hex_int(lg.get("blockNumber", 0)),
+                }
+                for lg in logs
+            ]
+        return out
+
+    @staticmethod
+    def _wire_block(b: dict) -> dict:
+        """Ethereum wire JSON (hex quantities, camelCase) -> nested chain
+        dict (the decode contract of sources/pyrows.py)."""
+        txs = []
+        for t in b.get("transactions") or []:
+            txs.append(
+                {
+                    "hash": t.get("hash"),
+                    "nonce": _hex_int(t.get("nonce", 0)),
+                    "blockhash": t.get("blockHash"),
+                    "blocknumber": _hex_int(t.get("blockNumber", 0)),
+                    "transactionindex": _hex_int(t.get("transactionIndex", 0)),
+                    "from": t.get("from"),
+                    "to": t.get("to"),
+                    "value": _hex_float(t.get("value", 0)),
+                    "gas": _hex_float(t.get("gas", 0)),
+                    "gasprice": _hex_float(t.get("gasPrice", 0)),
+                    "input": t.get("input") or "0x",
+                    "logs": None,  # fetched lazily for erc20 only
+                }
+            )
+        return {
+            "number": _hex_int(b.get("number", 0)),
+            "hash": b.get("hash"),
+            "parenthash": b.get("parentHash"),
+            "nonce": b.get("nonce"),
+            "sha3uncles": b.get("sha3Uncles"),
+            "logsbloom": b.get("logsBloom"),
+            "transactionsroot": b.get("transactionsRoot"),
+            "stateroot": b.get("stateRoot"),
+            "miner": b.get("miner"),
+            "difficulty": _hex_int(b.get("difficulty", 0)),
+            "totaldifficulty": _hex_int(b.get("totalDifficulty", 0)),
+            "size": _hex_int(b.get("size", 0)),
+            "extradata": b.get("extraData") or "",
+            "gaslimit": _hex_float(b.get("gasLimit", 0)),
+            "gasused": _hex_float(b.get("gasUsed", 0)),
+            "timestamp": _hex_int(b.get("timestamp", 0)),
+            "uncles": list(b.get("uncles") or []),
+            "transactions": txs,
+        }
+
+
+class ParquetChainTransport:
+    """Same interface served from a nested chain_blocks parquet — hermetic
+    stand-in for a node (tests, offline demos).  Lazy-loads per process so
+    instances pickle cheaply to executors."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._by_number: dict[int, dict] | None = None
+
+    def _load(self) -> dict[int, dict]:
+        if self._by_number is None:
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(self.path).to_pylist()
+            self._by_number = {b["number"]: b for b in rows}
+        return self._by_number
+
+    def block_number(self) -> int:
+        return max(self._load())
+
+    def block_number_by_hash(self, block_hash: str) -> int | None:
+        for b in self._load().values():
+            if b["hash"] == block_hash:
+                return b["number"]
+        return None
+
+    def block_timestamp(self, number: int) -> int:
+        return self._load()[number]["timestamp"]
+
+    def get_blocks(self, numbers: Sequence[int]) -> list[dict]:
+        by = self._load()
+        return [by[n] for n in numbers if n in by]
+
+    def get_receipt_logs(self, tx_hashes: Sequence[str]) -> dict[str, list[dict]]:
+        # fixture blocks embed their logs; the rpc read path only calls this
+        # for wire-shaped blocks whose logs are None
+        return {}
+
+
+def make_transport(options: dict):
+    path = options.get("path")
+    if path:
+        return ParquetChainTransport(path)
+    return HttpJsonRpcTransport(options.get("url", "http://localhost:8545/"))
+
+
+# ---------------------------------------------------------------------------
+# DataSource implementation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BlockRangePartition(InputPartition):
+    start: int
+    end: int  # inclusive
+
+
+class EthereumDataSource(DataSource):
+    """``spark.read.format("ethereum")`` — tables block|transaction|erc20."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ethereum"
+
+    def schema(self) -> StructType:
+        table = self.options.get("table", "block").lower()
+        if table not in TABLES:
+            raise ValueError(
+                f"Unknown table: {table!r} (expected block|transaction|erc20)"
+            )
+        return SCHEMAS[table]
+
+    def reader(self, schema: StructType) -> "EthereumReader":
+        return EthereumReader(dict(self.options), schema)
+
+
+class EthereumReader(DataSourceReader):
+    """Reader with a STATIC scan range (``start_block``/``end_block``
+    options).  Deliberately implements no ``pushFilters``: Spark 4.1 caches
+    the planned (partitions, read function) inside the shared Table object of
+    a DataFrame/view, so a reader whose partitions depend on per-query pushed
+    filters poisons subsequent queries on the same DataFrame (verified: a
+    full count after a filtered query returns the filtered count).  Dynamic
+    pushdown lives in :class:`EthereumPushdownReader` (format
+    ``ethereum-pushdown``) for single-query-per-load use.
+    """
+
+    def __init__(self, options: dict, schema: StructType):
+        self.options = options
+        self.table = options.get("table", "block").lower()
+        self.schema = schema
+        self.columns = [f.name for f in schema.fields]
+        self.transport = make_transport(options)
+        self.blocks_per_partition = int(
+            options.get("blocks_per_partition", DEFAULT_BLOCKS_PER_PARTITION)
+        )
+        self.rpc_batch = int(options.get("rpc_batch_size", DEFAULT_RPC_BATCH))
+        lo = options.get("start_block")
+        hi = options.get("end_block")
+        self.range = BlockRange(
+            int(lo) if lo is not None else 1,
+            int(hi) if hi is not None else OPEN_END,
+        )
+
+    # -- planning (driver side) --------------------------------------------
+
+    def partitions(self) -> list[BlockRangePartition]:
+        """Chunked block ranges (vs 1 split/block,
+        EthereumSplitManager.java:57-59).  An open-ended range is capped at
+        the live chain head, mirroring :63-68."""
+        start = max(1, self.range.start)
+        end = self.range.end
+        if end == OPEN_END:
+            end = self.transport.block_number()
+        if start > end:
+            return []
+        step = self.blocks_per_partition
+        return [
+            BlockRangePartition(lo, min(lo + step - 1, end))
+            for lo in range(start, end + 1, step)
+        ]
+
+    # -- execution (executor side) -----------------------------------------
+
+    def read(self, partition: BlockRangePartition | None) -> Iterator[tuple]:
+        from presto_ethereum_spark.sources import pyrows
+
+        if partition is None:
+            # Spark schedules one task with a None partition when
+            # partitions() returned an empty list (fully-pruned scan)
+            return
+        numbers = list(range(partition.start, partition.end + 1))
+        cols = self.columns
+        for i in range(0, len(numbers), self.rpc_batch):
+            blocks = self.transport.get_blocks(numbers[i : i + self.rpc_batch])
+            if self.table == "erc20":
+                self._attach_logs(blocks)
+            for b in blocks:
+                if self.table == "block":
+                    row = pyrows.block_row(b)
+                    yield tuple(row[c] for c in cols)
+                elif self.table == "transaction":
+                    for row in pyrows.transaction_rows(b):
+                        yield tuple(row[c] for c in cols)
+                else:
+                    for row in pyrows.erc20_rows(b):
+                        yield tuple(row[c] for c in cols)
+
+    def _attach_logs(self, blocks: list[dict]) -> None:
+        """Lazy receipt fetch, erc20 only: skip blocks without transactions
+        (EthereumLogLazyIterator.java:43-45) and batch the receipt RPCs for
+        the rest.  Fixture blocks already embed logs (logs is a list)."""
+        pending = [
+            t
+            for b in blocks
+            for t in b["transactions"]
+            if t.get("logs") is None
+        ]
+        if not pending:
+            return
+        fetched = self.transport.get_receipt_logs([t["hash"] for t in pending])
+        for t in pending:
+            t["logs"] = fetched.get(t["hash"], [])
+
+
+class EthereumPushdownReader(EthereumReader):
+    """Adds dynamic filter->block-range transposition (the reference's
+    getTableLayouts behavior, EthereumMetadata.java:179-237).
+
+    CAVEAT (Spark 4.1): because Spark caches the planned read in the shared
+    Table object, use this format with one query per ``load()`` — a reused
+    DataFrame/view whose later queries have weaker predicates can observe
+    the earlier query's narrowed scan.  The default ``ethereum`` format is
+    immune (static partitions).
+    """
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        pushed = ranges_from_filters(
+            filters,
+            resolve_hash=self.transport.block_number_by_hash,
+            get_timestamp=self.transport.block_timestamp,
+            head=self._head_for_planning(filters),
+        )
+        self.range = self.range.intersect(pushed)
+        # ALL filters are yielded back (reported un-pushed) so Spark
+        # re-applies them post-scan — the reference's unenforced-constraint
+        # contract (EthereumMetadata.java:236).
+        return iter(filters)
+
+    def _head_for_planning(self, filters: list[Filter]) -> int | None:
+        from presto_ethereum_spark.plans.pushdown import TIMESTAMP_COLUMNS
+
+        needs_head = any(
+            getattr(f, "attribute", None)
+            and f.attribute[0].lower() in TIMESTAMP_COLUMNS
+            for f in filters
+        )
+        return self.transport.block_number() if needs_head else None
+
+
+class EthereumPushdownDataSource(EthereumDataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "ethereum-pushdown"
+
+    def reader(self, schema: StructType) -> EthereumPushdownReader:
+        return EthereumPushdownReader(dict(self.options), schema)

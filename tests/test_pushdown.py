@@ -1,0 +1,136 @@
+"""Unit tests mirroring the reference pushdown cases (SURVEY.md §5.3):
+EthereumBlockRange.fromMarkers bound handling, timestamp binary search
+(exact hit, between-blocks ±1 offset, head<=1 early return), and
+filter->range extraction incl. hash resolution."""
+
+import pytest
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+
+from presto_ethereum_spark.plans.pushdown import (
+    FULL_CHAIN,
+    OPEN_END,
+    BlockRange,
+    find_block_by_timestamp,
+    ranges_from_filters,
+)
+
+
+class TestNumberRanges:
+    def test_no_filters(self):
+        assert ranges_from_filters([]) == FULL_CHAIN
+
+    def test_exactly_bounds(self):
+        r = ranges_from_filters(
+            [
+                GreaterThanOrEqual(("block_number",), 10),
+                LessThanOrEqual(("block_number",), 20),
+            ]
+        )
+        assert r == BlockRange(10, 20)
+
+    def test_above_below_nudge(self):
+        # ABOVE -> value+1, BELOW -> value-1 (EthereumBlockRange.java:20-35)
+        r = ranges_from_filters(
+            [GreaterThan(("block_number",), 10), LessThan(("block_number",), 20)]
+        )
+        assert r == BlockRange(11, 19)
+
+    def test_point(self):
+        assert ranges_from_filters([EqualTo(("tx_blocknumber",), 7)]) == BlockRange(7, 7)
+
+    def test_in_list(self):
+        assert ranges_from_filters([In(("erc20_blocknumber",), (5, 9, 7))]) == BlockRange(5, 9)
+
+    def test_conjunction_intersects(self):
+        r = ranges_from_filters(
+            [
+                GreaterThanOrEqual(("block_number",), 5),
+                GreaterThanOrEqual(("block_number",), 10),
+                LessThanOrEqual(("block_number",), 100),
+                LessThan(("block_number",), 51),
+            ]
+        )
+        assert r == BlockRange(10, 50)
+
+    def test_contradiction_is_empty(self):
+        r = ranges_from_filters(
+            [
+                GreaterThanOrEqual(("block_number",), 100),
+                LessThanOrEqual(("block_number",), 10),
+            ]
+        )
+        assert r.is_empty
+
+    def test_unrelated_filters_ignored(self):
+        r = ranges_from_filters(
+            [
+                IsNotNull(("block_miner",)),
+                StringStartsWith(("block_miner",), "0xab"),
+                EqualTo(("block_size",), 123),
+            ]
+        )
+        assert r == FULL_CHAIN
+
+    def test_hash_resolution(self):
+        resolve = {"0xabc": 42}.get
+        r = ranges_from_filters([EqualTo(("block_hash",), "0xabc")], resolve_hash=resolve)
+        assert r == BlockRange(42, 42)
+        # unknown hash -> no narrowing
+        r2 = ranges_from_filters([EqualTo(("block_hash",), "0xZZZ")], resolve_hash=resolve)
+        assert r2 == FULL_CHAIN
+
+
+class TestTimestampSearch:
+    # timestamps: block n has ts = 100 + 10*n (n in 1..100)
+    HEAD = 100
+
+    @staticmethod
+    def ts(n):
+        return 100 + 10 * n
+
+    def test_exact_hit(self):
+        assert find_block_by_timestamp(self.ts, self.HEAD, self.ts(37), -1) == 37
+        assert find_block_by_timestamp(self.ts, self.HEAD, self.ts(37), +1) == 37
+
+    def test_between_blocks_offset(self):
+        # ts=375 lies between block 27 (370) and 28 (380): the search ends at
+        # a neighbor and the ±1 offset brackets the boundary like the
+        # reference (EthereumMetadata.java:293-318)
+        lo = find_block_by_timestamp(self.ts, self.HEAD, 375, -1)
+        hi = find_block_by_timestamp(self.ts, self.HEAD, 375, +1)
+        assert lo <= 27 and hi >= 28
+
+    def test_head_le_one(self):
+        assert find_block_by_timestamp(self.ts, 1, 12345, -1) == 1
+        assert find_block_by_timestamp(self.ts, 0, 12345, -1) == 0
+
+    def test_range_extraction(self):
+        r = ranges_from_filters(
+            [
+                GreaterThanOrEqual(("block_timestamp",), 375),
+                LessThanOrEqual(("block_timestamp",), self.ts(90)),
+            ],
+            get_timestamp=self.ts,
+            head=self.HEAD,
+        )
+        # must bracket blocks 28..90 (unenforced: may be slightly wider)
+        assert r.start <= 28 and r.end >= 90 and r.end != OPEN_END
+
+
+class TestBlockRangeAlgebra:
+    def test_intersect_open(self):
+        assert BlockRange(5, OPEN_END).intersect(BlockRange(1, 10)) == BlockRange(5, 10)
+        assert BlockRange(1, OPEN_END).intersect(BlockRange(3, OPEN_END)) == BlockRange(3, OPEN_END)
+
+    def test_empty(self):
+        assert BlockRange(10, 5).is_empty
+        assert not BlockRange(10, OPEN_END).is_empty

@@ -1,0 +1,165 @@
+"""End-to-end tests of the Python DataSource over the parquet transport:
+the full machinery (schema -> pushFilters -> partitions -> read) runs
+hermetically, and results must match the fixture-derived tables."""
+
+import pytest
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    LessThanOrEqual,
+)
+
+from presto_ethereum_spark.sources.rpc import (
+    BlockRangePartition,
+    EthereumDataSource,
+    EthereumPushdownDataSource,
+    EthereumPushdownReader,
+    EthereumReader,
+    ParquetChainTransport,
+)
+from tests.conftest import ETH_FIXTURES
+
+CHAIN = str(ETH_FIXTURES / "chain_blocks.parquet")
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(EthereumDataSource)
+    spark.dataSource.register(EthereumPushdownDataSource)
+    return spark
+
+
+def _read(spark, table, **options):
+    r = spark.read.format("ethereum").option("table", table).option("path", CHAIN)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+@pytest.mark.parametrize("table", ["block", "transaction", "erc20"])
+def test_matches_fixture_pipeline(registered, chain_source, table):
+    ds = _read(registered, table, start_block=1, end_block=300)
+    via_fixture = chain_source.table_for_block_range(table, 1, 300)
+    assert ds.exceptAll(via_fixture).count() == 0
+    assert via_fixture.exceptAll(ds).count() == 0
+    # names + types must agree (nullability flags legitimately differ:
+    # the DataSource declares everything nullable like the reference)
+    assert [(f.name, f.dataType) for f in ds.schema.fields] == [
+        (f.name, f.dataType) for f in via_fixture.schema.fields
+    ]
+
+
+def test_filter_pushdown_prunes_partitions(registered):
+    # the pushdown variant: range predicate reaches the reader ->
+    # 2 x 100-block partitions (one query per load())
+    df = (
+        registered.read.format("ethereum-pushdown")
+        .option("table", "block")
+        .option("path", CHAIN)
+        .option("blocks_per_partition", 100)
+        .load()
+        .where("block_number >= 1001 AND block_number <= 1200")
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 200
+
+
+def test_default_format_immune_to_stale_plan_cache(registered):
+    """Regression for the Spark 4.1 shared-Table plan cache: on the default
+    format a filtered query must NOT narrow later queries on the same
+    DataFrame (this returned 100 with a stateful pushFilters reader)."""
+    df = _read(registered, "block", blocks_per_partition=100)
+    assert df.count() == 2400
+    assert df.where("block_number BETWEEN 1001 AND 1100").count() == 100
+    assert df.count() == 2400  # unchanged after the filtered query
+
+
+def test_unpushed_contract_correctness(registered):
+    # pushdown narrows the scan; Spark re-applies the predicate; adding an
+    # unrelated filter must not break anything
+    df = _read(registered, "transaction", blocks_per_partition=500).where(
+        "tx_blocknumber BETWEEN 100 AND 150 AND tx_transactionindex = 0"
+    )
+    rows = df.collect()
+    assert rows and all(100 <= r.tx_blocknumber <= 150 for r in rows)
+    assert all(r.tx_transactionindex == 0 for r in rows)
+
+
+def test_range_options(registered):
+    df = _read(registered, "block", start_block=50, end_block=59)
+    assert df.count() == 10
+
+
+def test_unknown_table_errors(registered):
+    with pytest.raises(Exception, match="Unknown table"):
+        registered.read.format("ethereum").option("table", "bogus").option(
+            "path", CHAIN
+        ).load().count()
+
+
+class TestReaderPlanning:
+    def make_reader(self, **options):
+        opts = {"table": "block", "path": CHAIN, **options}
+        return EthereumPushdownReader(opts, EthereumDataSource(opts).schema())
+
+    def test_partition_chunking(self):
+        r = self.make_reader(start_block=1, end_block=1000, blocks_per_partition=300)
+        parts = r.partitions()
+        assert [(p.start, p.end) for p in parts] == [
+            (1, 300),
+            (301, 600),
+            (601, 900),
+            (901, 1000),
+        ]
+
+    def test_open_range_caps_at_head(self):
+        r = self.make_reader(blocks_per_partition=1000)
+        parts = r.partitions()
+        assert parts[-1].end == 2400  # fixture chain head
+
+    def test_push_filters_returns_all(self):
+        r = self.make_reader()
+        filters = [
+            GreaterThanOrEqual(("block_number",), 10),
+            LessThanOrEqual(("block_number",), 20),
+            EqualTo(("block_miner",), "0xabc"),
+        ]
+        remaining = list(r.pushFilters(filters))
+        assert remaining == filters  # unenforced contract
+        assert (r.range.start, r.range.end) == (10, 20)
+
+    def test_empty_range_no_partitions(self):
+        r = self.make_reader(start_block=500, end_block=400)
+        assert r.partitions() == []
+
+    def test_hash_pushdown_resolves_via_transport(self):
+        tr = ParquetChainTransport(CHAIN)
+        target = tr.get_blocks([77])[0]["hash"]
+        r = self.make_reader()
+        list(r.pushFilters([EqualTo(("block_hash",), target)]))
+        assert (r.range.start, r.range.end) == (77, 77)
+
+    def test_timestamp_pushdown_via_binary_search(self):
+        tr = ParquetChainTransport(CHAIN)
+        ts_of_1000 = tr.block_timestamp(1000)
+        r = self.make_reader()
+        list(
+            r.pushFilters(
+                [
+                    GreaterThanOrEqual(("block_timestamp",), ts_of_1000),
+                    LessThanOrEqual(("block_timestamp",), tr.block_timestamp(1100)),
+                ]
+            )
+        )
+        assert r.range.start <= 1000 and 1100 <= r.range.end <= 1102
+        assert r.range.end != -1
+
+
+def test_erc20_lazy_log_fetch_counts(registered, spark):
+    # erc20 through the DS equals the golden parquet slice
+    ds = _read(registered, "erc20", start_block=200, end_block=400)
+    golden = spark.read.parquet(str(ETH_FIXTURES / "erc20.parquet")).where(
+        "erc20_blocknumber BETWEEN 200 AND 400"
+    )
+    assert ds.exceptAll(golden).count() == 0
+    assert golden.exceptAll(ds).count() == 0
