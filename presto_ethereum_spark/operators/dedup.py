@@ -1,0 +1,297 @@
+"""Deduplication operators for 100 TB-scale document corpora.
+
+Five families, all shuffle-architected for scale and (where claimed)
+oracle-expressible in portable SQL:
+
+- **exact**: group on an md5 content fingerprint — one hash shuffle on a
+  16-byte key, skew-free by construction;
+- **MinHash + LSH**: shingle -> 60-bit md5-derived min-hash signature ->
+  banded bucket join.  The signature build is a narrow per-row fold (no
+  Python, no shuffle); candidate generation is one explode + hash shuffle on
+  band keys; verification re-computes exact Jaccard per candidate pair;
+- **SimHash**: per-token 60-bit hashes folded into a signed bit-count
+  accumulator (a single JVM-side array fold per row), banded blocking on
+  15-bit sub-keys, Hamming-distance verification via xor/bit_count;
+- **n-gram Jaccard**: exact pairwise similarity inside blocking keys;
+- **embedding cosine** near-dup lives in ``operators/similarity.py``.
+
+Hash portability: h(s) = first 15 hex chars of md5 -> 60-bit int.  Both
+Spark (``conv``) and DuckDB (``'0x...'::BIGINT``) produce identical values,
+so every operator here can be differentially tested against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from presto_ethereum_spark.operators.text import fingerprint, word_shingles
+
+__all__ = [
+    "hash60",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_band_keys",
+    "minhash_candidates",
+    "jaccard",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_candidates",
+    "simhash_dedup_pairs",
+    "jaccard_pairs",
+]
+
+NUM_HASHES = 16
+BANDS = 4  # 4 bands x 4 rows: catches pairs with Jaccard >~ 0.5 w.h.p.
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15-bit blocking keys
+
+
+def hash60(col: Column, seed: int | None = None) -> Column:
+    """Portable 60-bit hash: md5 prefix as integer.  With ``seed``, a member
+    of a universal-ish hash family (seed is mixed into the pre-image)."""
+    pre = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(pre.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct (normalized) content: keeps the min id, counts
+    copies.  groupBy on the 16-byte fingerprint = one skew-free shuffle."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_" + id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> Column:
+    """Array of ``num_hashes`` min-hash values over word-``shingle_n``-grams.
+
+    Entirely JVM-side: transform + array_min per hash seed.  Documents with
+    no shingles (< n tokens) get null entries — filter upstream.
+    """
+    shingles = F.array_distinct(word_shingles(text, shingle_n))
+
+    def hasher(seed: int):
+        # single-arg lambda on purpose: a two-arg lambda (even with a bound
+        # default) is passed (element, index) by transform(), silently
+        # replacing the seed with the array position
+        return lambda s: hash60(s, seed)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, hasher(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_band_keys(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """LSH banding: md5 over each band's signature slice -> array of band
+    keys.  Equal key in ANY band -> candidate pair."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(",", *[sig[b * rows + r].cast("string") for r in range(rows)])
+                .cast("binary")
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from the banded bucket join.
+
+    Plan at scale: narrow signature build -> explode to (id, band, key) ->
+    ONE hash shuffle on (band, key) -> per-bucket pair expansion -> distinct.
+    Never materializes the full O(n^2) pair space.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col)).alias("sig"),
+    ).where(~F.array_contains(F.transform(F.col("sig"), F.isnull), True))
+    banded = sigs.select(
+        "id", F.posexplode(minhash_band_keys(F.col("sig"))).alias("band", "key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(text_a: Column, text_b: Column, shingle_n: int = 3) -> Column:
+    """Exact word-shingle Jaccard similarity (distinct shingles)."""
+    sa = F.array_distinct(word_shingles(text_a, shingle_n))
+    sb = F.array_distinct(word_shingles(text_b, shingle_n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return F.when(union <= 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard >= threshold.
+
+    The verify join re-attaches the two texts (hash shuffles on the ids) and
+    computes exact similarity only on the candidate set."""
+    cand = minhash_candidates(df, text_col, id_col)
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    return (
+        cand.join(docs.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("txt_a"), F.col("txt_b")))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over distinct whitespace tokens (unit weights).
+
+    One JVM-side fold: per token a 60-bit hash votes ±1 on every bit; the
+    sign vector packs back into a 60-bit integer.  No explode, no shuffle —
+    O(tokens x bits) arithmetic inside codegen.
+    """
+    from presto_ethereum_spark.operators.text import tokens
+
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: hash60(t))
+    zero = F.array_repeat(F.lit(0), bits)
+    # bit_get accepts a column position (shiftright does not); 2^j as a
+    # double is exact for j <= 62 so the pow/cast round-trip is lossless.
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.transform(
+            acc,
+            lambda c, j: c + F.when(F.bit_get(h, j) == 1, 1).otherwise(-1),
+        ),
+    )
+    weights = F.transform(
+        counts,
+        lambda c, j: F.when(c > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(weights, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = SIMHASH_BANDS, bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Blocking on 15-bit simhash sub-keys: near-identical documents agree on
+    at least one band w.h.p.; one shuffle on (band, key)."""
+    width = bits // bands
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked candidates verified by Hamming distance <= max_hamming
+    (xor + bit_count, pure JVM)."""
+    cand = simhash_candidates(df, text_col, id_col)
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (within blocking keys)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    blocking_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact pairwise Jaccard within blocking groups (id_a < id_b).
+
+    Without blocking this is O(n^2) — correct as a small-corpus oracle and
+    as the verifier behind LSH candidates; at scale always pass blocking
+    keys (language, length bucket, LSH band...)."""
+    cols = [F.col(id_col).alias("id"), F.col(text_col).alias("txt")] + [
+        F.col(c) for c in (blocking_cols or [])
+    ]
+    d = df.select(*cols)
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in blocking_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard_sim", jaccard(F.col("a.txt"), F.col("b.txt"), shingle_n))
+        .where(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("jaccard_sim", 6).alias("jaccard_sim"),
+        )
+    )

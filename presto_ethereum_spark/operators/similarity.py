@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine``: in-order double fold (zip_with + aggregate) — deterministic,
+  bit-stable, pure JVM;
+- ``brute_force_topk``: exact k-NN for a (small, broadcast) query set —
+  the correctness baseline; one pass over the corpus, per-query heap via
+  window row_number with WindowGroupLimit pushdown;
+- ``cosine_pairs``: exact all-pairs >= threshold (use inside blocks);
+- ``lsh_bucket_topk`` / ``hyperplane_signature``: the scale path —
+  random-hyperplane LSH: 60-bit signature per vector from md5-derived
+  deterministic hyperplanes, candidates from Hamming-band blocking, exact
+  cosine re-rank.  Approximate recall is measured in tests, not assumed.
+
+At 100 TB: the brute-force path is a single broadcast-join scan (no
+shuffle); the LSH path exchanges only (band, key) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "brute_force_topk",
+    "cosine_pairs",
+    "hyperplane_signature",
+    "lsh_candidates",
+    "lsh_topk",
+]
+
+
+def _d(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """In-order fold -> deterministic double accumulation."""
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+
+    ``queries`` is broadcast (it must be small — the classic ANN-baseline
+    shape); the corpus streams through one scan; the per-query top-k uses
+    row_number so Spark's WindowGroupLimit keeps only k rows per query per
+    partition before the shuffle."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("query_vec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocking_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact pairs with cosine >= threshold (id_a < id_b), optionally within
+    blocking groups.  The embedding-cosine near-dup primitive."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + [
+        F.col(c) for c in (blocking_cols or [])
+    ]
+    d = df.select(*cols)
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for c in blocking_cols or []:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("sim", cosine(F.col("a.v"), F.col("b.v")))
+        .where(F.col("sim") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component k of plane p derives
+    from md5(p:k) — reproducible across sessions/engines with no RNG."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{plane}:{k}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for k in range(dim)
+    ]
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 60) -> Column:
+    """``bits``-bit sign signature: bit p = 1 iff v . h_p > 0."""
+    sig = F.lit(0).cast("long")
+    for p in range(bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, p)])
+        positive = dot(vec, plane) > 0
+        sig = sig + F.when(positive, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def lsh_candidates(
+    df: DataFrame,
+    dim: int,
+    bands: int = 6,
+    bits: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs agreeing on >= 1 signature band (id_a < id_b)."""
+    width = bits // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(F.col(vec_col), dim, bits).alias("sig"),
+    )
+    banded = sigs.select(
+        "id",
+        "v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.v").alias("v_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 10,
+    bands: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN: exact cosine re-rank over LSH candidates.
+
+    Band width tunes the recall/cost curve: 15 bands x 4 bits suits
+    low-similarity regimes (nearest neighbors at cosine ~0.3, where each
+    extra signature bit only agrees with p~0.6); for true near-dup corpora
+    (cosine >= 0.9) use 6 bands x 10 bits for far smaller buckets.  Recall
+    is measured against brute force in tests, not assumed."""
+    cand = lsh_candidates(df, dim, bands=bands, id_col=id_col, vec_col=vec_col)
+    sym = cand.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        F.col("v_a").alias("qv"),
+        F.col("v_b").alias("nv"),
+    ).unionByName(
+        cand.select(
+            F.col("id_b").alias("query_id"),
+            F.col("id_a").alias("neighbor_id"),
+            F.col("v_b").alias("qv"),
+            F.col("v_a").alias("nv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        sym.withColumn("sim", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built from JVM-side column expressions (no Python in the
+hot path): tokenization, token counting (whitespace + BPE-ish regex),
+quality scoring, n-gram shingling, language identification (stopword-profile
+heuristic), and content fingerprinting.  All functions are deterministic and
+deliberately expressible 1:1 in ANSI-ish SQL so correctness can be
+oracle-checked (see plans/battery.py).
+
+Scale: every operator is a narrow per-row projection — zero shuffles; at
+100 TB these run at parquet-scan speed inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count_ws",
+    "token_count_regex",
+    "word_shingles",
+    "punct_ratio",
+    "digit_ratio",
+    "avg_token_len",
+    "stopword_ratio",
+    "quality_score",
+    "lang_scores",
+    "lang_id",
+    "normalize_text",
+    "fingerprint",
+    "LANG_PROFILES",
+    "TOKEN_REGEX",
+    "EN_STOPWORDS",
+]
+
+# A BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+# marks.  ASCII classes only so the Java and RE2 regex dialects agree.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with for "
+    "on as at by from not but".split()
+)
+
+# Tiny stopword profiles per language for the n-gram/stopword language-ID
+# heuristic.  Deterministic, data-independent; ties resolve in declaration
+# order (en first).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": EN_STOPWORDS,
+    "de": "der die das und ist nicht mit von zu im den ein eine auf für".split(),
+    "fr": "le la les et de des un une est dans pour que qui sur pas".split(),
+    "es": "el la los las y de un una es en para que no con por".split(),
+    "zh": "de le shi bu zai you wo ta men zhe na ge hao".split(),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; keeps empty strings (both engines' split do)."""
+    return F.split(text, " ", -1)
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_regex(text: Column) -> Column:
+    """BPE-ish token count via regexp extraction."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: tokens joined with a single space; documents
+    shorter than n tokens yield an empty array."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    stripped = F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^0-9]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length = (chars - spaces) / tokens."""
+    nospace = F.length(F.regexp_replace(text, r" ", ""))
+    return nospace / F.greatest(token_count_ws(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic in [0, 1]: rewards mid-length documents with low
+    punctuation/digit noise, plausible word lengths, and some stopword mass
+    (the classic cheap pre-filters in front of LLM training pipelines)."""
+    length_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    word_len = avg_token_len(text)
+    word_len_score = F.when((word_len >= 3) & (word_len <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.3)
+    )
+    noise_penalty = punct_ratio(text) + digit_ratio(text)
+    sw_score = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    raw = (
+        0.35 * length_score
+        + 0.25 * word_len_score
+        + 0.2 * sw_score
+        + 0.2 * (1 - F.least(noise_penalty * 3, F.lit(1.0)))
+    )
+    return F.round(raw, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-overlap score per language profile (count of token hits)."""
+    toks = tokens(F.lower(text))
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        prof = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over profiles; ties resolve in declaration order; zero overlap
+    everywhere -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(scores)):  # reversed so first lang wins ties
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapse
+    whitespace runs, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (bit-identical across
+    engines; the exact-dedup key at any scale)."""
+    return F.md5(normalize_text(text).cast("binary"))

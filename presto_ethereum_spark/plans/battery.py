@@ -845,6 +845,243 @@ def doc_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -- text analysis ----------------------------------------------------------
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _doc_quality_oracle() -> str:
+    from presto_ethereum_spark.operators.text import (
+        EN_STOPWORDS,
+        LANG_PROFILES,
+        TOKEN_REGEX,
+    )
+
+    lang_score_cols = ",\n           ".join(
+        f"len(list_filter(toks_l, t -> list_contains({_sql_list(words)}, t))) AS s_{lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    lang_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(lower(text), ' ') AS toks_l,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens_regex,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(replace(text, ' ', '')) AS n_nospace
+      FROM documents),
+    scored AS (
+      SELECT doc_id, n_chars, n_tokens_regex,
+             n_punct / greatest(n_chars, 1) AS pr,
+             n_digit / greatest(n_chars, 1) AS dr,
+             n_nospace / greatest(n_tok, 1) AS atl,
+             len(list_filter(toks_l, t -> list_contains({_sql_list(EN_STOPWORDS)}, t)))
+                 / greatest(n_tok, 1) AS swr,
+             {lang_score_cols}
+      FROM base),
+    final AS (
+      SELECT doc_id, n_chars, n_tokens_regex,
+             round(0.35 * least(n_chars / 500.0, 1.0)
+                 + 0.25 * (CASE WHEN atl >= 3 AND atl <= 10 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4, 1.0)
+                 + 0.2 * (1 - least((pr + dr) * 3, 1.0)), 6) AS quality,
+             {best} AS best,
+             {", ".join("s_" + lang for lang in langs)}
+      FROM scored)
+    SELECT doc_id, n_chars, n_tokens_regex, quality, {lang_case} AS pred_lang
+    FROM final
+    """
+
+
+@q("doc_quality", _doc_quality_oracle())
+def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document text analysis: BPE-ish token count, composite quality
+    score, stopword-profile language ID — all JVM-side column expressions
+    (operators/text.py), zero shuffles."""
+    from presto_ethereum_spark.operators import text as T
+
+    d = t(spark, sf, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(txt).alias("n_chars"),
+        T.token_count_regex(txt).alias("n_tokens_regex"),
+        T.quality_score(txt).alias("quality"),
+        T.lang_id(txt).alias("pred_lang"),
+    )
+
+
+# -- dedup ------------------------------------------------------------------
+
+# DuckDB mirror of hash60 / minhash signature / band keys (dedup.py)
+_DUCK_SIG = """
+    sigs AS (
+      SELECT doc_id,
+             [list_min([CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', x)), 1, 15)) AS BIGINT)
+                        FOR x IN shingles]) FOR seed IN range(0, 16)] AS sig
+      FROM shingled WHERE len(shingles) > 0),
+    banded AS (
+      SELECT doc_id,
+             b AS band,
+             md5(concat(CAST(sig[4*b + 1] AS VARCHAR), ',', CAST(sig[4*b + 2] AS VARCHAR), ',',
+                        CAST(sig[4*b + 3] AS VARCHAR), ',', CAST(sig[4*b + 4] AS VARCHAR))) AS key
+      FROM sigs, range(0, 4) r(b))
+"""
+
+_DUCK_SHINGLED = """
+    shingled AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+"""
+
+
+@q(
+    "doc_minhash_lsh_pairs",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_SIG},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS jaccard_sim
+    FROM cand
+    JOIN shingled sa ON sa.doc_id = id_a
+    JOIN shingled sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.3
+    """,
+)
+def doc_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, exact-Jaccard verified at >= 0.3.
+    Scale plan: narrow signature fold -> one shuffle on (band, key) ->
+    verify only candidates (operators/dedup.py)."""
+    from presto_ethereum_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(t(spark, sf, "documents"), threshold=0.3)
+
+
+@q(
+    "doc_simhash_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks),
+    bits AS (
+      SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM h, range(0, 60) r(j) GROUP BY doc_id, j),
+    sh AS (
+      SELECT doc_id, sum(CASE WHEN c > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS sh
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, sh, b AS band, (sh >> (15 * b)) & 32767 AS key
+      FROM sh, range(0, 4) r(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """,
+)
+def doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: banded 15-bit blocking, Hamming <= 6
+    verification (operators/dedup.py: one JVM fold per row, no explode)."""
+    from presto_ethereum_spark.operators.dedup import simhash_dedup_pairs
+
+    return simhash_dedup_pairs(t(spark, sf, "documents"), max_hamming=6)
+
+
+@q(
+    "doc_ngram_jaccard_block",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    langd AS (SELECT doc_id, lang FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS jaccard_sim
+    FROM langd a JOIN langd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    JOIN shingled sa ON sa.doc_id = a.doc_id
+    JOIN shingled sb ON sb.doc_id = b.doc_id
+    WHERE len(sa.shingles) + len(sb.shingles) > 0
+      AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
+    """,
+)
+def doc_ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.2 blocked by language — the exact
+    verifier that backs the LSH path, run inside blocking keys."""
+    from presto_ethereum_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        t(spark, sf, "documents"), threshold=0.2, blocking_cols=["lang"]
+    )
+
+
+# -- similarity search ------------------------------------------------------
+
+_DUCK_COSINE = """
+      list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+"""
+
+
+@q(
+    "emb_knn_bruteforce",
+    f"""
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round({_DUCK_COSINE}, 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_DUCK_COSINE} DESC, b.vec_id) AS INT) AS rank
+    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    WHERE a.vec_id < 5
+    QUALIFY rank <= 10
+    """,
+)
+def emb_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries, one corpus
+    scan, WindowGroupLimit top-k (operators/similarity.py)."""
+    from presto_ethereum_spark.operators.similarity import brute_force_topk
+
+    e = t(spark, sf, "embeddings")
+    return brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+@q(
+    "emb_similar_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COSINE}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DUCK_COSINE} >= 0.3
+    """,
+)
+def emb_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, >= 0.3)."""
+    from presto_ethereum_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(t(spark, sf, "embeddings"), threshold=0.3)
+
+
 @q(
     "emb_norms",
     """

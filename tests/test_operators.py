@@ -1,0 +1,158 @@
+"""Unit/property tests for the training-data operators: dedup invariants,
+LSH recall vs brute force, text metrics on edge-case inputs."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from presto_ethereum_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),  # exact duplicate
+        Row(doc_id=2, text=base.replace("lazy", "sleepy")),  # near duplicate
+        Row(doc_id=3, text="completely different content about spark sql engines"),
+        Row(doc_id=4, text=""),  # empty
+        Row(doc_id=5, text="short"),  # < shingle width
+        Row(doc_id=6, text="THE  Quick   Brown fox " + base),  # case/ws variant
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestExactDedup:
+    def test_exact_dup_grouped(self, docs):
+        out = dedup.exact_dedup(docs).collect()
+        by_keeper = {r["keeper_doc_id"]: r["n_copies"] for r in out}
+        assert by_keeper[0] == 2  # docs 0 and 1 identical
+        assert by_keeper[3] == 1
+
+    def test_normalization_collapses_ws_and_case(self, spark):
+        d = spark.createDataFrame(
+            [Row(doc_id=0, text="Hello  World"), Row(doc_id=1, text="hello world ")]
+        )
+        assert dedup.exact_dedup(d).count() == 1
+
+
+class TestMinhash:
+    def test_identical_docs_identical_sigs(self, docs):
+        sigs = (
+            docs.where("doc_id IN (0, 1)")
+            .select(dedup.minhash_signature(F.col("text")).alias("s"))
+            .collect()
+        )
+        assert list(sigs[0]["s"]) == list(sigs[1]["s"])
+
+    def test_near_dup_found_distinct_not(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        assert (0, 1) in pairs  # exact dup -> jaccard 1.0
+        assert (0, 2) in pairs  # one-word change -> high jaccard
+        assert not any(3 in p for p in pairs)  # unrelated doc
+
+    def test_jaccard_bounds(self, docs):
+        out = (
+            docs.alias("a")
+            .join(docs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(dedup.jaccard(F.col("a.text"), F.col("b.text")).alias("j"))
+            .collect()
+        )
+        assert all(0.0 <= r["j"] <= 1.0 for r in out)
+
+    def test_short_and_empty_docs_excluded(self, docs):
+        # docs 4 and 5 have no 3-gram shingles; candidates must not contain them
+        cand = dedup.minhash_candidates(docs).collect()
+        ids = {r["id_a"] for r in cand} | {r["id_b"] for r in cand}
+        assert 4 not in ids and 5 not in ids
+
+
+class TestSimhash:
+    def test_identical_same_hash(self, docs):
+        out = docs.select("doc_id", dedup.simhash(F.col("text")).alias("h")).collect()
+        by = {r["doc_id"]: r["h"] for r in out}
+        assert by[0] == by[1]
+        # near-dup within small hamming distance
+        assert bin(by[0] ^ by[2]).count("1") <= 12
+        # unrelated far away
+        assert bin(by[0] ^ by[3]).count("1") > 12
+
+    def test_pairs_detect_dup(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_dedup_pairs(docs, max_hamming=12).collect()
+        }
+        assert (0, 1) in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_cosine_self_is_one(self, emb):
+        out = emb.limit(5).select(
+            F.round(similarity.cosine(F.col("embedding"), F.col("embedding")), 9).alias("c")
+        ).collect()
+        assert all(abs(r["c"] - 1.0) < 1e-9 for r in out)
+
+    def test_lsh_recall_vs_brute_force(self, emb):
+        """The approximate path must recover most true top-5 neighbors.
+        Measured, not assumed (bands=15 x 4 bits; low-sim regime)."""
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.brute_force_topk(emb, emb, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.lsh_topk(emb, dim=64, k=5, bands=15).collect()
+        }
+        recall = len(truth & approx) / len(truth)
+        assert recall >= 0.8, f"LSH recall too low: {recall:.3f}"
+
+    def test_topk_rank_contract(self, emb):
+        out = similarity.brute_force_topk(emb, emb.where("vec_id = 0"), k=7).collect()
+        assert [r["rank"] for r in out] == list(range(1, 8))
+        sims = [r["sim"] for r in out]
+        assert sims == sorted(sims, reverse=True)
+
+
+class TestText:
+    def test_empty_text_no_crash(self, spark):
+        d = spark.createDataFrame([Row(text="")])
+        row = d.select(
+            text.quality_score(F.col("text")).alias("q"),
+            text.lang_id(F.col("text")).alias("lang"),
+            text.token_count_regex(F.col("text")).alias("n"),
+            text.fingerprint(F.col("text")).alias("fp"),
+        ).first()
+        assert 0.0 <= row["q"] <= 1.0
+        assert row["lang"] == "und"
+        assert row["n"] == 0
+        assert len(row["fp"]) == 32
+
+    def test_lang_id_authentic_snippets(self, spark):
+        rows = [
+            Row(lang="en", text="the cat is on the table and it is not happy"),
+            Row(lang="de", text="der hund ist nicht mit der katze im haus"),
+            Row(lang="fr", text="le chat est dans la maison et il est content"),
+            Row(lang="es", text="el perro es un animal y no es el gato"),
+        ]
+        out = spark.createDataFrame(rows).select(
+            "lang", text.lang_id(F.col("text")).alias("pred")
+        ).collect()
+        assert all(r["lang"] == r["pred"] for r in out)
+
+    def test_token_regex_boundaries(self, spark):
+        d = spark.createDataFrame([Row(text="ab3cd, x-1!")])
+        # ab / 3 / cd / , / x / - / 1 / ! -> 8
+        assert d.select(text.token_count_regex(F.col("text")).alias("n")).first()["n"] == 8
+
+    def test_shingles_width(self, spark):
+        d = spark.createDataFrame([Row(text="a b c d")])
+        out = d.select(text.word_shingles(F.col("text"), 3).alias("s")).first()["s"]
+        assert out == ["a b c", "b c d"]
