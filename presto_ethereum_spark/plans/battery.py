@@ -845,6 +845,46 @@ def doc_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -- streaming --------------------------------------------------------------
+
+
+@q(
+    "stream_windowed_counts",
+    """
+    SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming: event-time tumbling windows with watermark, run
+    to completion via availableNow into a memory sink — the streaming result
+    must equal the equivalent batch aggregation (streaming/events.py)."""
+    from presto_ethereum_spark.streaming.events import run_windowed_counts
+
+    return run_windowed_counts(spark, sf, window="1 hour")
+
+
+# -- multimodal (rows-only: binary plumbing has no SQL oracle) --------------
+
+
+@q("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal byte-column pipeline: synthetic media table -> Arrow-
+    batched mapInPandas feature extraction (operators/multimodal.py).  The
+    codec is stubbed (no image libs in this container); the schema,
+    batching, and 1->N expansion plumbing are real.  Rows-only check."""
+    from presto_ethereum_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    return extract_features(media_from_documents(t(spark, sf, "documents")))
+
+
 # -- text analysis ----------------------------------------------------------
 
 

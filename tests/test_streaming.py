@@ -1,0 +1,109 @@
+"""Streaming tests: the chain-tail source must reproduce the batch block
+table exactly; the windowed event aggregation must equal its batch
+equivalent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_ethereum_spark.streaming.chain import EthereumStreamDataSource
+from presto_ethereum_spark.streaming.events import run_windowed_counts
+from tests.conftest import ETH_FIXTURES
+
+CHAIN = str(ETH_FIXTURES / "chain_blocks.parquet")
+
+
+def test_chain_stream_ingests_all_blocks(spark, chain_source, tmp_path):
+    # availableNow falls back to a single micro-batch for Python streaming
+    # sources, so size the batch to cover the chain for the equality check
+    spark.dataSource.register(EthereumStreamDataSource)
+    stream = (
+        spark.readStream.format("ethereum-stream")
+        .option("path", CHAIN)
+        .option("max_blocks_per_batch", 3000)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("chain_tail")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("chain_tail")
+    want = chain_source.table("block")
+    assert got.count() == 2400
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_chain_stream_multi_batch_progress(spark, tmp_path):
+    import time
+
+    spark.dataSource.register(EthereumStreamDataSource)
+    stream = (
+        spark.readStream.format("ethereum-stream")
+        .option("path", CHAIN)
+        .option("start_block", 1)
+        .option("max_blocks_per_batch", 400)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("chain_tail_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("chain_tail_mb").count() >= 2400:
+            break
+        time.sleep(1)
+    q.stop()
+    n = spark.table("chain_tail_mb").count()
+    assert n == 2400, n
+    # multiple micro-batches actually ran (offsets advanced incrementally)
+    assert len(q.recentProgress) >= 2400 // 400
+
+
+def test_chain_stream_resumes_from_offset(spark):
+    from presto_ethereum_spark.streaming.chain import EthereumStreamReader
+
+    r = EthereumStreamReader({"path": CHAIN, "start_block": 100, "max_blocks_per_batch": 50})
+    assert r.initialOffset() == {"next": 100}
+    rows, nxt = r.read({"next": 100})
+    rows = list(rows)
+    assert len(rows) == 50 and nxt == {"next": 150}
+    assert rows[0][0] == 100  # block_number of first row
+    # replay between offsets is deterministic
+    replay = list(r.readBetweenOffsets({"next": 100}, {"next": 150}))
+    assert replay == rows
+    # caught-up tail returns empty batch and unchanged offset
+    rows2, nxt2 = r.read({"next": 2401})
+    assert list(rows2) == [] and nxt2 == {"next": 2401}
+
+
+def test_windowed_counts_match_batch(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = run_windowed_counts(spark, sf_dir, window="1 hour")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = (
+        ev.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.count() > 100
