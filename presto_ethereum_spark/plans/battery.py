@@ -550,6 +550,157 @@ def rel_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "rel_grouping_sets",
+    """
+    SELECT r_name, n_name,
+           grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+           count(*) AS n_customers
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())
+    """,
+)
+def rel_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() markers (distinguishes rollup
+    nulls from data nulls) — via Spark SQL over temp views."""
+    t(spark, sf, "region").createOrReplaceTempView("v_region")
+    t(spark, sf, "nation").createOrReplaceTempView("v_nation")
+    t(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT r_name, n_name,
+               grouping(r_name) AS g_r, grouping(n_name) AS g_n,
+               count(*) AS n_customers
+        FROM v_region
+        JOIN v_nation   ON n_regionkey = r_regionkey
+        JOIN v_customer ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), (r_name, n_name), ())
+        """
+    ).select(
+        "r_name",
+        "n_name",
+        F.col("g_r").cast("int").alias("g_r"),
+        F.col("g_n").cast("int").alias("g_n"),
+        "n_customers",
+    )
+
+
+@q(
+    "rel_in_exists_subqueries",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+    """,
+)
+def rel_in_exists_subqueries(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated IN + correlated EXISTS — both plan as semi-joins."""
+    c, n, o = t(spark, sf, "customer"), t(spark, sf, "nation"), t(spark, sf, "orders")
+    nat = n.where(F.col("n_regionkey") <= 1).select("n_nationkey")
+    big = o.where(F.col("o_totalprice") > 50000)
+    return (
+        c.join(nat, c.c_nationkey == nat.n_nationkey, "left_semi")
+        .join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@q(
+    "rel_union_all_bag",
+    """
+    SELECT custkey, count(*) AS appearances FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY custkey
+    """,
+)
+def rel_union_all_bag(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL bag semantics (vs the set-semantic rel_set_ops)."""
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    u = c.where(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey")
+    ).unionAll(
+        o.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    )
+    return u.groupBy("custkey").agg(F.count("*").alias("appearances"))
+
+
+@q(
+    "rel_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           len(string_split(p_name, ' ')) AS name_words,
+           substr(p_name, 1, 10) AS name_prefix,
+           contains(p_type, 'BRASS') AS is_brass
+    FROM part
+    """,
+)
+def rel_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_name", " ", -1)).alias("name_words"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+    )
+
+
+@q(
+    "rel_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           quarter(o_orderdate) AS q,
+           datediff('day', TIMESTAMP '2020-01-01', o_orderdate) AS days_since_2020,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    """,
+)
+def rel_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.quarter("o_orderdate").alias("q"),
+        F.datediff(F.col("o_orderdate"), F.lit("2020-01-01").cast("timestamp_ntz"))
+        .alias("days_since_2020"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias("due_date"),
+    )
+
+
+@q(
+    "rel_pivot_status_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_pivot_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot shape via conditional aggregation (portable across engines,
+    and what Spark's pivot() lowers to anyway)."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "P").alias("n_pending"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ethereum-domain golden queries (SURVEY.md §2.B corpus) — Spark derives the
 # tables from the NESTED chain snapshot through the full decode pipeline; the
@@ -843,6 +994,86 @@ def doc_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
     )
+
+
+@q(
+    "eth_block_tx_consistency",
+    f"""
+    SELECT b.block_number,
+           len(b.block_transactions) AS n_embedded,
+           coalesce(t.n_rows, 0) AS n_tx_rows
+    FROM read_parquet('{ETH}/block.parquet') b
+    LEFT JOIN (SELECT tx_blocknumber, count(*) AS n_rows
+               FROM read_parquet('{ETH}/transaction.parquet')
+               GROUP BY tx_blocknumber) t
+    ON t.tx_blocknumber = b.block_number
+    WHERE len(b.block_transactions) != coalesce(t.n_rows, 0)
+    """,
+)
+def eth_block_tx_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table invariant: the embedded tx-hash array of every block must
+    agree with the exploded transaction table — returns violations (expected
+    empty).  Exercises array functions + outer join + null handling."""
+    src = _eth_tables(spark)
+    b = src.table("block")
+    tx_counts = (
+        src.table("transaction")
+        .groupBy("tx_blocknumber")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return (
+        b.join(tx_counts, b.block_number == tx_counts.tx_blocknumber, "left")
+        .select(
+            "block_number",
+            F.size("block_transactions").alias("n_embedded"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_tx_rows"),
+        )
+        .where(F.col("n_embedded") != F.col("n_tx_rows"))
+    )
+
+
+@q(
+    "eth_uncle_distribution",
+    f"""
+    SELECT len(block_uncles) AS n_uncles, count(*) AS n_blocks,
+           CAST(sum(CAST(len(block_transactions) AS BIGINT)) AS BIGINT) AS total_txs
+    FROM read_parquet('{ETH}/block.parquet')
+    GROUP BY n_uncles
+    """,
+)
+def eth_uncle_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    b = _eth_tables(spark).table("block")
+    return (
+        b.groupBy(F.size("block_uncles").alias("n_uncles"))
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.size("block_transactions").cast("bigint"))
+            .cast("bigint")
+            .alias("total_txs"),
+        )
+    )
+
+
+@q(
+    "eth_deltas_literal_selfjoin",
+    f"""
+    SELECT b.bn, (b.block_timestamp - a.block_timestamp) AS delta
+    FROM (SELECT block_number AS bn, block_timestamp
+          FROM read_parquet('{ETH}/block.parquet')
+          WHERE block_number>=1 AND block_number<=200) AS a
+    JOIN (SELECT (block_number-1) AS bn, block_timestamp
+          FROM read_parquet('{ETH}/block.parquet')
+          WHERE block_number>=2 AND block_number<=201) AS b
+    ON a.bn = b.bn
+    """,
+)
+def eth_deltas_literal_selfjoin(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference query translated 1:1 (shifted self-join) — alongside
+    the idiomatic lead() shape in eth_block_time_deltas, proving both plans
+    produce identical results."""
+    from presto_ethereum_spark.plans import golden
+
+    return golden.block_time_deltas_literal(_eth_tables(spark).table("block"), 1, 200)
 
 
 # -- streaming --------------------------------------------------------------
