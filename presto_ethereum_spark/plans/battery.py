@@ -1076,7 +1076,121 @@ def eth_deltas_literal_selfjoin(spark: SparkSession, sf: str) -> DataFrame:
     return golden.block_time_deltas_literal(_eth_tables(spark).table("block"), 1, 200)
 
 
+# -- temporal operators -----------------------------------------------------
+
+
+@q(
+    "rel_asof_join",
+    """
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+    ord AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS o_us, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1)
+    SELECT ev.event_id, ev.user_id,
+           ord.o_us AS asof_o_us,
+           ord.o_orderkey AS asof_o_orderkey,
+           ord.o_totalprice AS asof_o_totalprice
+    FROM ev ASOF LEFT JOIN ord
+    ON ev.user_id = ord.o_custkey AND ev.t_us >= ord.o_us
+    """,
+)
+def rel_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (most recent order at or before each event, per user) —
+    an operator Spark lacks, composed as union + partitioned window
+    (operators/temporal.py); the oracle is DuckDB's native ASOF JOIN."""
+    from presto_ethereum_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    ord_ = (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            (F.unix_timestamp("o_orderdate") * 1_000_000).alias("o_us"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        ev,
+        ord_,
+        on_left="user_id",
+        on_right="o_custkey",
+        left_time="t_us",
+        right_time="o_us",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+    ).select(
+        "event_id", "user_id", "asof_o_us", "asof_o_orderkey", "asof_o_totalprice"
+    )
+
+
+@q(
+    "rel_sessionize",
+    """
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+    marked AS (
+      SELECT event_id, user_id, t_us,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                       OR t_us - lag(t_us) OVER w > 3600000000 THEN 1
+                  ELSE 0 END AS is_session_start
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+    SELECT event_id, user_id, is_session_start,
+           sum(is_session_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+    FROM marked
+    """,
+)
+def rel_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (1-hour timeout) — lag marks session starts,
+    a running sum numbers them; one shuffle on user_id."""
+    from presto_ethereum_spark.operators.temporal import sessionize
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    return sessionize(
+        ev, key="user_id", time_col="t_us", gap=3_600_000_000, order_tiebreak="event_id"
+    ).select("event_id", "user_id", "is_session_start", "session_id")
+
+
 # -- streaming --------------------------------------------------------------
+
+
+@q(
+    "stream_sessionized",
+    """
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+    marked AS (
+      SELECT user_id, t_us,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                       OR t_us - lag(t_us) OVER w > 3600000000 THEN 1
+                  ELSE 0 END AS is_start
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+    numbered AS (
+      SELECT user_id, t_us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+      FROM marked)
+    SELECT user_id, session_id,
+           min(t_us) AS session_start_us,
+           max(t_us) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionized(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: gap-based sessionization via
+    applyInPandasWithState run to completion (streaming/events.py); the
+    oracle is the batch lag/cumsum sessionization in SQL."""
+    from presto_ethereum_spark.streaming.events import run_sessionized
+
+    return run_sessionized(spark, sf, gap_us=3_600_000_000)
 
 
 @q(

@@ -67,6 +67,118 @@ def windowed_counts_stream(
     )
 
 
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("next_session_id", LongType()),
+        StructField("open_sid", LongType()),
+        StructField("open_start_us", LongType()),
+        StructField("open_n", LongType()),
+    ]
+)
+
+
+def sessionized_stream(
+    spark: SparkSession, sf_dir: str, gap_us: int = 3_600_000_000
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (the hook for operators Structured Streaming
+    lacks natively).
+
+    Per user the state carries (last event time, next session id, and the
+    still-open session's id/start/count), so sessions that straddle
+    micro-batches emit exactly once with correct bounds.  The final open
+    session of each batch also emits (marked complete) so availableNow runs
+    settle to the batch-equivalent answer — in a continuous deployment you
+    would instead hold it and emit on event-time timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", F.expr("ts DIV 1000").alias("t_us"))
+    )
+
+    def assign(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, next_sid, open_sid, open_start, open_n = state.get
+        else:
+            last_ts, next_sid, open_sid, open_start, open_n = None, 0, None, None, 0
+        sessions = []  # (sid, start, end, n)
+        cur = (
+            [open_sid, open_start, last_ts, open_n] if open_sid is not None else None
+        )
+        for pdf in pdf_iter:
+            for t in sorted(pdf["t_us"]):
+                t = int(t)
+                if last_ts is None or t - last_ts > gap_us:
+                    if cur is not None:
+                        sessions.append(tuple(cur))
+                    cur = [next_sid, t, t, 1]
+                    next_sid += 1
+                else:
+                    cur[2] = t
+                    cur[3] += 1
+                last_ts = t
+        if cur is not None:
+            sessions.append(tuple(cur))
+            state.update((last_ts, next_sid, cur[0], cur[1], cur[3]))
+        else:
+            state.update((last_ts, next_sid, None, None, 0))
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_id": [s[0] for s in sessions],
+                    "session_start_us": [s[1] for s in sessions],
+                    "session_end_us": [s[2] for s in sessions],
+                    "n_events": [s[3] for s in sessions],
+                }
+            )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_sessionized(
+    spark: SparkSession, sf_dir: str, gap_us: int = 3_600_000_000
+) -> DataFrame:
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionized_stream(spark, sf_dir, gap_us)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def run_windowed_counts(
     spark: SparkSession, sf_dir: str, window: str = "1 hour"
 ) -> DataFrame:

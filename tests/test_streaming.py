@@ -107,3 +107,30 @@ def test_windowed_counts_match_batch(spark):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.count() > 100
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """applyInPandasWithState sessionization must agree with the batch
+    sessionize operator (aggregated per session)."""
+    from presto_ethereum_spark.operators.temporal import sessionize
+    from presto_ethereum_spark.streaming.events import run_sessionized
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = run_sessionized(spark, sf_dir, gap_us=3_600_000_000)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    batch = (
+        sessionize(ev, key="user_id", time_col="t_us", gap=3_600_000_000,
+                   order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("t_us").alias("session_start_us"),
+            F.max("t_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
