@@ -1,0 +1,51 @@
+"""Write path: the reference is a read-only connector (no PageSinkProvider
+anywhere in SRC/; EthereumConnector.java:40-43 only opens no-op
+READ_COMMITTED transactions), so our outputs are ordinary Spark writes —
+with the two layouts that matter at 100 TB made first-class:
+
+- **partitioned parquet** for time/range pruning on read (the write-side
+  complement of the scan's block-range pushdown);
+- **bucketed tables** for co-located joins: two tables bucketed on the same
+  key join with ZERO exchange — the write-once-shuffle-never pattern for
+  fact-to-fact joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameWriter
+
+__all__ = ["write_partitioned", "write_bucketed_table"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = 5_000_000,
+) -> None:
+    """Hive-style partitioned parquet.  Partition columns should be
+    low-cardinality derivations (block bucket, date), never raw high-card
+    keys — a 100 TB write with millions of partition dirs is a metadata
+    bomb.  ``maxRecordsPerFile`` bounds file sizes under skew."""
+    w: DataFrameWriter = df.write.mode(mode).format("parquet")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + optionally sorted managed table.  Joins between tables
+    bucketed identically on the join key skip the shuffle entirely (verified
+    in tests/test_sink.py by asserting no Exchange in the plan)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

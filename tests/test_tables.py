@@ -64,3 +64,29 @@ def test_block_range_pushdown_unenforced_contract(spark, chain_source):
         lo_only.where("tx_blocknumber >= 2000").count()
         == chain_source.table("transaction").where("tx_blocknumber >= 2000").count()
     )
+
+
+def test_catalog_metadata_queries(spark, chain_source):
+    """SHOW TABLES / DESCRIBE parity with README.md:129-187."""
+    chain_source.register_views()
+    tables = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+    assert {"block", "erc20", "transaction"} <= tables
+    desc = spark.sql("DESCRIBE transaction").collect()
+    assert [(r.col_name, r.data_type) for r in desc] == [
+        ("tx_hash", "string"),
+        ("tx_nonce", "bigint"),
+        ("tx_blockhash", "string"),
+        ("tx_blocknumber", "bigint"),
+        ("tx_transactionindex", "int"),
+        ("tx_from", "string"),
+        ("tx_to", "string"),
+        ("tx_value", "double"),
+        ("tx_gas", "double"),
+        ("tx_gasprice", "double"),
+        ("tx_input", "string"),
+    ]
+    erc = spark.sql("DESCRIBE erc20").collect()
+    assert [r.col_name for r in erc] == [
+        "erc20_token", "erc20_from", "erc20_to",
+        "erc20_value", "erc20_txhash", "erc20_blocknumber",
+    ]
