@@ -43,8 +43,13 @@ def main() -> None:
     qs = battery.queries()
 
     # Warm the JVM/parquet-footers once with a trivial action so the first
-    # measured query doesn't pay session spin-up.
+    # measured query doesn't pay session spin-up, and warm the Python/Arrow
+    # worker pool (a one-time ~3s daemon fork that would otherwise be billed
+    # to whichever measured query first touches a pandas UDF).
     qs["rel_having"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    qs["eth_erc20_movement"](spark, sf_dir).limit(1).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
