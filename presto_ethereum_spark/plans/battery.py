@@ -1467,6 +1467,66 @@ def emb_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_pairs(t(spark, sf, "embeddings"), threshold=0.3)
 
 
+def _duck_cos(x: str, y: str) -> str:
+    """DuckDB cosine between two embedding column refs (double math, same
+    accumulation as operators/similarity.cosine -> bit-stable ordering)."""
+    return (
+        f"(list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({x} AS DOUBLE[]), CAST({x} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({y} AS DOUBLE[]), CAST({y} AS DOUBLE[])))))"
+    )
+
+
+@q(
+    "emb_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_duck_cos('c.cvec', 'e.embedding')} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored WHERE vec_id < 5) WHERE rnk <= 2
+    )
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round({_duck_cos('p.qvec', 'a.embedding')}, 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY p.query_id
+                                   ORDER BY {_duck_cos('p.qvec', 'a.embedding')} DESC,
+                                            a.vec_id) AS INT) AS rank
+    FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+    QUALIFY rank <= 10
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN, the cell-partitioned scale path (operators/similarity.py):
+    codebook = 8 seed centroids inlined as a plan literal, corpus cell
+    assignment is a pure map-side expression (zero shuffle), each query
+    probes its 2 closest cells, exact cosine re-rank inside probed cells.
+    The oracle replicates the entire pipeline closed-form in SQL, so this is
+    an exact differential test of an *approximate* index."""
+    from presto_ethereum_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 5), n_cells=8, nprobe=2, k=10
+    )
+
+
 @q(
     "emb_norms",
     """

@@ -120,6 +120,47 @@ class TestSimilarity:
         sims = [r["sim"] for r in out]
         assert sims == sorted(sims, reverse=True)
 
+    def test_ivf_full_probe_equals_brute_force(self, emb):
+        """With nprobe == n_cells every cell is probed, so the IVF result
+        must equal exact search bit-for-bit — the index only *prunes*."""
+        queries = emb.where("vec_id < 3")
+        exact = sorted(
+            map(tuple, similarity.brute_force_topk(emb, queries, k=5).collect())
+        )
+        full_probe = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(
+                    emb, queries, n_cells=4, nprobe=4, k=5
+                ).collect(),
+            )
+        )
+        assert full_probe == exact
+
+    def test_ivf_partial_probe_recall(self, emb):
+        """nprobe=2 of 8 cells must still recover most true neighbors —
+        measured, not assumed."""
+        queries = emb.where("vec_id < 10")
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, queries, n_cells=8, nprobe=2, k=5
+            ).collect()
+        }
+        recall = len(truth & approx) / len(truth)
+        assert recall >= 0.5, f"IVF recall too low: {recall:.3f}"
+
+    def test_ivf_assign_covers_all_cells_keys(self, emb):
+        cents = similarity.seed_centroids(emb, n_cells=4)
+        assigned = similarity.ivf_assign(emb, cents)
+        cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+        assert cells <= {c for c, _ in cents}
+        assert assigned.count() == emb.count()
+
 
 class TestText:
     def test_empty_text_no_crash(self, spark):
