@@ -1545,3 +1545,161 @@ def emb_norms(spark: SparkSession, sf: str) -> DataFrame:
         F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
     return e.select("vec_id", "label", F.round(F.sqrt(dot), 4).alias("l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# Additional SQL-surface coverage (percentiles, arrays, range frames,
+# navigation window functions, selector decode)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rel_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(min(l_extendedprice), 4) AS lo,
+           round(max(l_extendedprice), 4) AS hi
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Presto's percentile family -> Spark
+    ``percentile``; both engines use the linear-interpolation definition).
+    At scale the approx_percentile sketch replaces this plan one-for-one."""
+    li = t(spark, sf, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.alias("pct"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pct")[0], 4).alias("p25"),
+            F.round(F.col("pct")[1], 4).alias("p50"),
+            F.round(F.col("pct")[2], 4).alias("p75"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+@q(
+    "rel_token_explode",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents WHERE lang = 'en')
+    WHERE token != ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def rel_token_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """Array explode (Presto UNNEST / Spark explode) into a frequency agg —
+    the generator runs inside whole-stage codegen, no Python row path."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.where(F.col("lang") == "en")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@q(
+    "rel_window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS spend_30d
+    FROM orders
+    """,
+)
+def rel_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame over a day-number axis: trailing-30-day spend per
+    customer.  Decimal accumulation inside the frame -> order-independent
+    exact sums on both engines."""
+    o = t(spark, sf, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@q(
+    "rel_window_navigation",
+    """
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           round(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey), 6)
+               AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def rel_window_navigation(spark: SparkSession, sf: str) -> DataFrame:
+    """Navigation window family (first/last/nth value, percent_rank) with an
+    explicit unbounded ROWS frame and a total tie-broken ordering."""
+    o = t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.round(F.percent_rank().over(w_rank), 6).alias("pct_rank"),
+    )
+
+
+@q(
+    "eth_method_selectors",
+    f"""
+    SELECT substr(tx_input, 1, 10) AS selector, count(*) AS n_calls
+    FROM read_parquet('{ETH}/transaction.parquet')
+    WHERE tx_input != '0x' AND tx_to IS NOT NULL
+    GROUP BY selector
+    """,
+)
+def eth_method_selectors(spark: SparkSession, sf: str) -> DataFrame:
+    """4-byte function-selector histogram over calldata — the standard
+    contract-usage query the reference corpus implies (tx_input,
+    EthereumMetadata.java:134); '0x' = plain value transfer, excluded."""
+    tx = _eth_tables(spark).table("transaction")
+    return (
+        tx.where((F.col("tx_input") != "0x") & F.col("tx_to").isNotNull())
+        .groupBy(F.substring("tx_input", 1, 10).alias("selector"))
+        .agg(F.count("*").alias("n_calls"))
+    )
