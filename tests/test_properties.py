@@ -1,0 +1,127 @@
+"""Property-based tests (SURVEY.md §5.4): hypothesis drives the engine's
+actual worker-side callables (the pandas batches Spark ships to executors)
+and the pushdown-invariance contract.
+
+The pandas-level properties run hundreds of examples with no JVM round-trip
+— the callable under test is byte-for-byte the one the pandas UDF executes.
+The Spark-level invariance property keeps examples few but end-to-end.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from presto_ethereum_spark.constants import WEI_UNIT_FACTORS, hex_to_double
+
+UNITS = sorted(WEI_UNIT_FACTORS)
+
+
+# ---------------------------------------------------------------------------
+# Unit conversion round trip — toWei(fromWei(x, u), u) ≈ x for every unit
+# ---------------------------------------------------------------------------
+
+
+def _pandas_fn(pudf):
+    """The Python callable inside a pandas_udf (what executors run)."""
+    return pudf.func
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=1e-9, max_value=1e30, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=64,
+    ),
+    unit=st.sampled_from(UNITS),
+)
+@settings(max_examples=200, deadline=None)
+def test_wei_round_trip(vals, unit):
+    from presto_ethereum_spark.functions.web3 import from_wei, to_wei
+
+    fw, tw = _pandas_fn(from_wei), _pandas_fn(to_wei)
+    v = pd.Series(vals, dtype="float64")
+    u = pd.Series([unit] * len(vals))
+    rt = fw(tw(v, u), u)
+    assert all(
+        math.isclose(a, b, rel_tol=1e-12) for a, b in zip(rt, v)
+    ), f"round trip drifted for unit {unit}"
+
+
+@given(unit=st.sampled_from(UNITS))
+@settings(max_examples=len(UNITS), deadline=None)
+def test_from_wei_one_wei_is_inverse_factor(unit):
+    from presto_ethereum_spark.functions.web3 import from_wei
+
+    fw = _pandas_fn(from_wei)
+    out = fw(pd.Series([1.0]), pd.Series([unit]))
+    assert out.iloc[0] == 1.0 / WEI_UNIT_FACTORS[unit]
+
+
+# ---------------------------------------------------------------------------
+# hex -> double decode: parity with Python's arbitrary-precision parse and
+# the reference's failure semantics (EthereumERC20Utils.java:8-14)
+# ---------------------------------------------------------------------------
+
+
+@given(n=st.integers(min_value=0, max_value=(1 << 256) - 1))
+@settings(max_examples=300, deadline=None)
+def test_hex_to_double_matches_bigint_narrowing(n):
+    # BigInteger(hex,16).doubleValue() == Python float(int) for values in
+    # double range (both round-to-nearest-even).  The contract takes
+    # "0x"-prefixed data only — the reference does substring(2) unguarded
+    # (EthereumERC20Utils.java:11), so prefixless input is out of contract.
+    assert hex_to_double(f"0x{n:x}") == float(n)
+
+
+@given(junk=st.text(max_size=12).filter(lambda s: not s.strip()))
+@settings(max_examples=20, deadline=None)
+def test_hex_to_double_blank_is_zero(junk):
+    assert hex_to_double(junk) == 0.0
+
+
+def test_hex_to_double_erc721_guard():
+    # non-numeric payload -> 0.0, never an exception
+    assert hex_to_double("0xzznot-hex") == 0.0
+    assert hex_to_double(None) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Pushdown invariance: pruning the chain scan never changes query results
+# (the reference's unenforced-constraint contract, EthereumMetadata.java:236)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    bounds=st.tuples(
+        st.integers(min_value=0, max_value=3000),
+        st.integers(min_value=0, max_value=3000),
+    ).map(lambda t: (min(t), max(t)))
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pushdown_never_changes_results(spark, chain_source, bounds):
+    lo, hi = bounds
+    pruned = (
+        chain_source.table_for_block_range("block", lo, hi)
+        .where(F.col("block_number").between(lo, hi))
+        .select("block_number", "block_hash", "block_miner")
+    )
+    plain = (
+        chain_source.table("block")
+        .where(F.col("block_number").between(lo, hi))
+        .select("block_number", "block_hash", "block_miner")
+    )
+    assert pruned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(pruned).count() == 0
