@@ -1,0 +1,66 @@
+"""Skew-resilient aggregation: explicit two-phase (salted) groupBy.
+
+AQE's skew-join splitting handles *join* skew at runtime; for *aggregation*
+hot keys (a handful of keys carrying most of 100 TB) the classic fix is to
+salt: pre-aggregate on (key, salt) so every reducer sees at most
+1/``salt_buckets`` of a hot key's rows, then combine the partials on the key
+alone.  Spark's hash aggregate already does map-side partials per task; the
+explicit salt additionally bounds the *reduce-side* partition of a hot key,
+which matters when one key exceeds a single executor's memory.
+
+Both phases are algebraic (sum/count/min/max), so the composition is exactly
+equal to the unsalted groupBy — asserted by the DuckDB oracle in
+plans/battery.py (eth/rel query `rel_salted_agg`) and by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg"]
+
+# (partial expr builder, final combiner) per supported algebraic aggregate
+_ALGEBRAIC = {
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str | Column, str]],
+    salt_buckets: int = 16,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation over possibly-skewed ``keys``.
+
+    ``aggs`` is a list of (fn, column, alias) with fn in sum/count/min/max.
+    ``salt_on`` names a column whose hash spreads a hot key's rows across
+    ``salt_buckets`` partial groups (defaults to a row-random-free,
+    deterministic spread via the whole row's first agg column).
+
+    Equivalent to ``df.groupBy(keys).agg(...)`` for algebraic aggregates —
+    the point is the *shuffle shape*: phase 1 exchanges (keys, salt) with at
+    most 1/salt_buckets of any key per reducer; phase 2 exchanges the tiny
+    partial table.
+    """
+    for fn, _, _ in aggs:
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"non-algebraic aggregate {fn!r}; use groupBy directly")
+    spread_col = salt_on or str(aggs[0][1])
+    salt = F.pmod(F.hash(F.col(spread_col)), F.lit(salt_buckets)).alias("_salt")
+
+    partial_exprs = [
+        _ALGEBRAIC[fn][0](col).alias(f"_p{i}") for i, (fn, col, _) in enumerate(aggs)
+    ]
+    partial = df.groupBy(*keys, salt).agg(*partial_exprs)
+
+    final_exprs = [
+        _ALGEBRAIC[fn][1](F.col(f"_p{i}")).alias(alias)
+        for i, (fn, _, alias) in enumerate(aggs)
+    ]
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -1703,3 +1703,111 @@ def eth_method_selectors(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.substring("tx_input", 1, 10).alias("selector"))
         .agg(F.count("*").alias("n_calls"))
     )
+
+
+@q(
+    "rel_cross_join",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def rel_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit cartesian product (Presto CROSS JOIN) — Spark plans a
+    BroadcastNestedLoopJoin when one side is small."""
+    return (
+        t(spark, sf, "region")
+        .crossJoin(t(spark, sf, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@q(
+    "rel_right_join",
+    """
+    SELECT c_custkey, c_mktsegment, o_orderkey
+    FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c_acctbal < -900
+    """,
+)
+def rel_right_join(spark: SparkSession, sf: str) -> DataFrame:
+    """RIGHT OUTER join: customers with no qualifying (>450k) order are
+    preserved with null o_orderkey — completes the outer-join family next to
+    left/full/semi/anti coverage."""
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    big = o.where(F.col("o_totalprice") > 450000)
+    return (
+        big.join(c, big["o_custkey"] == c["c_custkey"], "right")
+        .where(F.col("c_acctbal") < -900)
+        .select("c_custkey", "c_mktsegment", "o_orderkey")
+    )
+
+
+@q(
+    "rel_salted_agg",
+    """
+    SELECT event_type,
+           count(event_id) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) over the hot-keyed
+    event_type column.  The oracle is the PLAIN group-by: salting must be
+    invisible in the result — decimal sums make the claim exact, not
+    approximate, under the extra reorder."""
+    from presto_ethereum_spark.operators.skew import salted_agg
+
+    ev = t(spark, sf, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("count", F.col("event_id"), "n"),
+            ("sum", F.col("value").cast("decimal(18,6)"), "total_value"),
+            ("min", F.col("value"), "min_value"),
+            ("max", F.col("value"), "max_value"),
+        ],
+        salt_buckets=16,
+        salt_on="event_id",
+    ).withColumn("total_value", F.col("total_value").cast("double"))
+
+
+@q(
+    "eth_chain_state_udf",
+    f"""
+    SELECT tx_from AS address,
+           count(*) AS n_sent,
+           CAST(count(*) AS BIGINT) AS udf_tx_count
+    FROM read_parquet('{ETH}/transaction.parquet')
+    GROUP BY tx_from
+    """,
+)
+def eth_chain_state_udf(spark: SparkSession, sf: str) -> DataFrame:
+    """Chain-state UDF differential (SURVEY §2.C): eth_getTransactionCount
+    over a FixtureBackend whose state is the actual per-sender transaction
+    count of the chain — the Arrow-batched UDF lookup path must reproduce the
+    SQL aggregation exactly.  The backend receives its state dict driver-side
+    (the same shape an RPC node would return); the UDF runs distributed.
+    """
+    from presto_ethereum_spark.functions.web3 import (
+        FixtureBackend,
+        make_chain_state_udfs,
+    )
+
+    tx = _eth_tables(spark).table("transaction")
+    sent = tx.groupBy("tx_from").agg(F.count("*").alias("n_sent"))
+    state = {
+        r["tx_from"]: {"tx_count": r["n_sent"]} for r in sent.collect()
+    }
+    udfs = make_chain_state_udfs(FixtureBackend(state))
+    return sent.select(
+        F.col("tx_from").alias("address"),
+        "n_sent",
+        udfs["eth_getTransactionCount"](F.col("tx_from"), F.lit("latest")).alias(
+            "udf_tx_count"
+        ),
+    )

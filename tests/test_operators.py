@@ -197,3 +197,40 @@ class TestText:
         d = spark.createDataFrame([Row(text="a b c d")])
         out = d.select(text.word_shingles(F.col("text"), 3).alias("s")).first()["s"]
         assert out == ["a b c", "b c d"]
+
+
+class TestSaltedAgg:
+    def test_equals_plain_groupby(self, spark):
+        from presto_ethereum_spark.operators import skew
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        salted = skew.salted_agg(
+            ev,
+            keys=["event_type"],
+            aggs=[
+                ("count", F.col("event_id"), "n"),
+                ("sum", F.col("value").cast("decimal(18,6)"), "total"),
+                ("min", F.col("value"), "lo"),
+                ("max", F.col("value"), "hi"),
+            ],
+            salt_buckets=8,
+            salt_on="event_id",
+        )
+        plain = ev.groupBy("event_type").agg(
+            F.count("event_id").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_non_algebraic_rejected(self, spark):
+        from presto_ethereum_spark.operators import skew
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError, match="non-algebraic"):
+            skew.salted_agg(ev, ["event_type"], [("avg", F.col("value"), "a")])
