@@ -1213,15 +1213,31 @@ def stream_windowed_counts(spark: SparkSession, sf: str) -> DataFrame:
     return run_windowed_counts(spark, sf, window="1 hour")
 
 
-# -- multimodal (rows-only: binary plumbing has no SQL oracle) --------------
+# -- multimodal -------------------------------------------------------------
 
 
-@q("multimodal_features", None)
+@q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           length(text) AS n_bytes,
+           sha256(text) AS sha,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE length(text) % 1024 + 1 END AS INT) AS width,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE ascii(substring(text, 1, 1)) + 1 END AS INT) AS height,
+           CAST(512 AS INT) AS feature_dim
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal byte-column pipeline: synthetic media table -> Arrow-
     batched mapInPandas feature extraction (operators/multimodal.py).  The
-    codec is stubbed (no image libs in this container); the schema,
-    batching, and 1->N expansion plumbing are real.  Rows-only check."""
+    codec is stubbed (no image libs in this container) with a deterministic
+    fake decode, which the oracle replicates closed-form (corpus texts are
+    ASCII, so byte length == char length and first byte == ascii(first
+    char)); the binary schema, Arrow batching, and digest path are real and
+    hash-checked end-to-end."""
     from presto_ethereum_spark.operators.multimodal import (
         extract_features,
         media_from_documents,
