@@ -158,3 +158,73 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text (bit-identical across
     engines; the exact-dedup key at any scale)."""
     return F.md5(normalize_text(text).cast("binary"))
+
+
+def _seq_1_to(n: Column) -> Column:
+    # sequence(1, n) is DESCENDING for n < 1 — guard to empty instead
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def gram_hashes(norm_text: Column, k: int = 8) -> Column:
+    """60-bit rolling hashes of every char ``k``-gram of an
+    already-normalized text column (empty array when shorter than ``k``).
+
+    Pass a *materialized attribute* (staged ``withColumn``), not a nested
+    expression: the per-element lambda inlines whatever expression it is
+    given, so a non-attribute normalization would re-run per gram."""
+    from presto_ethereum_spark.operators.dedup import hash60
+
+    grams = F.transform(
+        _seq_1_to(F.length(norm_text) - F.lit(k - 1)),
+        lambda i: F.substring(norm_text, i, F.lit(k)),
+    )
+    return F.transform(grams, lambda g: hash60(g))
+
+
+def window_minima(hashes: Column, w: int = 4) -> Column:
+    """Distinct minima of every ``w``-wide window over a hash array.
+
+    IMPORTANT: pass a *materialized column attribute* (a staged
+    ``withColumn`` result), not the ``gram_hashes(...)`` expression itself —
+    a nested expression is re-evaluated per window position by the lambda,
+    turning O(n*w) into O(n^2) hashing.  ``winnow_fingerprints`` stages
+    correctly; this split exists so the hash array is computed once."""
+    mins = F.transform(
+        _seq_1_to(F.size(hashes) - F.lit(w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprints(
+    df, text_col: str = "text", k: int = 8, w: int = 4, out_col: str = "fps"
+):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS rolling-hash scheme): hash every char ``k``-gram of the normalized
+    text, keep the minimum of each ``w``-wide window, distinct the result.
+
+    Guarantees: any shared substring of length >= k+w-1 between two
+    documents yields at least one shared fingerprint, so containment/overlap
+    detection needs only a join on (fp) — one shuffle of small integers at
+    any corpus size.  Pure JVM expressions, no Python in the path; the hash
+    array is staged in its own projection so the window pass reads it as an
+    attribute (O(n*w) per doc, not O(n^2) — see ``window_minima``).
+    Documents with fewer than k+w-1 normalized chars produce an empty array.
+
+    Takes and returns a DataFrame (adds ``out_col``).  Each stage is its own
+    projection over an attribute of the previous one; Catalyst keeps the
+    stages separate (multi-referenced expensive expressions are not
+    collapsed), so the total cost is O(chars * w) hashes per document.
+    When exploding the result, use ``explode_outer`` + drop-null rather than
+    ``explode``: plain explode infers a ``size(fps) > 0`` filter that is
+    pushed below these projections with the whole pipeline inlined —
+    re-evaluating it quadratically."""
+    staged = (
+        df.withColumn("_winnow_norm", normalize_text(F.col(text_col)))
+        .withColumn("_winnow_hashes", gram_hashes(F.col("_winnow_norm"), k))
+    )
+    return staged.withColumn(
+        out_col, window_minima(F.col("_winnow_hashes"), w)
+    ).drop("_winnow_norm", "_winnow_hashes")

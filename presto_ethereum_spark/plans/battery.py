@@ -1827,3 +1827,39 @@ def eth_chain_state_udf(spark: SparkSession, sf: str) -> DataFrame:
             "udf_tx_count"
         ),
     )
+
+
+@q(
+    "doc_winnow_fps",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    grams AS (
+      SELECT n.doc_id, r.i,
+             CAST(concat('0x', substr(md5(substr(n.t, CAST(r.i AS INT), 8)), 1, 15)) AS BIGINT) AS hv,
+             length(n.t) - 7 AS m
+      FROM norm n, unnest(range(1, greatest(length(n.t) - 7, 0) + 1)) AS r(i)),
+    wins AS (
+      SELECT doc_id, i, m,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams)
+    SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - 3
+    """,
+)
+def doc_winnow_fps(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash) fingerprints, k=8 w=4
+    (operators/text.py): any shared >=11-char normalized substring yields a
+    shared fingerprint, so overlap detection is a join on small integers.
+    The whole selection runs as one JVM expression per document; the oracle
+    recomputes it with window minima over exploded grams — two independent
+    formulations of the same algorithm."""
+    from presto_ethereum_spark.operators.text import winnow_fingerprints
+
+    docs = t(spark, sf, "documents")
+    return (
+        winnow_fingerprints(docs)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )

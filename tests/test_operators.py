@@ -234,3 +234,35 @@ class TestSaltedAgg:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         with pytest.raises(ValueError, match="non-algebraic"):
             skew.salted_agg(ev, ["event_type"], [("avg", F.col("value"), "a")])
+
+
+class TestWinnowing:
+    @pytest.fixture(scope="class")
+    def fps(self, spark):
+        rows = [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=1, text="THE  quick Brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="short"),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text="something else entirely that ends with the lazy dog"),
+            Row(doc_id=5, text="zzz qqq xxx vvv kkk completely disjoint www yyy"),
+        ]
+        out = (
+            text.winnow_fingerprints(spark.createDataFrame(rows))
+            .select("doc_id", "fps")
+            .collect()
+        )
+        return {r["doc_id"]: set(r["fps"]) for r in out}
+
+    def test_normalization_invariance(self, fps):
+        assert fps[0] == fps[1] and fps[0]
+
+    def test_short_and_empty_produce_nothing(self, fps):
+        assert fps[2] == set() and fps[3] == set()
+
+    def test_shared_substring_guarantee(self, fps):
+        # docs 0 and 4 share "the lazy dog" (12 chars >= k+w-1=11)
+        assert fps[0] & fps[4]
+
+    def test_disjoint_docs_disjoint_fps(self, fps):
+        assert not (fps[0] & fps[5])
