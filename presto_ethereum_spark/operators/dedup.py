@@ -295,3 +295,36 @@ def jaccard_pairs(
             F.round("jaccard_sim", 6).alias("jaccard_sim"),
         )
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Near-dup / containment pairs via winnowing fingerprints
+    (operators/text.winnow_fingerprints): documents sharing >= ``min_shared``
+    fingerprints.
+
+    Shuffle shape at scale: explode to (fp, id) — small integers, not text —
+    join on fp, count per pair.  Winnowing guarantees every shared
+    normalized substring of length >= k+w-1 contributes a shared fp, so
+    boilerplate/containment surfaces even when global Jaccard is low (the
+    case MinHash misses)."""
+    from presto_ethereum_spark.operators.text import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(df, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), F.explode_outer("fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1863,3 +1863,50 @@ def doc_winnow_fps(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.explode_outer("fps").alias("fp"))
         .where(F.col("fp").isNotNull())
     )
+
+
+@q(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over projected keys, run to
+    completion with availableNow — must equal batch SELECT DISTINCT under
+    any arrival order (streaming/events.py)."""
+    from presto_ethereum_spark.streaming.events import run_stream_dedup
+
+    return run_stream_dedup(spark, sf)
+
+
+@q(
+    "doc_winnow_overlap",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    grams AS (
+      SELECT n.doc_id, r.i,
+             CAST(concat('0x', substr(md5(substr(n.t, CAST(r.i AS INT), 8)), 1, 15)) AS BIGINT) AS hv,
+             length(n.t) - 7 AS m
+      FROM norm n, unnest(range(1, greatest(length(n.t) - 7, 0) + 1)) AS r(i)),
+    wins AS (
+      SELECT doc_id, i, m,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= m - 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    HAVING count(*) >= 5
+    """,
+)
+def doc_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment/boilerplate detection: pairs sharing >= 5 winnowing
+    fingerprints (operators/dedup.winnow_overlap_pairs) — catches shared
+    substrings that global-Jaccard methods miss."""
+    from presto_ethereum_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(t(spark, sf, "documents"), min_shared=5)

@@ -195,3 +195,37 @@ def run_windowed_counts(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over the key
+    columns only.
+
+    Projecting the key before deduplicating makes the result deterministic
+    under any arrival order (no payload from an arbitrary "first" row), so
+    the streaming result equals batch ``SELECT DISTINCT`` exactly.  At scale
+    the state store holds one entry per distinct key; bound it with
+    ``dropDuplicatesWithinWatermark`` when keys expire."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
