@@ -75,13 +75,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hash values over word-``shingle_n``-grams.
+def minhash_signature_from_shingles(
+    shingles: Column, num_hashes: int = NUM_HASHES
+) -> Column:
+    """Array of ``num_hashes`` min-hash values over a PRE-STAGED distinct
+    shingle array (pass a materialized column attribute: the per-seed
+    transforms reference the shingle expression ``num_hashes`` times, so an
+    inline expression would be shingled 16x per document).
 
     Entirely JVM-side: transform + array_min per hash seed.  Documents with
     no shingles (< n tokens) get null entries — filter upstream.
     """
-    shingles = F.array_distinct(word_shingles(text, shingle_n))
 
     def hasher(seed: int):
         # single-arg lambda on purpose: a two-arg lambda (even with a bound
@@ -94,6 +98,15 @@ def minhash_signature(text: Column, num_hashes: int = NUM_HASHES, shingle_n: int
             F.array_min(F.transform(shingles, hasher(i)))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> Column:
+    """``minhash_signature_from_shingles`` over inline shingles — fine for
+    ad-hoc use; pipelines should stage the shingle array once (see
+    ``minhash_candidates``)."""
+    return minhash_signature_from_shingles(
+        F.array_distinct(word_shingles(text, shingle_n)), num_hashes
     )
 
 
@@ -120,10 +133,13 @@ def minhash_candidates(
     ONE hash shuffle on (band, key) -> per-bucket pair expansion -> distinct.
     Never materializes the full O(n^2) pair space.
     """
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col)).alias("sig"),
-    ).where(~F.array_contains(F.transform(F.col("sig"), F.isnull), True))
+    shingled = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")).withColumn(
+        "sh", F.array_distinct(word_shingles(F.col("txt"), 3))
+    )
+    sigs = (
+        shingled.where(F.size("sh") > 0)  # == "no null sig entries" below
+        .withColumn("sig", minhash_signature_from_shingles(F.col("sh")))
+    )
     banded = sigs.select(
         "id", F.posexplode(minhash_band_keys(F.col("sig"))).alias("band", "key")
     )
@@ -140,13 +156,23 @@ def minhash_candidates(
     )
 
 
-def jaccard(text_a: Column, text_b: Column, shingle_n: int = 3) -> Column:
-    """Exact word-shingle Jaccard similarity (distinct shingles)."""
-    sa = F.array_distinct(word_shingles(text_a, shingle_n))
-    sb = F.array_distinct(word_shingles(text_b, shingle_n))
+def jaccard_from_shingles(sa: Column, sb: Column) -> Column:
+    """Exact Jaccard from two pre-staged distinct shingle arrays.  Pair
+    pipelines MUST use this over materialized arrays: computing shingles
+    inside the pair expression re-shingles both documents once per PAIR
+    (measured 230 s -> 23 s at sf0.1 for the blocked variant)."""
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(sa) + F.size(sb) - inter
     return F.when(union <= 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def jaccard(text_a: Column, text_b: Column, shingle_n: int = 3) -> Column:
+    """Exact word-shingle Jaccard similarity (distinct shingles) — ad-hoc
+    two-text form; pair pipelines stage shingles first."""
+    return jaccard_from_shingles(
+        F.array_distinct(word_shingles(text_a, shingle_n)),
+        F.array_distinct(word_shingles(text_b, shingle_n)),
+    )
 
 
 def minhash_dedup_pairs(
@@ -160,11 +186,14 @@ def minhash_dedup_pairs(
     The verify join re-attaches the two texts (hash shuffles on the ids) and
     computes exact similarity only on the candidate set."""
     cand = minhash_candidates(df, text_col, id_col)
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), 3)).alias("sh"),
+    )
     return (
-        cand.join(docs.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
-        .join(docs.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
-        .withColumn("jaccard_sim", jaccard(F.col("txt_a"), F.col("txt_b")))
+        cand.join(shingled.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(shingled.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("jaccard_sim", jaccard_from_shingles(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
@@ -280,14 +309,16 @@ def jaccard_pairs(
     cols = [F.col(id_col).alias("id"), F.col(text_col).alias("txt")] + [
         F.col(c) for c in (blocking_cols or [])
     ]
-    d = df.select(*cols)
+    d = df.select(*cols).withColumn(
+        "sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n))
+    ).drop("txt")
     a, b = d.alias("a"), d.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in blocking_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .withColumn("jaccard_sim", jaccard(F.col("a.txt"), F.col("b.txt"), shingle_n))
+        .withColumn("jaccard_sim", jaccard_from_shingles(F.col("a.sh"), F.col("b.sh")))
         .where(F.col("jaccard_sim") >= threshold)
         .select(
             F.col("a.id").alias("id_a"),

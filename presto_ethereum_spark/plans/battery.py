@@ -60,6 +60,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``t`` + spread for CPU-heavy map stages (hashing/shingling/folding).
+
+    A small single-file parquet arrives as ONE input partition, which
+    serializes an embarrassingly-parallel operator onto one core (measured:
+    simhash pairs at sf0.1 went >9 min -> 7 s with 32 partitions).  The
+    repartition is CONDITIONAL: at real scale the scan already has >= cores
+    partitions (maxPartitionBytes), so this is a no-op there — we never
+    force a shuffle of 100 TB of text."""
+    df = t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage over the driver tables (SURVEY.md §2.B)
 # ---------------------------------------------------------------------------
@@ -1243,7 +1259,7 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         media_from_documents,
     )
 
-    return extract_features(media_from_documents(t(spark, sf, "documents")))
+    return extract_features(media_from_documents(t_spread(spark, sf, "documents")))
 
 
 # -- text analysis ----------------------------------------------------------
@@ -1376,7 +1392,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     verify only candidates (operators/dedup.py)."""
     from presto_ethereum_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(t(spark, sf, "documents"), threshold=0.3)
+    return minhash_dedup_pairs(t_spread(spark, sf, "documents"), threshold=0.3)
 
 
 @q(
@@ -1408,7 +1424,7 @@ def doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     verification (operators/dedup.py: one JVM fold per row, no explode)."""
     from presto_ethereum_spark.operators.dedup import simhash_dedup_pairs
 
-    return simhash_dedup_pairs(t(spark, sf, "documents"), max_hamming=6)
+    return simhash_dedup_pairs(t_spread(spark, sf, "documents"), max_hamming=6)
 
 
 @q(
@@ -1434,7 +1450,7 @@ def doc_ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
-        t(spark, sf, "documents"), threshold=0.2, blocking_cols=["lang"]
+        t_spread(spark, sf, "documents"), threshold=0.2, blocking_cols=["lang"]
     )
 
 
@@ -1464,7 +1480,7 @@ def emb_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     scan, WindowGroupLimit top-k (operators/similarity.py)."""
     from presto_ethereum_spark.operators.similarity import brute_force_topk
 
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     return brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
 
 
@@ -1480,7 +1496,7 @@ def emb_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, >= 0.3)."""
     from presto_ethereum_spark.operators.similarity import cosine_pairs
 
-    return cosine_pairs(t(spark, sf, "embeddings"), threshold=0.3)
+    return cosine_pairs(t_spread(spark, sf, "embeddings"), threshold=0.3)
 
 
 def _duck_cos(x: str, y: str) -> str:
@@ -1537,7 +1553,7 @@ def emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     an exact differential test of an *approximate* index."""
     from presto_ethereum_spark.operators.similarity import ivf_topk
 
-    e = t(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings")
     return ivf_topk(
         e, e.where(F.col("vec_id") < 5), n_cells=8, nprobe=2, k=10
     )
@@ -1857,7 +1873,7 @@ def doc_winnow_fps(spark: SparkSession, sf: str) -> DataFrame:
     formulations of the same algorithm."""
     from presto_ethereum_spark.operators.text import winnow_fingerprints
 
-    docs = t(spark, sf, "documents")
+    docs = t_spread(spark, sf, "documents")
     return (
         winnow_fingerprints(docs)
         .select("doc_id", F.explode_outer("fps").alias("fp"))
@@ -1909,4 +1925,4 @@ def doc_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     substrings that global-Jaccard methods miss."""
     from presto_ethereum_spark.operators.dedup import winnow_overlap_pairs
 
-    return winnow_overlap_pairs(t(spark, sf, "documents"), min_shared=5)
+    return winnow_overlap_pairs(t_spread(spark, sf, "documents"), min_shared=5)
