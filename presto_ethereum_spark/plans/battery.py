@@ -1926,3 +1926,71 @@ def doc_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.dedup import winnow_overlap_pairs
 
     return winnow_overlap_pairs(t_spread(spark, sf, "documents"), min_shared=5)
+
+
+@q(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join run to completion (availableNow): the
+    customer dimension broadcasts per micro-batch, so the streaming result
+    must equal the batch join+aggregate exactly (streaming/events.py)."""
+    from presto_ethereum_spark.streaming.events import run_stream_static_join
+
+    return run_stream_static_join(spark, sf)
+
+
+@q(
+    "rel_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def rel_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two fact joins -> grouped
+    revenue -> global top-10.  Decimal revenue makes the ORDER BY
+    deterministic under any partitioning (exact sums, no fp ordering
+    races)."""
+    c = t(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, sf, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

@@ -229,3 +229,47 @@ def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against a static
+    dimension (customer), then aggregated per segment.
+
+    The static side is broadcast per micro-batch — no stream-side shuffle
+    for the join; the aggregation keys on the (tiny) segment domain.  This
+    is the standing enrichment shape for a firehose at scale."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    return (
+        stream.join(dim, stream["user_id"] == dim["c_custkey"], "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_static_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
