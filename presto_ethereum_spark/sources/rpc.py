@@ -81,22 +81,49 @@ def _hex_float(v) -> float:
 
 class HttpJsonRpcTransport:
     """JSON-RPC 2.0 batch client over urllib (stdlib-only, picklable by
-    construction: the connection is opened lazily per process)."""
+    construction: the connection is opened lazily per process).
 
-    def __init__(self, url: str, timeout: float = 60.0):
+    Transient failures retry in-transport with bounded exponential backoff:
+    letting the exception escape would fail the Spark *task*, and a task
+    retry re-fetches the whole block-range partition — hundreds of RPCs to
+    repeat one flaky POST.  Non-transient errors (4xx, malformed response)
+    raise immediately."""
+
+    def __init__(self, url: str, timeout: float = 60.0, retries: int = 4):
         self.url = url
         self.timeout = timeout
+        self.retries = retries
 
-    def _post(self, calls: list[dict]) -> list:
+    def _post_once(self, body: bytes) -> list | dict:
         import urllib.request
 
         req = urllib.request.Request(
             self.url,
-            data=json.dumps(calls).encode(),
+            data=body,
             headers={"Content-Type": "application/json"},
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-            out = json.loads(resp.read())
+            return json.loads(resp.read())
+
+    def _post(self, calls: list[dict]) -> list:
+        import time
+        import urllib.error
+
+        body = json.dumps(calls).encode()
+        attempt = 0
+        while True:
+            try:
+                out = self._post_once(body)
+                break
+            except urllib.error.HTTPError as e:
+                # 5xx/429 are node-side transients; 4xx are our bug — raise
+                if e.code not in (429, 500, 502, 503, 504) or attempt >= self.retries:
+                    raise
+            except (urllib.error.URLError, TimeoutError, ConnectionError):
+                if attempt >= self.retries:
+                    raise
+            time.sleep(0.5 * (2**attempt))
+            attempt += 1
         if isinstance(out, dict):
             out = [out]
         by_id = {r["id"]: r for r in out}

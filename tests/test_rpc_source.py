@@ -163,3 +163,60 @@ def test_erc20_lazy_log_fetch_counts(registered, spark):
     )
     assert ds.exceptAll(golden).count() == 0
     assert golden.exceptAll(ds).count() == 0
+
+
+class TestTransportRetry:
+    def _transport(self):
+        from presto_ethereum_spark.sources.rpc import HttpJsonRpcTransport
+
+        return HttpJsonRpcTransport("http://unused/", retries=3)
+
+    def test_transient_failures_retried(self, monkeypatch):
+        import urllib.error
+
+        tr = self._transport()
+        attempts = []
+
+        def flaky(body):
+            attempts.append(1)
+            if len(attempts) < 3:
+                raise urllib.error.URLError("connection reset")
+            return [{"id": 1, "result": "0x2a"}]
+
+        monkeypatch.setattr(tr, "_post_once", flaky)
+        monkeypatch.setattr("time.sleep", lambda s: None)
+        out = tr._post([{"id": 1, "method": "eth_blockNumber", "params": []}])
+        assert out == ["0x2a"] and len(attempts) == 3
+
+    def test_client_errors_raise_immediately(self, monkeypatch):
+        import urllib.error
+
+        tr = self._transport()
+        attempts = []
+
+        def bad_request(body):
+            attempts.append(1)
+            raise urllib.error.HTTPError("u", 400, "bad request", {}, None)
+
+        monkeypatch.setattr(tr, "_post_once", bad_request)
+        monkeypatch.setattr("time.sleep", lambda s: None)
+        import pytest as _pytest
+
+        with _pytest.raises(urllib.error.HTTPError):
+            tr._post([{"id": 1, "method": "x", "params": []}])
+        assert len(attempts) == 1
+
+    def test_exhausted_retries_raise(self, monkeypatch):
+        import urllib.error
+
+        tr = self._transport()
+
+        def always_down(body):
+            raise urllib.error.URLError("down")
+
+        monkeypatch.setattr(tr, "_post_once", always_down)
+        monkeypatch.setattr("time.sleep", lambda s: None)
+        import pytest as _pytest
+
+        with _pytest.raises(urllib.error.URLError):
+            tr._post([{"id": 1, "method": "x", "params": []}])
