@@ -29,8 +29,11 @@ HEADLINE = [
     "rel_event_deltas",
     "rel_set_ops",
     "rel_rollup_revenue",
+    "rel_shipping_priority",
     "doc_exact_dedup",
+    "doc_winnow_fps",
     "emb_norms",
+    "emb_ivf_topk",
     "eth_erc20_movement",
 ]
 
