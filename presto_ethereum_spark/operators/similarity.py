@@ -324,6 +324,7 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     bands: int = 15,
+    bits: int = 60,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -334,7 +335,9 @@ def lsh_topk(
     extra signature bit only agrees with p~0.6); for true near-dup corpora
     (cosine >= 0.9) use 6 bands x 10 bits for far smaller buckets.  Recall
     is measured against brute force in tests, not assumed."""
-    cand = lsh_candidates(df, dim, bands=bands, id_col=id_col, vec_col=vec_col)
+    cand = lsh_candidates(
+        df, dim, bands=bands, bits=bits, id_col=id_col, vec_col=vec_col
+    )
     sym = cand.select(
         F.col("id_a").alias("query_id"),
         F.col("id_b").alias("neighbor_id"),

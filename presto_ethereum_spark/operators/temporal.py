@@ -1,6 +1,7 @@
-"""Temporal operators Spark lacks as built-ins: as-of join, sessionization.
+"""Temporal operators Spark lacks as built-ins: as-of join, sessionization,
+interval (range) join.
 
-Both are implemented as compositions of existing DataFrame ops (the
+All are implemented as compositions of existing DataFrame ops (the
 preferred path — no Python in the pipeline), architected to scale:
 
 - **as-of join** uses the union + partitioned-window algorithm: tag both
@@ -12,9 +13,18 @@ preferred path — no Python in the pipeline), architected to scale:
   window marks session starts (gap > timeout), a running sum over the same
   window ordering numbers the sessions.  Two window passes over one
   shuffle-partitioning.
+- **interval join** rewrites the non-equi range predicate
+  ``start <= t < end`` as an EQUI-join on time bins: each interval explodes
+  into the bins it covers, points carry their single bin, the join key is
+  the bin, and the original predicate is re-applied as a residual filter.
+  Without this, Spark plans a broadcast-nested-loop (O(|L|*|R|)); with it,
+  the plan is an ordinary shuffled hash/sort-merge join whose fan-out is
+  ``interval_length / bin_width + 1`` — pick bin_width near the median
+  interval length so the explode factor stays ~2.
 
-Both are exactly expressible in SQL (DuckDB: ASOF JOIN is a built-in; the
-session trick is standard), so the driver oracle gates them.
+All are exactly expressible in SQL (DuckDB: ASOF JOIN is a built-in; the
+session trick is standard; the range predicate is a plain theta join), so
+the driver oracle gates them.
 """
 
 from __future__ import annotations
@@ -22,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "interval_join"]
 
 
 def asof_join(
@@ -126,3 +136,51 @@ def sessionize(
     return df.withColumn("is_session_start", is_start).withColumn(
         "session_id", F.sum("is_session_start").over(running) - 1
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start: str,
+    end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Inner join of ``points`` to ``intervals`` on
+    ``start <= point_time < end`` (half-open), as a bin-bucketed equi-join.
+
+    ``point_time``/``start``/``end`` are integer columns in the same unit
+    (e.g. epoch-µs).  ``bin_width`` is the bucketing granularity in that
+    unit: intervals explode into ``sequence(start DIV w, (end-1) DIV w)``
+    bins, points join on their single bin — an equi shuffle both Catalyst
+    and AQE can plan (broadcast if one side is small, skew-split if a bin
+    is hot), instead of the nested-loop a raw range predicate forces.
+
+    A point's bin matches at most one exploded bin per interval, so the
+    rewrite produces no duplicates and needs no distinct.  Output columns =
+    points' columns ++ intervals' columns (names must not collide).
+    """
+    wlit = int(bin_width)
+    if wlit <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+
+    def fdiv(expr_sql: str) -> Column:
+        # floor division (pmod keeps it correct for pre-epoch times, where
+        # DIV alone truncates toward zero and would shift the bin)
+        c = f"({expr_sql})"
+        return F.expr(f"({c} - pmod({c}, {wlit})) DIV {wlit}")
+
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                fdiv(f"CAST(`{start}` AS BIGINT)"),
+                fdiv(f"CAST(`{end}` AS BIGINT) - 1"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bin", fdiv(f"CAST(`{point_time}` AS BIGINT)"))
+    joined = pt.join(iv, "_bin").where(
+        (F.col(start) <= F.col(point_time)) & (F.col(point_time) < F.col(end))
+    )
+    return joined.drop("_bin")

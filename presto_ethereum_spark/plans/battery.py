@@ -2002,3 +2002,177 @@ def rel_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join, approximate sketches as graded queries, LSH ANN
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000  # 1 hour in epoch-µs
+
+
+@q(
+    "rel_range_join",
+    f"""
+    WITH ev AS (SELECT event_id, epoch_us(ts) AS t_us, value FROM events),
+    probes AS (
+      SELECT event_id AS probe_id, t_us AS w_start, t_us + {_HOUR_US} AS w_end
+      FROM ev WHERE event_id < 25
+    )
+    SELECT p.probe_id, count(*) AS n_in_window,
+           CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM probes p JOIN ev e ON e.t_us >= p.w_start AND e.t_us < p.w_end
+    GROUP BY p.probe_id
+    """,
+)
+def rel_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join (non-equi range predicate) via the bin-bucketed
+    equi-join rewrite (operators/temporal.py:interval_join): 25 probe
+    windows of 1 h over the event stream, aggregated per window.
+
+    Scale: a raw ``t BETWEEN start AND end`` join plans as
+    BroadcastNestedLoopJoin — O(|events| x |windows|) compared rows.  The
+    rewrite keys both sides by hour bin, so Catalyst plans an ordinary
+    equi-join (broadcast here since probes are tiny; shuffled hash at
+    scale), and each event is compared only against windows in its own and
+    the adjacent bin.  The residual filter re-applies the exact predicate —
+    the same narrowing-only contract as the reference's unenforced pushdown
+    (EthereumMetadata.java:236)."""
+    from presto_ethereum_spark.operators.temporal import interval_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id", F.expr("ts DIV 1000").alias("t_us"), "value"
+    )
+    probes = ev.where(F.col("event_id") < 25).select(
+        F.col("event_id").alias("probe_id"),
+        F.col("t_us").alias("w_start"),
+        (F.col("t_us") + F.lit(_HOUR_US)).alias("w_end"),
+    )
+    joined = interval_join(
+        ev.select("t_us", "value"),
+        probes,
+        point_time="t_us",
+        start="w_start",
+        end="w_end",
+        bin_width=_HOUR_US,
+    )
+    return joined.groupBy("probe_id").agg(
+        F.count("*").alias("n_in_window"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@q(
+    "rel_approx_sketches",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_distinct,
+           1 AS distinct_ok,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           1 AS p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def rel_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch aggregates as first-class graded queries: HLL++
+    approx_count_distinct and GK approx_percentile run next to their exact
+    counterparts, and the *tolerance verdict* (not the sketch value) is the
+    hash-compared column — the oracle asserts the verdict is 1.
+
+    Scale: the exact columns are the things that DON'T survive 100 TB
+    (count(DISTINCT) re-shuffles per group; exact percentile materializes
+    the full sorted column) — they exist here purely as the in-query
+    referee.  The sketches are one-pass, mergeable, fixed-size state; at
+    scale the sketch column replaces the exact one one-for-one.  HLL++ at
+    rsd=2% and GK at accuracy=10000 sit far inside the 5%/2% gates for any
+    SF, so the verdict is deterministic even though sketch internals are
+    merge-order-dependent."""
+    li = t(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_acd"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("_p50x"),
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("_p50a"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            F.abs(F.col("_acd") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        )
+        .cast("int")
+        .alias("distinct_ok"),
+        F.round("_p50x", 4).alias("p50"),
+        (F.abs(F.col("_p50a") - F.col("_p50x")) <= 0.02 * F.abs(F.col("_p50x")))
+        .cast("int")
+        .alias("p50_ok"),
+    )
+
+
+def _lsh_oracle(dim: int = 64, bands: int = 4, bits: int = 24, k: int = 10) -> str:
+    """Closed-form DuckDB replica of operators/similarity.lsh_topk: the
+    md5-derived hyperplanes are inlined as literals (same constants as the
+    Spark plan — both sides call similarity._hyperplane), the sign test and
+    cosine use list_dot_product, whose in-order double accumulation is
+    bit-identical to the Spark fold (see emb_norms)."""
+    from presto_ethereum_spark.operators.similarity import _hyperplane
+
+    width = bits // bands
+    sig_terms = []
+    for p in range(bits):
+        plane = ", ".join(repr(x) for x in _hyperplane(dim, p))
+        sig_terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" [{plane}]) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(sig_terms)
+    cos = _duck_cos("q.embedding", "n.embedding")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id AS id, ({sig}) AS sig FROM embeddings
+    ),
+    banded AS (
+      SELECT id, band, (sig >> (band * {width})) & {(1 << width) - 1} AS key
+      FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sym AS (
+      SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+      UNION ALL
+      SELECT id_b AS query_id, id_a AS neighbor_id FROM cand
+    )
+    SELECT s.query_id, s.neighbor_id,
+           round({cos}, 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY s.query_id
+                                   ORDER BY {cos} DESC, s.neighbor_id) AS INT) AS rank
+    FROM sym s
+    JOIN embeddings q ON q.vec_id = s.query_id
+    JOIN embeddings n ON n.vec_id = s.neighbor_id
+    WHERE s.query_id < 5
+    QUALIFY rank <= {k}
+    """
+
+
+@q("emb_lsh_topk", _lsh_oracle())
+def emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH ANN — the bucket-exchange scale path beside
+    IVF's cell-partitioned one (operators/similarity.py:lsh_topk): 24-bit
+    sign signatures from deterministic md5-derived hyperplanes, candidate
+    pairs from 4 x 6-bit band agreement, exact cosine re-rank to top-10 for
+    queries vec_id < 5.
+
+    Scale: signatures are a pure map-side projection; the only exchange is
+    the (band, key) self-join — bucket sizes, not corpus size, bound the
+    pair fan-out, and band width tunes that directly.  The oracle replays
+    the identical pipeline closed-form in SQL (hyperplanes inlined from the
+    same generator), so the *approximate* index is graded exactly, like
+    emb_ivf_topk."""
+    from presto_ethereum_spark.operators.similarity import lsh_topk
+
+    e = t_spread(spark, sf, "embeddings")
+    return lsh_topk(e, dim=64, k=10, bands=4, bits=24).where(F.col("query_id") < 5)

@@ -266,3 +266,67 @@ class TestWinnowing:
 
     def test_disjoint_docs_disjoint_fps(self, fps):
         assert not (fps[0] & fps[5])
+
+
+class TestIntervalJoin:
+    """interval_join: the bin-bucketed equi-join rewrite of a range join
+    must equal the naive theta join exactly, with no duplicate pairs."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        points = spark.createDataFrame(
+            [Row(pid=i, pt=t) for i, t in enumerate(
+                [0, 1, 5, 9, 10, 11, 19, 20, 21, 35, 99, 100, -1, -10, -11]
+            )]
+        )
+        intervals = spark.createDataFrame(
+            [
+                Row(iid=0, s=0, e=10),     # aligned: [0, 10)
+                Row(iid=1, s=5, e=25),     # spans 3 bins at width 10
+                Row(iid=2, s=10, e=11),    # single point bin
+                Row(iid=3, s=95, e=101),   # crosses a bin boundary
+                Row(iid=4, s=-15, e=2),    # negative start (floor-div path)
+                Row(iid=5, s=40, e=50),    # matches nothing
+            ]
+        )
+        return points, intervals
+
+    def test_matches_naive_theta_join(self, frames):
+        from presto_ethereum_spark.operators.temporal import interval_join
+
+        points, intervals = frames
+        for width in (1, 3, 10, 100):
+            got = sorted(
+                (r.pid, r.iid)
+                for r in interval_join(
+                    points, intervals, "pt", "s", "e", bin_width=width
+                ).collect()
+            )
+            want = sorted(
+                (r.pid, r.iid)
+                for r in points.join(
+                    intervals, (F.col("s") <= F.col("pt")) & (F.col("pt") < F.col("e"))
+                ).collect()
+            )
+            assert got == want, f"bin_width={width}"
+            assert len(got) == len(set(got)), f"duplicates at bin_width={width}"
+
+    def test_half_open_semantics(self, frames, spark):
+        from presto_ethereum_spark.operators.temporal import interval_join
+
+        points, intervals = frames
+        out = interval_join(points, intervals, "pt", "s", "e", bin_width=10)
+        pairs = {(r.pid, r.iid) for r in out.collect()}
+        # pt=10 (pid=4) is excluded from [0,10) but in [10,11) and [5,25)
+        assert (4, 0) not in pairs
+        assert (4, 2) in pairs and (4, 1) in pairs
+        assert not any(i == 5 for _, i in pairs)  # empty interval key absent
+
+    def test_plan_is_equi_join_not_nested_loop(self, frames):
+        from presto_ethereum_spark.operators.temporal import interval_join
+
+        points, intervals = frames
+        plan = interval_join(
+            points, intervals, "pt", "s", "e", bin_width=10
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan
