@@ -2176,3 +2176,77 @@ def emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t_spread(spark, sf, "embeddings")
     return lsh_topk(e, dim=64, k=10, bands=4, bits=24).where(F.col("query_id") < 5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling / dataset splitting (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_DUCK_BUCKET = (
+    "CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) % {buckets}"
+)
+
+
+@q(
+    "doc_split_counts",
+    f"""
+    WITH b AS (
+      SELECT lang, {_DUCK_BUCKET.format(salt="v1", key="doc_id", buckets=100)} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n
+    FROM b GROUP BY split, lang
+    """,
+)
+def doc_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) from a salted
+    content hash (operators/sampling.py:split_assign), audited per (split,
+    language).
+
+    Scale: assignment is a pure map-side expression — the only shuffle is
+    the audit groupBy over ~|splits x langs| keys.  Unlike randomSplit, the
+    same document lands in the same split on any cluster size, any
+    partitioning, and any engine — the DuckDB oracle replays the md5 bucket
+    arithmetic exactly."""
+    from presto_ethereum_spark.operators.sampling import split_assign
+
+    d = t(spark, sf, "documents")
+    return (
+        split_assign(d, "doc_id", {"train": 90, "val": 5, "test": 5}, salt="v1")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "doc_stratified_sample",
+    """
+    SELECT lang, doc_id, rank FROM (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5('s1' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+      FROM documents)
+    WHERE rank <= 5
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified pseudo-random sample: 5 documents per language, ranked by
+    salted hash (operators/sampling.py:stratified_take) — the class-balanced
+    subset primitive for training-data curation.
+
+    Scale: WindowGroupLimit caps each map task's output at n rows per
+    stratum before the single shuffle on the stratum key, so exchange volume
+    is n x |strata| regardless of corpus size.  Hash-order ranking makes the
+    sample identical across runs and engines (md5 hex strings compare
+    lexicographically the same everywhere)."""
+    from presto_ethereum_spark.operators.sampling import stratified_take
+
+    d = t(spark, sf, "documents")
+    return stratified_take(d, strata="lang", key="doc_id", n=5, salt="s1").select(
+        "lang", "doc_id", "rank"
+    )

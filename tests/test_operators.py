@@ -330,3 +330,57 @@ class TestIntervalJoin:
             points, intervals, "pt", "s", "e", bin_width=10
         )._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan
+
+
+class TestHashSampling:
+    """split_assign / stratified_take: deterministic, partition-invariant,
+    total and disjoint — the properties randomSplit lacks."""
+
+    @pytest.fixture(scope="class")
+    def people(self, spark):
+        return spark.createDataFrame(
+            [Row(id=i, grp=f"g{i % 3}") for i in range(2000)]
+        )
+
+    def test_split_total_and_disjoint(self, people):
+        from presto_ethereum_spark.operators.sampling import split_assign
+
+        out = split_assign(people, "id", {"train": 90, "val": 5, "test": 5})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000          # total
+        assert set(counts) == {"train", "val", "test"}
+        # proportions within loose tolerance of 90/5/5
+        assert 1600 < counts["train"] < 1950
+        assert 40 < counts["val"] < 200
+        assert 40 < counts["test"] < 200
+
+    def test_split_partition_invariant(self, people):
+        from presto_ethereum_spark.operators.sampling import split_assign
+
+        a = {(r.id, r.split) for r in split_assign(people, "id").collect()}
+        b = {
+            (r.id, r.split)
+            for r in split_assign(people.repartition(13, "grp"), "id").collect()
+        }
+        assert a == b
+
+    def test_salt_changes_assignment(self, people):
+        from presto_ethereum_spark.operators.sampling import split_assign
+
+        a = {(r.id, r.split) for r in split_assign(people, "id", salt="a").collect()}
+        b = {(r.id, r.split) for r in split_assign(people, "id", salt="b").collect()}
+        assert a != b                                 # a fresh draw
+        assert {x[0] for x in a} == {x[0] for x in b}  # same universe
+
+    def test_stratified_take_exact_n_and_deterministic(self, people):
+        from presto_ethereum_spark.operators.sampling import stratified_take
+
+        out = stratified_take(people, strata="grp", key="id", n=7)
+        per = {r.grp: r.n for r in
+               out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+        assert per == {"g0": 7, "g1": 7, "g2": 7}
+        again = stratified_take(people.repartition(11), strata="grp", key="id", n=7)
+        assert {(r.grp, r.id) for r in out.collect()} == {
+            (r.grp, r.id) for r in again.collect()
+        }
