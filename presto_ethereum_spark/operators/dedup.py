@@ -22,7 +22,7 @@ so every operator here can be differentially tested against a SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from presto_ethereum_spark.operators.text import fingerprint, word_shingles
@@ -39,6 +39,8 @@ __all__ = [
     "simhash_candidates",
     "simhash_dedup_pairs",
     "jaccard_pairs",
+    "connected_components",
+    "dup_clusters",
 ]
 
 NUM_HASHES = 16
@@ -358,4 +360,94 @@ def winnow_overlap_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> (id, cluster_id)
+    where cluster_id = min node id in the component.
+
+    This is the closure step of every pairwise dedup family above: LSH /
+    simhash / jaccard emit *pairs*, but "keep one document per duplicate
+    group" needs the transitive clusters (A~B, B~C => {A,B,C} even though
+    A~C was never emitted).
+
+    Algorithm: min-label propagation with pointer jumping.  Each round every
+    node takes the min of (its label, its neighbors' labels, its *label's*
+    label).  Plain neighbor propagation needs O(diameter) rounds; the
+    label-chasing join adds path-halving, giving O(log n) rounds on
+    pathological chains — the same bound as the large-star/small-star
+    map-reduce algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).  Each round is two hash joins + a
+    groupBy-min on (id, label) longs — never on payload columns — and the
+    loop body is ``localCheckpoint``-ed so the plan does not grow with the
+    iteration count (lineage blow-up is the classic iterative-DataFrame
+    trap).
+
+    Convergence is checked with a count of changed labels per round; dedup
+    graphs (tiny diameter) stop after 2-3 rounds.
+    """
+    sym = edges.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        # pointer jumping: follow my current label to ITS label
+        chased = labels.select(
+            F.col("id").alias("lbl_id"), F.col("label").alias("lbl_label")
+        )
+        nxt = (
+            labels.join(nbr, "id", "left")
+            .join(chased, labels["label"] == chased["lbl_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", F.col("label")),
+                    F.coalesce("lbl_label", F.col("label")),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every document that appears in
+    at least one near-dup pair; cluster_id = min doc_id of the component, so
+    the canonical survivor of each duplicate group is ``doc_id ==
+    cluster_id``.  Singleton documents (no pair) are intentionally absent —
+    at 100 TB the pair list is orders of magnitude smaller than the corpus
+    and the closure never touches non-duplicated rows."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
     )

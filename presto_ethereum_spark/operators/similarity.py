@@ -32,6 +32,7 @@ __all__ = [
     "seed_centroids",
     "ivf_assign",
     "ivf_topk",
+    "quantize_error",
 ]
 
 
@@ -358,3 +359,39 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )
+
+
+def quantize_error(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id", levels: int = 255
+) -> DataFrame:
+    """Per-vector reconstruction MSE of int8-style scalar quantization:
+    each element is snapped to one of ``levels+1`` evenly spaced values over
+    the vector's own [min, max] range (the standard per-vector int8
+    compression used to shrink ANN indexes 4x vs float32).
+
+    Returns (id, quant_mse).  The real pipeline would store the quantized
+    codes; this operator measures the error budget that decision costs, so
+    the compression/recall trade-off is a number, not a guess.
+
+    Everything is one narrow JVM projection per row (array_min/max + a
+    fold) — zero shuffle, runs at scan speed at any corpus size.  Rounding
+    is ``floor(x + 0.5)`` written explicitly so the SQL oracle computes the
+    bit-identical value (engine ``round()`` tie-break conventions differ).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = (
+        df.select(F.col(id_col).alias("id"), v.alias("v"))
+        .withColumn("lo", F.array_min("v"))
+        .withColumn("sc", (F.array_max("v") - F.col("lo")) / F.lit(float(levels)))
+    )
+
+    def sq_err(x):
+        dq = F.col("lo") + F.floor((x - F.col("lo")) / F.col("sc") + F.lit(0.5)) * F.col("sc")
+        return (x - dq) * (x - dq)
+
+    mse = F.when(
+        (F.size("v") == 0) | (F.col("sc") == 0.0), F.lit(0.0)
+    ).otherwise(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + sq_err(x)) / F.size("v")
+    )
+    return staged.select("id", F.round(mse, 12).alias("quant_mse"))

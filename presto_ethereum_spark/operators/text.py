@@ -13,7 +13,7 @@ Scale: every operator is a narrow per-row projection — zero shuffles; at
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -28,6 +28,9 @@ __all__ = [
     "quality_score",
     "lang_scores",
     "lang_id",
+    "alpha_terms",
+    "document_frequency",
+    "top_terms",
     "normalize_text",
     "fingerprint",
     "LANG_PROFILES",
@@ -228,3 +231,53 @@ def winnow_fingerprints(
     return staged.withColumn(
         out_col, window_minima(F.col("_winnow_hashes"), w)
     ).drop("_winnow_norm", "_winnow_hashes")
+
+
+def alpha_terms(text: Column) -> Column:
+    """Distinct lowercase alphabetic terms of a document (runs of ``[a-z]``
+    after lowering).  The split-on-``[^a-z]+`` contract is chosen because it
+    is portable verbatim to the SQL oracle (``string_split_regex``)."""
+    return F.array_distinct(F.split(F.lower(text), "[^a-z]+"))
+
+
+def document_frequency(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(term, df_docs): number of documents containing each term.
+
+    Plan at scale: per-row distinct-term array (narrow, codegen) ->
+    explode -> ONE hash shuffle on the term with map-side partial counts.
+    Term frequency skew ("the") is absorbed by the partial aggregation:
+    each task emits at most one row per distinct term."""
+    return (
+        df.select(F.explode(alpha_terms(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("df_docs"))
+    )
+
+
+def top_terms(df, k: int = 25, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k corpus terms by document frequency with smoothed IDF
+    ``ln((N+1)/(df+1))`` — the vocabulary/IDF build step of a TF-IDF
+    featurizer.  Ties broken by term so the result is total-ordered.
+
+    The global top-k is a row_number window over (df_docs DESC, term):
+    Spark runs WindowGroupLimit partial top-k in each map task before the
+    single-partition merge, so only ~k rows per task cross the shuffle —
+    the vocabulary itself (potentially billions of terms at 100 TB) is
+    never globally sorted."""
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    w = Window.orderBy(F.desc("df_docs"), "term")
+    return (
+        document_frequency(df, text_col, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "term",
+            "df_docs",
+            F.round(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))), 6
+            ).alias("idf"),
+            "rank",
+        )
+    )

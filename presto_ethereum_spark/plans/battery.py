@@ -1341,6 +1341,31 @@ def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_top_terms",
+    """
+    WITH terms AS (
+      SELECT unnest(list_distinct(string_split_regex(lower(text), '[^a-z]+'))) AS term
+      FROM documents),
+    tf AS (SELECT term, count(*) AS df_docs FROM terms WHERE term <> '' GROUP BY term),
+    tot AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT term, df_docs,
+           round(ln((n_docs + 1.0) / (df_docs + 1.0)), 6) AS idf,
+           CAST(row_number() OVER (ORDER BY df_docs DESC, term) AS INT) AS rank
+    FROM tf, tot
+    QUALIFY rank <= 25
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary/IDF build of a TF-IDF featurizer: top-25 terms by document
+    frequency with smoothed IDF.  One explode + one partial-agg shuffle on
+    the term; the global top-k is WindowGroupLimit (~k rows per task cross
+    the final shuffle), so the full vocabulary is never sorted."""
+    from presto_ethereum_spark.operators.text import top_terms
+
+    return top_terms(t_spread(spark, sf, "documents"), k=25)
+
+
 # -- dedup ------------------------------------------------------------------
 
 # DuckDB mirror of hash60 / minhash signature / band keys (dedup.py)
@@ -1452,6 +1477,50 @@ def doc_ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(
         t_spread(spark, sf, "documents"), threshold=0.2, blocking_cols=["lang"]
     )
+
+
+@q(
+    "doc_dup_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLED},
+    langd AS (SELECT doc_id, lang FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM langd a JOIN langd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      JOIN shingled sa ON sa.doc_id = a.doc_id
+      JOIN shingled sb ON sb.doc_id = b.doc_id
+      WHERE len(sa.shingles) + len(sb.shingles) > 0
+        AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id),
+    comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM comp
+    """,
+)
+def doc_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive closure of the near-dup pairs into duplicate CLUSTERS
+    (connected components; cluster_id = min doc_id = canonical survivor).
+    Pairwise dedup alone cannot answer "keep one per group": A~B and B~C
+    must collapse {A,B,C} even though A~C was never emitted.
+
+    Spark side is iterative min-label propagation with pointer jumping
+    (O(log n) rounds, localCheckpoint-truncated lineage; see
+    operators/dedup.connected_components) — the oracle is a recursive CTE
+    computing min reachable id, which is exactly the fixpoint the
+    propagation converges to."""
+    from presto_ethereum_spark.operators.dedup import dup_clusters, jaccard_pairs
+
+    pairs = jaccard_pairs(
+        t_spread(spark, sf, "documents"), threshold=0.2, blocking_cols=["lang"]
+    )
+    return dup_clusters(pairs.select("id_a", "id_b"))
 
 
 # -- similarity search ------------------------------------------------------
@@ -2176,6 +2245,32 @@ def emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t_spread(spark, sf, "embeddings")
     return lsh_topk(e, dim=64, k=10, bands=4, bits=24).where(F.col("query_id") < 5)
+
+
+@q(
+    "emb_quantize_mse",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    s AS (SELECT vec_id, vv, list_min(vv) AS lo,
+                 (list_max(vv) - list_min(vv)) / 255.0 AS sc FROM v)
+    SELECT vec_id,
+           round(CASE WHEN len(vv) = 0 OR sc = 0 THEN 0.0 ELSE
+             list_sum(list_transform(vv,
+               x -> (x - (lo + floor((x - lo) / sc + 0.5) * sc))
+                  * (x - (lo + floor((x - lo) / sc + 0.5) * sc)))) / len(vv)
+           END, 12) AS quant_mse
+    FROM s
+    """,
+)
+def emb_quantize_mse(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar-quantization reconstruction error per vector — the error
+    budget of compressing an ANN index 4x (operators/similarity.py:
+    quantize_error).  One narrow JVM fold per row, zero shuffle; the oracle
+    computes the identical floor-based snapping closed-form, so the
+    compression loss itself is hash-graded."""
+    from presto_ethereum_spark.operators.similarity import quantize_error
+
+    return quantize_error(t(spark, sf, "embeddings")).withColumnRenamed("id", "vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -384,3 +384,97 @@ class TestHashSampling:
         assert {(r.grp, r.id) for r in out.collect()} == {
             (r.grp, r.id) for r in again.collect()
         }
+
+
+class TestConnectedComponents:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in pairs], "id_a long, id_b long"
+        )
+
+    def test_chain_collapses_to_one_cluster(self, spark):
+        # A~B, B~C, C~D: transitive closure must merge all four even though
+        # A~C / A~D were never emitted
+        comp = dedup.connected_components(self._edges(spark, [(1, 2), (2, 3), (3, 4)]))
+        got = {r.id: r.cluster_id for r in comp.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_disjoint_components_stay_apart(self, spark):
+        comp = dedup.connected_components(
+            self._edges(spark, [(10, 11), (20, 21), (21, 22)])
+        )
+        got = {r.id: r.cluster_id for r in comp.collect()}
+        assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_path_converges_via_pointer_jumping(self, spark):
+        # a 40-node path needs label info to travel 39 hops; plain neighbor
+        # propagation would need 39 rounds > max_iter used here
+        comp = dedup.connected_components(
+            self._edges(spark, [(i, i + 1) for i in range(40)]), max_iter=12
+        )
+        assert {r.cluster_id for r in comp.collect()} == {0}
+
+    def test_cycle_and_edge_order_invariance(self, spark):
+        comp = dedup.connected_components(
+            self._edges(spark, [(3, 2), (1, 3), (2, 1), (5, 4)])
+        )
+        got = {r.id: r.cluster_id for r in comp.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    def test_dup_clusters_canonical_and_sizes(self, spark):
+        out = dedup.dup_clusters(self._edges(spark, [(1, 2), (2, 3), (7, 8)]))
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[1].cluster_size == 3 and rows[7].cluster_size == 2
+        canonical = [d for d, r in rows.items() if d == r.cluster_id]
+        assert sorted(canonical) == [1, 7]
+
+
+class TestTopTerms:
+    def test_df_counts_and_ties(self, spark):
+        d = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="apple banana apple"),
+                Row(doc_id=2, text="banana cherry!"),
+                Row(doc_id=3, text="Banana... 42"),
+            ]
+        )
+        rows = text.top_terms(d, k=10).collect()
+        got = {r.term: (r.df_docs, r.rank) for r in rows}
+        # banana in all 3 docs (case-folded), apple once (distinct per doc)
+        assert got["banana"][0] == 3 and got["banana"][1] == 1
+        assert got["apple"][0] == 1
+        # ties broken alphabetically: apple before cherry
+        assert got["apple"][1] < got["cherry"][1]
+        assert "42" not in got  # non-alpha never becomes a term
+
+
+class TestQuantizeError:
+    def test_constant_and_empty_vectors_zero_error(self, spark):
+        d = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[0.5, 0.5, 0.5]), Row(vec_id=2, embedding=[])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.id: r.quant_mse for r in similarity.quantize_error(d).collect()}
+        assert out == {1: 0.0, 2: 0.0}
+
+    def test_error_bounded_by_half_step(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(20)
+        ]
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        for r in similarity.quantize_error(d, levels=255).collect():
+            # worst case per element is (step/2)^2 with step <= 2/255
+            assert 0.0 <= r.quant_mse <= (2.0 / 255 / 2) ** 2 + 1e-12
+
+    def test_more_levels_less_error(self, spark):
+        d = spark.createDataFrame(
+            [Row(vec_id=1, embedding=[0.05 * i for i in range(40)])],
+            "vec_id long, embedding array<float>",
+        )
+        coarse = similarity.quantize_error(d, levels=15).collect()[0].quant_mse
+        fine = similarity.quantize_error(d, levels=255).collect()[0].quant_mse
+        assert fine < coarse
