@@ -58,6 +58,25 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
 
 
+def _dot_raw(a: Column, b: Column) -> Column:
+    """``dot`` over ALREADY double-cast vectors (no per-element re-cast)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine_staged(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """Cosine from pre-staged double vectors + pre-staged norms.  Pair
+    pipelines MUST use this: computing ``cosine()`` inside the pair
+    expression runs THREE full vector folds per pair (dot + both norms) and
+    re-casts float->double per pair; staging per row leaves one fold per
+    pair.  Arithmetic is bit-identical to ``cosine()`` (same elementwise
+    casts, same in-order fold), so oracle hashes are unaffected."""
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        _dot_raw(va, vb) / (na * nb)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,14 +91,20 @@ def brute_force_topk(
     row_number so Spark's WindowGroupLimit keeps only k rows per query per
     partition before the shuffle."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-        )
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qvd", _d(F.col("qv")))
+        .withColumn("qn", l2_norm(F.col("qvd")))
+        .drop("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec"))
-    scored = (
-        c.join(q, F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("query_vec"), F.col("vec")))
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cvd", _d(F.col("cv")))
+        .withColumn("cn", l2_norm(F.col("cvd")))
+        .drop("cv")
+    )
+    scored = c.join(q, F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "sim",
+        _cosine_staged(F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -101,14 +126,24 @@ def cosine_pairs(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")] + [
         F.col(c) for c in (blocking_cols or [])
     ]
-    d = df.select(*cols)
+    d = (
+        df.select(*cols)
+        .withColumn("vd", _d(F.col("v")))
+        .withColumn("nrm", l2_norm(F.col("vd")))
+        .drop("v")
+    )
     a, b = d.alias("a"), d.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     for c in blocking_cols or []:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .withColumn("sim", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "sim",
+            _cosine_staged(
+                F.col("a.vd"), F.col("b.vd"), F.col("a.nrm"), F.col("b.nrm")
+            ),
+        )
         .where(F.col("sim") >= threshold)
         .select(
             F.col("a.id").alias("id_a"),
@@ -157,14 +192,22 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate pairs agreeing on >= 1 signature band (id_a < id_b)."""
     width = bits // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        hyperplane_signature(F.col(vec_col), dim, bits).alias("sig"),
+    # vectors staged double-cast with their norms so the downstream re-rank
+    # is one fold per candidate (see _cosine_staged)
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("rawv"),
+            hyperplane_signature(F.col(vec_col), dim, bits).alias("sig"),
+        )
+        .withColumn("v", _d(F.col("rawv")))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .drop("rawv")
     )
     banded = sigs.select(
         "id",
         "v",
+        "nrm",
         F.posexplode(
             F.array(
                 *[
@@ -186,8 +229,10 @@ def lsh_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("a.v").alias("v_a"),
+            F.col("a.nrm").alias("n_a"),
             F.col("b.id").alias("id_b"),
             F.col("b.v").alias("v_b"),
+            F.col("b.nrm").alias("n_b"),
         )
         .distinct()
     )
@@ -287,12 +332,17 @@ def ivf_topk(
     partition-pruned scan, not a shuffle of the corpus."""
     if centroids is None:
         centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
-    assigned = ivf_assign(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-        ),
-        centroids,
-        vec_col="vec",
+    assigned = (
+        ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
+            ),
+            centroids,
+            vec_col="vec",
+        )
+        .withColumn("cvd", _d(F.col("vec")))
+        .withColumn("cn", l2_norm(F.col("cvd")))
+        .drop("vec")
     )
     probe_cells = F.transform(
         F.slice(
@@ -305,13 +355,19 @@ def ivf_topk(
     probed = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-        ).withColumn("cell", F.explode(probe_cells))
+        )
+        .withColumn("cell", F.explode(probe_cells))
+        .withColumn("qvd", _d(F.col("query_vec")))
+        .withColumn("qn", l2_norm(F.col("qvd")))
+        .drop("query_vec")
     )
     scored = assigned.join(
         probed,
         (assigned["cell"] == probed["cell"])
         & (assigned["neighbor_id"] != probed["query_id"]),
-    ).withColumn("sim", cosine(F.col("query_vec"), F.col("vec")))
+    ).withColumn(
+        "sim", _cosine_staged(F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -343,18 +399,25 @@ def lsh_topk(
         F.col("id_a").alias("query_id"),
         F.col("id_b").alias("neighbor_id"),
         F.col("v_a").alias("qv"),
+        F.col("n_a").alias("qn"),
         F.col("v_b").alias("nv"),
+        F.col("n_b").alias("nn"),
     ).unionByName(
         cand.select(
             F.col("id_b").alias("query_id"),
             F.col("id_a").alias("neighbor_id"),
             F.col("v_b").alias("qv"),
+            F.col("n_b").alias("qn"),
             F.col("v_a").alias("nv"),
+            F.col("n_a").alias("nn"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
-        sym.withColumn("sim", cosine(F.col("qv"), F.col("nv")))
+        sym.withColumn(
+            "sim",
+            _cosine_staged(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
