@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "interval_join"]
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "interval_join",
+    "funnel_counts",
+    "retention_cohorts",
+]
 
 
 def asof_join(
@@ -184,3 +190,87 @@ def interval_join(
         (F.col(start) <= F.col(point_time)) & (F.col(point_time) < F.col(end))
     )
     return joined.drop("_bin")
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "t_us",
+) -> DataFrame:
+    """Ordered funnel: (stage, step, users) — users reaching step i+1 only
+    count if that event happened STRICTLY AFTER their first completion of
+    step i (the standard product-analytics funnel semantics; an unordered
+    count would credit a purchase that preceded the view).
+
+    Plan at scale: stage 1 is one groupBy-min on (user, ts); each later
+    stage joins the events of ONE type against the shrinking survivor set
+    from the previous stage (a (user, ts) pair per survivor — AQE broadcasts
+    it as soon as it fits) and re-aggregates.  |steps| is a small constant,
+    so the whole funnel is |steps| passes over single-type slices of the
+    event log, never a per-user sort of the full log.
+    """
+    from functools import reduce
+
+    stages = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev = df.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(time_col).alias("et")
+        )
+        if prev is None:
+            cur = ev.groupBy("u").agg(F.min("et").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("u", F.col("t").alias("pt")), "u")
+                .where(F.col("et") > F.col("pt"))
+                .groupBy("u")
+                .agg(F.min("et").alias("t"))
+            )
+        prev = cur
+        stages.append(
+            cur.agg(F.count("*").alias("users")).select(
+                F.lit(i + 1).alias("stage"), F.lit(step).alias("step"), "users"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), stages)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts_micros",
+    max_weeks: int = 8,
+) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_offset, active_users).
+
+    cohort_week = Monday of the user's first-ever event; a user is counted
+    at offset k if they have any event in cohort_week + k weeks.  The
+    classic growth-analytics triangle.
+
+    Plan at scale: first-seen is one groupBy-min on user; the event log then
+    joins that (user -> cohort) map — broadcast when it fits, hash join
+    otherwise — and the distinct-user count per (cohort, offset) cell is a
+    partial-aggregated shuffle on a tiny composite key.  No window over the
+    full log, no per-user sort."""
+    week = lambda c: F.date_trunc("week", F.timestamp_micros(c))  # noqa: E731
+    first_seen = (
+        df.select(F.col(user_col).alias("u"), F.col(time_col).alias("t"))
+        .groupBy("u")
+        .agg(F.min("t").alias("t0"))
+        .select("u", week(F.col("t0")).cast("date").alias("cohort_week"))
+    )
+    ev = df.select(
+        F.col(user_col).alias("u"), week(F.col(time_col)).cast("date").alias("ew")
+    )
+    return (
+        ev.join(first_seen, "u")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("ew"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .where(F.col("week_offset") < max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("u")).alias("active_users"))
+    )

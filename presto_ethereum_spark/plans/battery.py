@@ -1175,6 +1175,64 @@ def rel_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ).select("event_id", "user_id", "is_session_start", "session_id")
 
 
+@q(
+    "rel_funnel_steps",
+    """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+    s1 AS (SELECT user_id, min(t_us) AS t FROM ev WHERE event_type = 'view'
+           GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.t_us) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.t_us > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.t_us) AS t FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.t_us > s2.t GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS step, count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    """,
+)
+def rel_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view->click->purchase funnel (operators/temporal.py:
+    funnel_counts): step i+1 counts only events strictly after the user's
+    first step-i completion.  Each stage is a groupBy-min over one
+    event-type slice joined to the shrinking survivor set — |steps| cheap
+    passes, no per-user sort of the log."""
+    from presto_ethereum_spark.operators.temporal import funnel_counts
+
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("t_us")
+    )
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@q(
+    "rel_retention_cohorts",
+    """
+    WITH fs AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS ew FROM events)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, ew) / 7 AS INT) AS week_offset,
+           count(DISTINCT ev.user_id) AS active_users
+    FROM ev JOIN fs ON ev.user_id = fs.user_id
+    WHERE date_diff('day', cohort_week, ew) / 7 < 8
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def rel_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/temporal.py:
+    retention_cohorts): cohort = Monday of first event; active at offset k
+    if any event falls in cohort_week + k.  groupBy-min for first-seen, one
+    join of the log against the (user, cohort) map, distinct-count on a tiny
+    composite key."""
+    from presto_ethereum_spark.operators.temporal import retention_cohorts
+
+    ev = t(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_micros")
+    )
+    return retention_cohorts(ev, max_weeks=8)
+
+
 # -- streaming --------------------------------------------------------------
 
 

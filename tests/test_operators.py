@@ -478,3 +478,62 @@ class TestQuantizeError:
         coarse = similarity.quantize_error(d, levels=15).collect()[0].quant_mse
         fine = similarity.quantize_error(d, levels=255).collect()[0].quant_mse
         assert fine < coarse
+
+
+class TestFunnel:
+    def test_order_enforced_and_progressive(self, spark):
+        from presto_ethereum_spark.operators.temporal import funnel_counts
+
+        rows = [
+            # u1 completes the funnel in order
+            Row(user_id=1, event_type="view", t_us=10),
+            Row(user_id=1, event_type="click", t_us=20),
+            Row(user_id=1, event_type="purchase", t_us=30),
+            # u2 purchased BEFORE clicking: purchase must not count
+            Row(user_id=2, event_type="purchase", t_us=5),
+            Row(user_id=2, event_type="view", t_us=10),
+            Row(user_id=2, event_type="click", t_us=20),
+            # u3 clicked but never viewed: appears nowhere
+            Row(user_id=3, event_type="click", t_us=10),
+        ]
+        out = {
+            r.step: r.users
+            for r in funnel_counts(
+                spark.createDataFrame(rows), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out == {"view": 2, "click": 2, "purchase": 1}
+
+    def test_same_timestamp_not_counted(self, spark):
+        from presto_ethereum_spark.operators.temporal import funnel_counts
+
+        rows = [
+            Row(user_id=1, event_type="view", t_us=10),
+            Row(user_id=1, event_type="click", t_us=10),  # strictly-after fails
+        ]
+        out = {
+            r.step: r.users
+            for r in funnel_counts(
+                spark.createDataFrame(rows), ["view", "click"]
+            ).collect()
+        }
+        assert out == {"view": 1, "click": 0}
+
+
+class TestRetention:
+    def test_offsets_and_distinct_users(self, spark):
+        from presto_ethereum_spark.operators.temporal import retention_cohorts
+
+        wk = 7 * 24 * 3600 * 1_000_000  # one week in micros
+        base = 4 * 24 * 3600 * 1_000_000  # 1970-01-05 was a Monday
+        rows = [
+            Row(user_id=1, ts_micros=base),          # cohort week 0
+            Row(user_id=1, ts_micros=base + 2 * wk), # active offset 2
+            Row(user_id=1, ts_micros=base + 2 * wk + 60), # same week: distinct
+            Row(user_id=2, ts_micros=base + 1),      # same cohort
+        ]
+        out = {
+            (str(r.cohort_week), r.week_offset): r.active_users
+            for r in retention_cohorts(spark.createDataFrame(rows)).collect()
+        }
+        assert out == {("1970-01-05", 0): 2, ("1970-01-05", 2): 1}
