@@ -261,17 +261,22 @@ def top_terms(df, k: int = 25, text_col: str = "text", id_col: str = "doc_id"):
     featurizer.  Ties broken by term so the result is total-ordered.
 
     The global top-k is a row_number window over (df_docs DESC, term):
-    Spark runs WindowGroupLimit partial top-k in each map task before the
-    single-partition merge, so only ~k rows per task cross the shuffle —
-    the vocabulary itself (potentially billions of terms at 100 TB) is
-    never globally sorted."""
+    Spark plans the rank filter as TakeOrderedAndProject (partial top-k in
+    each map task, then a k-row merge — verified on .explain), so the
+    vocabulary itself (potentially billions of terms at 100 TB) is never
+    globally sorted."""
     n_docs = df.agg(F.count("*").alias("n_docs"))
     w = Window.orderBy(F.desc("df_docs"), "term")
+    # rank FIRST, join the scalar count after: with the 1-row cross join
+    # below the window, Catalyst cannot push the rank filter into a
+    # TakeOrderedAndProject and would globally sort the whole vocabulary
+    # (verified on .explain); ranked-then-joined, the cross join touches
+    # only k rows and the partial top-k runs map-side.
     return (
         document_frequency(df, text_col, id_col)
-        .crossJoin(F.broadcast(n_docs))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "term",
             "df_docs",

@@ -1417,8 +1417,8 @@ def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
 def doc_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary/IDF build of a TF-IDF featurizer: top-25 terms by document
     frequency with smoothed IDF.  One explode + one partial-agg shuffle on
-    the term; the global top-k is WindowGroupLimit (~k rows per task cross
-    the final shuffle), so the full vocabulary is never sorted."""
+    the term; the global top-k plans as TakeOrderedAndProject (~k rows per
+    task cross the final merge), so the full vocabulary is never sorted."""
     from presto_ethereum_spark.operators.text import top_terms
 
     return top_terms(t_spread(spark, sf, "documents"), k=25)
