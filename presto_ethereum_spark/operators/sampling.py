@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "split_assign", "stratified_take"]
+__all__ = ["hash_bucket", "split_assign", "stratified_take", "pack_sequences"]
 
 
 def hash_bucket(key: Column, buckets: int = 100, salt: str = "") -> Column:
@@ -91,4 +91,51 @@ def stratified_take(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Sequence packing: assign each document to a fixed-token-budget pack
+    (the LLM-training preprocessing step that concatenates documents into
+    full training sequences).  Returns (doc_id, shard, n_tokens, pack_id);
+    a pack is identified by (shard, pack_id).
+
+    Semantics: documents are sharded by content hash (deterministic,
+    engine-replayable — same family as ``split_assign``), then packed
+    greedily in ``doc_id`` order by cumulative token count:
+    ``pack_id = floor(cum_tokens_before_doc / budget)``.  Fixed-boundary
+    chunking, so a pack may overflow by less than one document — the
+    trade accepted for a one-pass, shuffle-light plan.
+
+    Why sharded: exact global greedy packing is inherently sequential (each
+    pack depends on every earlier document).  Sharding makes each window
+    partition an independent packing problem: one shuffle on the shard key,
+    ~|docs|/n_shards rows per window state, and adding executors scales
+    linearly.  n_shards is the parallelism dial; at 100 TB pick
+    n_shards >> cores so AQE can balance them."""
+    from presto_ethereum_spark.operators.text import token_count_ws
+
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"),
+        hash_bucket(F.col(id_col), buckets=n_shards, salt=salt).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn(
+            "pack_id", F.floor(F.col("cum_prev") / F.lit(float(budget))).cast("long")
+        )
+        .select("doc_id", "shard", "n_tokens", "pack_id")
     )

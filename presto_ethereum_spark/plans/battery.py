@@ -2403,3 +2403,42 @@ def doc_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_take(d, strata="lang", key="doc_id", n=5, salt="s1").select(
         "lang", "doc_id", "rank"
     )
+
+
+@q(
+    "doc_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST({_DUCK_BUCKET.format(salt="p1", key="doc_id", buckets=32)} AS BIGINT)
+                 AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM d)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(cum_prev / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (operators/sampling.py:pack_sequences): documents
+    sharded by content hash, then greedily chunked into 2048-token packs in
+    doc_id order.  The LLM-training step that turns a cleaned corpus into
+    fixed-budget training sequences.
+
+    Scale: exact global packing is sequential by definition; sharding makes
+    each window partition an independent packing problem — one shuffle on
+    the shard key, running-sum state per shard only, parallelism = n_shards.
+    The oracle replays the md5 shard arithmetic and the same running-sum
+    window, so pack assignment is engine-replayable, not an artifact of
+    partition layout."""
+    from presto_ethereum_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        t(spark, sf, "documents"), budget=2048, n_shards=32, salt="p1"
+    )

@@ -537,3 +537,45 @@ class TestRetention:
             for r in retention_cohorts(spark.createDataFrame(rows)).collect()
         }
         assert out == {("1970-01-05", 0): 2, ("1970-01-05", 2): 1}
+
+
+class TestPackSequences:
+    @pytest.fixture(scope="class")
+    def packed(self, spark):
+        from presto_ethereum_spark.operators.sampling import pack_sequences
+
+        rows = [
+            Row(doc_id=i, text=" ".join(["w"] * (10 + 7 * (i % 13)))) for i in range(200)
+        ]
+        return pack_sequences(
+            spark.createDataFrame(rows), budget=100, n_shards=4
+        ).collect()
+
+    def test_packs_contiguous_and_start_at_zero(self, packed):
+        by_shard = {}
+        for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+            by_shard.setdefault(r.shard, []).append(r.pack_id)
+        for ids in by_shard.values():
+            assert ids[0] == 0
+            for a, b in zip(ids, ids[1:]):
+                assert b in (a, a + 1)  # nondecreasing, no gaps
+
+    def test_boundary_semantics(self, packed):
+        # each doc's pack is exactly floor(tokens-before-it / budget)
+        cum = {}
+        for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+            before = cum.get(r.shard, 0)
+            assert r.pack_id == before // 100
+            cum[r.shard] = before + r.n_tokens
+
+    def test_partition_invariant(self, spark):
+        from presto_ethereum_spark.operators.sampling import pack_sequences
+
+        rows = [Row(doc_id=i, text=" ".join(["w"] * (5 + i % 9))) for i in range(100)]
+        df = spark.createDataFrame(rows)
+        a = {(r.doc_id, r.shard, r.pack_id) for r in pack_sequences(df).collect()}
+        b = {
+            (r.doc_id, r.shard, r.pack_id)
+            for r in pack_sequences(df.repartition(7)).collect()
+        }
+        assert a == b
