@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_join"]
 
 # (partial expr builder, final combiner) per supported algebraic aggregate
 _ALGEBRAIC = {
@@ -64,3 +64,34 @@ def salted_agg(
         for i, (fn, _, alias) in enumerate(aggs)
     ]
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    spread_on: str | None = None,
+) -> DataFrame:
+    """Inner equi-join with explicit key salting for hot join keys.
+
+    The left (large, skewed) side gets a deterministic salt in
+    ``[0, salt_buckets)`` hashed from ``spread_on`` (default: all left
+    columns); the right side is replicated once per salt value.  The join
+    key becomes (on, salt), so a hot key's rows spread across
+    ``salt_buckets`` reducers instead of landing on one.  Result is
+    row-for-row equal to ``left.join(right, on)`` — each left row matches
+    exactly the one replica carrying its salt.
+
+    AQE's skew-join split covers most cases at runtime; the explicit form
+    is for when skew is KNOWN and extreme (one key > executor memory), when
+    AQE is unavailable (streaming joins), or when the downstream stage must
+    inherit the finer partitioning.  Cost: right side is shuffled
+    ``salt_buckets``x — size the bucket count to the skew ratio, not above
+    it."""
+    spread = [F.col(c) for c in ([spread_on] if spread_on else left.columns)]
+    l_s = left.withColumn("_salt", F.pmod(F.hash(*spread), F.lit(salt_buckets)))
+    r_s = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l_s.join(r_s, [on, "_salt"], "inner").drop("_salt")

@@ -31,6 +31,7 @@ __all__ = [
     "alpha_terms",
     "document_frequency",
     "top_terms",
+    "chunk_documents",
     "normalize_text",
     "fingerprint",
     "LANG_PROFILES",
@@ -285,4 +286,37 @@ def top_terms(df, k: int = 25, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("idf"),
             "rank",
         )
+    )
+
+
+def chunk_documents(
+    df,
+    chunk_size: int = 500,
+    overlap: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Overlapping character chunks: (doc_id, chunk_id, chunk) — the
+    retrieval/context-window chunker (stride = chunk_size - overlap; chunk i
+    covers [i*stride, i*stride + chunk_size)).  Empty documents produce no
+    chunks; every non-empty document produces ceil-coverage so no suffix is
+    dropped.
+
+    Pure map-side: a per-row index sequence + substring transform, then one
+    posexplode — zero shuffle, scan-speed at any corpus size.  Chunk
+    boundaries depend only on (chunk_size, overlap, text), never on
+    partitioning, so chunk ids are stable across engines and re-runs."""
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    txt = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.floor((F.length(txt) - 1) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        starts, lambda i: txt.substr(i * F.lit(stride) + 1, F.lit(chunk_size))
+    )
+    return (
+        df.where(F.length(txt) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_id", "chunk"))
     )

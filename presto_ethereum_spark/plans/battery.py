@@ -2442,3 +2442,59 @@ def doc_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(
         t(spark, sf, "documents"), budget=2048, n_shards=32, salt="p1"
     )
+
+
+@q(
+    "doc_chunk_windows",
+    """
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           substr(text, CAST(i AS INT) * 400 + 1, 500) AS chunk
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, ((len(text) - 1) // 400) + 1)) AS i
+          FROM documents WHERE len(text) > 0)
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping 500-char chunks with 100-char overlap
+    (operators/text.py:chunk_documents) — the retrieval/context-window
+    chunking step of a RAG or pretraining pipeline.  Pure map-side
+    sequence + substring + posexplode: zero shuffle; chunk ids depend only
+    on the text, so the oracle replays them with a lateral range join."""
+    from presto_ethereum_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf, "documents"), chunk_size=500, overlap=100
+    )
+
+
+@q(
+    "rel_salted_join",
+    """
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_items,
+           round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38, 4))) AS DOUBLE), 2)
+               AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicitly salted fact-dim join (operators/skew.py:salted_join):
+    lineitem rows carry a deterministic salt, orders replicate once per salt
+    value, and the join key becomes (orderkey, salt) — a hot orderkey spreads
+    over salt_buckets reducers instead of one.  The oracle is the PLAIN
+    join: salting must be a pure shuffle-shape change, row-for-row invisible
+    in the result (the same contract rel_salted_agg pins for aggregation)."""
+    from presto_ethereum_spark.operators.skew import salted_join
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice", "l_linenumber")
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li, orders.withColumnRenamed("o_orderkey", "l_orderkey"), on="l_orderkey"
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double"), 2
+        ).alias("total_price"),
+    )

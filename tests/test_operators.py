@@ -579,3 +579,60 @@ class TestPackSequences:
             for r in pack_sequences(df.repartition(7)).collect()
         }
         assert a == b
+
+
+class TestChunkDocuments:
+    def test_overlap_and_coverage(self, spark):
+        from presto_ethereum_spark.operators.text import chunk_documents
+
+        txt = "".join(chr(ord("a") + i % 26) for i in range(1234))
+        d = spark.createDataFrame([Row(doc_id=1, text=txt)])
+        chunks = {
+            r.chunk_id: r.chunk
+            for r in chunk_documents(d, chunk_size=500, overlap=100).collect()
+        }
+        assert sorted(chunks) == [0, 1, 2, 3]
+        # consecutive full chunks share exactly the overlap region; the last
+        # chunk may be shorter than the overlap itself
+        for i in (0, 1):
+            assert chunks[i][-100:] == chunks[i + 1][:100]
+        assert chunks[3] == txt[1200:] and chunks[2][400:434] == chunks[3]
+        # stride-prefixes reconstruct the document with no gaps
+        assert "".join(chunks[i][:400] for i in range(3)) + chunks[3] == txt
+
+    def test_short_and_empty_docs(self, spark):
+        from presto_ethereum_spark.operators.text import chunk_documents
+
+        d = spark.createDataFrame(
+            [Row(doc_id=1, text="tiny"), Row(doc_id=2, text="")]
+        )
+        rows = chunk_documents(d, chunk_size=500, overlap=100).collect()
+        assert [(r.doc_id, r.chunk_id, r.chunk) for r in rows] == [(1, 0, "tiny")]
+
+    def test_invalid_overlap_raises(self, spark):
+        from presto_ethereum_spark.operators.text import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(spark.range(1), chunk_size=100, overlap=100)
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join_under_skew(self, spark):
+        from presto_ethereum_spark.operators.skew import salted_join
+
+        # 90% of fact rows share one hot key
+        fact = spark.createDataFrame(
+            [Row(k=1 if i % 10 else i, v=i) for i in range(1000)]
+        )
+        dim = spark.createDataFrame([Row(k=i, name=f"d{i}") for i in range(1000)])
+        salted = {(r.k, r.v, r.name) for r in salted_join(fact, dim, on="k").collect()}
+        plain = {(r.k, r.v, r.name) for r in fact.join(dim, "k").collect()}
+        assert salted == plain
+
+    def test_duplicate_dim_keys_preserved(self, spark):
+        from presto_ethereum_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame([Row(k=1, v=10)])
+        dim = spark.createDataFrame([Row(k=1, name="a"), Row(k=1, name="b")])
+        out = sorted(r.name for r in salted_join(fact, dim, on="k").collect())
+        assert out == ["a", "b"]
