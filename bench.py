@@ -32,9 +32,14 @@ HEADLINE = [
     "rel_shipping_priority",
     "doc_exact_dedup",
     "doc_winnow_fps",
+    "doc_top_terms",
+    "doc_pack_sequences",
+    "doc_chunk_windows",
     "emb_norms",
     "emb_ivf_topk",
+    "emb_similar_pairs",
     "eth_erc20_movement",
+    "rel_funnel_steps",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "quantize_error",
+    "label_centroids",
 ]
 
 
@@ -458,3 +459,31 @@ def quantize_error(
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + sq_err(x)) / F.size("v")
     )
     return staged.select("id", F.round(mse, 12).alias("quant_mse"))
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension):
+    (label, pos, centroid_val, n_vectors).  The class-prototype /
+    codebook-training primitive behind nearest-centroid classification and
+    IVF index builds.
+
+    Long-form on purpose: posexplode to (label, pos, val) then a plain
+    partial+final average — one shuffle on a (label, pos) key that is tiny
+    and perfectly uniform (|labels| x dim cells), however many vectors
+    stream through the map side.  A wide-form array-of-avgs would need the
+    whole vector per group in one aggregation buffer; long-form keeps the
+    state per cell at one (sum, count) pair."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 9).alias("centroid_val"),
+        F.count("*").alias("n_vectors"),
+    )

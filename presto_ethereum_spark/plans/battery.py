@@ -2498,3 +2498,27 @@ def rel_salted_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double"), 2
         ).alias("total_price"),
     )
+
+
+@q(
+    "emb_label_centroids",
+    """
+    SELECT label, CAST(pos AS INT) AS pos,
+           round(avg(vv[CAST(pos AS INT) + 1]), 9) AS centroid_val,
+           count(*) AS n_vectors
+    FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS vv,
+                 unnest(range(0, len(embedding))) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py:
+    label_centroids) — class prototypes for nearest-centroid classification
+    and codebook training.  posexplode to (label, pos, val) then one
+    partial+final average on a tiny uniform (label, pos) key: map-side
+    combine does the heavy lifting, the exchange carries |labels| x dim
+    cells regardless of corpus size."""
+    from presto_ethereum_spark.operators.similarity import label_centroids
+
+    return label_centroids(t(spark, sf, "embeddings"))

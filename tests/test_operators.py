@@ -636,3 +636,21 @@ class TestSaltedJoin:
         dim = spark.createDataFrame([Row(k=1, name="a"), Row(k=1, name="b")])
         out = sorted(r.name for r in salted_join(fact, dim, on="k").collect())
         assert out == ["a", "b"]
+
+
+class TestLabelCentroids:
+    def test_centroid_math_and_counts(self, spark):
+        from presto_ethereum_spark.operators.similarity import label_centroids
+
+        d = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+                Row(vec_id=2, embedding=[3.0, 2.0], label=0),
+                Row(vec_id=3, embedding=[5.0, 5.0], label=1),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {(r.label, r.pos): r for r in label_centroids(d).collect()}
+        assert out[(0, 0)].centroid_val == 2.0 and out[(0, 1)].centroid_val == 1.0
+        assert out[(1, 0)].centroid_val == 5.0
+        assert out[(0, 0)].n_vectors == 2 and out[(1, 1)].n_vectors == 1
