@@ -32,6 +32,8 @@ __all__ = [
     "document_frequency",
     "top_terms",
     "chunk_documents",
+    "mask_pii",
+    "PII_PATTERNS",
     "normalize_text",
     "fingerprint",
     "LANG_PROFILES",
@@ -320,3 +322,40 @@ def chunk_documents(
         df.where(F.length(txt) > 0)
         .select(F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_id", "chunk"))
     )
+
+
+# ASCII-only patterns so the Java (Spark) and RE2 (DuckDB) dialects agree.
+PII_PATTERNS: dict[str, str] = {
+    # declaration order IS masking order: email first (its digit runs must
+    # not read as phones), then ipv4 (dotted digits would match the looser
+    # phone pattern), phone last
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\. ]{7,}[0-9]",
+}
+
+
+def mask_pii(
+    df,
+    text_col: str = "text",
+    out_col: str = "masked",
+    patterns: dict[str, str] | None = None,
+):
+    """Mask PII-looking spans (emails, phone numbers, IPv4s) with
+    ``[KIND]`` placeholders and count the replacements per kind — the
+    scrubbing pass before a corpus ships to training.
+
+    Adds ``out_col`` plus one ``n_<kind>`` count column per pattern.  Pure
+    JVM regexp expressions applied in declaration order (email first, so a
+    phone-like digit run inside an address is already masked) — zero
+    shuffle, scan-speed; patterns are ASCII-only so an external engine can
+    replay the masking byte-for-byte."""
+    pats = patterns or PII_PATTERNS
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{kind}")
+        )
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    return df.select("*", cur.alias(out_col), *counts)

@@ -654,3 +654,34 @@ class TestLabelCentroids:
         assert out[(0, 0)].centroid_val == 2.0 and out[(0, 1)].centroid_val == 1.0
         assert out[(1, 0)].centroid_val == 5.0
         assert out[(0, 0)].n_vectors == 2 and out[(1, 1)].n_vectors == 1
+
+
+class TestMaskPii:
+    def test_masks_and_counts(self, spark):
+        from presto_ethereum_spark.operators.text import mask_pii
+
+        d = spark.createDataFrame(
+            [
+                Row(
+                    doc_id=1,
+                    text="mail a.user+tag@example.co.uk or call +1 (555) 123-4567 "
+                    "from 192.168.0.1 today",
+                ),
+                Row(doc_id=2, text="no pii here at all"),
+            ]
+        )
+        out = {r.doc_id: r for r in mask_pii(d).collect()}
+        m = out[1].masked
+        assert "[EMAIL]" in m and "[PHONE]" in m and "[IPV4]" in m
+        assert "example.co.uk" not in m and "555" not in m and "192.168" not in m
+        assert (out[1].n_email, out[1].n_phone, out[1].n_ipv4) == (1, 1, 1)
+        assert out[2].masked == "no pii here at all"
+        assert (out[2].n_email, out[2].n_phone, out[2].n_ipv4) == (0, 0, 0)
+
+    def test_email_masked_before_phone_heuristic(self, spark):
+        from presto_ethereum_spark.operators.text import mask_pii
+
+        # digit-heavy address must not be double-counted as a phone
+        d = spark.createDataFrame([Row(doc_id=1, text="reach 12345678901@mail.com now")])
+        r = mask_pii(d).collect()[0]
+        assert r.n_email == 1 and r.n_phone == 0 and "[EMAIL]" in r.masked
