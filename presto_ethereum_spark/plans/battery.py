@@ -2522,3 +2522,52 @@ def emb_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.similarity import label_centroids
 
     return label_centroids(t(spark, sf, "embeddings"))
+
+
+@q(
+    "rel_array_agg",
+    """
+    SELECT c_nationkey AS nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def rel_array_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Array aggregation: per-nation sorted distinct market segments
+    (collect_set + sort_array — sorted so the array value is deterministic
+    under any partitioning; an unsorted collect_list would be
+    partition-order-dependent and unfit for a distributed engine's
+    contract)."""
+    c = t(spark, sf, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@q(
+    "rel_window_rank_family",
+    """
+    SELECT event_id,
+           event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(dense_rank() OVER w AS INT) AS drank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def rel_window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """Remaining ranking-window family: percent_rank / cume_dist /
+    dense_rank per event type with a total order (value, event_id).  One
+    shuffle on the partition key; rank state is O(1) per row in the sorted
+    stream."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+    )
