@@ -2571,3 +2571,36 @@ def rel_window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.dense_rank().over(w).cast("int").alias("drank"),
     )
+
+
+@q(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(i AS BIGINT) * 64 AS "offset",
+           sha256(substr(text, CAST(i AS INT) * 64 + 1, 64)) AS frame_sha
+    FROM (SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS i
+          FROM documents WHERE len(text) > 0)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over binary media columns (operators/multimodal.py:
+    sample_frames): the 1->N Arrow mapInPandas expansion used for video —
+    one output row per fixed-size byte window.  Synthetic media bytes are
+    document text (no codecs in this container), so the oracle replays the
+    byte windows closed-form with substr; the Arrow batch shape, binary
+    schema, and per-frame digests are real and hash-checked."""
+    from presto_ethereum_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(t(spark, sf, "documents"))
+    return sample_frames(media, every_n_bytes=64).select(
+        "media_id",
+        "frame_index",
+        "offset",
+        F.sha2(F.col("frame_bytes"), 256).alias("frame_sha"),
+    )
