@@ -359,3 +359,81 @@ def mask_pii(
         )
         cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
     return df.select("*", cur.alias(out_col), *counts)
+
+
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition quality signals, one row per document:
+    duplicate-token fraction, most-frequent-token fraction, and the same
+    two signals over word bigrams (Rae et al. 2021's "repetitious text"
+    filters, the cheap pre-filter in front of LLM training corpora).
+
+    Scale: every signal is computed *within* the row's own token array via
+    codegen'd higher-order functions (``array_distinct`` + a count fold per
+    distinct token) — a narrow map over the scan, ZERO shuffles, so the
+    operator is embarrassingly parallel at 100 TB.  The alternative
+    (explode tokens -> two groupBy passes) would shuffle the entire token
+    stream twice.  Per-row cost is O(tokens x distinct) — bounded for
+    real documents and far cheaper than one corpus-wide shuffle."""
+    toks = tokens(F.col(text_col))
+    grams = word_shingles(F.col(text_col), 2)
+
+    def top_count(arr):
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda u: F.size(F.filter(arr, lambda t: t == u)),
+            )
+        )
+
+    total_t = F.size(toks)
+    total_b = F.size(grams)
+    return (
+        df.where(total_t >= 2)
+        .select(
+            F.col(id_col),
+            total_t.cast("long").alias("total_tokens"),
+            (F.lit(1.0) - F.size(F.array_distinct(toks)) / total_t).alias(
+                "dup_token_frac"
+            ),
+            (top_count(toks) / total_t).alias("top_token_frac"),
+            (F.lit(1.0) - F.size(F.array_distinct(grams)) / total_b).alias(
+                "dup_bigram_frac"
+            ),
+            (top_count(grams) / total_b).alias("top_bigram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    df,
+    n: int = 3,
+    bench_mod: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination: flag training documents sharing word
+    n-gram shingles with a held-out benchmark split (here: a deterministic
+    ``doc_id % bench_mod == 0`` slice standing in for MMLU/HumanEval/...),
+    returning (doc_id, n_hit_grams) for every contaminated document — the
+    n-gram-overlap decontamination step every LLM data pipeline runs before
+    training (GPT-3 appendix C uses 13-grams; n is a parameter here).
+
+    Scale: shingling is a narrow map; the benchmark side is deduped to
+    distinct grams BEFORE the join, so the join never multiplies rows.  In
+    production the benchmark set is tiny (thousands of prompts), so Spark's
+    AQE broadcasts the deduped gram set and the whole operator is one
+    shuffle-free broadcast-hash-join over the corpus scan; here the bench
+    slice is corpus-derived (5%), and the equi-join on the gram hash
+    partitions both sides — still one shuffle of shingles, never a
+    cross-product."""
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    bench = grams.where(is_bench).select("gram").distinct()
+    return (
+        grams.where(~is_bench)
+        .join(bench, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("gram")).alias("n_hit_grams"))
+    )

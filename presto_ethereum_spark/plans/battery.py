@@ -2604,3 +2604,79 @@ def multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         "offset",
         F.sha2(F.col("frame_bytes"), 256).alias("frame_sha"),
     )
+
+
+@q(
+    "doc_repetition",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_tokens,
+             count(*) AS distinct_tokens, max(c) AS top_c
+      FROM tc GROUP BY 1
+    ),
+    pos AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            WHERE len(string_split(text, ' ')) >= 2)
+    ),
+    big AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS gram FROM pos),
+    bc AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2),
+    ba AS (
+      SELECT doc_id, sum(c) AS total_bigrams,
+             count(*) AS distinct_bigrams, max(c) AS top_bc
+      FROM bc GROUP BY 1
+    )
+    SELECT u.doc_id, total_tokens,
+           1.0 - distinct_tokens / CAST(total_tokens AS DOUBLE) AS dup_token_frac,
+           top_c / CAST(total_tokens AS DOUBLE)                 AS top_token_frac,
+           1.0 - distinct_bigrams / CAST(total_bigrams AS DOUBLE) AS dup_bigram_frac,
+           top_bc / CAST(total_bigrams AS DOUBLE)               AS top_bigram_frac
+    FROM uni u JOIN ba USING (doc_id)
+    """,
+)
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py:
+    repetition_signals): duplicate-token / top-token / duplicate-bigram /
+    top-bigram fractions per document.  All four signals are per-row
+    higher-order-function folds over the document's own token array —
+    a narrow codegen map with ZERO shuffles, vs the oracle's two
+    explode+groupBy passes over the whole token stream.  At 100 TB the
+    operator runs at scan speed on every executor independently."""
+    from presto_ethereum_spark.operators.text import repetition_signals
+
+    return repetition_signals(t_spread(spark, sf, "documents"))
+
+
+@q(
+    "doc_decontaminate",
+    """
+    WITH pos AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ),
+    grams AS (SELECT doc_id, array_to_string(l[i:i + 2], ' ') AS gram FROM pos),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT g.doc_id, count(DISTINCT g.gram) AS n_hit_grams
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 20 <> 0
+      GROUP BY 1
+    )
+    SELECT doc_id, n_hit_grams FROM hits
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py: decontaminate):
+    word-trigram overlap between the training slice and a deterministic
+    held-out "benchmark" slice (doc_id % 20 == 0).  The benchmark side is
+    deduped to distinct grams before the equi-join so rows never multiply;
+    with a real (tiny) benchmark set the deduped grams broadcast and the
+    whole pass is one shuffle-free broadcast join over the corpus scan."""
+    from presto_ethereum_spark.operators.text import decontaminate
+
+    return decontaminate(t_spread(spark, sf, "documents"), n=3, bench_mod=20)

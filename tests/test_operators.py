@@ -198,6 +198,30 @@ class TestText:
         out = d.select(text.word_shingles(F.col("text"), 3).alias("s")).first()["s"]
         assert out == ["a b c", "b c d"]
 
+    def test_repetition_signals_hand_computed(self, spark):
+        d = spark.createDataFrame([Row(doc_id=1, text="a a a b"), Row(doc_id=2, text="x")])
+        rows = {r["doc_id"]: r for r in text.repetition_signals(d).collect()}
+        assert 2 not in rows  # single-token docs excluded (no bigrams)
+        r = rows[1]
+        assert r["total_tokens"] == 4
+        assert r["dup_token_frac"] == 1 - 2 / 4
+        assert r["top_token_frac"] == 3 / 4
+        # bigrams: "a a", "a a", "a b"
+        assert r["dup_bigram_frac"] == 1 - 2 / 3
+        assert r["top_bigram_frac"] == 2 / 3
+
+    def test_decontaminate_flags_only_overlapping_nonbench(self, spark):
+        d = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="p q r s"),      # bench (0 % 20 == 0)
+                Row(doc_id=1, text="z z p q r z"),  # shares trigram "p q r"
+                Row(doc_id=2, text="u v w x y"),    # disjoint
+                Row(doc_id=20, text="p q r t"),     # bench again, never reported
+            ]
+        )
+        out = {r["doc_id"]: r["n_hit_grams"] for r in text.decontaminate(d).collect()}
+        assert out == {1: 1}
+
 
 class TestSaltedAgg:
     def test_equals_plain_groupby(self, spark):
