@@ -372,10 +372,19 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
     distinct token) — a narrow map over the scan, ZERO shuffles, so the
     operator is embarrassingly parallel at 100 TB.  The alternative
     (explode tokens -> two groupBy passes) would shuffle the entire token
-    stream twice.  Per-row cost is O(tokens x distinct) — bounded for
-    real documents and far cheaper than one corpus-wide shuffle."""
-    toks = tokens(F.col(text_col))
-    grams = word_shingles(F.col(text_col), 2)
+    stream twice.  Per-row cost is O(tokens x distinct) — bounded for real
+    documents and far cheaper than one corpus-wide shuffle.
+
+    The token and bigram arrays are STAGED as their own projections
+    (``withColumn``) so each downstream HOF reads an attribute; inlined,
+    the count-fold lambda would rebuild the whole bigram array once per
+    distinct gram (the nested-HOF re-evaluation trap — SCALE.md)."""
+    staged = (
+        df.withColumn("_rep_toks", tokens(F.col(text_col)))
+        .withColumn("_rep_grams", word_shingles(F.col(text_col), 2))
+        .where(F.size(F.col("_rep_toks")) >= 2)
+    )
+    toks, grams = F.col("_rep_toks"), F.col("_rep_grams")
 
     def top_count(arr):
         return F.array_max(
@@ -387,20 +396,17 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
 
     total_t = F.size(toks)
     total_b = F.size(grams)
-    return (
-        df.where(total_t >= 2)
-        .select(
-            F.col(id_col),
-            total_t.cast("long").alias("total_tokens"),
-            (F.lit(1.0) - F.size(F.array_distinct(toks)) / total_t).alias(
-                "dup_token_frac"
-            ),
-            (top_count(toks) / total_t).alias("top_token_frac"),
-            (F.lit(1.0) - F.size(F.array_distinct(grams)) / total_b).alias(
-                "dup_bigram_frac"
-            ),
-            (top_count(grams) / total_b).alias("top_bigram_frac"),
-        )
+    return staged.select(
+        F.col(id_col),
+        total_t.cast("long").alias("total_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(toks)) / total_t).alias(
+            "dup_token_frac"
+        ),
+        (top_count(toks) / total_t).alias("top_token_frac"),
+        (F.lit(1.0) - F.size(F.array_distinct(grams)) / total_b).alias(
+            "dup_bigram_frac"
+        ),
+        (top_count(grams) / total_b).alias("top_bigram_frac"),
     )
 
 
@@ -427,8 +433,8 @@ def decontaminate(
     partitions both sides — still one shuffle of shingles, never a
     cross-product."""
     is_bench = (F.col(id_col) % bench_mod) == 0
-    grams = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    grams = df.withColumn("_decon_grams", word_shingles(F.col(text_col), n)).select(
+        F.col(id_col), F.explode(F.col("_decon_grams")).alias("gram")
     )
     bench = grams.where(is_bench).select("gram").distinct()
     return (
