@@ -2680,3 +2680,125 @@ def doc_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import decontaminate
 
     return decontaminate(t_spread(spark, sf, "documents"), n=3, bench_mod=20)
+
+
+@q(
+    "rel_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+               AS rank
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    QUALIFY rank <= 100
+    """,
+)
+def rel_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): fact self-aggregation with a
+    HAVING filter, then join the surviving keys back to orders/customer,
+    global top-100 by price.  Scale: the HAVING side reduces lineitem to a
+    tiny key set (map-side partial sums, ~0.5% of orders survive), which
+    AQE broadcasts into both joins — no fact-fact shuffle join.  The rank
+    filter plans as WindowGroupLimit (per-partition top-k before the final
+    single merge), so nothing is globally sorted.  sum(l_quantity) is a sum
+    of small integral doubles — exact in fp64 under any accumulation
+    order."""
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty", "rank",
+        )
+    )
+
+
+@q(
+    "doc_corpus_shuffle",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hkey % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % 8
+                                   ORDER BY hkey, doc_id) AS INT) AS pos_in_shard
+    FROM h
+    """,
+)
+def doc_corpus_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle for training-order assignment: every
+    document gets a (shard, position) from a portable md5-derived key — the
+    reshuffle-between-epochs primitive of a training-data pipeline, fully
+    reproducible across engines and runs (no RNG).
+
+    Scale: ONE hash shuffle on the shard key, then per-shard sort inside
+    each partition (window per shard, not a global row_number — a global
+    ordering would serialize on a single reducer at 100 TB; 8 shards here,
+    thousands in production)."""
+    from presto_ethereum_spark.operators.dedup import hash60
+
+    d = t_spread(spark, sf, "documents")
+    h = d.select(
+        "doc_id", hash60(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    w = Window.partitionBy(F.col("hkey") % 8).orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hkey") % 8).cast("int").alias("shard"),
+        F.row_number().over(w).cast("int").alias("pos_in_shard"),
+    )
+
+
+@q(
+    "doc_mixture_weights",
+    """
+    WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   count(*) AS n_sources FROM s)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           n_docs / CAST(total AS DOUBLE)                        AS actual_frac,
+           (1.0 / n_sources) / (n_docs / CAST(total AS DOUBLE))  AS weight
+    FROM s, tot
+    """,
+)
+def doc_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture reweighting: per-source sampling weight that moves the
+    corpus to a uniform target mixture (the domain-reweighting step in
+    front of training runs; a non-uniform target is a literal swap).
+    Scale: one partial-agg shuffle to ~#sources rows, then a broadcast of
+    the 1-row total — the corpus itself is touched once."""
+    d = t(spark, sf, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = s.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_sources")
+    )
+    actual = F.col("n_docs") / F.col("total").cast("double")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            actual.alias("actual_frac"),
+            ((F.lit(1.0) / F.col("n_sources")) / actual).alias("weight"),
+        )
+    )
