@@ -269,29 +269,61 @@ def seed_centroids(
     return [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
 
 
+def _py_l2(cv: list[float]) -> float:
+    """Python replica of ``l2_norm`` over a double-literal vector: the SAME
+    in-order fp64 accumulation as the JVM fold, so the value is
+    bit-identical to what ``l2_norm(lit_vector)`` would compute per row."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc += x * x
+    return math.sqrt(acc)
+
+
 def _centroid_scores(
     vec: Column, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """array<struct<sim, neg, cid>> of cosine scores against the (literal)
     codebook.  Struct field order makes array_max/array_sort rank by
-    (sim, then lowest cid) — ties break identically everywhere."""
+    (sim, then lowest cid) — ties break identically everywhere.
+
+    Stages the row vector (double-cast + norm) in a plan-local struct and
+    bakes each centroid's norm in as a literal: higher-order folds are
+    interpreted (not codegen'd), so the naive form — ``cosine()`` per
+    centroid — costs 5 folds per centroid per row (dot + the when-guard
+    evaluating both norms twice), recomputing the row norm 2x per centroid
+    and folding constant centroid norms per row.  Staged: one norm fold +
+    one dot fold per centroid.  Arithmetic is bit-identical (same
+    elementwise casts, same in-order accumulation, Python floats ARE
+    fp64)."""
     cents = F.array(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
+                F.lit(_py_l2([float(x) for x in cv])).alias("cn"),
             )
             for cid, cv in centroids
         ]
     )
+    staged = F.struct(_d(vec).alias("vd"), l2_norm(vec).alias("vn"))
     return F.transform(
-        cents,
-        lambda c: F.struct(
-            cosine(c["cvec"], vec).alias("sim"),
-            (-c["cid"]).alias("neg"),
-            c["cid"].alias("cid"),
+        # 1-element wrapper so `staged` is evaluated once per row, not once
+        # per centroid (lambda args are the only memoized expressions in an
+        # interpreted HOF tree)
+        F.transform(F.array(F.lit(0)), lambda _: staged),
+        lambda v: F.transform(
+            cents,
+            lambda c: F.struct(
+                F.when((c["cn"] == 0) | (v["vn"] == 0), F.lit(0.0))
+                .otherwise(_dot_raw(c["cvec"], v["vd"]) / (c["cn"] * v["vn"]))
+                .alias("sim"),
+                (-c["cid"]).alias("neg"),
+                c["cid"].alias("cid"),
+            ),
         ),
-    )
+    )[0]
 
 
 def ivf_assign(
