@@ -35,6 +35,9 @@ HEADLINE = [
     "doc_top_terms",
     "doc_pack_sequences",
     "doc_chunk_windows",
+    "doc_repetition",
+    "doc_corpus_shuffle",
+    "rel_large_orders",
     "emb_norms",
     "emb_ivf_topk",
     "emb_similar_pairs",

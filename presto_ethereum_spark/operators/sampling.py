@@ -139,3 +139,61 @@ def pack_sequences(
         )
         .select("doc_id", "shard", "n_tokens", "pack_id")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: ``k``
+    pseudo-random negatives per anchor, drawn by hashing (anchor, i) into
+    the id space — reproducible across engines/epochs with no RNG, so a
+    resumed training job redraws identical negatives.
+
+    Assumes contiguous ids ``[0, n)`` — exactly what ``corpus_shuffle`` /
+    pack-position assignment produces upstream in this pipeline.  A draw
+    that lands on the anchor itself advances by one (mod n); draws for the
+    same anchor may collide with each other (k << n makes this rare, and
+    contrastive losses tolerate it).
+
+    Scale: the draw is a narrow map (hash + mod against a broadcast 1-row
+    count); fetching the negatives' payload is ONE equi-join on the id —
+    shuffle of (k·n) skinny rows against the corpus, or a storage-bucketed
+    join when the corpus is bucketed by id (sources/sink.py)."""
+    from presto_ethereum_spark.operators.dedup import hash60
+
+    tot = df.agg(F.count("*").alias("n"))
+    draws = (
+        df.select(F.col(id_col).alias("anchor_id"))
+        .withColumn("sample_idx", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "h",
+            hash60(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("sample_idx").cast("string"),
+                )
+            )
+            % F.col("n"),
+        )
+        .withColumn(
+            "neg_id",
+            F.when(F.col("h") == F.col("anchor_id"), (F.col("h") + 1) % F.col("n"))
+            .otherwise(F.col("h")),
+        )
+        .select("anchor_id", F.col("sample_idx").cast("int").alias("sample_idx"), "neg_id")
+    )
+    if not payload_cols:
+        return draws
+    payload = df.select(
+        F.col(id_col).alias("neg_id"),
+        *[F.col(c).alias(f"neg_{c}") for c in payload_cols],
+    )
+    return draws.join(payload, "neg_id").select(
+        "anchor_id", "sample_idx", "neg_id",
+        *[f"neg_{c}" for c in payload_cols],
+    )

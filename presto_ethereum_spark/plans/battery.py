@@ -2802,3 +2802,40 @@ def doc_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
             ((F.lit(1.0) / F.col("n_sources")) / actual).alias("weight"),
         )
     )
+
+
+@q(
+    "doc_negative_samples",
+    """
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id, unnest(generate_series(0, 3)) AS sample_idx
+      FROM documents
+    ),
+    raw AS (
+      SELECT anchor_id, sample_idx, n,
+             CAST(concat('0x', substr(md5(concat(CAST(anchor_id AS VARCHAR), ':',
+                                               CAST(sample_idx AS VARCHAR))), 1, 15))
+                  AS BIGINT) % n AS h
+      FROM anchors, tot
+    ),
+    negs AS (
+      SELECT anchor_id, CAST(sample_idx AS INT) AS sample_idx,
+             CASE WHEN h = anchor_id THEN (h + 1) % n ELSE h END AS neg_id
+      FROM raw
+    )
+    SELECT anchor_id, sample_idx, neg_id, d.source AS neg_source
+    FROM negs JOIN documents d ON d.doc_id = neg_id
+    """,
+)
+def doc_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (operators/sampling.py:
+    negative_samples): 4 hash-drawn negatives per anchor plus a payload
+    fetch join.  The draw is a narrow map against a broadcast 1-row corpus
+    count; the payload join is one id equi-join (bucketed-joinable at
+    scale)."""
+    from presto_ethereum_spark.operators.sampling import negative_samples
+
+    return negative_samples(
+        t(spark, sf, "documents"), k=4, payload_cols=["source"]
+    )
