@@ -451,3 +451,35 @@ def dup_clusters(
         "cluster_id",
         F.count("*").over(w).alias("cluster_size"),
     )
+
+
+def cluster_keepers(
+    clusters: DataFrame,
+    docs: DataFrame,
+    rank_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor selection over duplicate clusters: keep the best document of
+    each cluster (highest ``rank_col``, ties to the lowest id) — the
+    "which near-dup do we actually train on" decision that follows
+    clustering in every dedup pipeline (keep-longest is the common
+    heuristic; pass a quality score column to keep-best instead).
+
+    Scale: one id equi-join of the (small) cluster membership against the
+    corpus, then a per-cluster top-1 window — WindowGroupLimit reduces each
+    cluster to one row before the exchange, so the shuffle carries
+    #clusters rows."""
+    j = clusters.join(docs.select(F.col(id_col), F.col(rank_col)), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(rank_col), F.col(id_col)
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("keeper_doc_id"),
+            F.col(rank_col).alias(f"keeper_{rank_col}"),
+            "cluster_size",
+        )
+    )

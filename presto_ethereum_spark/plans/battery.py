@@ -2839,3 +2839,53 @@ def doc_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     return negative_samples(
         t(spark, sf, "documents"), k=4, payload_cols=["source"]
     )
+
+
+@q(
+    "doc_dedup_keepers",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLED},
+    langd AS (SELECT doc_id, lang FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM langd a JOIN langd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      JOIN shingled sa ON sa.doc_id = a.doc_id
+      JOIN shingled sb ON sb.doc_id = b.doc_id
+      WHERE len(sa.shingles) + len(sb.shingles) > 0
+        AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id),
+    comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp)
+    SELECT cluster_id, doc_id AS keeper_doc_id, n_chars AS keeper_n_chars,
+           cluster_size
+    FROM sized JOIN documents USING (doc_id)
+    QUALIFY row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) = 1
+    """,
+)
+def doc_dedup_keepers(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup pipeline: near-dup pairs -> connected-component
+    clusters -> survivor per cluster (keep-longest, ties to lowest id;
+    operators/dedup.py: cluster_keepers).  The keeper window reduces each
+    cluster to one row map-side (WindowGroupLimit), so the final exchange
+    carries #clusters rows — the corpus is only touched by the membership
+    equi-join."""
+    from presto_ethereum_spark.operators.dedup import (
+        cluster_keepers,
+        dup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = t_spread(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, blocking_cols=["lang"])
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    return cluster_keepers(clusters, docs, rank_col="n_chars")

@@ -222,6 +222,34 @@ class TestText:
         out = {r["doc_id"]: r["n_hit_grams"] for r in text.decontaminate(d).collect()}
         assert out == {1: 1}
 
+    def test_cluster_keepers_keep_longest(self, spark):
+        from presto_ethereum_spark.operators.dedup import cluster_keepers
+
+        clusters = spark.createDataFrame(
+            [  # cluster 1 = {1, 2, 3}; cluster 7 = {7, 9}
+                Row(doc_id=1, cluster_id=1, cluster_size=3),
+                Row(doc_id=2, cluster_id=1, cluster_size=3),
+                Row(doc_id=3, cluster_id=1, cluster_size=3),
+                Row(doc_id=7, cluster_id=7, cluster_size=2),
+                Row(doc_id=9, cluster_id=7, cluster_size=2),
+            ]
+        )
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, n_chars=10),
+                Row(doc_id=2, n_chars=99),
+                Row(doc_id=3, n_chars=99),  # tie with 2 -> lowest id wins
+                Row(doc_id=7, n_chars=5),
+                Row(doc_id=9, n_chars=50),
+                Row(doc_id=11, n_chars=1),  # not clustered, never a keeper
+            ]
+        )
+        out = {
+            r["cluster_id"]: (r["keeper_doc_id"], r["keeper_n_chars"], r["cluster_size"])
+            for r in cluster_keepers(clusters, docs).collect()
+        }
+        assert out == {1: (2, 99, 3), 7: (9, 50, 2)}
+
 
 class TestSaltedAgg:
     def test_equals_plain_groupby(self, spark):
