@@ -194,3 +194,47 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def resize_media(df: DataFrame, target_len: int = 64) -> DataFrame:
+    """Resize/downsample step: bytes -> smaller bytes at a fixed 'resolution'
+    budget.  Real pipelines put PIL/ffmpeg here; the container ships no
+    codecs, so the transform is a deterministic byte-stride downsample
+    (every ``ceil(n/target)``-th byte), which preserves everything the
+    Spark layer is responsible for — Arrow batch shape, binary-in/binary-out
+    schema, per-row size accounting — and is closed-form replayable by an
+    external oracle.
+
+    Scale: mapInPandas streams Arrow batches through the Python worker —
+    constant memory per batch, embarrassingly parallel, output strictly
+    smaller than input (a shrink map before any shuffle/sink)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("orig_len", LongType()),
+            StructField("out_len", LongType()),
+            StructField("out_bytes", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mids, olens, nlens, outs = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(blob) if blob is not None else b""
+                step = max(1, -(-len(b) // target_len))
+                out = b[::step]
+                mids.append(mid)
+                olens.append(len(b))
+                nlens.append(len(out))
+                outs.append(out)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "orig_len": olens,
+                    "out_len": nlens,
+                    "out_bytes": outs,
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)

@@ -2889,3 +2889,38 @@ def doc_dedup_keepers(spark: SparkSession, sf: str) -> DataFrame:
     pairs = jaccard_pairs(docs, threshold=0.2, blocking_cols=["lang"])
     clusters = dup_clusters(pairs.select("id_a", "id_b"))
     return cluster_keepers(clusters, docs, rank_col="n_chars")
+
+
+@q(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(len(text) AS BIGINT) AS orig_len,
+           CAST(length(o) AS BIGINT) AS out_len,
+           sha256(o) AS out_sha
+    FROM (
+      SELECT doc_id, text,
+             array_to_string(
+               list_transform(
+                 generate_series(1, len(text),
+                                 greatest(1, CAST(ceil(len(text) / 64.0) AS BIGINT))),
+                 i -> substr(text, CAST(i AS INT), 1)),
+               '') AS o
+      FROM documents)
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize/downsample over binary media columns (operators/multimodal.py:
+    resize_media): deterministic byte-stride stand-in for the codec resize,
+    streamed through Arrow mapInPandas.  The oracle replays the stride
+    closed-form; digests pin the exact output bytes."""
+    from presto_ethereum_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+
+    media = media_from_documents(t(spark, sf, "documents"))
+    return resize_media(media, target_len=64).select(
+        "media_id", "orig_len", "out_len",
+        F.sha2(F.col("out_bytes"), 256).alias("out_sha"),
+    )

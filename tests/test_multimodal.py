@@ -2,6 +2,7 @@
 1->N frame expansion, strict-stub behavior."""
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from presto_ethereum_spark.operators.multimodal import (
@@ -64,3 +65,20 @@ def test_frame_sampling_expansion(media):
     )
     bad = joined.where("total != n_bytes OR n_frames != CAST(ceil(n_bytes / 100.0) AS BIGINT)")
     assert bad.count() == 0
+
+
+def test_resize_stride_semantics(spark):
+    from presto_ethereum_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, data=bytes(range(130))),  # step=ceil(130/64)=3
+            Row(media_id=2, data=b"abc"),             # shorter than target: identity
+            Row(media_id=3, data=b""),                # empty stays empty
+        ]
+    )
+    out = {r["media_id"]: r for r in resize_media(media, target_len=64).collect()}
+    assert bytes(out[1]["out_bytes"]) == bytes(range(130))[::3]
+    assert out[1]["orig_len"] == 130 and out[1]["out_len"] == 44
+    assert bytes(out[2]["out_bytes"]) == b"abc" and out[2]["out_len"] == 3
+    assert out[3]["out_len"] == 0 and bytes(out[3]["out_bytes"]) == b""
