@@ -2924,3 +2924,64 @@ def multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
         "media_id", "orig_len", "out_len",
         F.sha2(F.col("out_bytes"), 256).alias("out_sha"),
     )
+
+
+@q(
+    "doc_pii_mask",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail.example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                    '.7 tel +1 (555) 010-',
+                    CAST(1000 + doc_id % 9000 AS VARCHAR)) AS text
+      FROM documents),
+    m1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS t1
+      FROM seeded),
+    m2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+             regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                            '[IPV4]', 'g') AS t2
+      FROM m1),
+    m3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+             len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) AS n_phone,
+             regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]',
+                            '[PHONE]', 'g') AS masked
+      FROM m2)
+    SELECT doc_id, md5(masked) AS masked_md5, n_email, n_ipv4, n_phone FROM m3
+    """,
+)
+def doc_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """PII masking (operators/text.py: mask_pii) graded end-to-end: the
+    corpus ships no PII, so the query deterministically seeds an email, an
+    IPv4, and a phone span per document (pure closed-form concat both
+    engines replay), then masks in pattern order (email first so phone-like
+    digit runs inside addresses are already gone) and counts per kind.
+    Output pins the exact masked text via md5.  Pure JVM regexp
+    expressions — zero shuffle, scan-speed at any corpus size."""
+    from presto_ethereum_spark.operators.text import mask_pii
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@mail.example.com or 10.0."), (did % 256).cast("string"),
+            F.lit(".7 tel +1 (555) 010-"), (1000 + did % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return mask_pii(seeded).select(
+        "doc_id",
+        F.md5(F.col("masked").cast("binary")).alias("masked_md5"),
+        "n_email", "n_ipv4", "n_phone",
+    )
