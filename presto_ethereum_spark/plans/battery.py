@@ -2985,3 +2985,91 @@ def doc_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.col("masked").cast("binary")).alias("masked_md5"),
         "n_email", "n_ipv4", "n_phone",
     )
+
+
+@q(
+    "rel_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(date_part('year', l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM supplier s
+    JOIN lineitem l ON s_suppkey = l_suppkey
+    JOIN orders   o ON o_orderkey = l_orderkey
+    JOIN customer c ON c_custkey = o_custkey
+    JOIN nation  n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation  n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def rel_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): a 6-table join
+    with a disjunctive cross-dimension predicate and year extraction.
+    Scale: nation/supplier/customer broadcast (verified BHJ); the only fact
+    shuffle is lineitem->orders, and AQE turns even that into a broadcast
+    once the nation filter prunes the supplier side.  Revenue in DECIMAL
+    pre-sum -> order-independent under any partitioning."""
+    s = t(spark, sf, "supplier")
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@q(
+    "eth_miner_time_window",
+    f"""
+    SELECT block_miner, count(*) AS n_blocks,
+           min(block_number) AS first_block, max(block_number) AS last_block
+    FROM read_parquet('{ETH}/block.parquet')
+    WHERE block_timestamp >= 1438280000 AND block_timestamp <= 1438290000
+    GROUP BY block_miner
+    """,
+)
+def eth_miner_time_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Timestamp-range miner activity: the graded face of the reference's
+    timestamp->block-range pushdown (EthereumMetadata.java:215-229,293-318).
+    In fixture mode the timestamp predicate reaches the parquet scan
+    (PushedFilters) and prunes row groups via min/max — zero planning RPCs
+    vs the reference's O(log head) binary-search RPCs per bound."""
+    b = _eth_tables(spark).table("block")
+    return (
+        b.where(
+            (F.col("block_timestamp") >= 1438280000)
+            & (F.col("block_timestamp") <= 1438290000)
+        )
+        .groupBy("block_miner")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.min("block_number").alias("first_block"),
+            F.max("block_number").alias("last_block"),
+        )
+    )

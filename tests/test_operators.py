@@ -737,3 +737,50 @@ class TestMaskPii:
         d = spark.createDataFrame([Row(doc_id=1, text="reach 12345678901@mail.com now")])
         r = mask_pii(d).collect()[0]
         assert r.n_email == 1 and r.n_phone == 0 and "[EMAIL]" in r.masked
+
+
+class TestPipelineProperties:
+    """Deterministic property checks for the sampling/shuffle/repetition
+    operators: the invariants a training pipeline actually relies on."""
+
+    def test_repetition_fraction_bounds(self, spark):
+        rows = [
+            Row(doc_id=1, text="a a a a"),          # degenerate: one token type
+            Row(doc_id=2, text="a b c d e"),         # all distinct
+            Row(doc_id=3, text="x y x y x y"),       # perfectly periodic
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in text.repetition_signals(spark.createDataFrame(rows)).collect()
+        }
+        for r in out.values():
+            assert 0.0 <= r["dup_token_frac"] < 1.0
+            assert 0.0 < r["top_token_frac"] <= 1.0
+            assert 0.0 <= r["dup_bigram_frac"] < 1.0
+        assert out[1]["top_token_frac"] == 1.0 and out[1]["dup_token_frac"] == 0.75
+        assert out[2]["dup_token_frac"] == 0.0 and out[2]["top_token_frac"] == 0.2
+        assert out[3]["dup_bigram_frac"] == 1 - 2 / 5  # "x y"*3, "y x"*2
+
+    def test_negative_samples_never_anchor_always_in_range(self, spark):
+        from presto_ethereum_spark.operators.sampling import negative_samples
+
+        n, k = 97, 5
+        d = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+        out = negative_samples(d, k=k).collect()
+        assert len(out) == n * k
+        for r in out:
+            assert 0 <= r["neg_id"] < n
+            assert r["neg_id"] != r["anchor_id"]
+
+    def test_corpus_shuffle_is_shardwise_permutation(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        out = battery.queries()["doc_corpus_shuffle"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+        assert sum(len(v) for v in by_shard.values()) == len(out)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
