@@ -1,0 +1,84 @@
+"""Graph operators over transfer/interaction edge lists.
+
+The chain tables induce natural graphs (tx_from -> tx_to, erc20_from ->
+erc20_to); these operators answer "which addresses matter" questions the
+reference's SQL corpus gestures at but cannot express without iteration.
+
+Determinism contract: iterative fp aggregation is order-dependent, so
+per-edge contributions are quantized to fixed-point integers
+(``floor(x * SCALE)``) before summation — integer sums are exact under any
+partitioning/accumulation order, and an independent engine (the DuckDB
+oracle) reproduces the doubles bit-for-bit.  SCALE=1e15 keeps ~8
+significant digits for rank-magnitude values while bounding any node's
+in-sum below 2^63 (max in-degree x 1e15 << 9.2e18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+FIXED_POINT_SCALE = 1_000_000_000_000_000.0  # 1e15
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Simplified PageRank (dangling mass dropped, fixed iteration count)
+    over a distinct edge list: ``rank(v) = (1-d)/N + d * sum_in
+    rank(u)/outdeg(u)``.
+
+    Scale: per iteration, ONE shuffle — contributions grouped by dst (the
+    ranks->edges join broadcasts when the active-source set is small, as in
+    sender-skewed transfer graphs; otherwise both sides hash-partition on
+    the address and the partitioning is reused across iterations).  The
+    node set, edge list, and out-degrees are loop invariants.  Iterations
+    are a fixed small count (the training-pipeline "importance score" use
+    case), so lineage depth stays bounded without checkpointing."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("addr"))
+        .union(e.select(F.col("dst").alias("addr")))
+        .distinct()
+    )
+    tot = nodes.agg(F.count("*").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.crossJoin(F.broadcast(tot)).select(
+        "addr", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    # (1.0 - damping) evaluated in Python fp64 == the same expression in the
+    # oracle SQL — keep the *expression*, not a pre-simplified constant
+    q = 1.0 - damping
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["addr"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("addr"),
+                F.floor(
+                    F.col("rank") / F.col("deg") * F.lit(FIXED_POINT_SCALE)
+                ).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("addr").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, "addr", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "addr",
+                (
+                    F.lit(q) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                        / F.lit(FIXED_POINT_SCALE)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -3073,3 +3073,112 @@ def eth_miner_time_window(spark: SparkSession, sf: str) -> DataFrame:
             F.max("block_number").alias("last_block"),
         )
     )
+
+
+@q(
+    "eth_address_ledger",
+    f"""
+    WITH tx AS (SELECT * FROM read_parquet('{ETH}/transaction.parquet')),
+    outs AS (
+      SELECT tx_from AS addr, count(*) AS n_out,
+             sum(CAST(tx_value AS DECIMAL(38,0))) AS out_wei
+      FROM tx GROUP BY tx_from),
+    ins AS (
+      SELECT tx_to AS addr, count(*) AS n_in,
+             sum(CAST(tx_value AS DECIMAL(38,0))) AS in_wei
+      FROM tx WHERE tx_to IS NOT NULL GROUP BY tx_to)
+    SELECT coalesce(o.addr, i.addr) AS addr,
+           coalesce(o.n_out, 0) AS n_out,
+           coalesce(i.n_in, 0) AS n_in,
+           CAST(CAST(coalesce(i.in_wei, 0) - coalesce(o.out_wei, 0)
+                     AS DOUBLE) AS REAL) AS net_wei
+    FROM outs o FULL JOIN ins i ON o.addr = i.addr
+    """,
+)
+def eth_address_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Account-balance reconstruction from the transfer stream: per-address
+    inflow/outflow counts and exact net position — the ledger materialization
+    every chain-analytics pipeline derives from `transaction`.  Values are
+    integral wei-doubles, so DECIMAL(38,0) sums are EXACT (no fp ordering
+    noise) under any partitioning; the net is a single decimal difference
+    narrowed to float32 at the end (absorbs any last-bit divergence in the
+    engines' int128->double casts).  Two partial-agg shuffles + one full
+    outer join on the address."""
+    tx = _eth_tables(spark).table("transaction")
+    dec = F.col("tx_value").cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    outs = tx.groupBy(F.col("tx_from").alias("addr")).agg(
+        F.count("*").alias("n_out"), F.sum(dec).alias("out_wei")
+    )
+    ins = (
+        tx.where(F.col("tx_to").isNotNull())
+        .groupBy(F.col("tx_to").alias("addr"))
+        .agg(F.count("*").alias("n_in"), F.sum(dec).alias("in_wei"))
+    )
+    return (
+        outs.withColumnRenamed("addr", "o_addr")
+        .join(
+            ins.withColumnRenamed("addr", "i_addr"),
+            F.col("o_addr") == F.col("i_addr"),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("o_addr"), F.col("i_addr")).alias("addr"),
+            F.coalesce(F.col("n_out"), F.lit(0)).alias("n_out"),
+            F.coalesce(F.col("n_in"), F.lit(0)).alias("n_in"),
+            (
+                F.coalesce(F.col("in_wei"), zero)
+                - F.coalesce(F.col("out_wei"), zero)
+            )
+            .cast("double")
+            .cast("float")
+            .alias("net_wei"),
+        )
+    )
+
+
+def _duck_pagerank_oracle() -> str:
+    """3 unrolled PageRank iterations with fixed-point (1e15) contribution
+    quantization — expression-for-expression the same arithmetic as
+    operators/graph.pagerank, so doubles match bit-for-bit."""
+    S = "1000000000000000.0"
+    it = """
+    s{k} AS (
+      SELECT e.dst AS addr,
+             sum(CAST(floor(r.rank / d.deg * {S}) AS BIGINT)) AS s
+      FROM r{p} r JOIN edges e ON e.src = r.addr
+      JOIN outdeg d ON d.src = e.src
+      GROUP BY e.dst),
+    r{k} AS (
+      SELECT n0.addr,
+             (CAST(1.0 AS DOUBLE) - 0.85) / t.n
+               + 0.85 * (CAST(coalesce(s.s, 0) AS DOUBLE) / {S}) AS rank
+      FROM nodes n0 LEFT JOIN s{k} s ON s.addr = n0.addr, tot t)"""
+    steps = ",".join(it.format(k=k, p=k - 1, S=S) for k in (1, 2, 3))
+    return f"""
+    WITH tx AS (SELECT * FROM read_parquet('{ETH}/transaction.parquet')),
+    edges AS (SELECT DISTINCT tx_from AS src, tx_to AS dst
+              FROM tx WHERE tx_to IS NOT NULL),
+    nodes AS (SELECT src AS addr FROM edges UNION SELECT dst FROM edges),
+    tot AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT addr, 1.0 / t.n AS rank FROM nodes, tot t),
+    {steps}
+    SELECT addr, rank FROM r3
+    """
+
+
+@q("eth_tx_pagerank", _duck_pagerank_oracle())
+def eth_tx_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Address importance over the tx transfer graph (operators/graph.py:
+    pagerank, 3 iterations, d=0.85): the iterative-algorithm face of the
+    engine, exactly differential-tested against an unrolled SQL replica via
+    fixed-point contribution sums (integer-exact under any shuffle
+    order)."""
+    from presto_ethereum_spark.operators.graph import pagerank
+
+    tx = _eth_tables(spark).table("transaction")
+    edges = tx.where(F.col("tx_to").isNotNull()).select(
+        F.col("tx_from").alias("src"), F.col("tx_to").alias("dst")
+    )
+    return pagerank(edges, iterations=3, damping=0.85)

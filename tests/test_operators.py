@@ -481,6 +481,57 @@ class TestConnectedComponents:
         assert sorted(canonical) == [1, 7]
 
 
+class TestPageRank:
+    @staticmethod
+    def _ref(pairs, iters=3, d=0.85):
+        """Pure-Python replica of operators/graph.pagerank's exact arithmetic
+        (fixed-point quantized contributions) — results must match Spark's
+        doubles bit-for-bit."""
+        import math
+
+        scale = 1_000_000_000_000_000.0
+        edges = set(pairs)
+        nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+        n = len(nodes)
+        outdeg: dict[str, int] = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        rank = {v: 1.0 / n for v in nodes}
+        q = 1.0 - d
+        for _ in range(iters):
+            sums = {v: 0 for v in nodes}
+            for s, t in edges:
+                sums[t] += math.floor(rank[s] / outdeg[s] * scale)
+            rank = {v: q / n + d * (float(sums[v]) / scale) for v in nodes}
+        return rank
+
+    def _run(self, spark, pairs, **kw):
+        from presto_ethereum_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in pairs], "src string, dst string"
+        )
+        return {r.addr: r.rank for r in pagerank(df, **kw).collect()}
+
+    def test_matches_reference_arithmetic_exactly(self, spark):
+        pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+        assert self._run(spark, pairs) == self._ref(pairs)
+
+    def test_sink_gains_hub_loses(self, spark):
+        # c receives from 3 nodes, d receives nothing (pure source)
+        got = self._run(spark, [("a", "c"), ("b", "c"), ("d", "c"), ("c", "a")])
+        assert got["c"] == max(got.values())
+        assert got["d"] == min(got.values())
+
+    def test_dangling_mass_dropped_and_dup_edges_ignored(self, spark):
+        # b has no out-edges: its mass vanishes (documented semantics), so
+        # total rank < 1; duplicate edge (a,b) must count once (distinct)
+        pairs = [("a", "b"), ("a", "b")]
+        got = self._run(spark, pairs)
+        assert got == self._ref([("a", "b")])
+        assert sum(got.values()) < 1.0
+
+
 class TestTopTerms:
     def test_df_counts_and_ties(self, spark):
         d = spark.createDataFrame(
