@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "split_assign", "stratified_take", "pack_sequences"]
+__all__ = [
+    "hash_bucket",
+    "split_assign",
+    "stratified_take",
+    "pack_sequences",
+    "weighted_sample",
+]
 
 
 def hash_bucket(key: Column, buckets: int = 100, salt: str = "") -> Column:
@@ -91,6 +97,46 @@ def stratified_take(
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n)
+    )
+
+
+_U_DENOM = float(2**52 + 1)  # hash-uniform denominator; 2^52+1 is double-exact
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic hash-uniform ``u`` in (0,1) and the k
+    rows with the smallest priority ``-ln(u) / w`` survive — exactly the
+    distribution of sequentially drawing k rows with probability
+    proportional to weight.  The quality-weighted subsampling primitive
+    ("sample 1B docs, favoring high-quality ones") that ``rand()`` cannot
+    provide reproducibly.
+
+    u derives from 52 bits of md5 (``(h52 + 1) / (2^52 + 1)`` — strictly
+    inside (0,1), so ln is finite), making the sample a pure function of
+    (salt, key, weight): stable under repartitioning and replayable by an
+    independent engine.
+
+    Scale: priority is a map-side expression; the rank<=k filter over a
+    global order is planned as WindowGroupLimit — each map task keeps its
+    local top-k before the single k*tasks-row merge.  Weights must be > 0."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") + F.lit(1)).cast(
+        "double"
+    ) / F.lit(_U_DENOM)
+    pri = -F.log(u) / F.col(weight_col)
+    w = Window.orderBy(pri, F.col(key))
+    return df.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
     )
 
 

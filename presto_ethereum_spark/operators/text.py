@@ -32,6 +32,7 @@ __all__ = [
     "document_frequency",
     "top_terms",
     "chunk_documents",
+    "bm25_topk",
     "mask_pii",
     "PII_PATTERNS",
     "normalize_text",
@@ -407,6 +408,76 @@ def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id"):
             "dup_bigram_frac"
         ),
         (top_count(grams) / total_b).alias("top_bigram_frac"),
+    )
+
+
+def bm25_topk(
+    df,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 relevance of every document to a fixed bag-of-words query, top-k
+    by score — the lexical retrieval scorer behind quality-targeted corpus
+    selection ("keep documents that look like the seed set").
+
+    Okapi BM25 with the Lucene +1 idf:
+    ``score = sum_t ln(1 + (N - df_t + .5)/(df_t + .5))
+              * tf_t*(k1+1) / (tf_t + k1*(1 - b + b*dl/avgdl))``.
+
+    Determinism: avgdl is an exact integer-sum divided once (never a
+    float avg, whose accumulation order varies); all float constants are
+    pre-evaluated in Python so an oracle can inject the identical doubles;
+    term weights sum left-to-right.
+
+    Scale: per-doc (dl, tf_t) is a narrow codegen projection over the scan
+    (|terms| array-filter passes, no explode, no shuffle); corpus stats
+    (N, sum_dl, df_t) are ONE 1-row partial-aggregated reduce, broadcast
+    back; the rank<=k filter over the global score order runs as
+    WindowGroupLimit (map-side top-k, k*tasks-row merge)."""
+    toks = tokens(F.col(text_col))
+
+    # closure factory: a 2-arg lambda would be read by F.filter as
+    # (element, index), silently shadowing the term
+    def tf_of(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    proj = [F.col(id_col), F.size(toks).cast("long").alias("dl")]
+    for i, term in enumerate(terms):
+        proj.append(tf_of(term).cast("long").alias(f"tf{i}"))
+    d = df.select(*proj)
+    aggs = [F.count("*").alias("n"), F.sum("dl").alias("sum_dl")]
+    for i in range(len(terms)):
+        aggs.append(
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+        )
+    stats = d.agg(*aggs)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n")
+    norm = F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    score = None
+    for i in range(len(terms)):
+        tf, dfd = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n") - dfd).cast("double") + F.lit(0.5))
+            / (dfd.cast("double") + F.lit(0.5))
+        )
+        wt = idf * (
+            (tf.cast("double") * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm)
+        )
+        score = wt if score is None else score + wt
+    w = Window.orderBy(F.desc("_s"), F.col(id_col))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("_s"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col(id_col), F.round("_s", 6).alias("score"), F.col("rank")
+        )
     )
 
 

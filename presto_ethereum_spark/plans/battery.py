@@ -2406,6 +2406,98 @@ def doc_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_weighted_sample",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+             (CAST(('0x' || substring(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS UBIGINT) + 1) / CAST(4503599627370497 AS DOUBLE) AS u
+      FROM documents)
+    SELECT doc_id, weight,
+           CAST(row_number() OVER (ORDER BY -ln(u) / weight, doc_id) AS INT) AS rank
+    FROM d QUALIFY rank <= 50
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis, 50 docs,
+    weight = token count): the quality-weighted subsampling primitive,
+    graded exactly because the per-row uniform is a 52-bit md5 hash rather
+    than an RNG (operators/sampling.py:weighted_sample).
+
+    Scale: priority is map-side; WindowGroupLimit keeps each task's local
+    top-50 before the single merge — no global sort of the corpus."""
+    from presto_ethereum_spark.operators.sampling import weighted_sample
+    from presto_ethereum_spark.operators.text import token_count_ws
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).cast("long").alias("weight")
+    )
+    return weighted_sample(d, key="doc_id", weight_col="weight", k=50, salt="ws1")
+
+
+_BM25_TERMS = ("spark", "hash", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _duck_bm25_oracle() -> str:
+    """Replays operators/text.bm25_topk expression-for-expression; float
+    constants are injected as repr'd Python doubles (string->double parse is
+    correctly rounded) so both engines multiply the same bits."""
+    k1 = f"CAST('{_BM25_K1!r}' AS DOUBLE)"
+    k1p1 = f"CAST('{_BM25_K1 + 1.0!r}' AS DOUBLE)"
+    omb = f"CAST('{1.0 - _BM25_B!r}' AS DOUBLE)"
+    b = f"CAST('{_BM25_B!r}' AS DOUBLE)"
+    tfs = ",\n".join(
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
+        f" AS BIGINT) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    dfs = ",".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    norm = f"({omb} + {b} * (CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n)))"
+    wts = " + ".join(
+        f"(ln(1 + (CAST(s.n - s.df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(s.df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {k1p1}) / (tf{i} + {k1} * {norm})))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl, {tfs}
+      FROM documents),
+    s AS (SELECT count(*) AS n, sum(dl) AS sum_dl, {dfs} FROM d),
+    scored AS (SELECT d.doc_id, {wts} AS s_raw FROM d, s)
+    SELECT doc_id, round(s_raw, 6) AS score,
+           CAST(row_number() OVER (ORDER BY s_raw DESC, doc_id) AS INT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """
+
+
+@q("doc_bm25_topk", _duck_bm25_oracle())
+def doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 against a fixed bag-of-words query (operators/text.py:
+    bm25_topk): lexical retrieval scoring for quality-targeted corpus
+    selection.  Exact-graded: integer-exact corpus stats (N, sum_dl, df_t),
+    left-to-right weight summation, and repr-injected float constants make
+    the doubles reproducible on an independent engine.
+
+    Scale: one narrow projection pass (|terms| array filters, no explode),
+    one 1-row stats reduce broadcast back, WindowGroupLimit top-k."""
+    from presto_ethereum_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        t(spark, sf, "documents"),
+        terms=list(_BM25_TERMS),
+        k=20,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@q(
     "doc_pack_sequences",
     f"""
     WITH d AS (

@@ -481,6 +481,78 @@ class TestConnectedComponents:
         assert sorted(canonical) == [1, 7]
 
 
+class TestWeightedSample:
+    @staticmethod
+    def _ref_priority(key, weight, salt=""):
+        import hashlib
+        import math
+
+        h = hashlib.md5(f"{salt}{key}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / float(2**52 + 1)
+        return -math.log(u) / weight
+
+    def test_matches_reference_priorities_exactly(self, spark):
+        from presto_ethereum_spark.operators.sampling import weighted_sample
+
+        rows = [Row(doc_id=i, w=(i % 7) + 1) for i in range(200)]
+        got = weighted_sample(
+            spark.createDataFrame(rows), key="doc_id", weight_col="w", k=25,
+            salt="t1",
+        ).collect()
+        want = sorted(
+            rows, key=lambda r: (self._ref_priority(r.doc_id, r.w, "t1"), r.doc_id)
+        )[:25]
+        assert [(r.doc_id, r.rank) for r in got] == [
+            (r.doc_id, i + 1) for i, r in enumerate(want)
+        ]
+
+    def test_huge_weight_always_sampled_first(self, spark):
+        from presto_ethereum_spark.operators.sampling import weighted_sample
+
+        rows = [Row(doc_id=i, w=1) for i in range(50)] + [Row(doc_id=99, w=10**9)]
+        got = weighted_sample(
+            spark.createDataFrame(rows), key="doc_id", weight_col="w", k=1
+        ).collect()
+        assert [r.doc_id for r in got] == [99]
+
+    def test_invalid_k_raises(self, spark):
+        from presto_ethereum_spark.operators.sampling import weighted_sample
+
+        d = spark.createDataFrame([Row(doc_id=1, w=1)])
+        with pytest.raises(ValueError):
+            weighted_sample(d, key="doc_id", weight_col="w", k=0)
+
+
+class TestBm25:
+    def _run(self, spark, docs, terms, k=10):
+        from presto_ethereum_spark.operators.text import bm25_topk
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+        )
+        return {r.doc_id: r for r in bm25_topk(df, terms, k=k).collect()}
+
+    def test_hand_computed_single_term(self, spark):
+        import math
+
+        docs = ["a b c d", "a a b c", "x y z w"]
+        got = self._run(spark, docs, ["a"])
+        # N=3, df=2, dl=4 for all, avgdl=4 -> norm term = 1.2*(0.25+0.75*1)=1.2
+        idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+        s1 = idf * (1 * 2.2) / (1 + 1.2)
+        s2 = idf * (2 * 2.2) / (2 + 1.2)
+        assert got[0].score == round(s1, 6)
+        assert got[1].score == round(s2, 6)
+        assert got[2].score == 0.0
+        # more occurrences at equal length -> higher score -> better rank
+        assert got[1].rank == 1 and got[0].rank == 2
+
+    def test_rare_term_outweighs_common(self, spark):
+        docs = ["rare b", "comm b", "comm b", "comm b", "comm b"]
+        got = self._run(spark, docs, ["rare", "comm"])
+        assert got[0].rank == 1  # idf(rare) >> idf(comm), equal tf/dl
+
+
 class TestPageRank:
     @staticmethod
     def _ref(pairs, iters=3, d=0.85):
