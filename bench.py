@@ -42,7 +42,10 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_similar_pairs",
     "eth_erc20_movement",
+    "eth_tx_pagerank",
     "rel_funnel_steps",
+    "doc_weighted_sample",
+    "doc_bm25_topk",
 ]
 
 
