@@ -28,6 +28,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    cache: bool = True,
 ) -> DataFrame:
     """Simplified PageRank (dangling mass dropped, fixed iteration count)
     over a distinct edge list: ``rank(v) = (1-d)/N + d * sum_in
@@ -39,15 +40,23 @@ def pagerank(
     the address and the partitioning is reused across iterations).  The
     node set, edge list, and out-degrees are loop invariants.  Iterations
     are a fixed small count (the training-pipeline "importance score" use
-    case), so lineage depth stays bounded without checkpointing."""
+    case), so lineage depth stays bounded without checkpointing.
+
+    ``cache`` persists the three loop invariants (deduped edges, node set,
+    out-degrees) so each iteration reuses them instead of replaying the
+    scan + distinct per iteration — the standard iterative-graph trade
+    (GraphX does the same); pass False where the edge list is too large to
+    persist and a re-scan per iteration is cheaper than the spill."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("addr"))
         .union(e.select(F.col("dst").alias("addr")))
         .distinct()
     )
-    tot = nodes.agg(F.count("*").alias("n"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    if cache:
+        e, nodes, outdeg = e.persist(), nodes.persist(), outdeg.persist()
+    tot = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(tot)).select(
         "addr", (F.lit(1.0) / F.col("n")).alias("rank")
     )
