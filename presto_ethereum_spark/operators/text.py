@@ -33,6 +33,7 @@ __all__ = [
     "top_terms",
     "chunk_documents",
     "bm25_topk",
+    "rrf_fuse",
     "mask_pii",
     "PII_PATTERNS",
     "normalize_text",
@@ -477,6 +478,55 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select(
             F.col(id_col), F.round("_s", 6).alias("score"), F.col("rank")
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: list,
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+):
+    """Reciprocal-rank fusion of N candidate rankings:
+    ``rrf(d) = sum_i 1/(rrf_k + rank_i(d))``, summed over the rankings that
+    contain d — the standard score-free way to combine retrieval systems
+    (BM25 + dense ANN, or several query formulations) for corpus selection.
+
+    Deterministic: only integer ranks enter the arithmetic, so each term is
+    an exact double quotient and the left-to-right sum is reproducible on
+    any engine; final ties break by id.
+
+    Scale: each input is already a top-k list (k*|queries| rows, tiny), so
+    the full outer joins and the fused top-k are driver-trivial; the heavy
+    lifting lives in the upstream rankers."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    sides = [
+        r.select(
+            F.col(id_col).alias(f"_id{i}"), F.col(rank_col).alias(f"_r{i}")
+        )
+        for i, r in enumerate(rankings)
+    ]
+    joined = sides[0]
+    idc = F.col("_id0")
+    for i in range(1, len(sides)):
+        joined = joined.join(sides[i], idc == F.col(f"_id{i}"), "full")
+        idc = F.coalesce(idc, F.col(f"_id{i}"))
+    score = None
+    for i in range(len(sides)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.orderBy(F.desc("_s"), F.col(id_col))
+    return (
+        joined.select(idc.alias(id_col), score.alias("_s"))
+        .withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+        .select(
+            F.col(id_col), F.round("_s", 6).alias("rrf"), F.col(rank_col)
         )
     )
 

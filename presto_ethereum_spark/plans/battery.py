@@ -2440,7 +2440,7 @@ _BM25_TERMS = ("spark", "hash", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-def _duck_bm25_oracle() -> str:
+def _duck_bm25_sql(terms: tuple[str, ...], k: int) -> str:
     """Replays operators/text.bm25_topk expression-for-expression; float
     constants are injected as repr'd Python doubles (string->double parse is
     correctly rounded) so both engines multiply the same bits."""
@@ -2451,18 +2451,18 @@ def _duck_bm25_oracle() -> str:
     tfs = ",\n".join(
         f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
         f" AS BIGINT) AS tf{i}"
-        for i, term in enumerate(_BM25_TERMS)
+        for i, term in enumerate(terms)
     )
     dfs = ",".join(
         f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-        for i in range(len(_BM25_TERMS))
+        for i in range(len(terms))
     )
     norm = f"({omb} + {b} * (CAST(d.dl AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / s.n)))"
     wts = " + ".join(
         f"(ln(1 + (CAST(s.n - s.df{i} AS DOUBLE) + 0.5)"
         f" / (CAST(s.df{i} AS DOUBLE) + 0.5))"
         f" * ((CAST(tf{i} AS DOUBLE) * {k1p1}) / (tf{i} + {k1} * {norm})))"
-        for i in range(len(_BM25_TERMS))
+        for i in range(len(terms))
     )
     return f"""
     WITH d AS (
@@ -2472,11 +2472,11 @@ def _duck_bm25_oracle() -> str:
     scored AS (SELECT d.doc_id, {wts} AS s_raw FROM d, s)
     SELECT doc_id, round(s_raw, 6) AS score,
            CAST(row_number() OVER (ORDER BY s_raw DESC, doc_id) AS INT) AS rank
-    FROM scored QUALIFY rank <= 20
+    FROM scored QUALIFY rank <= {k}
     """
 
 
-@q("doc_bm25_topk", _duck_bm25_oracle())
+@q("doc_bm25_topk", _duck_bm25_sql(_BM25_TERMS, 20))
 def doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 top-20 against a fixed bag-of-words query (operators/text.py:
     bm25_topk): lexical retrieval scoring for quality-targeted corpus
@@ -2495,6 +2495,41 @@ def doc_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+_RRF_TERMS_B = ("table", "scan", "filter")
+
+
+@q(
+    "doc_rrf_fusion",
+    f"""
+    WITH a AS ({_duck_bm25_sql(_BM25_TERMS, 100)}),
+    b AS ({_duck_bm25_sql(_RRF_TERMS_B, 100)}),
+    fused AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             coalesce(CAST(1 AS DOUBLE) / (60 + a.rank), CAST(0 AS DOUBLE))
+               + coalesce(CAST(1 AS DOUBLE) / (60 + b.rank), CAST(0 AS DOUBLE))
+                 AS s_raw
+      FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+    SELECT doc_id, round(s_raw, 6) AS rrf,
+           CAST(row_number() OVER (ORDER BY s_raw DESC, doc_id) AS INT) AS rank
+    FROM fused QUALIFY rank <= 20
+    """,
+)
+def doc_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion (rrf_k=60) of two BM25 candidate lists (two
+    query formulations, top-100 each) — the score-free retrieval-fusion
+    step of corpus selection (operators/text.py:rrf_fuse).  Exact-graded:
+    only integer ranks enter the fused arithmetic.
+
+    Scale: fusion touches only the two top-k lists; the corpus-sized work
+    stays inside the two upstream BM25 passes."""
+    from presto_ethereum_spark.operators.text import bm25_topk, rrf_fuse
+
+    d = t(spark, sf, "documents")
+    a = bm25_topk(d, list(_BM25_TERMS), k=100, k1=_BM25_K1, b=_BM25_B)
+    bb = bm25_topk(d, list(_RRF_TERMS_B), k=100, k1=_BM25_K1, b=_BM25_B)
+    return rrf_fuse([a, bb], k=20, rrf_k=60)
 
 
 @q(

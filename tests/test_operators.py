@@ -553,6 +553,29 @@ class TestBm25:
         assert got[0].rank == 1  # idf(rare) >> idf(comm), equal tf/dl
 
 
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from presto_ethereum_spark.operators.text import rrf_fuse
+
+        mk = lambda rows: spark.createDataFrame(
+            [Row(doc_id=d, rank=r) for d, r in rows], "doc_id long, rank int"
+        )
+        # doc 1 in both lists, docs 2/3 each in one list at the same rank
+        # (tie -> broken by doc_id), doc 4 deep in one list
+        a = mk([(1, 1), (2, 2), (4, 3)])
+        b = mk([(1, 2), (3, 2)])
+        out = {r.doc_id: r for r in rrf_fuse([a, b], k=10).collect()}
+        assert out[1].rrf == round(1 / 61 + 1 / 62, 6)
+        assert out[2].rrf == out[3].rrf == round(1 / 62, 6)
+        assert [out[i].rank for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+    def test_empty_rankings_raise(self, spark):
+        from presto_ethereum_spark.operators.text import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+
 class TestPageRank:
     @staticmethod
     def _ref(pairs, iters=3, d=0.85):
