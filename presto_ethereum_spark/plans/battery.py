@@ -54,10 +54,22 @@ def oracles() -> dict[str, str]:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a driver-provided table.  nanosAsLong makes events.ts readable
-    (int64 epoch-ns); it's a no-op for every other table."""
+    """Load a driver-provided table, normalizing ``events.ts`` to epoch-ns
+    longs whatever the physical parquet type is: timestamp[ns] arrives as
+    long via nanosAsLong, timestamp[us]/[ms] arrive as TIMESTAMP(_NTZ) and
+    are converted with a tz-independent timestampdiff (every downstream
+    query derives µs via ``ts DIV 1000``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts", "bigint") != "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " cast(ts as timestamp_ntz)) * 1000"
+            ),
+        )
+    return df
 
 
 def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -998,7 +1010,7 @@ def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     "doc_lang_stats",
     """
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars
     FROM documents GROUP BY lang, source
     """,
@@ -1157,8 +1169,9 @@ def rel_asof_join(spark: SparkSession, sf: str) -> DataFrame:
                   ELSE 0 END AS is_session_start
       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
     SELECT event_id, user_id, is_session_start,
-           sum(is_session_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+           CAST(sum(is_session_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                AS BIGINT) AS session_id
     FROM marked
     """,
 )
@@ -1241,15 +1254,16 @@ def rel_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
     marked AS (
-      SELECT user_id, t_us,
+      SELECT user_id, t_us, event_id,
              CASE WHEN lag(t_us) OVER w IS NULL
                        OR t_us - lag(t_us) OVER w > 3600000000 THEN 1
                   ELSE 0 END AS is_start
       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
     numbered AS (
       SELECT user_id, t_us,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+             CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                  AS BIGINT) AS session_id
       FROM marked)
     SELECT user_id, session_id,
            min(t_us) AS session_start_us,

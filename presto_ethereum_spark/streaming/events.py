@@ -18,38 +18,39 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructField, StructType
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanoseconds (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over ``events.parquet`` with the schema taken from the
+    parquet footer (a timestamp[ns] ``ts`` arrives as epoch-ns long under
+    nanosAsLong; timestamp[us]/[ms] arrive as TIMESTAMP(_NTZ)).  Adds a
+    normalized epoch-µs ``t_us`` column whatever the physical type, so every
+    downstream streaming operator is storage-format independent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory: point at sf_dir and
+    # glob-filter down to the events file
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        t_us = F.expr("ts DIV 1000")
+    else:
+        t_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " cast(ts as timestamp_ntz))"
+        )
+    return stream.withColumn("t_us", t_us)
 
 
 def windowed_counts_stream(
     spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """readStream -> event-time tumbling window (+watermark) aggregation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file stream source requires a directory: point at sf_dir and
-    # glob-filter down to the events file
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _events_source(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("t_us"))
     )
     return (
         stream.withWatermark("event_time", watermark)
@@ -105,13 +106,7 @@ def sessionized_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", F.expr("ts DIV 1000").alias("t_us"))
-    )
+    stream = _events_source(spark, sf_dir).select("user_id", "t_us")
 
     def assign(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -206,12 +201,7 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming result equals batch ``SELECT DISTINCT`` exactly.  At scale
     the state store holds one entry per distinct key; bound it with
     ``dropDuplicatesWithinWatermark`` when keys expire."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_source(spark, sf_dir)
     return stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -238,12 +228,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The static side is broadcast per micro-batch — no stream-side shuffle
     for the join; the aggregation keys on the (tiny) segment domain.  This
     is the standing enrichment shape for a firehose at scale."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_source(spark, sf_dir)
     dim = F.broadcast(
         spark.read.parquet(f"{sf_dir}/customer.parquet").select(
             "c_custkey", "c_mktsegment"

@@ -88,8 +88,9 @@ def test_chain_stream_resumes_from_offset(spark):
 def test_windowed_counts_match_batch(spark):
     sf_dir = "/root/testdata/sf0.001"
     streamed = run_windowed_counts(spark, sf_dir, window="1 hour")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from presto_ethereum_spark.plans.battery import t
+
+    ev = t(spark, sf_dir, "events")
     batch = (
         ev.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
         .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
@@ -117,8 +118,9 @@ def test_stateful_sessionization_matches_batch(spark):
 
     sf_dir = "/root/testdata/sf0.001"
     streamed = run_sessionized(spark, sf_dir, gap_us=3_600_000_000)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    from presto_ethereum_spark.plans.battery import t
+
+    ev = t(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
     )
     batch = (
