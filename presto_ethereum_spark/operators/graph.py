@@ -15,7 +15,7 @@ in-sum below 2^63 (max in-degree x 1e15 << 9.2e18).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["pagerank"]
 
@@ -42,20 +42,25 @@ def pagerank(
     are a fixed small count (the training-pipeline "importance score" use
     case), so lineage depth stays bounded without checkpointing.
 
-    ``cache`` persists the three loop invariants (deduped edges, node set,
-    out-degrees) so each iteration reuses them instead of replaying the
+    ``cache`` persists the two loop invariants (degree-annotated edge list,
+    node set) so each iteration reuses them instead of replaying the
     scan + distinct per iteration — the standard iterative-graph trade
     (GraphX does the same); pass False where the edge list is too large to
-    persist and a re-scan per iteration is cheaper than the spill."""
+    persist and a re-scan per iteration is cheaper than the spill.
+
+    Out-degree is folded onto the edge list ONCE with a window count over
+    ``src`` (one shuffle, no separate outdeg join inside the loop) — at any
+    scale that drops one join stage per iteration with identical values
+    (integer quantization makes the sum order-free)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e_deg = e.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
     nodes = (
         e.select(F.col("src").alias("addr"))
         .union(e.select(F.col("dst").alias("addr")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
     if cache:
-        e, nodes, outdeg = e.persist(), nodes.persist(), outdeg.persist()
+        e_deg, nodes = e_deg.persist(), nodes.persist()
     tot = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(tot)).select(
         "addr", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -64,15 +69,11 @@ def pagerank(
     # oracle SQL — keep the *expression*, not a pre-simplified constant
     q = 1.0 - damping
     for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["addr"])
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("addr"),
-                F.floor(
-                    F.col("rank") / F.col("deg") * F.lit(FIXED_POINT_SCALE)
-                ).alias("c"),
-            )
+        contribs = e_deg.join(ranks, e_deg["src"] == ranks["addr"]).select(
+            F.col("dst").alias("addr"),
+            F.floor(F.col("rank") / F.col("deg") * F.lit(FIXED_POINT_SCALE)).alias(
+                "c"
+            ),
         )
         sums = contribs.groupBy("addr").agg(F.sum("c").alias("s"))
         ranks = (

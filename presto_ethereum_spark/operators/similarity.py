@@ -26,6 +26,7 @@ __all__ = [
     "cosine",
     "brute_force_topk",
     "cosine_pairs",
+    "cosine_pairs_gemm",
     "hyperplane_signature",
     "lsh_candidates",
     "lsh_topk",
@@ -152,6 +153,84 @@ def cosine_pairs(
             F.round("sim", 6).alias("sim"),
         )
     )
+
+
+def cosine_pairs_gemm(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cosine_pairs`` computed by a broadcast block-kernel instead of a
+    per-pair expression fold: the corpus matrix is broadcast once, each task
+    scores its own row block against it with numpy, and only the surviving
+    (id_a < id_b, sim >= threshold) pairs leave the task — the O(N²) pair
+    set is never materialized as rows.
+
+    **Bit-identical to the fold**: the kernel accumulates column-wise in
+    index order (``acc = acc + A[:,k] * M[:,k]``), which performs the exact
+    same fp64 multiply-then-add sequence per pair as the ``aggregate`` fold
+    in ``dot`` (and numpy elementwise ops are IEEE-754 correctly rounded,
+    like the JVM), so sims — and the DuckDB oracle hash — are unchanged.
+    Verified equal to ``cosine_pairs`` output at sf0.001/0.01/0.1.
+
+    Scale: the left side streams map-only (zero shuffle at any N); the
+    broadcast bounds the right side at roughly N·dim·8 bytes of executor
+    memory (~5 GiB at 10M × 64) — beyond that, tile the broadcast into C
+    chunks and union C map-only passes, or switch to the LSH/IVF blocked
+    paths which avoid O(N²) work altogether."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .toPandas()
+    )
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    dim = mat.shape[1] if mat.ndim == 2 else 0
+
+    def _seq_norm(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for k in range(m.shape[1]):
+            acc = acc + m[:, k] * m[:, k]
+        return np.sqrt(acc)
+
+    norms = _seq_norm(mat) if dim else np.zeros(0)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def block_scores(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            a_ids = batch["id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in batch["v"]]
+            )
+            acc = np.zeros((len(a_ids), len(b_ids)))
+            for k in range(dim):
+                acc = acc + a_mat[:, k : k + 1] * b_mat[:, k][None, :]
+            a_norms = _seq_norm(a_mat)
+            denom = a_norms[:, None] * b_norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom == 0.0, 0.0, acc / denom)
+            keep = (sim >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bi],
+                    "sim_raw": sim[ai, bi],
+                }
+            )
+
+    out = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(block_scores, schema="id_a long, id_b long, sim_raw double")
+    # round in the PLAN (Spark HALF_UP), matching cosine_pairs exactly
+    return out.select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
 
 
 # ---------------------------------------------------------------------------

@@ -1634,10 +1634,14 @@ def emb_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def emb_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, >= 0.3)."""
-    from presto_ethereum_spark.operators.similarity import cosine_pairs
+    """Embedding-cosine near-dup pairs (exact, >= 0.3) via the broadcast
+    block-GEMM kernel (operators/similarity.cosine_pairs_gemm): the corpus
+    streams map-only against a broadcast matrix; the O(N²) pair set never
+    materializes as rows, and the column-ordered numpy accumulation is
+    bit-identical to the expression fold, so the oracle hash is unchanged."""
+    from presto_ethereum_spark.operators.similarity import cosine_pairs_gemm
 
-    return cosine_pairs(t_spread(spark, sf, "embeddings"), threshold=0.3)
+    return cosine_pairs_gemm(t_spread(spark, sf, "embeddings"), threshold=0.3)
 
 
 _IVF_CODEBOOKS: dict[str, list] = {}

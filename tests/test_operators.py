@@ -120,6 +120,15 @@ class TestSimilarity:
         sims = [r["sim"] for r in out]
         assert sims == sorted(sims, reverse=True)
 
+    def test_gemm_pairs_bit_identical_to_fold(self, emb):
+        """The broadcast block-GEMM kernel must reproduce the expression
+        fold's pairs AND sims exactly (same fp64 op order per pair)."""
+        fold = set(map(tuple, similarity.cosine_pairs(emb, threshold=0.3).collect()))
+        gemm = set(
+            map(tuple, similarity.cosine_pairs_gemm(emb, threshold=0.3).collect())
+        )
+        assert fold == gemm and len(fold) > 0
+
     def test_ivf_full_probe_equals_brute_force(self, emb):
         """With nprobe == n_cells every cell is probed, so the IVF result
         must equal exact search bit-for-bit — the index only *prunes*."""
