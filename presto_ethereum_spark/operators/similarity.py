@@ -422,6 +422,64 @@ def ivf_assign(
     return df.withColumn(cell_col, F.array_max(scored)["cid"])
 
 
+def _ivf_corpus_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Corpus side of the IVF index in ONE Arrow pass: per row, the
+    double-cast vector, its l2 norm, and the nearest-centroid cell —
+    ``(neighbor_id, cvd, cn, cell)``.
+
+    Same numpy block kernel as ``cosine_pairs_gemm`` (column-ordered
+    accumulation == the expression fold's fp64 op sequence, ties to the
+    lowest cid via first-argmax over cid-ascending centroids), so cells,
+    staged vectors, and norms are bit-identical to ``ivf_assign`` +
+    ``_d``/``l2_norm`` staging — it just skips the interpreted per-row
+    codebook expression.  Map-only: zero shuffle over the corpus at any
+    scale (the codebook rides into the task closure, exactly like the plan
+    literal it replaces)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids, key=lambda c: int(c[0]))
+    cids = np.array([int(c) for c, _ in cents], dtype=np.int64)
+    cmat = np.array([[float(x) for x in cv] for _, cv in cents])
+    cnorms = np.array([_py_l2([float(x) for x in cv]) for _, cv in cents])
+    dim = cmat.shape[1]
+
+    def index_blocks(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            vmat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            acc = np.zeros((len(b), len(cids)))
+            for j in range(dim):
+                acc = acc + vmat[:, j : j + 1] * cmat[:, j][None, :]
+            vn = np.zeros(len(b))
+            for j in range(dim):
+                vn = vn + vmat[:, j] * vmat[:, j]
+            vn = np.sqrt(vn)
+            denom = cnorms[None, :] * vn[:, None]
+            zero = (cnorms[None, :] == 0.0) | (vn[:, None] == 0.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(zero, 0.0, acc / np.where(zero, 1.0, denom))
+            best = sim.argmax(axis=1)  # first max -> lowest cid
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": b[id_col].to_numpy(dtype=np.int64),
+                    "cvd": list(vmat),
+                    "cn": vn,
+                    "cell": cids[best].astype(np.int32),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        index_blocks, schema="neighbor_id long, cvd array<double>, cn double, cell int"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -444,18 +502,7 @@ def ivf_topk(
     partition-pruned scan, not a shuffle of the corpus."""
     if centroids is None:
         centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
-    assigned = (
-        ivf_assign(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-            ),
-            centroids,
-            vec_col="vec",
-        )
-        .withColumn("cvd", _d(F.col("vec")))
-        .withColumn("cn", l2_norm(F.col("cvd")))
-        .drop("vec")
-    )
+    assigned = _ivf_corpus_index(corpus, centroids, id_col, vec_col)
     probe_cells = F.transform(
         F.slice(
             F.reverse(F.array_sort(_centroid_scores(F.col("query_vec"), centroids))),
