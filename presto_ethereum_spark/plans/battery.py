@@ -3330,3 +3330,212 @@ def eth_tx_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # cheaper than persist materialization (measured 2.4 s vs 3.9 s warm);
     # production edge lists flip the trade and keep the default True
     return pagerank(edges, iterations=3, damping=0.85, cache=False)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: character diversity, prefix dedup, Lloyd refinement,
+# TPC-H Q4-shaped EXISTS aggregation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_char_diversity",
+    """
+    WITH ex AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+    cc AS (SELECT doc_id, ch, count(*) AS c FROM ex GROUP BY doc_id, ch),
+    agg AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS sum_sq,
+                   count(*) AS n_distinct FROM cc GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(length(d.text) AS INT) AS n_chars_total,
+           CAST(a.n_distinct AS INT) AS distinct_chars,
+           CAST(a.sum_sq AS DOUBLE)
+             / CAST(CAST(length(d.text) AS BIGINT)
+                    * CAST(length(d.text) AS BIGINT) AS DOUBLE) AS simpson
+    FROM documents d JOIN agg a USING (doc_id)
+    """,
+)
+def doc_char_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Simpson diversity index per document — a quality
+    signal (low diversity = repeated-character junk) chosen over entropy
+    because it is *rational*: integer char counts, an integer sum of
+    squares, and one double division reproduce bit-identically on any
+    engine (no transcendental whose libm rounding could differ).
+
+    Scale: pure per-row map — the char array, its distinct set, and the
+    count fold are staged attributes (no HOF re-evaluation, SCALE.md §6);
+    zero shuffle, scan-speed at any corpus size.  The oracle pays two
+    explode+groupBy passes over the whole char stream instead."""
+    d = t_spread(spark, sf, "documents")
+    staged = (
+        d.select("doc_id", "text")
+        .withColumn("chars", F.split("text", ""))
+        .withColumn("dchars", F.array_distinct(F.col("chars")))
+    )
+    counts = F.transform(
+        F.col("dchars"),
+        lambda c: F.size(F.filter(F.col("chars"), lambda x: x == c)),
+    )
+    sum_sq = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, c: acc + (c * c).cast("long")
+    )
+    n = F.length("text")
+    return staged.select(
+        "doc_id",
+        n.alias("n_chars_total"),
+        F.size("dchars").alias("distinct_chars"),
+        (
+            sum_sq.cast("double")
+            / (n.cast("long") * n.cast("long")).cast("double")
+        ).alias("simpson"),
+    )
+
+
+@q(
+    "doc_prefix_dup",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             md5(array_to_string((string_split(text, ' '))[1:16], ' ')) AS prefix_fp
+      FROM documents)
+    SELECT doc_id, prefix_fp,
+           count(*) OVER (PARTITION BY prefix_fp) AS n_sharing
+    FROM p
+    """,
+)
+def doc_prefix_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-fingerprint duplicate detection: documents sharing their first
+    16 whitespace tokens (the boilerplate/header-dup signal exact hashing
+    misses when tails differ).  One md5 per row map-side; the only shuffle
+    carries (doc_id, 16-byte fingerprint) for the window count — never
+    document bodies."""
+    from presto_ethereum_spark.operators.text import tokens
+
+    d = t_spread(spark, sf, "documents")
+    pfx = F.md5(
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 16)).cast("binary")
+    )
+    w = Window.partitionBy("prefix_fp")
+    return (
+        d.select("doc_id", pfx.alias("prefix_fp"))
+        .withColumn("n_sharing", F.count("*").over(w))
+    )
+
+
+_KMEANS_S = "1000000000000000.0"  # 1e15 fixed-point quantum (matches pagerank)
+
+
+@q(
+    "emb_kmeans_step",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {{cos}} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    ex AS (
+      SELECT CAST(cid AS INT) AS cell, CAST(i - 1 AS INT) AS dim,
+             v[i] AS x
+      FROM (SELECT cid, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM assign)
+    ),
+    agg AS (
+      SELECT cell, dim, count(*) AS n_members,
+             CAST(sum(CAST(floor(x * {_KMEANS_S}) AS BIGINT)) AS BIGINT) AS qsum
+      FROM ex GROUP BY cell, dim
+    )
+    SELECT cell, dim, n_members,
+           (CAST(qsum AS DOUBLE) / {_KMEANS_S}) / n_members AS coord
+    FROM agg
+    """.replace("{cos}", _duck_cos("c.cvec", "e.embedding")),
+)
+def emb_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd iteration of k-means codebook refinement (the index-build
+    step the IVF pipeline's ``seed_centroids`` contract anticipates):
+    assign every vector to its nearest seed centroid — bit-identically to
+    ``ivf_assign`` via the Arrow index kernel — then recompute each cell's
+    centroid as the member mean per dimension.
+
+    Determinism: per-dimension coordinates are summed as 1e15 fixed-point
+    BIGINTs (exact under any partitioning/accumulation order, like
+    pagerank's contributions; |x| <= ~0.6 and cell sizes bound the sum far
+    below 2^63 — at petabyte corpora switch the sum to DECIMAL(38,0)).
+
+    Scale: assignment is map-only; the ONE shuffle carries (cell, dim,
+    quantized-long) partial aggregates — map-side combine reduces it to
+    n_cells x dim rows per task regardless of corpus size."""
+    from presto_ethereum_spark.operators.similarity import (
+        _ivf_corpus_index,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings")
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    idx = _ivf_corpus_index(e, cents, "vec_id", "embedding")
+    s = F.lit(float(_KMEANS_S))
+    return (
+        idx.select("cell", F.posexplode("cvd").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.floor(F.col("x") * s)).alias("qsum"),
+        )
+        .select(
+            "cell",
+            "dim",
+            "n_members",
+            ((F.col("qsum").cast("double") / s) / F.col("n_members")).alias(
+                "coord"
+            ),
+        )
+    )
+
+
+@q(
+    "rel_order_priority_checks",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_order_priority_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality on both sides'
+    columns (late-shipping orders per priority).  Planned as a LEFT SEMI
+    join on the order key with the date inequality as residual — the filter
+    prunes the orders scan to the 9-month window first, so the semi join's
+    build side is already small; aggregation output is bounded by the
+    5-value priority domain."""
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )

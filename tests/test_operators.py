@@ -939,3 +939,42 @@ class TestPipelineProperties:
         assert sum(len(v) for v in by_shard.values()) == len(out)
         for shard, poss in by_shard.items():
             assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_char_diversity_bounds(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        out = battery.queries()["doc_char_diversity"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(out) > 0
+        for r in out:
+            # Simpson index of k categories lies in [1/k, 1]
+            assert 1.0 / r["distinct_chars"] <= r["simpson"] <= 1.0
+            assert r["distinct_chars"] <= r["n_chars_total"]
+
+    def test_kmeans_step_partitions_corpus(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        out = battery.queries()["emb_kmeans_step"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        n_vecs = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).count()
+        dims = {r["dim"] for r in out}
+        assert dims == set(range(64))
+        # every vector lands in exactly one cell: member counts per dim sum
+        # to the corpus size
+        for d in (0, 63):
+            assert sum(r["n_members"] for r in out if r["dim"] == d) == n_vecs
+        # a centroid coordinate is a mean of coords in [-1, 1]
+        assert all(abs(r["coord"]) <= 1.0 for r in out)
+
+    def test_prefix_dup_counts_cover_self(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        out = battery.queries()["doc_prefix_dup"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert all(r["n_sharing"] >= 1 for r in out)
+        assert len({r["doc_id"] for r in out}) == len(out)
