@@ -3539,3 +3539,70 @@ def rel_order_priority_checks(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+_PQ_SUBSPACES = 8
+_PQ_SUBDIM = 8
+_PQ_CODES = 4
+
+
+@q(
+    "emb_pq_codes",
+    f"""
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_PQ_CODES})
+    ),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1})) AS s),
+    cb AS (
+      SELECT subs.s AS subspace, seeds.code,
+             (seeds.v)[subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS c
+      FROM seeds CROSS JOIN subs
+    ),
+    ev AS (
+      SELECT e.vec_id, subs.s AS subspace,
+             (CAST(e.embedding AS DOUBLE[]))
+               [subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS x
+      FROM embeddings e CROSS JOIN subs
+    ),
+    scored AS (
+      SELECT ev.vec_id, ev.subspace, cb.code,
+             list_dot_product(
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2]),
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2])) AS d2
+      FROM ev JOIN cb ON cb.subspace = ev.subspace
+    )
+    SELECT vec_id, CAST(subspace AS INT) AS subspace, code, d2 AS err2
+    FROM (SELECT vec_id, subspace, code, d2,
+                 row_number() OVER (PARTITION BY vec_id, subspace
+                                    ORDER BY d2 ASC, code) AS rnk
+          FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py:pq_codes):
+    8 subspaces x 8 dims, 4-entry sub-codebooks sliced from the lowest-id
+    seed vectors, nearest sub-centroid by squared L2 (ties to lowest code).
+    The memory-compression path for billion-vector ANN — 256 B of fp32
+    become 8 codes.  Squared L2 is rational (subtract/square/accumulate in
+    index order), so the Arrow kernel and the oracle's zip/fold agree
+    bit-for-bit with no fixed-point machinery.  Map-only at any scale."""
+    from presto_ethereum_spark.operators.similarity import pq_codes, seed_centroids
+
+    e = t_spread(spark, sf, "embeddings")
+    seeds = _IVF_CODEBOOKS.get(("pq", sf))
+    if seeds is None:
+        seeds = _IVF_CODEBOOKS[("pq", sf)] = seed_centroids(e, n_cells=_PQ_CODES)
+    # sub-codebook s = the seeds' s-th contiguous dim slice; codes 0..3 in
+    # seed (vec_id) order
+    codebooks = [
+        [
+            (code, cv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM])
+            for code, (_, cv) in enumerate(seeds)
+        ]
+        for s in range(_PQ_SUBSPACES)
+    ]
+    return pq_codes(e, codebooks, sub_dim=_PQ_SUBDIM)

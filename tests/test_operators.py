@@ -978,3 +978,20 @@ class TestPipelineProperties:
         ).collect()
         assert all(r["n_sharing"] >= 1 for r in out)
         assert len({r["doc_id"] for r in out}) == len(out)
+
+    def test_pq_codes_shape_and_reconstruction(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        out = battery.queries()["emb_pq_codes"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        n_vecs = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).count()
+        assert len(out) == n_vecs * 8  # one row per (vector, subspace)
+        assert {r["subspace"] for r in out} == set(range(8))
+        assert all(0 <= r["code"] <= 3 for r in out)
+        assert all(r["err2"] >= 0.0 for r in out)
+        # a seed vector reconstructs itself exactly in every subspace
+        seed_rows = [r for r in out if r["vec_id"] == 0]
+        assert all(r["err2"] == 0.0 and r["code"] == 0 for r in seed_rows)
