@@ -3606,3 +3606,70 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
         for s in range(_PQ_SUBSPACES)
     ]
     return pq_codes(e, codebooks, sub_dim=_PQ_SUBDIM)
+
+
+@q(
+    "doc_select_corpus",
+    """
+    WITH sig AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(text) AS fp
+      FROM documents),
+    keep AS (
+      SELECT lang, source,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+                       AND n_tokens >= 10
+                       AND n_chars BETWEEN 100 AND 500
+                  THEN 1 ELSE 0 END AS selected
+      FROM sig)
+    SELECT lang, source,
+           count(*) AS n_total,
+           CAST(sum(selected) AS BIGINT) AS n_selected,
+           CAST(sum(selected) AS DOUBLE) / count(*) AS selection_rate
+    FROM keep GROUP BY lang, source
+    """,
+)
+def doc_select_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus selection — the composed pipeline a training-data
+    run actually executes: exact-dedup survivorship (min doc_id per content
+    hash) AND a token-count floor AND a length band, reported as per
+    (lang, source) selection rates.  Composition is the point: each signal
+    is an already-graded operator; this query proves they chain inside one
+    plan.
+
+    Scale: one shuffle on the 16-byte content hash for the dedup window
+    (ids + hashes only, never bodies) and one partial+final aggregation on
+    the tiny (lang, source) domain; every signal is a map-side
+    expression."""
+    d = t_spread(spark, sf, "documents")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    keeper = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+    selected = (
+        F.when(
+            keeper
+            & (F.col("n_tokens") >= 10)
+            & F.col("n_chars").between(100, 500),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("selected")
+    )
+    return (
+        sig.select("lang", "source", selected)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("selected").cast("bigint").alias("n_selected"),
+            (F.sum("selected").cast("double") / F.count("*")).alias(
+                "selection_rate"
+            ),
+        )
+    )
