@@ -3770,3 +3770,28 @@ def rel_disjunctive_join(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(rev_q).cast("bigint").alias("rev_q"),
         )
     )
+
+
+@q(
+    "stream_chain_gas",
+    f"""
+    SELECT CAST(block_number // 100 AS INT) AS bucket,
+           count(*) AS n_blocks,
+           CAST(sum(CAST(block_gasused AS DECIMAL(18,0))) AS DOUBLE)
+             AS total_gas_used,
+           max(block_gaslimit) AS max_gas_limit
+    FROM read_parquet('{ETH}/block.parquet')
+    GROUP BY bucket
+    """,
+)
+def stream_chain_gas(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming over the custom chain-tail source
+    (streaming/chain.py): block micro-batches with exact offset/replay
+    semantics aggregate into per-100-block gas telemetry; the settled
+    availableNow result must equal the batch aggregation of the block
+    table — the oracle checks a *custom Python streaming source* end to
+    end.  Gas sums ride DECIMAL(18,0) (the values are integer-valued
+    doubles), so the answer is micro-batch-partitioning independent."""
+    from presto_ethereum_spark.streaming.chain import run_chain_gas_buckets
+
+    return run_chain_gas_buckets(spark, str(ETH / "chain_blocks.parquet"))

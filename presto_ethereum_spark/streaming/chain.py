@@ -88,3 +88,51 @@ class EthereumStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> EthereumStreamReader:
         return EthereumStreamReader(dict(self.options))
+
+
+def run_chain_gas_buckets(
+    spark, path: str, bucket_blocks: int = 100, max_per_batch: int = 4000
+):
+    """Streaming gas telemetry over the chain tail: readStream on the
+    ethereum-stream source, aggregated per ``bucket_blocks``-block bucket,
+    run to completion (availableNow) into a memory sink.
+
+    The standing monitor shape for a live node: block micro-batches fold
+    into a bounded per-bucket state (complete mode over a small bucket
+    domain); gas sums go through DECIMAL so the streamed result equals the
+    batch aggregation exactly under any micro-batch partitioning."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(EthereumStreamDataSource)
+    stream = (
+        spark.readStream.format("ethereum-stream")
+        .option("path", path)
+        .option("max_blocks_per_batch", max_per_batch)
+        .load()
+    )
+    agg = (
+        stream.groupBy(
+            F.expr(f"CAST(block_number DIV {bucket_blocks} AS INT)").alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("block_gasused").cast("decimal(18,0)"))
+            .cast("double")
+            .alias("total_gas_used"),
+            F.max("block_gaslimit").alias("max_gas_limit"),
+        )
+    )
+    sink = f"stream_chain_gas_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
