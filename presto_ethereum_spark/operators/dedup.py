@@ -77,30 +77,63 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime 2^61-1
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine hash family: (a_i, b_i) derived from md5 so an
+    independent engine regenerates them.  Bounds keep ``a*h + b`` inside
+    int64 for 32-bit base hashes: a in [1, 2^30), b in [0, 2^60)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        hx = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        a = (int(hx[:8], 16) % ((1 << 30) - 1)) + 1
+        b = int(hx[8:23], 16)  # 15 hex chars = 60 bits
+        out.append((a, b))
+    return out
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit base hash: first 8 hex chars of md5 as integer."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
 def minhash_signature_from_shingles(
     shingles: Column, num_hashes: int = NUM_HASHES
 ) -> Column:
     """Array of ``num_hashes`` min-hash values over a PRE-STAGED distinct
-    shingle array (pass a materialized column attribute: the per-seed
-    transforms reference the shingle expression ``num_hashes`` times, so an
-    inline expression would be shingled 16x per document).
+    shingle array.
 
-    Entirely JVM-side: transform + array_min per hash seed.  Documents with
-    no shingles (< n tokens) get null entries — filter upstream.
+    Each shingle is md5-hashed ONCE to a 32-bit base value; the hash
+    family is affine rehashing ``(a_i*h + b_i) mod (2^61-1)`` — the
+    standard minwise-family construction, 16x cheaper than seed-prefixed
+    re-hashing and exactly portable to SQL (int64-safe by the _affine_params
+    bounds).  The base-hash array rides a 1-element ``transform`` wrapper so
+    it is evaluated once per row, not once per family member (lambda args
+    are the only memoized expressions in an interpreted HOF tree —
+    SCALE.md §6).
+
+    Entirely JVM-side.  Documents with no shingles (< n tokens) get null
+    entries — filter upstream.
     """
-
-    def hasher(seed: int):
-        # single-arg lambda on purpose: a two-arg lambda (even with a bound
-        # default) is passed (element, index) by transform(), silently
-        # replacing the seed with the array position
-        return lambda s: hash60(s, seed)
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, hasher(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    params = _affine_params(num_hashes)
+    p = F.lit(MINHASH_PRIME)
+    base = F.transform(shingles, lambda s: hash32(s))
+    return F.transform(
+        F.transform(F.array(F.lit(0)), lambda _: base),
+        lambda hs: F.array(
+            *[
+                F.array_min(
+                    F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % p)
+                )
+                for a, b in params
+            ]
+        ),
+    )[0]
 
 
 def minhash_signature(text: Column, num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> Column:
@@ -396,6 +429,11 @@ def connected_components(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the edge list ONCE: it is read by every round's join AND
+    # by every round's convergence count — without this, each of those
+    # actions replays the whole upstream candidate-pair pipeline
+    # (LSH/shingle/verify), which dominated wall time ~5x at sf0.1
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)

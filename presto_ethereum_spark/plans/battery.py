@@ -1440,13 +1440,24 @@ def doc_top_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 # -- dedup ------------------------------------------------------------------
 
-# DuckDB mirror of hash60 / minhash signature / band keys (dedup.py)
-_DUCK_SIG = """
-    sigs AS (
+# DuckDB mirror of hash32 / affine minhash signature / band keys (dedup.py)
+
+
+def _duck_sig_cte() -> str:
+    from presto_ethereum_spark.operators.dedup import MINHASH_PRIME, _affine_params
+
+    mins = ", ".join(
+        f"list_min([({a} * h + {b}) % {MINHASH_PRIME} FOR h IN hs])"
+        for a, b in _affine_params(16)
+    )
+    return f"""
+    hashed AS (
       SELECT doc_id,
-             [list_min([CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), ':', x)), 1, 15)) AS BIGINT)
-                        FOR x IN shingles]) FOR seed IN range(0, 16)] AS sig
+             [CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)
+              FOR x IN shingles] AS hs
       FROM shingled WHERE len(shingles) > 0),
+    sigs AS (
+      SELECT doc_id, [{mins}] AS sig FROM hashed),
     banded AS (
       SELECT doc_id,
              b AS band,
@@ -1454,6 +1465,9 @@ _DUCK_SIG = """
                         CAST(sig[4*b + 3] AS VARCHAR), ',', CAST(sig[4*b + 4] AS VARCHAR))) AS key
       FROM sigs, range(0, 4) r(b))
 """
+
+
+_DUCK_SIG = _duck_sig_cte()
 
 _DUCK_SHINGLED = """
     shingled AS (
