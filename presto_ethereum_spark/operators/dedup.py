@@ -336,30 +336,55 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact pairwise Jaccard within blocking groups (id_a < id_b).
+    """Exact pairwise Jaccard within blocking groups (id_a < id_b),
+    computed by INVERTED INDEX: explode distinct shingles, equi-join on
+    (shingle, blocking keys), count shared shingles per pair, derive
+    ``J = inter / (|A| + |B| - inter)``.
 
-    Without blocking this is O(n^2) — correct as a small-corpus oracle and
-    as the verifier behind LSH candidates; at scale always pass blocking
-    keys (language, length bucket, LSH band...)."""
-    cols = [F.col(id_col).alias("id"), F.col(text_col).alias("txt")] + [
-        F.col(c) for c in (blocking_cols or [])
-    ]
-    d = df.select(*cols).withColumn(
-        "sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n))
-    ).drop("txt")
-    a, b = d.alias("a"), d.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    for c in blocking_cols or []:
+    Identical output to the naive all-pairs join for any ``threshold > 0``
+    (a pair with no shared shingle has J = 0), but pair work is
+    proportional to *actually-overlapping* pairs — sum over shingles of
+    df², not block-size² — which is what survives at 100 TB.  Hot
+    boilerplate shingles are the skew risk: AQE skew-join splitting
+    handles moderate cases; truly pathological stop-shingles should be
+    filtered upstream as a semantic choice, not silently dropped here."""
+    if threshold <= 0:
+        raise ValueError(
+            "jaccard_pairs is inverted-index based and requires threshold > 0 "
+            "(zero-overlap pairs are never materialized)"
+        )
+    blocks = list(blocking_cols or [])
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            *[F.col(c) for c in blocks],
+        )
+        .withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n)))
+        .withColumn("sz", F.size("sh"))
+        .drop("txt")
+    )
+    ex = d.select("id", "sz", *blocks, F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    for c in blocks:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    inter = (
         a.join(b, cond)
-        .withColumn("jaccard_sim", jaccard_from_shingles(F.col("a.sh"), F.col("b.sh")))
-        .where(F.col("jaccard_sim") >= threshold)
-        .select(
+        .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round("jaccard_sim", 6).alias("jaccard_sim"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
+        .agg(F.count("*").alias("inter"))
+    )
+    # same exact-integer division as jaccard_from_shingles -> same double
+    j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard_sim", j)
+        .where(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
     )
 
 
