@@ -253,8 +253,16 @@ def retention_cohorts(
     joins that (user -> cohort) map — broadcast when it fits, hash join
     otherwise — and the distinct-user count per (cohort, offset) cell is a
     partial-aggregated shuffle on a tiny composite key.  No window over the
-    full log, no per-user sort."""
-    week = lambda c: F.date_trunc("week", F.timestamp_micros(c))  # noqa: E731
+    full log, no per-user sort.
+
+    Week truncation goes through TIMESTAMP_NTZ (timestamp_add on an NTZ
+    epoch), NOT timestamp_micros: the LTZ route truncates in the session
+    timezone, which silently shifts cohort boundaries on any non-UTC
+    driver."""
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    week = lambda c: F.date_trunc(  # noqa: E731
+        "week", F.timestamp_add("MICROSECOND", c, epoch_ntz)
+    )
     first_seen = (
         df.select(F.col(user_col).alias("u"), F.col(time_col).alias("t"))
         .groupBy("u")
