@@ -263,6 +263,51 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 60) -> Column:
     return sig
 
 
+def _lsh_index_kernel(
+    df: DataFrame,
+    dim: int,
+    bits: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """LSH row index in ONE Arrow pass: per row the 60-bit hyperplane
+    signature plus the staged double vector and its norm — ``(id, sig, v,
+    nrm)``.  Same column-ordered numpy accumulation as the other kernels,
+    so every plane dot (and therefore every sign bit) and every norm is
+    bit-identical to the ``hyperplane_signature`` expression path.
+    Map-only; the plane matrix rides the task closure."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array([_hyperplane(dim, p) for p in range(bits)])  # (bits, dim)
+    bitvals = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def index_blocks(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            vmat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            acc = np.zeros((len(b), planes.shape[0]))
+            for k in range(dim):
+                acc = acc + vmat[:, k : k + 1] * planes[:, k][None, :]
+            sig = ((acc > 0) * bitvals[None, :]).sum(axis=1)
+            nrm = np.zeros(len(b))
+            for k in range(dim):
+                nrm = nrm + vmat[:, k] * vmat[:, k]
+            yield pd.DataFrame(
+                {
+                    "id": b[id_col].to_numpy(dtype=np.int64),
+                    "sig": sig,
+                    "v": list(vmat),
+                    "nrm": np.sqrt(nrm),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        index_blocks, schema="id long, sig long, v array<double>, nrm double"
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     dim: int,
@@ -274,17 +319,9 @@ def lsh_candidates(
     """Candidate pairs agreeing on >= 1 signature band (id_a < id_b)."""
     width = bits // bands
     # vectors staged double-cast with their norms so the downstream re-rank
-    # is one fold per candidate (see _cosine_staged)
-    sigs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("rawv"),
-            hyperplane_signature(F.col(vec_col), dim, bits).alias("sig"),
-        )
-        .withColumn("v", _d(F.col("rawv")))
-        .withColumn("nrm", l2_norm(F.col("v")))
-        .drop("rawv")
-    )
+    # is one fold per candidate (see _cosine_staged); signature + staging
+    # happen in one Arrow kernel pass (bit-identical to the expression path)
+    sigs = _lsh_index_kernel(df, dim, bits, id_col, vec_col)
     banded = sigs.select(
         "id",
         "v",
