@@ -3809,3 +3809,141 @@ def stream_chain_gas(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.streaming.chain import run_chain_gas_buckets
 
     return run_chain_gas_buckets(spark, str(ETH / "chain_blocks.parquet"))
+
+
+@q(
+    "rel_forecast_revenue",
+    """
+    SELECT count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000000.0)
+                         AS BIGINT)) AS BIGINT) AS forecast_rev_q
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def rel_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global aggregate —
+    the canonical predicate-pushdown probe.  All four predicates reach the
+    parquet scan (PushedFilters) and prune row groups via min/max; the
+    aggregate is a two-row exchange (partial + final).  Revenue quantized
+    floor(x*1e6) for partition-order-independent exactness."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.col("l_discount") * F.lit(1e6))
+            )
+            .cast("bigint")
+            .alias("forecast_rev_q"),
+        )
+    )
+
+
+@q(
+    "emb_ivf_recall",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {{cos}} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored WHERE vec_id < 5) WHERE rnk <= 2
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {{pcos}} DESC, a.vec_id) AS rank
+        FROM probe p JOIN assign a
+          ON a.cid = p.cid AND a.vec_id != p.query_id)
+      WHERE rank <= 10
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {{bcos}} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 5)
+      WHERE rank <= 10
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN (SELECT a.query_id, count(*) AS n
+               FROM approx a JOIN truth t
+                 ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+               GROUP BY a.query_id) h
+      ON h.query_id = q.query_id
+    """.replace("{cos}", _duck_cos("c.cvec", "e.embedding"))
+    .replace("{pcos}", _duck_cos("p.qvec", "a.embedding"))
+    .replace("{bcos}", _duck_cos("a.embedding", "b.embedding")),
+)
+def emb_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality report: recall@10 of the IVF index (nprobe=2 of 8)
+    against exact brute-force truth, per query — the measurement operator
+    every ANN deployment runs before trusting an index.  Both pipelines
+    are bit-exact (shared kernels), so the recall numbers themselves are
+    hash-gated against the oracle's closed-form replica.
+
+    Scale: truth on a sampled query set (recall estimation never needs
+    every query); one small join of two top-k lists."""
+    from presto_ethereum_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings")
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    q5 = e.where(F.col("vec_id") < 5)
+    truth = brute_force_topk(e, q5, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(e, q5, centroids=cents, nprobe=2, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n", F.lit(0)).cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
