@@ -3947,3 +3947,65 @@ def emb_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "eth_token_concentration",
+    f"""
+    WITH flows AS (
+      SELECT erc20_token AS token, erc20_to AS holder, count(*) AS n
+      FROM read_parquet('{ETH}/erc20.parquet')
+      GROUP BY 1, 2),
+    tot AS (SELECT token, CAST(sum(n) AS BIGINT) AS total_transfers,
+                   count(*) AS n_holders
+            FROM flows GROUP BY token),
+    top AS (SELECT token, holder AS top_holder, n AS top_n FROM (
+              SELECT token, holder, n,
+                     row_number() OVER (PARTITION BY token
+                                        ORDER BY n DESC, holder) AS r
+              FROM flows) WHERE r = 1)
+    SELECT t.token, n_holders, total_transfers, top_holder,
+           CAST(top_n AS BIGINT) AS top_n,
+           CAST(top_n AS DOUBLE) / total_transfers AS top_share
+    FROM tot t JOIN top ON top.token = t.token
+    """,
+)
+def eth_token_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Holder-concentration report per ERC-20 token: the top recipient's
+    share of inbound transfers — whale detection over the decoded Transfer
+    stream.  Concentration is measured on transfer COUNTS (integer-exact
+    under any partitioning; erc20 values span ~1e107 where no fixed-point
+    exists).  Two small aggregations + a WindowGroupLimit top-1; output is
+    bounded by the token domain."""
+    erc20 = _eth_tables(spark).table("erc20")
+    flows = (
+        erc20.groupBy(
+            F.col("erc20_token").alias("token"),
+            F.col("erc20_to").alias("holder"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = flows.groupBy("token").agg(
+        F.sum("n").cast("bigint").alias("total_transfers"),
+        F.count("*").alias("n_holders"),
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("n"), "holder")
+    top = (
+        flows.withColumn("r", F.row_number().over(w))
+        .where("r = 1")
+        .select(
+            "token",
+            F.col("holder").alias("top_holder"),
+            F.col("n").cast("bigint").alias("top_n"),
+        )
+    )
+    return tot.join(top, "token").select(
+        "token",
+        "n_holders",
+        "total_transfers",
+        "top_holder",
+        "top_n",
+        (F.col("top_n").cast("double") / F.col("total_transfers")).alias(
+            "top_share"
+        ),
+    )

@@ -995,3 +995,44 @@ class TestPipelineProperties:
         # a seed vector reconstructs itself exactly in every subspace
         seed_rows = [r for r in out if r["vec_id"] == 0]
         assert all(r["err2"] == 0.0 and r["code"] == 0 for r in seed_rows)
+
+    def test_ivf_kernel_matches_expression_assign(self, spark):
+        """The Arrow index kernel and the codebook-literal expression are
+        two implementations of the same assignment — cells must agree
+        bit-for-bit."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = similarity.seed_centroids(emb, n_cells=4)
+        expr_cells = {
+            (r["vec_id"], r["cell"])
+            for r in similarity.ivf_assign(emb, cents)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        kern_cells = {
+            (r["neighbor_id"], r["cell"])
+            for r in similarity._ivf_corpus_index(emb, cents, "vec_id", "embedding")
+            .select("neighbor_id", "cell")
+            .collect()
+        }
+        assert expr_cells == kern_cells
+
+    def test_lsh_kernel_matches_expression_signature(self, spark):
+        """Kernel hyperplane signatures must equal the expression fold's
+        (same dot accumulation -> same sign bits)."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        expr = {
+            (r["vec_id"], r["sig"])
+            for r in emb.select(
+                "vec_id",
+                similarity.hyperplane_signature(
+                    F.col("embedding"), dim=64, bits=60
+                ).alias("sig"),
+            ).collect()
+        }
+        kern = {
+            (r["id"], r["sig"])
+            for r in similarity._lsh_index_kernel(emb, 64, 60, "vec_id", "embedding")
+            .select("id", "sig")
+            .collect()
+        }
+        assert expr == kern
