@@ -4009,3 +4009,86 @@ def eth_token_concentration(spark: SparkSession, sf: str) -> DataFrame:
             "top_share"
         ),
     )
+
+
+@q(
+    "rel_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                               * 1000000.0) AS BIGINT)) AS BIGINT) AS rev_q
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY rev_q DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def rel_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue — a 4-table join
+    (two broadcast dims, one fact-fact equi-join) with filtered fact scan,
+    aggregation on the customer grain, and a global top-20
+    (TakeOrderedAndProject, never a full sort).  Revenue quantized
+    floor(x*1e6) for order-independent exactness."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    n = F.broadcast(t(spark, sf, "nation"))
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(1e6)
+    )
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev_q).cast("bigint").alias("rev_q"),
+        )
+        .orderBy(F.desc("rev_q"), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "rel_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def rel_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram INCLUDING zero-order
+    customers — a left outer join whose join condition carries a filter on
+    the right side (so unmatched customers survive with count 0), a
+    per-customer count, then a second aggregation on the count itself.
+    Two shuffles; the second is on the tiny distinct-count domain."""
+    c = t(spark, sf, "customer").select("c_custkey")
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (o["o_custkey"] == c["c_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
