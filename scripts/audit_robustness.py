@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Environment-robustness audit: the full oracle battery must hash-match
+under session configurations the engine does NOT control when the driver
+builds its own SparkSession.
+
+Modes (pass one or more as arguments; default: both):
+  tz       — session timezone America/New_York instead of UTC
+             (catches TIMESTAMP_LTZ leaks: date_trunc / unix_timestamp /
+             timestamp_micros on the wrong type shift values silently)
+  shuffle  — spark.sql.shuffle.partitions=7 instead of 32
+             (catches partition-order-dependent float accumulation that
+             the DECIMAL / fixed-point / round() discipline must prevent)
+
+Usage: python3 scripts/audit_robustness.py [tz|shuffle ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import presto_ethereum_spark.session as S  # noqa: E402
+
+MODES = {
+    "tz": {"extra_conf": {"spark.sql.session.timeZone": "America/New_York"}},
+    "shuffle": {"shuffle_partitions": 7},
+}
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    modes = args or list(MODES)
+
+    orig = S.get_spark
+    failures = 0
+    for mode in modes:
+        override = MODES[mode]
+
+        def patched(*a, **kw):
+            kw.pop("shuffle_partitions", None)
+            extra = kw.pop("extra_conf", None) or {}
+            extra.update(override.get("extra_conf", {}))
+            return orig(
+                *a,
+                shuffle_partitions=override.get("shuffle_partitions"),
+                extra_conf=extra,
+                **kw,
+            )
+
+        S.get_spark = patched
+        import scripts.check_battery as cb
+
+        cb.get_spark = patched
+        print(f"=== audit mode: {mode} ===")
+        saved = sys.argv
+        sys.argv = ["check", sf_dir]
+        try:
+            cb.main()
+        except SystemExit as e:
+            failures += int(bool(e.code))
+        finally:
+            sys.argv = saved
+            S.get_spark = orig
+            # a fresh mode needs a fresh JVM conf — stop the session
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
