@@ -4092,3 +4092,54 @@ def rel_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+_VOCAB_TERMS = (
+    "the", "a", "of", "to", "and", "in", "is", "table", "scan", "filter",
+    "spark", "query", "data", "join", "key", "value", "row", "hash", "sort",
+    "merge",
+)
+
+
+@q(
+    "doc_vocab_coverage",
+    f"""
+    WITH v AS (SELECT unnest([{", ".join(repr(t) for t in _VOCAB_TERMS)}]) AS term),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    per_doc AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_in_vocab
+      FROM tok t LEFT JOIN v ON v.term = t.tok
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_tokens, n_in_vocab,
+           1.0 - CAST(n_in_vocab AS DOUBLE) / n_tokens AS oov_rate
+    FROM per_doc
+    """,
+)
+def doc_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer/vocabulary coverage check: per-document OOV rate against a
+    fixed vocabulary — the sanity gate run before committing a tokenizer
+    to a training corpus.  The vocab is a broadcast set folded into ONE
+    map-side array expression (count tokens present in the literal set),
+    so the operator is shuffle-free at any corpus size; the oracle pays an
+    explode + outer join instead.  Integer counts -> exact double
+    division."""
+    d = t_spread(spark, sf, "documents")
+    vocab = F.array(*[F.lit(x) for x in _VOCAB_TERMS])
+    toks = F.split(F.col("text"), " ", -1)
+    staged = d.select("doc_id", toks.alias("toks"))
+    n_tokens = F.size("toks")
+    n_in = F.size(
+        F.filter(F.col("toks"), lambda x: F.array_contains(vocab, x))
+    )
+    return staged.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_in.cast("long").alias("n_in_vocab"),
+        (
+            F.lit(1.0) - F.col("n_in_vocab").cast("double") / F.col("n_tokens")
+        ).alias("oov_rate"),
+    )
