@@ -4143,3 +4143,44 @@ def doc_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(1.0) - F.col("n_in_vocab").cast("double") / F.col("n_tokens")
         ).alias("oov_rate"),
     )
+
+
+@q(
+    "eth_pushdown_window",
+    f"""
+    SELECT block_miner, count(*) AS n_blocks,
+           CAST(sum(CAST(block_gasused AS DECIMAL(18,0))) AS DOUBLE)
+             AS total_gas
+    FROM read_parquet('{ETH}/block.parquet')
+    WHERE block_number BETWEEN 500 AND 1500
+    GROUP BY block_miner
+    """,
+)
+def eth_pushdown_window(spark: SparkSession, sf: str) -> DataFrame:
+    """The custom Python DataSource WITH pushFilters on the oracle gate:
+    a block-range predicate reaches ``pushFilters`` (sources/rpc.py), the
+    planner transposes it to block-range partitions (the reference's
+    getTableLayouts contract, EthereumMetadata.java:179-237), only
+    ~1000 of 2400 blocks are read, and Spark re-applies the filter
+    post-scan (unenforced contract).  The aggregation then runs on the
+    pruned scan — an end-to-end hash-check of the pushdown path, not
+    just a plan-shape test."""
+    from presto_ethereum_spark.sources.rpc import EthereumPushdownDataSource
+
+    spark.dataSource.register(EthereumPushdownDataSource)
+    df = (
+        spark.read.format("ethereum-pushdown")
+        .option("path", str(ETH / "chain_blocks.parquet"))
+        .option("table", "block")
+        .load()
+    )
+    return (
+        df.where((F.col("block_number") >= 500) & (F.col("block_number") <= 1500))
+        .groupBy("block_miner")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("block_gasused").cast("decimal(18,0)"))
+            .cast("double")
+            .alias("total_gas"),
+        )
+    )
