@@ -14,7 +14,11 @@ Design rules for exact cross-engine determinism:
   representation that absorbs order noise;
 - windows always carry a total ordering (ties broken by a unique key);
 - timestamps: events.ts is read as epoch-nanosecond longs on the Spark side
-  (spark.sql.legacy.parquet.nanosAsLong) and via epoch_ns() in DuckDB.
+  (spark.sql.legacy.parquet.nanosAsLong) and via epoch_ns() in DuckDB;
+- integer sums that exceed 2^53 must pass through CAST(... AS BIGINT)
+  BEFORE any CAST AS DOUBLE in the oracle: DuckDB's HUGEINT->DOUBLE
+  conversion rounds differently from int64->double in that range (found
+  as a 1-ulp divergence in emb_dim_stats at sf0.1).
 
 Scale annotations accompany each query: what shuffles, what broadcasts, and
 why the plan survives 1000 executors.
@@ -4182,5 +4186,139 @@ def eth_pushdown_window(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("block_gasused").cast("decimal(18,0)"))
             .cast("double")
             .alias("total_gas"),
+        )
+    )
+
+
+@q(
+    "eth_miner_streaks",
+    f"""
+    WITH marked AS (
+      SELECT block_number, block_miner,
+             CASE WHEN lag(block_miner) OVER w IS NULL
+                       OR lag(block_miner) OVER w <> block_miner
+                  THEN 1 ELSE 0 END AS is_start
+      FROM read_parquet('{ETH}/block.parquet')
+      WINDOW w AS (ORDER BY block_number)),
+    streaks AS (
+      SELECT block_miner,
+             CAST(sum(is_start) OVER (ORDER BY block_number
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS streak_id
+      FROM marked)
+    SELECT block_miner, count(*) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS total_blocks
+    FROM (SELECT block_miner, streak_id, count(*) AS len
+          FROM streaks GROUP BY block_miner, streak_id)
+    GROUP BY block_miner
+    """,
+)
+def eth_miner_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands over the chain: consecutive-block mining streaks
+    per miner (change-flag -> running sum -> per-streak count -> per-miner
+    rollup) — the classic sequence-segmentation window pattern, distinct
+    from gap-based sessionization.  One global ordering by block_number;
+    at 100 TB the same pattern runs per partition key (day/epoch), keeping
+    windows bounded."""
+    b = _eth_tables(spark).table("block").select("block_number", "block_miner")
+    w = Window.orderBy("block_number")
+    marked = b.withColumn(
+        "is_start",
+        F.when(
+            F.lag("block_miner").over(w).isNull()
+            | (F.lag("block_miner").over(w) != F.col("block_miner")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    run = Window.orderBy("block_number").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    streaks = marked.select(
+        "block_miner", F.sum("is_start").over(run).alias("streak_id")
+    )
+    per_streak = streaks.groupBy("block_miner", "streak_id").agg(
+        F.count("*").alias("len")
+    )
+    return per_streak.groupBy("block_miner").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("total_blocks"),
+    )
+
+
+@q(
+    "multimodal_dedup",
+    """
+    SELECT sha256(text) AS media_sha,
+           min(doc_id) AS keeper_media_id,
+           count(*) AS n_copies,
+           CAST(min(length(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY media_sha
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on the BINARY media column (operators/multimodal.py
+    media table): sha256 over raw bytes, keep the min id — the asset-level
+    dedup every multimodal pipeline runs before decode.  Only the 32-byte
+    digest shuffles, never payloads; the oracle replicates over the source
+    text (the fixture media bytes ARE the utf-8 text, so digests agree)."""
+    from presto_ethereum_spark.operators.multimodal import media_from_documents
+
+    media = media_from_documents(t_spread(spark, sf, "documents"))
+    return (
+        media.select(
+            F.col("media_id"),
+            F.sha2(F.col("data"), 256).alias("media_sha"),
+            F.length("data").alias("n_bytes"),
+        )
+        .groupBy("media_sha")
+        .agg(
+            F.min("media_id").alias("keeper_media_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+    )
+
+
+@q(
+    "emb_dim_stats",
+    """
+    WITH ex AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(floor(v[i] * 1000000000000000.0) AS BIGINT) AS xq
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    )
+    SELECT dim, n, sum_q, min_q, max_q,
+           (CAST(sum_q AS DOUBLE) / 1000000000000000.0) / n AS mean
+    FROM (
+      SELECT dim, count(*) AS n,
+             CAST(sum(xq) AS BIGINT) AS sum_q,
+             CAST(min(xq) AS BIGINT) AS min_q,
+             CAST(max(xq) AS BIGINT) AS max_q
+      FROM ex GROUP BY dim)
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension embedding health stats (mean / min / max) — the drift
+    monitor run before trusting a new embedding batch (dead or exploding
+    dimensions show up here first).  Coordinates are 1e15 fixed-point
+    quantized so the sums are integer-exact under any partitioning; one
+    posexplode + one partial-aggregated shuffle on a 64-value key."""
+    e = t_spread(spark, sf, "embeddings")
+    s = F.lit(1e15)
+    return (
+        e.select(F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "x"))
+        .select("dim", F.floor(F.col("x") * s).alias("xq"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xq").cast("bigint").alias("sum_q"),
+            F.min("xq").cast("bigint").alias("min_q"),
+            F.max("xq").cast("bigint").alias("max_q"),
+            ((F.sum("xq").cast("double") / s) / F.count("*")).alias("mean"),
         )
     )
