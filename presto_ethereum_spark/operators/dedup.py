@@ -5,10 +5,12 @@ oracle-expressible in portable SQL:
 
 - **exact**: group on an md5 content fingerprint — one hash shuffle on a
   16-byte key, skew-free by construction;
-- **MinHash + LSH**: shingle -> 60-bit md5-derived min-hash signature ->
-  banded bucket join.  The signature build is a narrow per-row fold (no
-  Python, no shuffle); candidate generation is one explode + hash shuffle on
-  band keys; verification re-computes exact Jaccard per candidate pair;
+- **MinHash + LSH**: shingle -> 32-bit md5 base hash -> 16-member affine
+  family ``(a_i*h + b_i) mod 2^61-1`` -> min per member -> banded bucket
+  join.  The signature build is a narrow per-row fold (no Python, no
+  shuffle, ONE md5 per shingle); candidate generation is one explode +
+  hash shuffle on band keys; verification computes exact Jaccard per
+  candidate pair;
 - **SimHash**: per-token 60-bit hashes folded into a signed bit-count
   accumulator (a single JVM-side array fold per row), banded blocking on
   15-bit sub-keys, Hamming-distance verification via xor/bit_count;
