@@ -4322,3 +4322,145 @@ def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
             ((F.sum("xq").cast("double") / s) / F.count("*")).alias("mean"),
         )
     )
+
+
+def _py_sub_d2(x: list[float], c: list[float]) -> float:
+    """Sequential (x-c)·(x-c) in fp64 — the same op order as the kernels
+    and DuckDB's list_dot_product over the diff list."""
+    acc = 0.0
+    for a, b in zip(x, c):
+        d = a - b
+        acc = acc + d * d
+    return acc
+
+
+@q(
+    "emb_pq_adc_topk",
+    f"""
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_PQ_CODES})
+    ),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1})) AS s),
+    cb AS (
+      SELECT subs.s AS subspace, seeds.code,
+             (seeds.v)[subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS c
+      FROM seeds CROSS JOIN subs
+    ),
+    ev AS (
+      SELECT e.vec_id, subs.s AS subspace,
+             (CAST(e.embedding AS DOUBLE[]))
+               [subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS x
+      FROM embeddings e CROSS JOIN subs
+    ),
+    scored AS (
+      SELECT ev.vec_id, ev.subspace, cb.code,
+             list_dot_product(
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2]),
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2])) AS d2
+      FROM ev JOIN cb ON cb.subspace = ev.subspace
+    ),
+    assign AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2 ASC, code) AS rnk
+        FROM scored) WHERE rnk = 1
+    ),
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.subspace, q.code,
+             CAST(floor(q.d2 * 1000000000000000.0) AS BIGINT) AS d2q
+      FROM scored q WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, approx_d2_q, rank FROM (
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+             CAST(sum(l.d2q) AS BIGINT) AS approx_d2_q,
+             CAST(row_number() OVER (
+                 PARTITION BY l.query_id
+                 ORDER BY CAST(sum(l.d2q) AS BIGINT) ASC, a.vec_id) AS INT)
+               AS rank
+      FROM assign a
+      JOIN qlut l ON l.subspace = a.subspace AND l.code = a.code
+      WHERE a.vec_id != l.query_id
+      GROUP BY l.query_id, a.vec_id)
+    WHERE rank <= 10
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ SERVING: asymmetric distance computation — each query
+    precomputes a (subspace, code) -> partial-d² lookup table against the
+    sub-codebooks; a corpus vector's approximate distance is then just 8
+    table lookups summed over its stored codes, never touching the raw
+    vectors.  This is the query path of every billion-vector PQ index
+    (Jégou et al., TPAMI'11).
+
+    Exactness: LUT entries are computed with the same sequential fp64
+    accumulation as the encode kernel, then floor-quantized to 1e15
+    fixed-point BIGINTs so the 8-way sums and the ranking are
+    integer-exact under any partitioning (ties to the lowest neighbor).
+
+    Scale: codes come from the map-only encode; the LUT is 5 queries x 8
+    subspaces x 4 codes = 160 broadcast rows; scoring is one broadcast
+    join + a (query, vec) partial-aggregated sum; WindowGroupLimit top-k.
+    The corpus embedding column is never read at serve time."""
+    from presto_ethereum_spark.operators.similarity import pq_codes, seed_centroids
+
+    e = t_spread(spark, sf, "embeddings")
+    seeds = _IVF_CODEBOOKS.get(("pq", sf))
+    if seeds is None:
+        seeds = _IVF_CODEBOOKS[("pq", sf)] = seed_centroids(e, n_cells=_PQ_CODES)
+    codebooks = [
+        [
+            (code, cv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM])
+            for code, (_, cv) in enumerate(seeds)
+        ]
+        for s in range(_PQ_SUBSPACES)
+    ]
+    # query LUT, driver-side (5 x 8 x 4 sequential-fp64 sub-distances)
+    qrows = (
+        e.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    lut = [
+        (
+            int(r["vec_id"]),
+            s,
+            int(code),
+            int(
+                __import__("math").floor(
+                    _py_sub_d2(
+                        [float(x) for x in r["embedding"]][
+                            s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM
+                        ],
+                        [float(x) for x in cv],
+                    )
+                    * 1e15
+                )
+            ),
+        )
+        for r in qrows
+        for s in range(_PQ_SUBSPACES)
+        for code, cv in codebooks[s]
+    ]
+    lut_df = F.broadcast(
+        spark.createDataFrame(lut, "query_id long, subspace int, code int, d2q long")
+    )
+    codes = pq_codes(e, codebooks, sub_dim=_PQ_SUBDIM).select(
+        F.col("vec_id").alias("neighbor_id"), "subspace", "code"
+    )
+    scored = (
+        codes.join(lut_df, ["subspace", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2q").cast("bigint").alias("approx_d2_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2_q"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "approx_d2_q", "rank")
+    )
