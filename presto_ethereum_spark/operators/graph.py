@@ -49,46 +49,71 @@ def pagerank(
     persist and a re-scan per iteration is cheaper than the spill.
 
     Out-degree is folded onto the edge list ONCE with a window count over
-    ``src`` (one shuffle, no separate outdeg join inside the loop) — at any
-    scale that drops one join stage per iteration with identical values
-    (integer quantization makes the sum order-free)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e_deg = e.withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    ``src`` (no separate outdeg join inside the loop) — at any scale that
+    drops one join stage per iteration with identical values (integer
+    quantization makes the sum order-free).
+
+    Setup: dedup is a two-phase aggregate (map-side combine shrinks the raw
+    edge stream before its (src,dst) shuffle — the property that matters at
+    100 TB where the duplicate rate is high), then the degree window
+    re-clusters the much smaller distinct list by ``src``; ``nodes`` is
+    derived from the persisted edge list instead of re-running the upstream
+    scan (which, for chain tables, is a full decode pass)."""
+    e_deg = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .dropDuplicates(["src", "dst"])
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+    )
+    if cache:
+        e_deg = e_deg.persist()
     nodes = (
-        e.select(F.col("src").alias("addr"))
-        .union(e.select(F.col("dst").alias("addr")))
+        e_deg.select(F.col("src").alias("addr"))
+        .union(e_deg.select(F.col("dst").alias("addr")))
         .distinct()
     )
     if cache:
-        e_deg, nodes = e_deg.persist(), nodes.persist()
+        nodes = nodes.persist()
     tot = nodes.agg(F.count("*").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(tot)).select(
-        "addr", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
     # (1.0 - damping) evaluated in Python fp64 == the same expression in the
     # oracle SQL — keep the *expression*, not a pre-simplified constant
     q = 1.0 - damping
-    for _ in range(iterations):
-        contribs = e_deg.join(ranks, e_deg["src"] == ranks["addr"]).select(
-            F.col("dst").alias("addr"),
-            F.floor(F.col("rank") / F.col("deg") * F.lit(FIXED_POINT_SCALE)).alias(
-                "c"
-            ),
+
+    def _quant(rank_col):
+        return F.floor(rank_col / F.col("deg") * F.lit(FIXED_POINT_SCALE)).alias("c")
+
+    # rank(v) from the previous iteration's in-sums (NULL s == no in-edges);
+    # bit-identical to materializing a rank column first: same fp64 ops in
+    # the same order, so the oracle's unrolled-CTE doubles match exactly.
+    rank_from_s = F.lit(q) / F.col("n") + F.lit(damping) * (
+        F.coalesce(F.col("s"), F.lit(0)).cast("double") / F.lit(FIXED_POINT_SCALE)
+    )
+
+    if iterations <= 0:
+        return nodes.crossJoin(F.broadcast(tot)).select(
+            "addr", (F.lit(1.0) / F.col("n")).alias("rank")
         )
-        sums = contribs.groupBy("addr").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, "addr", "left")
+
+    # Per-iteration work is join + grouped-sum ONLY: a contribution needs
+    # rank(src), and rank(src) is fully determined by src's previous in-sum
+    # (coalesced to 0), so the nodes-side left join never has to run inside
+    # the loop — only once at the end to restore sink-only nodes.  That is
+    # one fewer sequential stage per iteration at any scale.
+    sums = (
+        e_deg.crossJoin(F.broadcast(tot))
+        .select(F.col("dst").alias("addr"), _quant(F.lit(1.0) / F.col("n")))
+        .groupBy("addr")
+        .agg(F.sum("c").alias("s"))
+    )
+    for _ in range(iterations - 1):
+        sums = (
+            e_deg.join(sums, e_deg["src"] == sums["addr"], "left")
             .crossJoin(F.broadcast(tot))
-            .select(
-                "addr",
-                (
-                    F.lit(q) / F.col("n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0)).cast("double")
-                        / F.lit(FIXED_POINT_SCALE)
-                    )
-                ).alias("rank"),
-            )
+            .select(F.col("dst").alias("addr"), _quant(rank_from_s))
+            .groupBy("addr")
+            .agg(F.sum("c").alias("s"))
         )
-    return ranks
+    return (
+        nodes.join(sums, "addr", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("addr", rank_from_s.alias("rank"))
+    )

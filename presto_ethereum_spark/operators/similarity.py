@@ -156,14 +156,57 @@ def cosine_pairs(
     )
 
 
+def _seq_norm(m):
+    """Column-ordered L2 norms — same fp64 add sequence as the ``dot`` fold."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0])
+    for k in range(m.shape[1]):
+        acc = acc + m[:, k] * m[:, k]
+    return np.sqrt(acc)
+
+
+def _collect_id_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Collect ``(ids int64[N], matrix float64[N,dim])`` on the driver via
+    Arrow — one flatten + reshape of the list column's value buffer, no
+    pandas object-of-lists intermediate (which costs several× N·dim·8 B in
+    Python object overhead).  This is an EAGER, driver-side materialization:
+    memory is bounded by N·dim·8 bytes (~5 GiB at 10M × 64); past that,
+    callers must raise ``tiles`` (the executor-side broadcast shrinks per
+    tile, though the driver still stages the full matrix once) or switch to
+    the LSH/IVF blocked paths which avoid O(N²) scoring altogether."""
+    import numpy as np
+
+    tbl = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).toArrow()
+    ids = (
+        tbl.column("id").combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    arr = tbl.column("v").combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return ids, np.zeros((0, 0))
+    # flatten() honors the array's slice offset, so the values line up as
+    # n contiguous rows; embeddings are fixed-width, asserted below.
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    widths = np.diff(arr.offsets.to_numpy())
+    dim = int(widths[0])
+    if not (widths == dim).all():
+        raise ValueError(f"ragged {vec_col!r} column; expected uniform dim")
+    return ids, flat.reshape(n, dim)
+
+
 def cosine_pairs_gemm(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tiles: int = 1,
 ) -> DataFrame:
     """``cosine_pairs`` computed by a broadcast block-kernel instead of a
-    per-pair expression fold: the corpus matrix is broadcast once, each task
+    per-pair expression fold: the corpus matrix is broadcast, each task
     scores its own row block against it with numpy, and only the surviving
     (id_a < id_b, sim >= threshold) pairs leave the task — the O(N²) pair
     set is never materialized as rows.
@@ -173,63 +216,72 @@ def cosine_pairs_gemm(
     same fp64 multiply-then-add sequence per pair as the ``aggregate`` fold
     in ``dot`` (and numpy elementwise ops are IEEE-754 correctly rounded,
     like the JVM), so sims — and the DuckDB oracle hash — are unchanged.
-    Verified equal to ``cosine_pairs`` output at sf0.001/0.01/0.1.
+    Tiling splits the corpus along ROWS, which does not touch any pair's
+    accumulation order, so the tiled output is bit-identical too (asserted
+    in ``test_operators.py``).
 
-    Scale: the left side streams map-only (zero shuffle at any N); the
-    broadcast bounds the right side at roughly N·dim·8 bytes of executor
-    memory (~5 GiB at 10M × 64) — beyond that, tile the broadcast into C
-    chunks and union C map-only passes, or switch to the LSH/IVF blocked
-    paths which avoid O(N²) work altogether."""
+    **Scale honesty**: building the broadcast requires an eager driver-side
+    collect of the corpus (Arrow path, ``_collect_id_matrix``) — the driver
+    stages N·dim·8 bytes once.  ``tiles=C`` then broadcasts the corpus in C
+    row-chunks and unions C map-only passes, bounding EXECUTOR broadcast
+    memory at N·dim·8/C while the left side streams with zero shuffle in
+    every pass.  For corpora past driver memory, use ``cosine_pairs`` with
+    blocking columns, or the LSH (``lsh_topk``) / IVF (``ivf_topk``) paths.
+    """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    pdf = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .toPandas()
-    )
-    ids = pdf["id"].to_numpy(dtype=np.int64)
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-    dim = mat.shape[1] if mat.ndim == 2 else 0
-
-    def _seq_norm(m: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(m.shape[0])
-        for k in range(m.shape[1]):
-            acc = acc + m[:, k] * m[:, k]
-        return np.sqrt(acc)
-
+    ids, mat = _collect_id_matrix(df, id_col, vec_col)
+    dim = mat.shape[1] if mat.ndim == 2 and mat.shape[0] else 0
     norms = _seq_norm(mat) if dim else np.zeros(0)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
 
-    def block_scores(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for batch in batches:
-            if not len(batch):
-                continue
-            a_ids = batch["id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in batch["v"]]
-            )
-            acc = np.zeros((len(a_ids), len(b_ids)))
-            for k in range(dim):
-                acc = acc + a_mat[:, k : k + 1] * b_mat[:, k][None, :]
-            a_norms = _seq_norm(a_mat)
-            denom = a_norms[:, None] * b_norms[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = np.where(denom == 0.0, 0.0, acc / denom)
-            keep = (sim >= threshold) & (a_ids[:, None] < b_ids[None, :])
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ai],
-                    "id_b": b_ids[bi],
-                    "sim_raw": sim[ai, bi],
-                }
-            )
+    left = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    schema = "id_a long, id_b long, sim_raw double"
 
-    out = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).mapInPandas(block_scores, schema="id_a long, id_b long, sim_raw double")
+    def make_pass(bc):
+        def block_scores(batches):
+            b_ids, b_mat, b_norms = bc.value
+            for batch in batches:
+                if not len(batch):
+                    continue
+                a_ids = batch["id"].to_numpy(dtype=np.int64)
+                a_mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in batch["v"]]
+                )
+                acc = np.zeros((len(a_ids), len(b_ids)))
+                for k in range(dim):
+                    acc = acc + a_mat[:, k : k + 1] * b_mat[:, k][None, :]
+                a_norms = _seq_norm(a_mat)
+                denom = a_norms[:, None] * b_norms[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = np.where(denom == 0.0, 0.0, acc / denom)
+                keep = (sim >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[ai],
+                        "id_b": b_ids[bi],
+                        "sim_raw": sim[ai, bi],
+                    }
+                )
+
+        return block_scores
+
+    tiles = max(1, min(int(tiles), max(1, len(ids))))
+    bounds = np.linspace(0, len(ids), tiles + 1).astype(np.int64)
+    out = None
+    for c in range(tiles):
+        lo, hi = int(bounds[c]), int(bounds[c + 1])
+        if lo == hi:
+            continue
+        bc = spark.sparkContext.broadcast(
+            (ids[lo:hi], mat[lo:hi], norms[lo:hi])
+        )
+        part = left.mapInPandas(make_pass(bc), schema=schema)
+        out = part if out is None else out.unionAll(part)
+    if out is None:
+        out = spark.createDataFrame([], schema)
     # round in the PLAN (Spark HALF_UP), matching cosine_pairs exactly
     return out.select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
 

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan/coalesce the output partitioning of cached plans:
+        # iterative operators (pagerank, connected components) persist loop
+        # invariants, and without this flag every downstream stage inherits
+        # the full spark.sql.shuffle.partitions task count even when the
+        # cached data is tiny — pure scheduling overhead at bench scale,
+        # harmless at cluster scale (AQE only coalesces small outputs)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource filter pushdown (block-range transposition in
         # sources/rpc.py) is gated behind this flag in Spark 4.1

@@ -129,6 +129,21 @@ class TestSimilarity:
         )
         assert fold == gemm and len(fold) > 0
 
+    def test_gemm_pairs_tiled_bit_identical(self, emb):
+        """Row-tiling the broadcast corpus (tiles=C map-only passes) must not
+        change any pair's fp64 accumulation order: the tiled union equals the
+        single-broadcast output exactly."""
+        single = sorted(
+            map(tuple, similarity.cosine_pairs_gemm(emb, threshold=0.3).collect())
+        )
+        tiled = sorted(
+            map(
+                tuple,
+                similarity.cosine_pairs_gemm(emb, threshold=0.3, tiles=3).collect(),
+            )
+        )
+        assert tiled == single and len(single) > 0
+
     def test_ivf_full_probe_equals_brute_force(self, emb):
         """With nprobe == n_cells every cell is probed, so the IVF result
         must equal exact search bit-for-bit — the index only *prunes*."""
