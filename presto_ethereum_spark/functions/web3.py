@@ -112,27 +112,60 @@ class ChainStateBackend:
 
 class FixtureBackend(ChainStateBackend):
     """Hermetic backend over a ``chain_state`` mapping (FIXTURES.md §2):
-    address -> {balance, tx_count, code}; optionally keyed by block
-    checkpoint.  Used by tests and offline demos."""
+    address -> {balance, tx_count, code}.  Used by tests and offline demos.
 
-    def __init__(self, state: dict, head: int = 0, gas_price_wei: float = 2e10):
+    ``checkpoints`` (block_number -> state mapping) enables the reference's
+    HISTORICAL overloads (udfs/EthereumUDFs.java:75-94: ``eth_getBalance
+    (addr, blockNumber)`` / ``(addr, blockName)``): a numeric ``block``
+    resolves to the greatest checkpoint <= block (chain semantics — account
+    state persists until the next state-changing block), blocks before the
+    first checkpoint see genesis defaults (balance 0, nonce 0, no code),
+    and ``head``/'latest'/'pending' resolve to ``state``."""
+
+    def __init__(
+        self,
+        state: dict,
+        head: int = 0,
+        gas_price_wei: float = 2e10,
+        checkpoints: dict | None = None,
+    ):
         self._state = {k.lower(): v for k, v in state.items()}
         self._head = head
         self._gas_price = gas_price_wei
+        # timeline: sorted (block, state) pairs; the head state is itself
+        # the checkpoint at `head`
+        timeline = {
+            int(b): {k.lower(): v for k, v in st.items()}
+            for b, st in (checkpoints or {}).items()
+        }
+        timeline[int(head)] = self._state
+        self._timeline = sorted(timeline.items())
 
-    def _col(self, addresses: pd.Series, field: str, default):
+    def _state_at(self, block) -> dict:
+        if block is None or block in ("latest", "pending"):
+            return self._state
+        if block == "earliest":
+            return self._timeline[0][1]
+        import bisect
+
+        keys = [b for b, _ in self._timeline]
+        i = bisect.bisect_right(keys, int(block)) - 1
+        return self._timeline[i][1] if i >= 0 else {}
+
+    def _col(self, addresses: pd.Series, field: str, default, block=None):
+        st = self._state_at(block)
         return addresses.str.lower().map(
-            lambda a: self._state.get(a, {}).get(field, default)
+            lambda a: st.get(a, {}).get(field, default)
         )
 
     def get_balance(self, addresses, block):
-        return self._col(addresses, "balance", 0.0).astype("float64")
+        return self._col(addresses, "balance", 0.0, block).astype("float64")
 
     def get_transaction_count(self, addresses, block):
-        return self._col(addresses, "tx_count", 0).astype("int64")
+        return self._col(addresses, "tx_count", 0, block).astype("int64")
 
     def get_code(self, addresses, block):
-        return self._col(addresses, "code", "0x")
+        return self._col(addresses, "code", "0x", block)
 
     def gas_price(self):
         return self._gas_price

@@ -13,11 +13,29 @@ Mirrors the reference's getTableLayouts logic (EthereumMetadata.java:179-237):
   block timestamps (EthereumMetadata.java:215-229, :293-318; ±1 offset for
   inexact hits).
 
-The produced range only *narrows the scan*; following the reference's
+The produced ranges only *narrow the scan*; following the reference's
 unenforced contract (EthereumMetadata.java:236) every filter is reported
 back as un-pushed so Spark re-applies the full predicate post-scan.
 Conjunctive filters (the only kind the Python DataSource API delivers)
 intersect their ranges.
+
+**Multi-range (disjunctive) pruning.**  The reference carries a *list* of
+block ranges per scan (``EthereumBlockRange`` list in
+EthereumTableLayoutHandle.java:13-36, consumed by the ``getOrderedRanges``
+loop at EthereumMetadata.java:190-199) so ``WHERE a BETWEEN .. OR a BETWEEN
+..`` prunes both islands.  Spark's Python DataSource API delivers only the
+top-level conjunction, so arbitrary ORs cannot arrive via ``pushFilters`` —
+but the two expressible forms are honored:
+
+- ``In`` filters split into one range per *consecutive run* of values
+  (``block_number IN (5, 6, 1_000_000)`` scans 2 islands, not 999_996
+  blocks);
+- the source's ``block_ranges`` option ("lo:hi,lo:hi,...") declares the
+  disjunction explicitly at load time, mirroring the reference's
+  ordered-ranges list for queries whose OR Spark keeps post-scan.
+
+All list-producing paths normalize: sort, drop empty, merge
+overlapping/adjacent — the ordered-disjoint contract of getOrderedRanges.
 """
 
 from __future__ import annotations
@@ -65,6 +83,53 @@ class BlockRange:
 FULL_CHAIN = BlockRange(1, OPEN_END)
 
 
+def normalize_ranges(ranges: list[BlockRange]) -> list[BlockRange]:
+    """Sort, drop empties, merge overlapping/adjacent ranges — the
+    ordered-disjoint contract of the reference's getOrderedRanges list
+    (EthereumMetadata.java:190-199)."""
+    rs = sorted(
+        (r for r in ranges if not r.is_empty),
+        key=lambda r: (r.start, float("inf") if r.end == OPEN_END else r.end),
+    )
+    merged: list[BlockRange] = []
+    for r in rs:
+        if merged:
+            last = merged[-1]
+            if last.end == OPEN_END:
+                break  # everything after is covered
+            if r.start <= last.end + 1:  # overlap or adjacency
+                end = OPEN_END if r.end == OPEN_END else max(last.end, r.end)
+                merged[-1] = BlockRange(last.start, end)
+                continue
+        merged.append(r)
+    return merged
+
+
+def intersect_range_lists(
+    a: list[BlockRange], b: list[BlockRange]
+) -> list[BlockRange]:
+    """Pairwise intersection of two ordered-disjoint range lists (the AND of
+    two disjunctions), normalized."""
+    return normalize_ranges([ra.intersect(rb) for ra in a for rb in b])
+
+
+def parse_ranges_option(spec: str) -> list[BlockRange]:
+    """Parse the ``block_ranges`` source option: "lo:hi,lo:hi,..." (hi may
+    be '*' for open-ended), e.g. "1:10,1000000:1000010"."""
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        lo, _, hi = part.partition(":")
+        out.append(
+            BlockRange(
+                int(lo), OPEN_END if hi.strip() in ("*", "") else int(hi)
+            )
+        )
+    return normalize_ranges(out)
+
+
 def find_block_by_timestamp(get_timestamp, head: int, timestamp: int, offset: int) -> int:
     """Binary search for the block whose timestamp equals ``timestamp``;
     on an inexact hit return ``middle + offset`` (EthereumMetadata.java:293-318).
@@ -93,48 +158,60 @@ def ranges_from_filters(
     resolve_hash=None,
     get_timestamp=None,
     head: int | None = None,
-) -> BlockRange:
-    """Intersect every recognized conjunctive filter into one BlockRange.
+) -> list[BlockRange]:
+    """Intersect every recognized conjunctive filter into an
+    ordered-disjoint list of BlockRanges (the reference's getOrderedRanges
+    shape; a single filter may itself contribute a disjunction via ``In``).
 
     ``resolve_hash(h)`` -> block number (or None if unknown);
     ``get_timestamp``/``head`` enable timestamp transposition.
     Unrecognized filters are ignored (they are re-applied by Spark anyway).
     """
-    acc = FULL_CHAIN
+    acc = [FULL_CHAIN]
     for f in filters:
         attr = getattr(f, "attribute", None)
         if not attr or len(attr) != 1:
             continue
         col = attr[0].lower()
         if col in BLOCK_NUMBER_COLUMNS:
-            acc = acc.intersect(_number_range(f))
+            acc = intersect_range_lists(acc, _number_ranges(f))
         elif col in BLOCK_HASH_COLUMNS and resolve_hash is not None:
             if isinstance(f, EqualTo) and isinstance(f.value, str):
                 n = resolve_hash(f.value)
                 if n is not None:
-                    acc = acc.intersect(BlockRange(n, n))
+                    acc = intersect_range_lists(acc, [BlockRange(n, n)])
         elif col in TIMESTAMP_COLUMNS and get_timestamp is not None and head:
-            acc = acc.intersect(_timestamp_range(f, get_timestamp, head))
+            acc = intersect_range_lists(
+                acc, [_timestamp_range(f, get_timestamp, head)]
+            )
     return acc
 
 
-def _number_range(f: Filter) -> BlockRange:
+def _number_ranges(f: Filter) -> list[BlockRange]:
     v = getattr(f, "value", None)
     if isinstance(f, EqualTo) and isinstance(v, int):
-        return BlockRange(v, v)
+        return [BlockRange(v, v)]
     if isinstance(f, GreaterThan) and isinstance(v, int):
-        return BlockRange(v + 1, OPEN_END)  # ABOVE bound: value + 1
+        return [BlockRange(v + 1, OPEN_END)]  # ABOVE bound: value + 1
     if isinstance(f, GreaterThanOrEqual) and isinstance(v, int):
-        return BlockRange(v, OPEN_END)  # EXACTLY bound
+        return [BlockRange(v, OPEN_END)]  # EXACTLY bound
     if isinstance(f, LessThan) and isinstance(v, int):
-        return BlockRange(1, v - 1)  # BELOW bound: value - 1
+        return [BlockRange(1, v - 1)]  # BELOW bound: value - 1
     if isinstance(f, LessThanOrEqual) and isinstance(v, int):
-        return BlockRange(1, v)
+        return [BlockRange(1, v)]
     if isinstance(f, In):
-        vals = [x for x in f.value if isinstance(x, int)]
+        vals = sorted({x for x in f.value if isinstance(x, int)})
         if vals:
-            return BlockRange(min(vals), max(vals))
-    return FULL_CHAIN
+            # one range per consecutive run — the disjunctive case the
+            # DataSource API can actually deliver
+            runs, lo = [], vals[0]
+            for prev, cur in zip(vals, vals[1:]):
+                if cur != prev + 1:
+                    runs.append(BlockRange(lo, prev))
+                    lo = cur
+            runs.append(BlockRange(lo, vals[-1]))
+            return runs
+    return [FULL_CHAIN]
 
 
 def _timestamp_range(f: Filter, get_timestamp, head: int) -> BlockRange:

@@ -58,6 +58,8 @@ from pyspark.sql.types import StructType
 from presto_ethereum_spark.plans.pushdown import (
     OPEN_END,
     BlockRange,
+    intersect_range_lists,
+    parse_ranges_option,
     ranges_from_filters,
 )
 from presto_ethereum_spark.schemas import SCHEMAS, TABLES
@@ -285,10 +287,24 @@ class ParquetChainTransport:
 
 
 def make_transport(options: dict):
+    """Transport selection, mirroring the reference's config surface
+    (EthereumConnectorConfig.java:6-39: jsonrpc / ipc / infura).  http and
+    infura are both HTTP POST (one ``url`` option); ``path`` selects the
+    parquet fixture.  Unix IPC sockets are REJECTED explicitly: a socket
+    path on the driver's filesystem is meaningless on remote executors, so
+    a distributed engine cannot honor it (EthereumWeb3jProvider.java:14-34
+    could, being single-node)."""
     path = options.get("path")
     if path:
         return ParquetChainTransport(path)
-    return HttpJsonRpcTransport(options.get("url", "http://localhost:8545/"))
+    url = options.get("url", "http://localhost:8545/")
+    if url.startswith("ipc://") or options.get("ipc") or url.endswith(".ipc"):
+        raise ValueError(
+            f"ipc:// endpoints are not supported in distributed mode "
+            f"(got {url!r}): executors cannot reach a driver-local unix "
+            f"socket; use an HTTP(S) JSON-RPC url instead"
+        )
+    return HttpJsonRpcTransport(url)
 
 
 # ---------------------------------------------------------------------------
@@ -342,30 +358,46 @@ class EthereumReader(DataSourceReader):
             options.get("blocks_per_partition", DEFAULT_BLOCKS_PER_PARTITION)
         )
         self.rpc_batch = int(options.get("rpc_batch_size", DEFAULT_RPC_BATCH))
-        lo = options.get("start_block")
-        hi = options.get("end_block")
-        self.range = BlockRange(
-            int(lo) if lo is not None else 1,
-            int(hi) if hi is not None else OPEN_END,
-        )
+        spec = options.get("block_ranges")
+        if spec:
+            # explicit disjunction — the reference's ordered-ranges list
+            # (EthereumTableLayoutHandle.java:13-36) as a load-time option
+            self.ranges = parse_ranges_option(spec)
+        else:
+            lo = options.get("start_block")
+            hi = options.get("end_block")
+            self.ranges = [
+                BlockRange(
+                    int(lo) if lo is not None else 1,
+                    int(hi) if hi is not None else OPEN_END,
+                )
+            ]
 
     # -- planning (driver side) --------------------------------------------
 
     def partitions(self) -> list[BlockRangePartition]:
         """Chunked block ranges (vs 1 split/block,
-        EthereumSplitManager.java:57-59).  An open-ended range is capped at
+        EthereumSplitManager.java:57-59) — the union over the ordered
+        range list, mirroring the reference's getOrderedRanges loop
+        (EthereumMetadata.java:190-199).  An open-ended range is capped at
         the live chain head, mirroring :63-68."""
-        start = max(1, self.range.start)
-        end = self.range.end
-        if end == OPEN_END:
-            end = self.transport.block_number()
-        if start > end:
-            return []
         step = self.blocks_per_partition
-        return [
-            BlockRangePartition(lo, min(lo + step - 1, end))
-            for lo in range(start, end + 1, step)
-        ]
+        out: list[BlockRangePartition] = []
+        head: int | None = None
+        for r in self.ranges:
+            start = max(1, r.start)
+            end = r.end
+            if end == OPEN_END:
+                if head is None:
+                    head = self.transport.block_number()
+                end = head
+            if start > end:
+                continue
+            out.extend(
+                BlockRangePartition(lo, min(lo + step - 1, end))
+                for lo in range(start, end + 1, step)
+            )
+        return out
 
     # -- execution (executor side) -----------------------------------------
 
@@ -428,7 +460,7 @@ class EthereumPushdownReader(EthereumReader):
             get_timestamp=self.transport.block_timestamp,
             head=self._head_for_planning(filters),
         )
-        self.range = self.range.intersect(pushed)
+        self.ranges = intersect_range_lists(self.ranges, pushed)
         # ALL filters are yielded back (reported un-pushed) so Spark
         # re-applies them post-scan — the reference's unenforced-constraint
         # contract (EthereumMetadata.java:236).

@@ -146,3 +146,39 @@ def test_nondeterministic_flag(spark, backend):
         jdf = df.select(col.alias("x"))._jdf
         det = jdf.queryExecution().analyzed().expressions().head().deterministic()
         assert det is False, name
+
+
+def test_historical_checkpoint_resolution(spark):
+    """The reference's historical overloads (udfs/EthereumUDFs.java:75-94):
+    a numeric block resolves to the greatest checkpoint <= block, blocks
+    before the first checkpoint see genesis defaults, 'earliest' is the
+    first checkpoint, and 'latest'/None are the head state."""
+    a = "0xaaa0000000000000000000000000000000000001"
+    be = FixtureBackend(
+        state={a: {"balance": 30.0, "tx_count": 9}},
+        head=300,
+        checkpoints={
+            100: {a: {"balance": 10.0, "tx_count": 3}},
+            200: {a: {"balance": 20.0, "tx_count": 6}},
+        },
+    )
+    udfs = make_chain_state_udfs(be)
+    df = spark.createDataFrame([Row(addr=a)])
+
+    def bal_at(block):
+        return df.select(
+            udfs["eth_getBalance"](F.col("addr"), F.lit(block)).alias("b")
+        ).first().b
+
+    assert bal_at(50) == 0.0        # pre-genesis
+    assert bal_at(100) == 10.0      # exact checkpoint
+    assert bal_at(150) == 10.0      # between checkpoints -> previous
+    assert bal_at(250) == 20.0
+    assert bal_at(300) == 30.0      # head block == head state
+    assert bal_at(9999) == 30.0     # past head
+    assert bal_at("earliest") == 10.0
+    assert bal_at("latest") == 30.0
+    n = df.select(
+        udfs["eth_getTransactionCount"](F.col("addr"), F.lit(150)).alias("n")
+    ).first().n
+    assert n == 3

@@ -26,7 +26,7 @@ from presto_ethereum_spark.plans.pushdown import (
 
 class TestNumberRanges:
     def test_no_filters(self):
-        assert ranges_from_filters([]) == FULL_CHAIN
+        assert ranges_from_filters([]) == [FULL_CHAIN]
 
     def test_exactly_bounds(self):
         r = ranges_from_filters(
@@ -35,20 +35,41 @@ class TestNumberRanges:
                 LessThanOrEqual(("block_number",), 20),
             ]
         )
-        assert r == BlockRange(10, 20)
+        assert r == [BlockRange(10, 20)]
 
     def test_above_below_nudge(self):
         # ABOVE -> value+1, BELOW -> value-1 (EthereumBlockRange.java:20-35)
         r = ranges_from_filters(
             [GreaterThan(("block_number",), 10), LessThan(("block_number",), 20)]
         )
-        assert r == BlockRange(11, 19)
+        assert r == [BlockRange(11, 19)]
 
     def test_point(self):
-        assert ranges_from_filters([EqualTo(("tx_blocknumber",), 7)]) == BlockRange(7, 7)
+        assert ranges_from_filters([EqualTo(("tx_blocknumber",), 7)]) == [BlockRange(7, 7)]
 
-    def test_in_list(self):
-        assert ranges_from_filters([In(("erc20_blocknumber",), (5, 9, 7))]) == BlockRange(5, 9)
+    def test_in_list_consecutive_runs(self):
+        # In splits into one range per consecutive run: {5,7,9} with 6,8
+        # missing is THREE islands; {5,6,7} merges to one
+        assert ranges_from_filters([In(("erc20_blocknumber",), (5, 9, 7))]) == [
+            BlockRange(5, 5),
+            BlockRange(7, 7),
+            BlockRange(9, 9),
+        ]
+        assert ranges_from_filters([In(("erc20_blocknumber",), (6, 5, 7))]) == [
+            BlockRange(5, 7)
+        ]
+
+    def test_disjunctive_in_intersects_bounds(self):
+        # the OR-of-islands case the reference's getOrderedRanges loop
+        # handles (EthereumMetadata.java:190-199): a conjunctive bound
+        # prunes whole islands
+        r = ranges_from_filters(
+            [
+                In(("block_number",), (5, 6, 1_000_000, 1_000_001)),
+                LessThanOrEqual(("block_number",), 10),
+            ]
+        )
+        assert r == [BlockRange(5, 6)]
 
     def test_conjunction_intersects(self):
         r = ranges_from_filters(
@@ -59,7 +80,7 @@ class TestNumberRanges:
                 LessThan(("block_number",), 51),
             ]
         )
-        assert r == BlockRange(10, 50)
+        assert r == [BlockRange(10, 50)]
 
     def test_contradiction_is_empty(self):
         r = ranges_from_filters(
@@ -68,7 +89,7 @@ class TestNumberRanges:
                 LessThanOrEqual(("block_number",), 10),
             ]
         )
-        assert r.is_empty
+        assert r == []  # empty disjunction: nothing to scan
 
     def test_unrelated_filters_ignored(self):
         r = ranges_from_filters(
@@ -78,15 +99,15 @@ class TestNumberRanges:
                 EqualTo(("block_size",), 123),
             ]
         )
-        assert r == FULL_CHAIN
+        assert r == [FULL_CHAIN]
 
     def test_hash_resolution(self):
         resolve = {"0xabc": 42}.get
         r = ranges_from_filters([EqualTo(("block_hash",), "0xabc")], resolve_hash=resolve)
-        assert r == BlockRange(42, 42)
+        assert r == [BlockRange(42, 42)]
         # unknown hash -> no narrowing
         r2 = ranges_from_filters([EqualTo(("block_hash",), "0xZZZ")], resolve_hash=resolve)
-        assert r2 == FULL_CHAIN
+        assert r2 == [FULL_CHAIN]
 
 
 class TestTimestampSearch:
@@ -123,7 +144,8 @@ class TestTimestampSearch:
             head=self.HEAD,
         )
         # must bracket blocks 28..90 (unenforced: may be slightly wider)
-        assert r.start <= 28 and r.end >= 90 and r.end != OPEN_END
+        [rr] = r
+        assert rr.start <= 28 and rr.end >= 90 and rr.end != OPEN_END
 
 
 class TestBlockRangeAlgebra:

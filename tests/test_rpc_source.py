@@ -3,14 +3,17 @@ the full machinery (schema -> pushFilters -> partitions -> read) runs
 hermetically, and results must match the fixture-derived tables."""
 
 import pytest
+from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     EqualTo,
     GreaterThanOrEqual,
+    In,
     LessThanOrEqual,
 )
 
 from presto_ethereum_spark.sources.rpc import (
     BlockRangePartition,
+    make_transport,
     EthereumDataSource,
     EthereumPushdownDataSource,
     EthereumPushdownReader,
@@ -126,18 +129,55 @@ class TestReaderPlanning:
         ]
         remaining = list(r.pushFilters(filters))
         assert remaining == filters  # unenforced contract
-        assert (r.range.start, r.range.end) == (10, 20)
+        [rr] = r.ranges
+        assert (rr.start, rr.end) == (10, 20)
 
     def test_empty_range_no_partitions(self):
         r = self.make_reader(start_block=500, end_block=400)
         assert r.partitions() == []
+
+    def test_disjunctive_pushdown_prunes_partitions(self):
+        """OR-of-islands pruning (EthereumMetadata.java:190-199): an In
+        filter over two distant islands must launch ONLY the covered
+        partitions, not the span between them."""
+        r = self.make_reader(blocks_per_partition=10)
+        list(r.pushFilters([In(("block_number",), (5, 6, 2001, 2002))]))
+        parts = [(p.start, p.end) for p in r.partitions()]
+        assert parts == [(5, 6), (2001, 2002)]
+
+    def test_block_ranges_option(self):
+        """Static disjunction via the block_ranges load option."""
+        r = self.make_reader(block_ranges="1:10,2001:2010", blocks_per_partition=100)
+        assert [(p.start, p.end) for p in r.partitions()] == [(1, 10), (2001, 2010)]
+
+    def test_disjunction_intersects_conjunctive_bound(self):
+        r = self.make_reader(block_ranges="1:10,2001:2010")
+        list(r.pushFilters([LessThanOrEqual(("block_number",), 100)]))
+        assert [(p.start, p.end) for p in r.partitions()] == [(1, 10)]
+
+    def test_disjunctive_results_unchanged(self):
+        """The pruned two-island scan returns exactly the rows of the
+        equivalent unpruned filter."""
+        import pyspark.sql.functions as F
+
+        spark = SparkSession.getActiveSession()
+        df = (
+            spark.read.format("ethereum-pushdown")
+            .option("table", "block")
+            .option("path", CHAIN)
+            .load()
+            .where(F.col("block_number").isin(5, 6, 2001, 2002))
+            .select("block_number")
+        )
+        assert sorted(r.block_number for r in df.collect()) == [5, 6, 2001, 2002]
 
     def test_hash_pushdown_resolves_via_transport(self):
         tr = ParquetChainTransport(CHAIN)
         target = tr.get_blocks([77])[0]["hash"]
         r = self.make_reader()
         list(r.pushFilters([EqualTo(("block_hash",), target)]))
-        assert (r.range.start, r.range.end) == (77, 77)
+        [rr] = r.ranges
+        assert (rr.start, rr.end) == (77, 77)
 
     def test_timestamp_pushdown_via_binary_search(self):
         tr = ParquetChainTransport(CHAIN)
@@ -151,8 +191,9 @@ class TestReaderPlanning:
                 ]
             )
         )
-        assert r.range.start <= 1000 and 1100 <= r.range.end <= 1102
-        assert r.range.end != -1
+        [rr] = r.ranges
+        assert rr.start <= 1000 and 1100 <= rr.end <= 1102
+        assert rr.end != -1
 
 
 def test_erc20_lazy_log_fetch_counts(registered, spark):
@@ -220,3 +261,14 @@ class TestTransportRetry:
 
         with _pytest.raises(urllib.error.URLError):
             tr._post([{"id": 1, "method": "x", "params": []}])
+
+
+def test_ipc_url_rejected():
+    """The reference's config offers jsonrpc/ipc/infura
+    (EthereumConnectorConfig.java:6-39); a distributed engine cannot honor
+    a driver-local unix socket, and must say so instead of treating the
+    option namespace as http-only."""
+    with pytest.raises(ValueError, match="ipc.* not supported"):
+        make_transport({"url": "ipc:///var/run/geth.ipc"})
+    with pytest.raises(ValueError, match="not supported"):
+        make_transport({"url": "/var/run/geth.ipc"})
