@@ -88,6 +88,15 @@ def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
     int64 for 32-bit base hashes: a in [1, 2^30), b in [0, 2^60)."""
     import hashlib
 
+    # Slope range note: a is drawn from [1, 2^30-1] via modulo (slightly
+    # biased) rather than uniformly from [1, p-1] with p = 2^61-1 as the
+    # textbook minwise family prescribes.  This is a deliberate int64-safety
+    # tradeoff: with 32-bit base hashes, a < 2^30 keeps a*h + b < 2^63 in
+    # plain BIGINT arithmetic on BOTH engines (Spark and the SQL oracle) —
+    # the full mod-p family needs 128-bit multiplication, which portable
+    # SQL lacks.  The family is therefore weaker than strictly-universal;
+    # the collision-probability inflation is small at 32-bit hash width and
+    # irrelevant to dedup banding (measured recall is what the tests pin).
     out = []
     for i in range(num_hashes):
         hx = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
@@ -428,6 +437,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair list -> (id, cluster_id)
     where cluster_id = min node id in the component.
@@ -451,7 +461,23 @@ def connected_components(
 
     Convergence is checked with a count of changed labels per round; dedup
     graphs (tiny diameter) stop after 2-3 rounds.
+
+    Fault-tolerance tradeoff: the default ``localCheckpoint`` stores blocks
+    on executors WITHOUT lineage — losing an executor mid-convergence fails
+    the job, and the eager flag runs a Spark job during plan construction.
+    That is the right trade for interactive/bench runs; long production
+    runs on preemptible fleets should pass ``reliable_checkpoint=True`` to
+    use ``checkpoint()`` against ``spark.sparkContext.setCheckpointDir``
+    storage (survives executor loss at the cost of a write per round).
     """
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=True)
+        )
+
     sym = edges.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -460,10 +486,10 @@ def connected_components(
     # by every round's convergence count — without this, each of those
     # actions replays the whole upstream candidate-pair pipeline
     # (LSH/shingle/verify), which dominated wall time ~5x at sf0.1
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
+    sym = _pin(sym)
+    labels = _pin(
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         nbr = (
@@ -486,8 +512,8 @@ def connected_components(
                     F.coalesce("lbl_label", F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        nxt = _pin(nxt)
         changed = (
             nxt.alias("n")
             .join(labels.alias("o"), "id")

@@ -204,37 +204,62 @@ def funnel_counts(
     step i (the standard product-analytics funnel semantics; an unordered
     count would credit a purchase that preceded the view).
 
-    Plan at scale: stage 1 is one groupBy-min on (user, ts); each later
-    stage joins the events of ONE type against the shrinking survivor set
-    from the previous stage (a (user, ts) pair per survivor — AQE broadcasts
-    it as soon as it fits) and re-aggregates.  |steps| is a small constant,
-    so the whole funnel is |steps| passes over single-type slices of the
-    event log, never a per-user sort of the full log.
-    """
-    from functools import reduce
+    Plan at scale — SINGLE PASS over the event log: one shuffle groups each
+    user's step-relevant event times into |steps| sorted arrays (events of
+    other types are dropped map-side by the conditional collect); the
+    sequential reach times are then pure per-row array expressions
+    (``array_min(filter(ts_i, t > reach_{i-1}))``), and the final counts
+    are one global conditional aggregate unpivoted with ``inline`` — 2
+    exchanges total regardless of |steps|, vs one join+agg pair per step in
+    the naive per-stage formulation.
 
-    stages = []
-    prev: DataFrame | None = None
-    for i, step in enumerate(steps):
-        ev = df.where(F.col(type_col) == step).select(
-            F.col(user_col).alias("u"), F.col(time_col).alias("et")
-        )
-        if prev is None:
-            cur = ev.groupBy("u").agg(F.min("et").alias("t"))
-        else:
-            cur = (
-                ev.join(prev.select("u", F.col("t").alias("pt")), "u")
-                .where(F.col("et") > F.col("pt"))
-                .groupBy("u")
-                .agg(F.min("et").alias("t"))
+    Memory: the agg buffer holds each user's step-typed event times (the
+    later steps need the full list — the first-after-previous threshold
+    isn't known map-side).  That is bounded by per-user funnel-event count,
+    fine for product-analytics logs; a pathological hot user wants a
+    per-(user,type) pre-cap upstream.
+    """
+    per_type = [
+        F.sort_array(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(time_col)))
+        ).alias(f"ts_{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = df.groupBy(F.col(user_col).alias("u")).agg(*per_type)
+
+    # reach_0 = first step-0 event; reach_i = first step-i event strictly
+    # after reach_{i-1} (null propagates: no reach_{i-1} -> no reach_i).
+    # try_element_at: a user may have NO step-0 events (empty array).
+    # The one-arg closure matters: F.filter treats a two-parameter lambda
+    # as (element, index).
+    def _after(r):
+        return lambda x: x > r
+
+    reach = F.try_element_at(F.col("ts_0"), F.lit(1))
+    reach_cols = [reach.alias("r_0")]
+    for i in range(1, len(steps)):
+        reach = F.array_min(F.filter(F.col(f"ts_{i}"), _after(reach)))
+        reach_cols.append(reach.alias(f"r_{i}"))
+
+    counts = g.select(*reach_cols).agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"r_{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"c_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(s).alias("step"),
+                F.col(f"c_{i}").alias("users"),
             )
-        prev = cur
-        stages.append(
-            cur.agg(F.count("*").alias("users")).select(
-                F.lit(i + 1).alias("stage"), F.lit(step).alias("step"), "users"
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), stages)
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.inline(rows))
 
 
 def retention_cohorts(

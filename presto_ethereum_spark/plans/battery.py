@@ -65,14 +65,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     query derives µs via ``ts DIV 1000``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts", "bigint") != "bigint":
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-                " cast(ts as timestamp_ntz)) * 1000"
-            ),
-        )
+    if name == "events":
+        dt = dict(df.dtypes).get("ts", "bigint")
+        if dt == "timestamp":
+            # TIMESTAMP_LTZ (isAdjustedToUTC parquet): unix_micros reads
+            # the instant directly — an LTZ->NTZ cast here would shift by
+            # the session timezone on non-UTC drivers
+            df = df.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+        elif dt != "bigint":
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                    " cast(ts as timestamp_ntz)) * 1000"
+                ),
+            )
     return df
 
 

@@ -135,4 +135,9 @@ def run_chain_gas_buckets(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    # pin the result and DROP the uuid-named sink table: repeated calls in
+    # one session (bench loops, retries) must not accumulate cached result
+    # tables
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

@@ -35,8 +35,13 @@ def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    dt = dict(stream.dtypes)["ts"]
+    if dt == "bigint":
         t_us = F.expr("ts DIV 1000")
+    elif dt == "timestamp":
+        # TIMESTAMP_LTZ: read the instant directly — an LTZ->NTZ cast would
+        # be session-timezone dependent on non-UTC drivers
+        t_us = F.expr("unix_micros(ts)")
     else:
         t_us = F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
