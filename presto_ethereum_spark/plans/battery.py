@@ -3888,6 +3888,32 @@ def stream_chain_gas(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_chain_gas_partitioned",
+    f"""
+    SELECT CAST(block_number // 100 AS INT) AS bucket,
+           count(*) AS n_blocks,
+           CAST(sum(CAST(block_gasused AS DECIMAL(18,0))) AS DOUBLE)
+             AS total_gas_used,
+           max(block_gaslimit) AS max_gas_limit
+    FROM read_parquet('{ETH}/block.parquet')
+    GROUP BY bucket
+    """,
+)
+def stream_chain_gas_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """The same chain-tail telemetry through the EXECUTOR-SIDE partitioned
+    stream reader (streaming/chain.py:EthereumPartitionedStreamReader —
+    the high-rate catch-up mode: per trigger, the batch range splits into
+    blocks_per_partition chunks fetched in parallel on executors instead
+    of serially on the driver).  Same offsets, same oracle, different
+    physical read path."""
+    from presto_ethereum_spark.streaming.chain import run_chain_gas_buckets
+
+    return run_chain_gas_buckets(
+        spark, str(ETH / "chain_blocks.parquet"), reader_mode="partitioned"
+    )
+
+
+@q(
     "rel_forecast_revenue",
     """
     SELECT count(*) AS n_items,

@@ -8,10 +8,19 @@ of the ``block`` table.
 
 Offsets are plain block numbers ({"next": n}), so restart/replay semantics
 are exact: ``readBetweenOffsets`` re-serves any committed range
-deterministically from the transport.  Implemented on
-:class:`SimpleDataSourceStreamReader` (driver-side reads) because a
-chain-head tail is low-rate by nature (~1 block / 13 s on mainnet); the
-heavy historical backfill belongs to the batch source, not the tail.
+deterministically from the transport.
+
+Two reader modes, selected by ``reader_mode``:
+
+- ``simple`` (default): :class:`SimpleDataSourceStreamReader`, driver-side
+  reads — right for the steady-state tail, which is low-rate by nature
+  (~1 block / 13 s on mainnet);
+- ``partitioned``: :class:`DataSourceStreamReader` — ``latestOffset``
+  advances up to ``max_blocks_per_batch`` per trigger and ``partitions``
+  splits the batch range into ``blocks_per_partition`` chunks read ON
+  EXECUTORS in parallel.  This is the catch-up path: restart a monitor N
+  days behind head and the backfill saturates the cluster instead of the
+  driver, then drains to the same one-block cadence as ``simple``.
 
 Usage::
 
@@ -20,6 +29,7 @@ Usage::
         .option("path", "fixtures/eth/chain_blocks.parquet")  # or url=...
         .option("start_block", 1)
         .option("max_blocks_per_batch", 100)
+        .option("reader_mode", "partitioned")  # default: simple
         .load()
         .writeStream...)
 """
@@ -30,6 +40,8 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
@@ -78,6 +90,66 @@ class EthereumStreamReader(SimpleDataSourceStreamReader):
         pass  # transports are stateless; nothing to clean up
 
 
+class ChainBatchPartition(InputPartition):
+    def __init__(self, start: int, end: int):  # inclusive range
+        self.start, self.end = start, end
+
+
+class EthereumPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-side chain reader for high-rate catch-up.
+
+    The driver only polls the head and cuts offsets; each micro-batch's
+    block range is split into ``blocks_per_partition`` chunks that fetch +
+    decode ON EXECUTORS — the same parallelism story as the batch source
+    (sources/rpc.py), applied per trigger.  Offsets are identical to the
+    simple reader ({"next": n}), so a checkpoint can survive a mode switch.
+    """
+
+    def __init__(self, options: dict):
+        self.options = options
+        self.transport = make_transport(options)  # driver: head polls only
+        self.start_block = int(options.get("start_block", 1))
+        self.max_per_batch = int(options.get("max_blocks_per_batch", 100))
+        self.blocks_per_partition = int(options.get("blocks_per_partition", 200))
+        self.columns = [f.name for f in BLOCK_SCHEMA.fields]
+        self._last: dict | None = None
+
+    def initialOffset(self) -> dict:
+        return {"next": self.start_block}
+
+    def latestOffset(self) -> dict:
+        # self-rate-limit: advance at most max_per_batch blocks per trigger
+        # (the catch-up knob; Spark's admission control does not reach
+        # python stream readers)
+        lo = self._last["next"] if self._last else self.start_block
+        head = self.transport.block_number()
+        self._last = {"next": max(lo, min(head + 1, lo + self.max_per_batch))}
+        return self._last
+
+    def partitions(self, start: dict, end: dict) -> list[ChainBatchPartition]:
+        lo, hi = start["next"], end["next"] - 1  # inclusive
+        step = self.blocks_per_partition
+        return [
+            ChainBatchPartition(a, min(a + step - 1, hi))
+            for a in range(lo, hi + 1, step)
+        ]
+
+    def read(self, partition: ChainBatchPartition) -> Iterator[tuple]:
+        # runs on the EXECUTOR: fresh transport per task, like the batch
+        # source's read path
+        from presto_ethereum_spark.sources import pyrows
+
+        transport = make_transport(self.options)
+        for b in transport.get_blocks(
+            list(range(partition.start, partition.end + 1))
+        ):
+            row = pyrows.block_row(b)
+            yield tuple(row[c] for c in self.columns)
+
+    def commit(self, end: dict) -> None:
+        pass  # stateless transports
+
+
 class EthereumStreamDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -89,9 +161,28 @@ class EthereumStreamDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> EthereumStreamReader:
         return EthereumStreamReader(dict(self.options))
 
+    def streamReader(self, schema: StructType) -> EthereumPartitionedStreamReader:
+        # Spark tries streamReader() first and falls back to
+        # simpleStreamReader() on PySparkNotImplementedError
+        # (pyspark/sql/datasource_internal.py:_streamReader)
+        if self.options.get("reader_mode", "simple") != "partitioned":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": "reader_mode=simple uses simpleStreamReader"
+                },
+            )
+        return EthereumPartitionedStreamReader(dict(self.options))
+
 
 def run_chain_gas_buckets(
-    spark, path: str, bucket_blocks: int = 100, max_per_batch: int = 4000
+    spark,
+    path: str,
+    bucket_blocks: int = 100,
+    max_per_batch: int = 4000,
+    reader_mode: str = "simple",
 ):
     """Streaming gas telemetry over the chain tail: readStream on the
     ethereum-stream source, aggregated per ``bucket_blocks``-block bucket,
@@ -110,6 +201,7 @@ def run_chain_gas_buckets(
         spark.readStream.format("ethereum-stream")
         .option("path", path)
         .option("max_blocks_per_batch", max_per_batch)
+        .option("reader_mode", reader_mode)
         .load()
     )
     agg = (

@@ -68,6 +68,58 @@ def test_chain_stream_multi_batch_progress(spark, tmp_path):
     assert len(q.recentProgress) >= 2400 // 400
 
 
+def test_partitioned_reader_matches_simple(spark, chain_source, tmp_path):
+    """reader_mode=partitioned (executor-side DataSourceStreamReader) must
+    reproduce the exact block table the simple driver-side reader serves —
+    same offsets, parallel reads."""
+    spark.dataSource.register(EthereumStreamDataSource)
+    stream = (
+        spark.readStream.format("ethereum-stream")
+        .option("path", CHAIN)
+        .option("max_blocks_per_batch", 3000)
+        .option("blocks_per_partition", 500)
+        .option("reader_mode", "partitioned")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("chain_tail_part")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_part"))
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("chain_tail_part")
+    want = chain_source.table("block")
+    assert got.count() == 2400
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_partitioned_reader_offset_and_partition_cutting(spark):
+    from presto_ethereum_spark.streaming.chain import (
+        EthereumPartitionedStreamReader,
+    )
+
+    r = EthereumPartitionedStreamReader(
+        {"path": CHAIN, "start_block": 1, "max_blocks_per_batch": 1000,
+         "blocks_per_partition": 300}
+    )
+    assert r.initialOffset() == {"next": 1}
+    # rate-limited advance: 1000 blocks per trigger, capped at head+1
+    assert r.latestOffset() == {"next": 1001}
+    assert r.latestOffset() == {"next": 2001}
+    assert r.latestOffset() == {"next": 2401}
+    assert r.latestOffset() == {"next": 2401}  # caught up
+    parts = r.partitions({"next": 1}, {"next": 1001})
+    assert [(p.start, p.end) for p in parts] == [
+        (1, 300), (301, 600), (601, 900), (901, 1000),
+    ]
+    rows = list(r.read(parts[0]))
+    assert len(rows) == 300 and rows[0][0] == 1
+
+
 def test_chain_stream_resumes_from_offset(spark):
     from presto_ethereum_spark.streaming.chain import EthereumStreamReader
 
