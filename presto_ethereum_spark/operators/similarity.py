@@ -36,6 +36,7 @@ __all__ = [
     "quantize_error",
     "label_centroids",
     "pq_codes",
+    "ivfpq_index",
 ]
 
 
@@ -806,4 +807,91 @@ def pq_codes(
 
     return corpus.select(id_col, vec_col).mapInPandas(
         encode_blocks, schema="vec_id long, subspace int, code int, err2 double"
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE-pass IVF+PQ index build — the layout every billion-vector serving
+    index uses (FAISS IndexIVFPQ; Jégou et al., TPAMI'11): per vector, the
+    coarse cell (nearest centroid by cosine, ties to lowest cid — same
+    kernel as ``_ivf_corpus_index``) AND the ``len(codebooks)`` PQ codes
+    (nearest sub-centroid by squared L2, ties to lowest code — same kernel
+    as ``pq_codes``), emitted as ``(vec_id, cell, subspace, code)``.
+
+    Build is map-only (both codebooks ride the task closure; zero shuffle
+    at any corpus size); at scale the output is written once
+    ``partitionBy(cell)`` so serving prunes to nprobe cells at the storage
+    layer and scores codes via a broadcast query-LUT — raw vectors are
+    never read at serve time.  Bit-identical to running the two kernels
+    separately (asserted in tests), so the composed index inherits both
+    oracles' exactness."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids, key=lambda c: int(c[0]))
+    cids = np.array([int(c) for c, _ in cents], dtype=np.int64)
+    cmat = np.array([[float(x) for x in cv] for _, cv in cents])
+    cnorms = np.array([_py_l2([float(x) for x in cv]) for _, cv in cents])
+    dim = cmat.shape[1]
+    n_sub = len(codebooks)
+    sub_mats = []
+    for cb in codebooks:
+        cb = sorted(cb, key=lambda c: int(c[0]))
+        sub_mats.append(
+            (
+                np.array([int(c) for c, _ in cb], dtype=np.int64),
+                np.array([[float(x) for x in cv] for _, cv in cb]),
+            )
+        )
+
+    def build_blocks(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            vmat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            # coarse cell: column-ordered cosine vs centroids
+            acc = np.zeros((len(ids), len(cids)))
+            for j in range(dim):
+                acc = acc + vmat[:, j : j + 1] * cmat[:, j][None, :]
+            vn = np.zeros(len(ids))
+            for j in range(dim):
+                vn = vn + vmat[:, j] * vmat[:, j]
+            vn = np.sqrt(vn)
+            denom = cnorms[None, :] * vn[:, None]
+            zero = (cnorms[None, :] == 0.0) | (vn[:, None] == 0.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(zero, 0.0, acc / np.where(zero, 1.0, denom))
+            cell = cids[sim.argmax(axis=1)].astype(np.int32)
+            # PQ codes: column-ordered squared L2 per subspace
+            out_id, out_cell, out_s, out_code = [], [], [], []
+            for s in range(n_sub):
+                codes, scmat = sub_mats[s]
+                sub = vmat[:, s * sub_dim : (s + 1) * sub_dim]
+                d2 = np.zeros((len(ids), len(codes)))
+                for k in range(sub_dim):
+                    diff = sub[:, k : k + 1] - scmat[:, k][None, :]
+                    d2 = d2 + diff * diff
+                out_id.append(ids)
+                out_cell.append(cell)
+                out_s.append(np.full(len(ids), s, dtype=np.int32))
+                out_code.append(codes[d2.argmin(axis=1)].astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id),
+                    "cell": np.concatenate(out_cell),
+                    "subspace": np.concatenate(out_s),
+                    "code": np.concatenate(out_code),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        build_blocks, schema="vec_id long, cell int, subspace int, code int"
     )

@@ -1171,6 +1171,60 @@ def rel_asof_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "rel_asof_join_forward",
+    """
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+    ord AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS o_us, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1)
+    SELECT ev.event_id, ev.user_id,
+           ord.o_us AS asof_o_us,
+           ord.o_orderkey AS asof_o_orderkey,
+           ord.o_totalprice AS asof_o_totalprice
+    FROM ev ASOF LEFT JOIN ord
+    ON ev.user_id = ord.o_custkey AND ev.t_us <= ord.o_us
+    """,
+)
+def rel_asof_join_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join (next order at or after each event, per user) —
+    the other half of the direction surface: same union + partitioned
+    window plan with the sort/tie order reversed (operators/temporal.py:
+    asof_join, direction='forward'); the oracle is DuckDB's native ASOF
+    with the inequality flipped."""
+    from presto_ethereum_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    ord_ = (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            (F.unix_timestamp("o_orderdate") * 1_000_000).alias("o_us"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        ev,
+        ord_,
+        on_left="user_id",
+        on_right="o_custkey",
+        left_time="t_us",
+        right_time="o_us",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    ).select(
+        "event_id", "user_id", "asof_o_us", "asof_o_orderkey", "asof_o_totalprice"
+    )
+
+
+@q(
     "rel_sessionize",
     """
     WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
@@ -3040,6 +3094,90 @@ def doc_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_length_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM toks GROUP BY bucket
+    """,
+)
+def doc_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length histogram on power-of-two buckets — the planning
+    input for sequence packing (doc_pack_sequences): how much of the corpus
+    sits in each length doubling decides context size and packing strategy.
+    The bucket is ``len(bin(n)) - 1`` = integer floor(log2 n) — pure
+    integer/string ops, no transcendental whose last-bit behavior could
+    split engines at power-of-two boundaries.  One partial-agg shuffle to
+    ~15 buckets."""
+    d = t(spark, sf, "documents")
+    n_tokens = F.size(F.split("text", " ", -1))
+    return (
+        d.select((F.length(F.bin(n_tokens.cast("long"))) - 1).cast("int").alias("bucket"),
+                 n_tokens.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+@q(
+    "doc_temperature_mixture",
+    """
+    WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s),
+    scaled AS (
+      SELECT source, n_docs, total,
+             sqrt(n_docs / CAST(total AS DOUBLE)) AS p_temp
+      FROM s, tot),
+    z AS (SELECT sum(p_temp) AS z FROM scaled)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(n_docs / CAST(total AS DOUBLE), 9)      AS actual_frac,
+           round(p_temp / z, 9)                          AS temp_frac,
+           round((p_temp / z) / (n_docs / CAST(total AS DOUBLE)), 9)
+             AS upsample_factor
+    FROM scaled, z
+    """,
+)
+def doc_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixture (T=2, i.e. p^(1/2)) — the
+    standard low-resource-upweighting sampler for multilingual/multi-source
+    training: sampling fractions proportional to sqrt(p) flatten the
+    distribution without going fully uniform.  sqrt (IEEE-exact) instead of
+    pow keeps both engines bit-aligned; fractions round to 9 places to
+    absorb the final 5-double sum's order sensitivity.  Plan: one
+    partial-agg shuffle to #sources rows; two 1-row broadcasts."""
+    d = t(spark, sf, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = s.agg(F.sum("n_docs").alias("total"))
+    scaled = s.crossJoin(F.broadcast(tot)).withColumn(
+        "p_temp", F.sqrt(F.col("n_docs") / F.col("total").cast("double"))
+    )
+    z = scaled.agg(F.sum("p_temp").alias("z"))
+    actual = F.col("n_docs") / F.col("total").cast("double")
+    temp = F.col("p_temp") / F.col("z")
+    return (
+        scaled.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round(actual, 9).alias("actual_frac"),
+            F.round(temp, 9).alias("temp_frac"),
+            F.round(temp / actual, 9).alias("upsample_factor"),
+        )
+    )
+
+
+@q(
     "doc_negative_samples",
     """
     WITH tot AS (SELECT count(*) AS n FROM documents),
@@ -4606,6 +4744,186 @@ def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     scored = (
         codes.join(lut_df, ["subspace", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2q").cast("bigint").alias("approx_d2_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2_q"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "approx_d2_q", "rank")
+    )
+
+
+def _py_cos(x: list[float], c: list[float]) -> float:
+    """Sequential fp64 cosine — the same op order as _duck_cos (no zero
+    guard: codebook/query vectors are non-degenerate by construction)."""
+    dot = 0.0
+    for a, b in zip(x, c):
+        dot = dot + a * b
+    return dot / (_py_l2_local(x) * _py_l2_local(c))
+
+
+def _py_l2_local(v: list[float]) -> float:
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+@q(
+    "emb_ivfpq_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, c.cid, {_duck_cos('c.cvec', 'e.embedding')} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored WHERE vec_id < 5) WHERE rnk <= 2
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_PQ_CODES})
+    ),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1})) AS s),
+    cb AS (
+      SELECT subs.s AS subspace, seeds.code,
+             (seeds.v)[subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS c
+      FROM seeds CROSS JOIN subs
+    ),
+    ev AS (
+      SELECT e.vec_id, subs.s AS subspace,
+             (CAST(e.embedding AS DOUBLE[]))
+               [subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS x
+      FROM embeddings e CROSS JOIN subs
+    ),
+    pscored AS (
+      SELECT ev.vec_id, ev.subspace, cb.code,
+             list_dot_product(
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2]),
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2])) AS d2
+      FROM ev JOIN cb ON cb.subspace = ev.subspace
+    ),
+    passign AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2 ASC, code) AS rnk
+        FROM pscored) WHERE rnk = 1
+    ),
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.subspace, q.code,
+             CAST(floor(q.d2 * 1000000000000000.0) AS BIGINT) AS d2q
+      FROM pscored q WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, approx_d2_q, rank FROM (
+      SELECT l.query_id, pa.vec_id AS neighbor_id,
+             CAST(sum(l.d2q) AS BIGINT) AS approx_d2_q,
+             CAST(row_number() OVER (
+                 PARTITION BY l.query_id
+                 ORDER BY CAST(sum(l.d2q) AS BIGINT) ASC, pa.vec_id) AS INT)
+               AS rank
+      FROM passign pa
+      JOIN cells ce ON ce.vec_id = pa.vec_id
+      JOIN probe p ON p.cid = ce.cid
+      JOIN qlut l ON l.query_id = p.query_id
+                 AND l.subspace = pa.subspace AND l.code = pa.code
+      WHERE pa.vec_id != l.query_id
+      GROUP BY l.query_id, pa.vec_id)
+    WHERE rank <= 10
+    """,
+)
+def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF+PQ combined serving — the canonical billion-vector ANN plan
+    (FAISS IndexIVFPQ): the one-pass index kernel
+    (operators/similarity.ivfpq_index) stores (cell, pq codes) per vector;
+    each query probes its 2 closest cells and scores ONLY those cells'
+    codes through its broadcast (subspace, code) -> partial-d² LUT.
+    Compute drops to ~nprobe/n_cells of the corpus AND the corpus vectors
+    are never read at serve time — cell pruning and code compression
+    compose.  LUT entries are 1e15 fixed-point quantized, so sums and
+    ranking are integer-exact under any partitioning."""
+    from presto_ethereum_spark.operators.similarity import (
+        ivfpq_index,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings")
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    pq_seeds = _IVF_CODEBOOKS.get(("pq", sf))
+    if pq_seeds is None:
+        pq_seeds = _IVF_CODEBOOKS[("pq", sf)] = seed_centroids(
+            e, n_cells=_PQ_CODES
+        )
+    codebooks = [
+        [
+            (code, cv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM])
+            for code, (_, cv) in enumerate(pq_seeds)
+        ]
+        for s in range(_PQ_SUBSPACES)
+    ]
+    index = ivfpq_index(e, cents, codebooks, sub_dim=_PQ_SUBDIM).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "subspace", "code"
+    )
+    # query-side: probed cells + LUT, driver-side (5 queries x small
+    # codebooks — the same materialization any broadcast implies)
+    qrows = (
+        e.where(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    import math
+
+    lut = []
+    for r in qrows:
+        qv = [float(x) for x in r["embedding"]]
+        csims = sorted(
+            ((-_py_cos(qv, [float(x) for x in cv]), int(cid)) for cid, cv in cents),
+        )[:2]
+        probed = [cid for _, cid in csims]
+        for cell in probed:
+            for s in range(_PQ_SUBSPACES):
+                sub = qv[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                for code, cv in codebooks[s]:
+                    lut.append(
+                        (
+                            int(r["vec_id"]),
+                            cell,
+                            s,
+                            int(code),
+                            int(math.floor(_py_sub_d2(sub, [float(x) for x in cv]) * 1e15)),
+                        )
+                    )
+    lut_df = F.broadcast(
+        spark.createDataFrame(
+            lut, "query_id long, cell int, subspace int, code int, d2q long"
+        )
+    )
+    scored = (
+        index.join(lut_df, ["cell", "subspace", "code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2q").cast("bigint").alias("approx_d2_q"))

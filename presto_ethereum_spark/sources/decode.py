@@ -37,7 +37,52 @@ __all__ = [
     "h32_to_h20_col",
     "hex_to_double_col",
     "token_symbol_col",
+    "truncate_varchar_bounds",
+    "VARCHAR_BOUNDS",
 ]
+
+# Declared varchar(n) widths per table (EthereumMetadata.java:48-51 constants
+# H8=18 / H20=42 / H32=66 / H256=514, applied at :104-147).  Unbounded
+# columns (extraData, tx_input, erc20_token) are absent.
+VARCHAR_BOUNDS: dict[str, dict[str, int]] = {
+    "block": {
+        "block_hash": 66,
+        "block_parenthash": 66,
+        "block_nonce": 18,
+        "block_sha3uncles": 66,
+        "block_logsbloom": 514,
+        "block_transactionsroot": 66,
+        "block_stateroot": 66,
+        "block_miner": 42,
+    },
+    "transaction": {
+        "tx_hash": 66,
+        "tx_blockhash": 66,
+        "tx_from": 42,
+        "tx_to": 42,
+    },
+    "erc20": {
+        "erc20_from": 42,
+        "erc20_to": 42,
+        "erc20_txhash": 66,
+    },
+}
+
+
+def truncate_varchar_bounds(df: DataFrame, table: str) -> DataFrame:
+    """Reproduce the reference's varchar(n) TRUNCATION semantics: Presto's
+    engine truncates any over-long string to the declared column width
+    (EthereumRecordCursor.java:263-268 emits slices typed varchar(n);
+    EthereumMetadata.java:104-147 declares the widths).  Spark's StringType
+    is unbounded, so by default this repo passes malformed/over-long values
+    through unchanged (a documented divergence, SURVEY §1.3); this opt-in
+    applies ``substring(col, 1, n)`` per bounded column for exact parity.
+    Well-formed chain data is never affected — the bound only bites on
+    corrupt input."""
+    for col, n in VARCHAR_BOUNDS.get(table.lower(), {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.substring(F.col(col), 1, n))
+    return df
 
 
 def h32_to_h20_col(col: Column) -> Column:

@@ -34,9 +34,17 @@ from presto_ethereum_spark.sources.decode import (
 class EthereumFixtureSource:
     """Loads the nested chain snapshot and exposes the three tables."""
 
-    def __init__(self, spark: SparkSession, chain_path: str):
+    def __init__(
+        self, spark: SparkSession, chain_path: str, strict_varchar: bool = False
+    ):
+        """``strict_varchar=True`` applies the reference's varchar(n)
+        truncation widths to every bounded column
+        (decode.truncate_varchar_bounds) — exact Presto-engine parity for
+        malformed inputs; off by default since well-formed chain data never
+        exceeds the declared widths."""
         self.spark = spark
         self.chain_path = chain_path
+        self.strict_varchar = strict_varchar
         self._chain: DataFrame | None = None
 
     @property
@@ -48,14 +56,24 @@ class EthereumFixtureSource:
     def table(self, name: str) -> DataFrame:
         name = name.lower()
         if name == TABLE_BLOCK:
-            return blocks_from_chain(self.chain)
-        if name == TABLE_TRANSACTION:
-            return transactions_from_chain(self.chain)
-        if name == TABLE_ERC20:
-            return erc20_from_chain(self.chain)
-        # Unknown table -> error, mirroring EthereumTable.java:7-14 /
-        # EthereumMetadata.java:71-81.
-        raise ValueError(f"Unknown table: {name!r} (expected block|transaction|erc20)")
+            out = blocks_from_chain(self.chain)
+        elif name == TABLE_TRANSACTION:
+            out = transactions_from_chain(self.chain)
+        elif name == TABLE_ERC20:
+            out = erc20_from_chain(self.chain)
+        else:
+            # Unknown table -> error, mirroring EthereumTable.java:7-14 /
+            # EthereumMetadata.java:71-81.
+            raise ValueError(
+                f"Unknown table: {name!r} (expected block|transaction|erc20)"
+            )
+        if self.strict_varchar:
+            from presto_ethereum_spark.sources.decode import (
+                truncate_varchar_bounds,
+            )
+
+            out = truncate_varchar_bounds(out, name)
+        return out
 
     def table_for_block_range(
         self, name: str, lo: int | None = None, hi: int | None = None

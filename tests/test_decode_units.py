@@ -82,3 +82,38 @@ class TestTokenLookup:
         assert lookup_token("0x0abdace70d3790235af448c88547603b945604ea") == "district0x"
         assert lookup_token("0xd8912c10681d8b21fd3742244f44658dba12264e") == "Pluton"
         assert lookup_token("0x5c543e7ae0a1104f78406c340e9c64fd9fce5170") == "vSlice"
+
+
+class TestVarcharBounds:
+    def test_overlong_values_truncate_in_strict_mode(self, spark):
+        """Reference parity (EthereumRecordCursor.java:263-268 /
+        EthereumMetadata.java:48-51): varchar(n) columns truncate over-long
+        values; Spark StringType is unbounded, so strict mode applies the
+        declared widths explicitly."""
+        from pyspark.sql import Row
+
+        from presto_ethereum_spark.sources.decode import truncate_varchar_bounds
+
+        long_hash = "0x" + "ab" * 50  # 102 chars, bound is 66
+        df = spark.createDataFrame(
+            [Row(block_hash=long_hash, block_miner="0x" + "cd" * 30,
+                 block_extradata="z" * 1000, block_number=1)]
+        )
+        out = truncate_varchar_bounds(df, "block").first()
+        assert len(out.block_hash) == 66
+        assert out.block_hash == long_hash[:66]
+        assert len(out.block_miner) == 42
+        assert len(out.block_extradata) == 1000  # unbounded stays untouched
+        assert out.block_number == 1  # non-varchar untouched
+
+    def test_wellformed_data_unchanged(self, spark, chain_source):
+        """On well-formed chain data the bounds never bite: strict and
+        default decodes are identical."""
+        from presto_ethereum_spark.sources.fixture import EthereumFixtureSource
+
+        strict = EthereumFixtureSource(
+            spark, chain_source.chain_path, strict_varchar=True
+        )
+        for tbl in ("block", "transaction", "erc20"):
+            a, b = chain_source.table(tbl), strict.table(tbl)
+            assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

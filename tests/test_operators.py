@@ -1051,3 +1051,37 @@ class TestPipelineProperties:
             .collect()
         }
         assert expr == kern
+
+
+class TestIvfPq:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_one_pass_index_equals_separate_kernels(self, emb):
+        """ivfpq_index must reproduce _ivf_corpus_index's cells AND
+        pq_codes' codes exactly — the composed one-pass build inherits
+        both oracles."""
+        cents = similarity.seed_centroids(emb, n_cells=4)
+        sub_dim, n_sub = 8, 8
+        codebooks = [
+            [(code, cv[s * sub_dim : (s + 1) * sub_dim]) for code, (_, cv) in enumerate(cents)]
+            for s in range(n_sub)
+        ]
+        combined = {
+            (r["vec_id"], r["subspace"]): (r["cell"], r["code"])
+            for r in similarity.ivfpq_index(emb, cents, codebooks, sub_dim).collect()
+        }
+        cells = {
+            r["neighbor_id"]: r["cell"]
+            for r in similarity._ivf_corpus_index(
+                emb, cents, "vec_id", "embedding"
+            ).collect()
+        }
+        codes = {
+            (r["vec_id"], r["subspace"]): r["code"]
+            for r in similarity.pq_codes(emb, codebooks, sub_dim).collect()
+        }
+        assert len(combined) == len(codes) > 0
+        for (vid, s), (cell, code) in combined.items():
+            assert cells[vid] == cell and codes[(vid, s)] == code
