@@ -1573,6 +1573,58 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_crosssource_dup_matrix",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_SIG},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = id_a
+      JOIN shingled sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.3)
+    SELECT least(da.source, db.source)    AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           count(*) AS n_dup_pairs
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.id_a
+    JOIN documents db ON db.doc_id = pairs.id_b
+    GROUP BY source_x, source_y
+    """,
+)
+def doc_crosssource_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix — WHERE duplicates live: near-dup
+    pairs (MinHash+LSH, Jaccard >= 0.3) joined back to their sources and
+    counted per unordered source pair.  The standard audit before mixing
+    corpora (did crawl-B re-scrape corpus-A?).  Scale: the pair list is
+    tiny next to the corpus; the two metadata joins broadcast the
+    (doc_id, source) projection, then one ~|sources|² aggregation."""
+    from presto_ethereum_spark.operators.dedup import minhash_dedup_pairs
+
+    d = t_spread(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(d, threshold=0.3).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a")
+    sb = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+@q(
     "doc_simhash_pairs",
     """
     WITH toks AS (
@@ -3089,6 +3141,57 @@ def doc_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
             "n_docs",
             actual.alias("actual_frac"),
             ((F.lit(1.0) / F.col("n_sources")) / actual).alias("weight"),
+        )
+    )
+
+
+@q(
+    "doc_rare_bigram_rate",
+    """
+    WITH grams AS (
+      SELECT doc_id, substr(lower(text), CAST(i AS INT), 2) AS bg
+      FROM documents, unnest(range(1, greatest(length(text) - 1, 0) + 1)) r(i)
+    ),
+    freq AS (SELECT bg, count(*) AS n FROM grams GROUP BY bg)
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN f.n < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           round(sum(CASE WHEN f.n < 50 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 9) AS rare_rate
+    FROM grams g JOIN freq f ON f.bg = g.bg
+    GROUP BY g.doc_id
+    """,
+)
+def doc_rare_bigram_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-bigram fluency score — the integer-exact stand-in for an
+    n-gram-LM perplexity filter: a document whose bigrams are mostly rare
+    in the corpus (count < 50) is likely garbled/boilerplate/not-language.
+    All counting, no transcendental (a log-prob sum would differ in the
+    last ulp between engines' libm).  Scale: one shuffle builds the
+    corpus bigram table (~alphabet² rows — broadcastable at any corpus
+    size), then the per-doc aggregation is map-side joined."""
+    d = t_spread(spark, sf, "documents")
+    # substr with a dynamic start rides expr (F.substring wants literals)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 1, 0)),"
+                " i -> substr(lower(text), i, 2))"
+            )
+        ).alias("bg"),
+    )
+    freq = grams.groupBy("bg").agg(F.count("*").alias("n"))
+    rare = F.when(F.col("n") < 50, 1).otherwise(0)
+    return (
+        grams.join(F.broadcast(freq), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            F.round(
+                F.sum(rare) / F.count("*").cast("double"), 9
+            ).alias("rare_rate"),
         )
     )
 
