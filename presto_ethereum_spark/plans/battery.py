@@ -2297,6 +2297,30 @@ def stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_stream_join",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+                FROM events)
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           p.t_us - c.t_us AS delta_us
+    FROM ev c JOIN ev p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.t_us >= c.t_us AND p.t_us <= c.t_us + 3600000000
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join run to completion: clicks matched to
+    the same user's purchases within an hour — both sides watermarked and
+    the interval condition bounds the buffered state (streaming/events.py:
+    stream_stream_join).  The settled availableNow result must equal the
+    batch interval self-join exactly."""
+    from presto_ethereum_spark.streaming.events import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf)
+
+
+@q(
     "rel_shipping_priority",
     """
     SELECT l_orderkey,

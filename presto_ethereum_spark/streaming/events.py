@@ -163,20 +163,32 @@ def sessionized_stream(
     )
 
 
-def run_sessionized(
-    spark: SparkSession, sf_dir: str, gap_us: int = 3_600_000_000
+def _settle_to_memory(
+    spark: SparkSession, stream_df: DataFrame, prefix: str, output_mode: str
 ) -> DataFrame:
-    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    """Run a stream to completion (availableNow) into a uuid-named memory
+    sink, pin the settled result, and DROP the sink — repeated calls in one
+    session (bench loops, retries) must not accumulate cached tables."""
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
-        sessionized_stream(spark, sf_dir, gap_us)
-        .writeStream.format("memory")
+        stream_df.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+def run_sessionized(
+    spark: SparkSession, sf_dir: str, gap_us: int = 3_600_000_000
+) -> DataFrame:
+    return _settle_to_memory(
+        spark, sessionized_stream(spark, sf_dir, gap_us), "stream_sessions", "append"
+    )
 
 
 def run_windowed_counts(
@@ -184,17 +196,10 @@ def run_windowed_counts(
 ) -> DataFrame:
     """Run the stream to completion (availableNow) into a memory sink and
     return the settled result."""
-    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_counts_stream(spark, sf_dir, window)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _settle_to_memory(
+        spark, windowed_counts_stream(spark, sf_dir, window),
+        "stream_counts", "complete",
     )
-    q.awaitTermination()
-    return spark.table(sink)
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,17 +218,9 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        dedup_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _settle_to_memory(
+        spark, dedup_stream(spark, sf_dir), "stream_dedup", "append"
     )
-    q.awaitTermination()
-    return spark.table(sink)
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,14 +249,69 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_static_join(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _settle_to_memory(
+        spark, stream_static_join(spark, sf_dir), "stream_enrich", "complete"
     )
-    q.awaitTermination()
-    return spark.table(sink)
+
+
+def stream_stream_join(
+    spark: SparkSession, sf_dir: str, within_us: int = 3_600_000_000
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the remaining Structured
+    Streaming join surface: clicks matched to the same user's purchases
+    within ``within_us`` (event-time interval condition).
+
+    State stays bounded because BOTH sides carry watermarks and the join
+    condition bounds purchase_time relative to click_time: Spark can expire
+    a buffered click once the purchase watermark passes click_time +
+    within + lateness, and vice versa — without the interval bound the
+    state would grow with the stream.  At scale the join co-partitions
+    both streams on user_id, one shuffle each."""
+    ev = _events_source(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.col("t_us"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("t_us").alias("click_us"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("t_us").alias("purchase_us"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "2 hours")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_time") >= F.col("click_time"))
+            & (
+                F.col("purchase_time")
+                <= F.col("click_time")
+                + F.expr(f"INTERVAL {int(within_us)} MICROSECOND")
+            ),
+            "inner",
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.col("purchase_us") - F.col("click_us")).alias("delta_us"),
+        )
+    )
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _settle_to_memory(
+        spark, stream_stream_join(spark, sf_dir), "stream_ss_join", "append"
+    )
