@@ -57,6 +57,14 @@ def oracles() -> dict[str, str]:
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
 
 
+def battery_oracle(name: str) -> str:
+    """The registered oracle SQL for ``name`` — for queries whose Spark
+    path IS ``spark.sql`` of the same ANSI text (correlated-subquery
+    shapes the DataFrame API cannot express).  The differential then
+    pins that both engines agree on the same SQL, dialect-neutrally."""
+    return _REGISTRY[name][1]
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver-provided table, normalizing ``events.ts`` to epoch-ns
     longs whatever the physical parquet type is: timestamp[ns] arrives as
@@ -2318,6 +2326,117 @@ def stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.streaming.events import run_stream_stream_join
 
     return run_stream_stream_join(spark, sf)
+
+
+@q(
+    "rel_grouped_median_udaf",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n,
+           median(c_acctbal) AS median_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def rel_grouped_median_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom aggregate via a GROUPED-AGG pandas UDF — the UDAF face of
+    the Python surface (SURVEY §2.C anticipates scalar UDFs; this is the
+    aggregation analogue): per-segment median account balance, Arrow
+    batch in, scalar out.  pandas' even-n interpolation ((a+b)/2 of the
+    two middles) is the same fp64 op DuckDB's median performs, so the
+    differential is exact.  Scale: grouped-agg UDFs shuffle the group's
+    column to one executor — right for bounded groups (segments); an
+    unbounded-group median belongs to approx_percentile instead."""
+    from presto_ethereum_spark.functions.udaf import count_udaf, median_udaf
+
+    c = t(spark, sf, "customer")
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg, so the count rides a pandas UDAF too
+    return c.groupBy("c_mktsegment").agg(
+        count_udaf(F.col("c_acctbal")).alias("n"),
+        median_udaf(F.col("c_acctbal")).alias("median_acctbal"),
+    )
+
+
+def _sql_views(spark: SparkSession, sf: str) -> None:
+    """Register the testdata tables as temp views for queries exercised
+    through ``spark.sql`` — the correlated-subquery shapes below go through
+    Catalyst's decorrelation, which the DataFrame API cannot express."""
+    from presto_ethereum_spark.session import register_testdata_views
+
+    register_testdata_views(spark, sf)
+
+
+@q(
+    "rel_min_price_supplier",
+    """
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 5
+      AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def rel_min_price_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated SCALAR-MIN subquery: the cheapest
+    supplier per small part, with the min correlated on the outer part
+    key.  Catalyst decorrelates to an aggregate + join (no per-row
+    re-execution); ties (two lineitems at the min price) surface in both
+    engines identically because min is exact on stored doubles."""
+    _sql_views(spark, sf)
+    return spark.sql(battery_oracle("rel_min_price_supplier"))
+
+
+@q(
+    "rel_small_qty_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def rel_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated AVG subquery (small-quantity-order
+    revenue).  Exactness: l_quantity is integer-valued, so the correlated
+    avg is order-free in fp64; the revenue sum rides DECIMAL."""
+    _sql_views(spark, sf)
+    return spark.sql(battery_oracle("rel_small_qty_revenue"))
+
+
+@q(
+    "rel_inactive_by_nation",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS a
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_cust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def rel_inactive_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with NO orders,
+    per nation — scalar subquery + anti-join (NOT EXISTS) + aggregate.
+    The threshold average is computed through DECIMAL so the boundary
+    comparison cannot flip on accumulation order."""
+    _sql_views(spark, sf)
+    return spark.sql(battery_oracle("rel_inactive_by_nation"))
 
 
 @q(
