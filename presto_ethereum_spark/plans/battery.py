@@ -92,7 +92,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t_spread(
+    spark: SparkSession, sf_dir: str, name: str, parts: int | None = None
+) -> DataFrame:
     """``t`` + spread for CPU-heavy map stages (hashing/shingling/folding).
 
     A small single-file parquet arrives as ONE input partition, which
@@ -100,9 +102,18 @@ def t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     simhash pairs at sf0.1 went >9 min -> 7 s with 32 partitions).  The
     repartition is CONDITIONAL: at real scale the scan already has >= cores
     partitions (maxPartitionBytes), so this is a no-op there — we never
-    force a shuffle of 100 TB of text."""
+    force a shuffle of 100 TB of text.
+
+    ``parts`` caps the spread below full parallelism: Arrow-kernel stages
+    (mapInPandas) pay a per-task Python round-trip, so a tiny input split
+    32 ways spends more on task scheduling than compute (measured: the
+    IVF index pass at sf0.1's 2000 vectors, 1.9 s at 32 parts vs 1.1 s
+    at 8) — while text folds with real per-row CPU still want every
+    core."""
     df = t(spark, sf_dir, name)
     p = spark.sparkContext.defaultParallelism
+    if parts is not None:
+        p = min(parts, p)
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
     return df
@@ -1761,7 +1772,7 @@ def emb_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     scan, WindowGroupLimit top-k (operators/similarity.py)."""
     from presto_ethereum_spark.operators.similarity import brute_force_topk
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     return brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
 
 
@@ -1781,7 +1792,7 @@ def emb_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bit-identical to the expression fold, so the oracle hash is unchanged."""
     from presto_ethereum_spark.operators.similarity import cosine_pairs_gemm
 
-    return cosine_pairs_gemm(t_spread(spark, sf, "embeddings"), threshold=0.3)
+    return cosine_pairs_gemm(t_spread(spark, sf, "embeddings", parts=8), threshold=0.3)
 
 
 _IVF_CODEBOOKS: dict[str, list] = {}
@@ -1841,7 +1852,7 @@ def emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     an exact differential test of an *approximate* index."""
     from presto_ethereum_spark.operators.similarity import ivf_topk, seed_centroids
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     # codebook build is a one-time index step — memoize per dataset so
     # repeated serving queries skip the driver-side collect job
     cents = _IVF_CODEBOOKS.get(sf)
@@ -2658,7 +2669,7 @@ def emb_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb_ivf_topk."""
     from presto_ethereum_spark.operators.similarity import lsh_topk
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     return lsh_topk(e, dim=64, k=10, bands=4, bits=24).where(F.col("query_id") < 5)
 
 
@@ -3955,7 +3966,7 @@ def emb_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
         seed_centroids,
     )
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     cents = _IVF_CODEBOOKS.get(sf)
     if cents is None:
         cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
@@ -4067,7 +4078,7 @@ def emb_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     bit-for-bit with no fixed-point machinery.  Map-only at any scale."""
     from presto_ethereum_spark.operators.similarity import pq_codes, seed_centroids
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     seeds = _IVF_CODEBOOKS.get(("pq", sf))
     if seeds is None:
         seeds = _IVF_CODEBOOKS[("pq", sf)] = seed_centroids(e, n_cells=_PQ_CODES)
@@ -4407,7 +4418,7 @@ def emb_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
         seed_centroids,
     )
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     cents = _IVF_CODEBOOKS.get(sf)
     if cents is None:
         cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
@@ -4844,7 +4855,7 @@ def emb_dim_stats(spark: SparkSession, sf: str) -> DataFrame:
     dimensions show up here first).  Coordinates are 1e15 fixed-point
     quantized so the sums are integer-exact under any partitioning; one
     posexplode + one partial-aggregated shuffle on a 64-value key."""
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     s = F.lit(1e15)
     return (
         e.select(F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("dim", "x"))
@@ -4943,7 +4954,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     The corpus embedding column is never read at serve time."""
     from presto_ethereum_spark.operators.similarity import pq_codes, seed_centroids
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     seeds = _IVF_CODEBOOKS.get(("pq", sf))
     if seeds is None:
         seeds = _IVF_CODEBOOKS[("pq", sf)] = seed_centroids(e, n_cells=_PQ_CODES)
@@ -5114,7 +5125,7 @@ def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         seed_centroids,
     )
 
-    e = t_spread(spark, sf, "embeddings")
+    e = t_spread(spark, sf, "embeddings", parts=8)
     cents = _IVF_CODEBOOKS.get(sf)
     if cents is None:
         cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
