@@ -2363,8 +2363,8 @@ def rel_grouped_median_udaf(spark: SparkSession, sf: str) -> DataFrame:
     # Spark disallows mixing grouped-agg pandas UDFs with built-in
     # aggregates in one agg, so the count rides a pandas UDAF too
     return c.groupBy("c_mktsegment").agg(
-        count_udaf(F.col("c_acctbal")).alias("n"),
-        median_udaf(F.col("c_acctbal")).alias("median_acctbal"),
+        count_udaf()(F.col("c_acctbal")).alias("n"),
+        median_udaf()(F.col("c_acctbal")).alias("median_acctbal"),
     )
 
 
@@ -2375,6 +2375,74 @@ def _sql_views(spark: SparkSession, sf: str) -> None:
     from presto_ethereum_spark.session import register_testdata_views
 
     register_testdata_views(spark, sf)
+
+
+@q(
+    "stream_ivf_ingest",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, c.cid, {_duck_cos('c.cvec', 'e.embedding')} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    )
+    SELECT CAST(cid AS INT) AS cell, count(*) AS n_vectors
+    FROM assign GROUP BY cid
+    """,
+)
+def stream_ivf_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ANN index ingest: the vector stream assigns IVF cells
+    MAP-SIDE inside the micro-batch (ivf_assign is a pure projection, so
+    it runs unchanged on a streaming DataFrame — zero state beyond the
+    per-cell counters).  The settled per-cell histogram must equal the
+    batch assignment exactly — pins that index maintenance can ride
+    Structured Streaming without a separate code path."""
+    from presto_ethereum_spark.operators.similarity import seed_centroids
+    from presto_ethereum_spark.streaming.events import run_ivf_ingest
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    return run_ivf_ingest(spark, sf, cents)
+
+
+@q(
+    "doc_sentences_udtf",
+    """
+    SELECT d.doc_id,
+           parts[CAST(r.i AS INT)] AS sentence,
+           CAST(r.i - 1 AS INT) AS pos,
+           CAST(len(string_split(parts[CAST(r.i AS INT)], ' ')) AS INT)
+             AS n_words
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents) d,
+         unnest(range(1, len(parts) + 1)) r(i)
+    """,
+)
+def doc_sentences_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF through a LATERAL join — Spark 4's table-function
+    surface (functions/udaf.split_sentences_udtf): each document expands
+    to one row per sentence with position and word count, computed in
+    Python per input row.  The oracle is the pure-SQL split+unnest."""
+    from presto_ethereum_spark.functions.udaf import split_sentences_udtf
+
+    _sql_views(spark, sf)
+    spark.udtf.register("split_sentences", split_sentences_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, s.pos, s.n_words
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )
 
 
 @q(

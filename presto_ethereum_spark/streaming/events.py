@@ -315,3 +315,33 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _settle_to_memory(
         spark, stream_stream_join(spark, sf_dir), "stream_ss_join", "append"
     )
+
+
+def ivf_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list,
+) -> DataFrame:
+    """STREAMING INDEX INGEST: vectors arrive as a stream, each is
+    assigned its IVF cell map-side (codebook literal —
+    operators/similarity.ivf_assign works unchanged on a streaming
+    DataFrame because it is a pure projection), and per-cell counts
+    aggregate in complete mode.  This is the standing shape for keeping
+    an ANN index fresh: assignment costs zero state, only the tiny
+    per-cell counter aggregates."""
+    from presto_ethereum_spark.operators.similarity import ivf_assign
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = ivf_assign(stream, centroids)
+    return assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+
+
+def run_ivf_ingest(spark: SparkSession, sf_dir: str, centroids: list) -> DataFrame:
+    return _settle_to_memory(
+        spark, ivf_ingest_stream(spark, sf_dir, centroids), "stream_ivf", "complete"
+    )

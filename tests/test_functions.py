@@ -182,3 +182,15 @@ def test_historical_checkpoint_resolution(spark):
         udfs["eth_getTransactionCount"](F.col("addr"), F.lit(150)).alias("n")
     ).first().n
     assert n == 3
+
+
+def test_udaf_module_imports_without_session():
+    """The UDAF/UDTF factories must be import-safe with no SparkSession:
+    string returnTypes parse DDL through the active session, so
+    construction is deferred to first call."""
+    import importlib
+
+    import presto_ethereum_spark.functions.udaf as m
+
+    importlib.reload(m)  # would raise at decoration time if eager
+    assert callable(m.median_udaf) and callable(m.split_sentences_udtf)

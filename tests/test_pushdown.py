@@ -156,3 +156,40 @@ class TestBlockRangeAlgebra:
     def test_empty(self):
         assert BlockRange(10, 5).is_empty
         assert not BlockRange(10, OPEN_END).is_empty
+
+
+class TestRangeListAlgebra:
+    def test_normalize_merges_overlap_and_adjacency(self):
+        from presto_ethereum_spark.plans.pushdown import normalize_ranges
+
+        assert normalize_ranges(
+            [BlockRange(5, 10), BlockRange(1, 6), BlockRange(11, 12)]
+        ) == [BlockRange(1, 12)]  # overlap + adjacency merge
+        assert normalize_ranges(
+            [BlockRange(1, 3), BlockRange(10, 5), BlockRange(7, 8)]
+        ) == [BlockRange(1, 3), BlockRange(7, 8)]  # empty dropped, sorted
+        assert normalize_ranges(
+            [BlockRange(20, OPEN_END), BlockRange(1, 2), BlockRange(30, 40)]
+        ) == [BlockRange(1, 2), BlockRange(20, OPEN_END)]  # open absorbs
+
+    def test_intersect_lists(self):
+        from presto_ethereum_spark.plans.pushdown import intersect_range_lists
+
+        a = [BlockRange(1, 10), BlockRange(100, 200)]
+        b = [BlockRange(5, 150)]
+        assert intersect_range_lists(a, b) == [
+            BlockRange(5, 10),
+            BlockRange(100, 150),
+        ]
+        assert intersect_range_lists(a, [BlockRange(11, 99)]) == []
+
+    def test_parse_ranges_option(self):
+        from presto_ethereum_spark.plans.pushdown import parse_ranges_option
+
+        assert parse_ranges_option("1:10, 2001:2010") == [
+            BlockRange(1, 10),
+            BlockRange(2001, 2010),
+        ]
+        assert parse_ranges_option("500:*") == [BlockRange(500, OPEN_END)]
+        # overlapping spec normalizes
+        assert parse_ranges_option("1:10,5:20") == [BlockRange(1, 20)]
