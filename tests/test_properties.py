@@ -125,3 +125,79 @@ def test_pushdown_never_changes_results(spark, chain_source, bounds):
     )
     assert pruned.exceptAll(plain).count() == 0
     assert plain.exceptAll(pruned).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Funnel monotonicity + as-of direction duality (round-3 operators)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),   # user
+            st.sampled_from(["a", "b", "c"]),        # step type
+            st.integers(min_value=0, max_value=50),  # time
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_funnel_counts_monotone_nonincreasing(spark, events):
+    """Ordered-funnel invariant: users reaching step i+1 can never exceed
+    users reaching step i, for ANY event set — pins the single-pass
+    array-recurrence rewrite against ordering bugs the example tests
+    might miss."""
+    from pyspark.sql import Row
+
+    from presto_ethereum_spark.operators.temporal import funnel_counts
+
+    df = spark.createDataFrame(
+        [Row(user_id=u, event_type=ty, t_us=t) for u, ty, t in events]
+    )
+    out = {
+        r.stage: r.users
+        for r in funnel_counts(df, ["a", "b", "c"]).collect()
+    }
+    assert out[1] >= out[2] >= out[3] >= 0
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 40)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 40)), min_size=1, max_size=12
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_forward_is_backward_on_negated_time(spark, lefts, rights):
+    """Direction duality: forward as-of on t equals backward as-of on -t
+    (with the right side unique per (key, time)).  An algebraic identity
+    every correct implementation must satisfy — catches tie-order and
+    window-frame regressions in either direction."""
+    from pyspark.sql import Row
+
+    from presto_ethereum_spark.operators.temporal import asof_join
+
+    rights = list({(k, t) for k, t in rights})  # unique per (key, time)
+    L = spark.createDataFrame([Row(k=k, lt=t) for k, t in lefts])
+    R = spark.createDataFrame([Row(k=k, rt=t, payload=k * 100 + t) for k, t in rights])
+    fwd = {
+        (r.k, r.lt): r.asof_payload
+        for r in asof_join(
+            L, R, on_left="k", left_time="lt", right_time="rt",
+            right_value_cols=["payload"], direction="forward",
+        ).collect()
+    }
+    Ln = L.select("k", (-F.col("lt")).alias("lt"))
+    Rn = R.select("k", (-F.col("rt")).alias("rt"), "payload")
+    bwd = {
+        (r.k, -r.lt): r.asof_payload
+        for r in asof_join(
+            Ln, Rn, on_left="k", left_time="lt", right_time="rt",
+            right_value_cols=["payload"], direction="backward",
+        ).collect()
+    }
+    assert fwd == bwd
