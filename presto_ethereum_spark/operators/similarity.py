@@ -167,6 +167,26 @@ def _seq_norm(m):
     return np.sqrt(acc)
 
 
+def _arrow_id_matrix(rb):
+    """Decode a (id, vector) Arrow RecordBatch to ``(ids int64[n],
+    matrix float64[n, dim])`` by flattening the list column's value
+    buffer — the zero-object-overhead input path shared by the
+    ``mapInArrow`` kernels.  Values are identical to the per-row
+    ``np.asarray(v, float64)`` conversion (same float32->float64 cast)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = rb.column(1)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(ids)
+    if n == 0:
+        return ids, flat.reshape(0, 0)
+    return ids, flat.reshape(n, len(flat) // n)
+
+
 def _collect_id_matrix(df: DataFrame, id_col: str, vec_col: str):
     """Collect ``(ids int64[N], matrix float64[N,dim])`` on the driver via
     Arrow — one flatten + reshape of the list column's value buffer, no
@@ -551,12 +571,7 @@ def _ivf_corpus_index(
             n = rb.num_rows
             if not n:
                 continue
-            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            arr = rb.column(1)
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            vmat = flat.reshape(n, dim)
+            ids, vmat = _arrow_id_matrix(rb)
             acc = np.zeros((n, len(cids)))
             for j in range(dim):
                 acc = acc + vmat[:, j : j + 1] * cmat[:, j][None, :]
@@ -571,7 +586,7 @@ def _ivf_corpus_index(
             best = sim.argmax(axis=1)  # first max -> lowest cid
             offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
             cvd = pa.ListArray.from_arrays(
-                offs, pa.array(flat, type=pa.float64())
+                offs, pa.array(vmat.reshape(-1), type=pa.float64())
             )
             yield pa.RecordBatch.from_arrays(
                 [
@@ -779,9 +794,10 @@ def pq_codes(
     ``cosine_pairs_gemm``) reproduces an independent engine's fold
     bit-for-bit; no transcendental, no fixed-point needed.  Map-only: the
     codebook rides into the task closure; zero shuffle at any corpus
-    size."""
+    size.  Rides ``mapInArrow`` (buffer flatten/reshape, no pandas
+    object detour — see ``_arrow_id_matrix``)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     n_sub = len(codebooks)
     cmats = []
@@ -795,11 +811,10 @@ def pq_codes(
         )
 
     def encode_blocks(batches):
-        for b in batches:
-            if not len(b):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            vmat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            ids = b[id_col].to_numpy(dtype=np.int64)
+            ids, vmat = _arrow_id_matrix(rb)
             out_id, out_s, out_code, out_err = [], [], [], []
             for s in range(n_sub):
                 codes, cmat = cmats[s]
@@ -813,16 +828,17 @@ def pq_codes(
                 out_s.append(np.full(len(ids), s, dtype=np.int32))
                 out_code.append(codes[best].astype(np.int32))
                 out_err.append(d2[np.arange(len(ids)), best])
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_id),
-                    "subspace": np.concatenate(out_s),
-                    "code": np.concatenate(out_code),
-                    "err2": np.concatenate(out_err),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_id)),
+                    pa.array(np.concatenate(out_s), type=pa.int32()),
+                    pa.array(np.concatenate(out_code), type=pa.int32()),
+                    pa.array(np.concatenate(out_err)),
+                ],
+                names=["vec_id", "subspace", "code", "err2"],
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInArrow(
         encode_blocks, schema="vec_id long, subspace int, code int, err2 double"
     )
 
@@ -848,9 +864,10 @@ def ivfpq_index(
     layer and scores codes via a broadcast query-LUT — raw vectors are
     never read at serve time.  Bit-identical to running the two kernels
     separately (asserted in tests), so the composed index inherits both
-    oracles' exactness."""
+    oracles' exactness.  Rides ``mapInArrow`` (buffer flatten/reshape,
+    no pandas object detour — see ``_arrow_id_matrix``)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     cents = sorted(centroids, key=lambda c: int(c[0]))
     cids = np.array([int(c) for c, _ in cents], dtype=np.int64)
@@ -869,11 +886,10 @@ def ivfpq_index(
         )
 
     def build_blocks(batches):
-        for b in batches:
-            if not len(b):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            ids = b[id_col].to_numpy(dtype=np.int64)
-            vmat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            ids, vmat = _arrow_id_matrix(rb)
             # coarse cell: column-ordered cosine vs centroids
             acc = np.zeros((len(ids), len(cids)))
             for j in range(dim):
@@ -900,15 +916,16 @@ def ivfpq_index(
                 out_cell.append(cell)
                 out_s.append(np.full(len(ids), s, dtype=np.int32))
                 out_code.append(codes[d2.argmin(axis=1)].astype(np.int32))
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.concatenate(out_id),
-                    "cell": np.concatenate(out_cell),
-                    "subspace": np.concatenate(out_s),
-                    "code": np.concatenate(out_code),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_id)),
+                    pa.array(np.concatenate(out_cell), type=pa.int32()),
+                    pa.array(np.concatenate(out_s), type=pa.int32()),
+                    pa.array(np.concatenate(out_code), type=pa.int32()),
+                ],
+                names=["vec_id", "cell", "subspace", "code"],
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInArrow(
         build_blocks, schema="vec_id long, cell int, subspace int, code int"
     )
