@@ -250,7 +250,7 @@ def cosine_pairs_gemm(
     blocking columns, or the LSH (``lsh_topk``) / IVF (``ivf_topk``) paths.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     spark = df.sparkSession
     ids, mat = _collect_id_matrix(df, id_col, vec_col)
@@ -263,13 +263,10 @@ def cosine_pairs_gemm(
     def make_pass(bc):
         def block_scores(batches):
             b_ids, b_mat, b_norms = bc.value
-            for batch in batches:
-                if not len(batch):
+            for rb in batches:
+                if not rb.num_rows:
                     continue
-                a_ids = batch["id"].to_numpy(dtype=np.int64)
-                a_mat = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in batch["v"]]
-                )
+                a_ids, a_mat = _arrow_id_matrix(rb)
                 acc = np.zeros((len(a_ids), len(b_ids)))
                 for k in range(dim):
                     acc = acc + a_mat[:, k : k + 1] * b_mat[:, k][None, :]
@@ -279,12 +276,13 @@ def cosine_pairs_gemm(
                     sim = np.where(denom == 0.0, 0.0, acc / denom)
                 keep = (sim >= threshold) & (a_ids[:, None] < b_ids[None, :])
                 ai, bi = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {
-                        "id_a": a_ids[ai],
-                        "id_b": b_ids[bi],
-                        "sim_raw": sim[ai, bi],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(a_ids[ai]),
+                        pa.array(b_ids[bi]),
+                        pa.array(sim[ai, bi]),
+                    ],
+                    names=["id_a", "id_b", "sim_raw"],
                 )
 
         return block_scores
@@ -299,7 +297,7 @@ def cosine_pairs_gemm(
         bc = spark.sparkContext.broadcast(
             (ids[lo:hi], mat[lo:hi], norms[lo:hi])
         )
-        part = left.mapInPandas(make_pass(bc), schema=schema)
+        part = left.mapInArrow(make_pass(bc), schema=schema)
         out = part if out is None else out.unionAll(part)
     if out is None:
         out = spark.createDataFrame([], schema)
@@ -348,35 +346,37 @@ def _lsh_index_kernel(
     nrm)``.  Same column-ordered numpy accumulation as the other kernels,
     so every plane dot (and therefore every sign bit) and every norm is
     bit-identical to the ``hyperplane_signature`` expression path.
-    Map-only; the plane matrix rides the task closure."""
+    Map-only; the plane matrix rides the task closure.  Rides
+    ``mapInArrow`` (buffer flatten/reshape — see ``_arrow_id_matrix``)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     planes = np.array([_hyperplane(dim, p) for p in range(bits)])  # (bits, dim)
     bitvals = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     def index_blocks(batches):
-        for b in batches:
-            if not len(b):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            vmat = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
-            acc = np.zeros((len(b), planes.shape[0]))
+            ids, vmat = _arrow_id_matrix(rb)
+            acc = np.zeros((n, planes.shape[0]))
             for k in range(dim):
                 acc = acc + vmat[:, k : k + 1] * planes[:, k][None, :]
             sig = ((acc > 0) * bitvals[None, :]).sum(axis=1)
-            nrm = np.zeros(len(b))
+            nrm = np.zeros(n)
             for k in range(dim):
                 nrm = nrm + vmat[:, k] * vmat[:, k]
-            yield pd.DataFrame(
-                {
-                    "id": b[id_col].to_numpy(dtype=np.int64),
-                    "sig": sig,
-                    "v": list(vmat),
-                    "nrm": np.sqrt(nrm),
-                }
+            offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+            v_list = pa.ListArray.from_arrays(
+                offs, pa.array(vmat.reshape(-1), type=pa.float64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(sig), v_list, pa.array(np.sqrt(nrm))],
+                names=["id", "sig", "v", "nrm"],
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).mapInArrow(
         index_blocks, schema="id long, sig long, v array<double>, nrm double"
     )
 
