@@ -50,7 +50,17 @@ class EthereumFixtureSource:
     @property
     def chain(self) -> DataFrame:
         if self._chain is None:
-            self._chain = self.spark.read.parquet(self.chain_path)
+            if self.chain_path.rstrip("/").endswith((".json", ".jsonl")):
+                # JSON-lines chain snapshot (the shape an eth_getBlockByNumber
+                # dump produces) — read with the explicit nested schema so
+                # types match the parquet path exactly (no inference drift)
+                from presto_ethereum_spark.schemas import CHAIN_BLOCK_SCHEMA
+
+                self._chain = self.spark.read.schema(CHAIN_BLOCK_SCHEMA).json(
+                    self.chain_path
+                )
+            else:
+                self._chain = self.spark.read.parquet(self.chain_path)
         return self._chain
 
     def table(self, name: str) -> DataFrame:

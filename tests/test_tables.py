@@ -90,3 +90,24 @@ def test_catalog_metadata_queries(spark, chain_source):
         "erc20_token", "erc20_from", "erc20_to",
         "erc20_value", "erc20_txhash", "erc20_blocknumber",
     ]
+
+
+def test_json_snapshot_source_matches_parquet(spark, chain_source, tmp_path):
+    """A JSON-lines chain dump (the eth_getBlockByNumber shape) must derive
+    the same three tables as the parquet snapshot — explicit-schema read,
+    no inference drift."""
+    from presto_ethereum_spark.sources.fixture import EthereumFixtureSource
+
+    sliced = chain_source.chain.where("number BETWEEN 100 AND 160")
+    jdir = str(tmp_path / "chain.jsonl")  # suffix selects the JSON reader
+    sliced.write.mode("overwrite").json(jdir)
+    jsrc = EthereumFixtureSource(spark, jdir)
+    for tbl, key in (
+        ("block", "block_number"),
+        ("transaction", "tx_blocknumber"),
+        ("erc20", "erc20_blocknumber"),
+    ):
+        want = chain_source.table(tbl).where(f"{key} BETWEEN 100 AND 160")
+        got = jsrc.table(tbl)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
