@@ -117,16 +117,28 @@ class EthereumPartitionedStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"next": self.start_block}
 
+    def _raise_floor(self, n: int) -> None:
+        if self._last is None or n > self._last["next"]:
+            self._last = {"next": n}
+
     def latestOffset(self) -> dict:
-        # self-rate-limit: advance at most max_per_batch blocks per trigger
+        # Self-rate-limit: advance at most max_per_batch blocks per trigger
         # (the catch-up knob; Spark's admission control does not reach
-        # python stream readers)
+        # python stream readers).  The floor is the highest offset this
+        # instance has SEEN — seeded by commit()/partitions() callbacks on
+        # restart (a fresh instance knows nothing of the checkpoint, and an
+        # offset that goes backward would silently re-read committed
+        # blocks: dict offsets compare by equality, not order).
         lo = self._last["next"] if self._last else self.start_block
         head = self.transport.block_number()
         self._last = {"next": max(lo, min(head + 1, lo + self.max_per_batch))}
         return self._last
 
     def partitions(self, start: dict, end: dict) -> list[ChainBatchPartition]:
+        # learn the restart position: the first post-recovery call carries
+        # the checkpoint's committed offset as `start`
+        self._raise_floor(start["next"])
+        self._raise_floor(end["next"])
         lo, hi = start["next"], end["next"] - 1  # inclusive
         step = self.blocks_per_partition
         return [
@@ -147,7 +159,10 @@ class EthereumPartitionedStreamReader(DataSourceStreamReader):
             yield tuple(row[c] for c in self.columns)
 
     def commit(self, end: dict) -> None:
-        pass  # stateless transports
+        # stateless transports — but the recovery path calls commit with
+        # the restored offset, which seeds the rate-limit floor (see
+        # latestOffset)
+        self._raise_floor(end["next"])
 
 
 class EthereumStreamDataSource(DataSource):
