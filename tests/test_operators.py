@@ -1085,3 +1085,30 @@ class TestIvfPq:
         assert len(combined) == len(codes) > 0
         for (vid, s), (cell, code) in combined.items():
             assert cells[vid] == cell and codes[(vid, s)] == code
+
+    def test_ivfpq_serving_recall(self, emb, spark):
+        """End-to-end IVF+PQ serving recall vs exact truth — measured, not
+        assumed: cell pruning (2/8 probed) AND 4-code product quantization
+        both lose information; the composed index must still recover a
+        useful fraction of true top-10 neighbors."""
+        from presto_ethereum_spark.plans import battery
+
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.brute_force_topk(
+                emb, emb.where("vec_id < 5"), k=10
+            ).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in battery.queries()["emb_ivfpq_topk"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        recall = len(truth & approx) / len(truth)
+        # 4 codes x 8 subspaces is a deliberately TINY codebook (kept small
+        # for closed-form oracle tractability): measured recall ~0.22 —
+        # ~45x the k/N = 0.005 chance baseline.  Production codebooks
+        # (256 codes) recall far higher; the pin here is "the composed
+        # index carries real signal", not a quality target.
+        assert recall >= 0.15, f"IVF+PQ recall too low: {recall:.3f}"

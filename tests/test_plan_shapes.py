@@ -1,0 +1,72 @@
+"""Plan-shape regression guards: the scale-critical physical-plan
+properties the round audits established, pinned as tests so a future
+change can't silently reintroduce a shuffle/nested-loop.
+
+Only STABLE invariants live here (ones that don't flap with AQE or data
+size at sf0.001): exchange ceilings, no-nested-loop, broadcast dims,
+pushed parquet filters.  scripts/plan_audit.py remains the wide
+diagnostic sweep.
+"""
+
+import pytest
+
+from presto_ethereum_spark.plans import battery
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        battery.queries()[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_funnel_exchange_ceiling(spark):
+    """Single-pass funnel: 2 logical exchanges (user groupBy + global agg);
+    allow a small margin for AQE wrappers, never the 22 of the per-step
+    formulation."""
+    assert _plan(spark, "rel_funnel_steps").count("Exchange") <= 4
+
+
+def test_chunk_windows_map_only(spark):
+    """Overlapping chunking is a pure projection — zero exchanges at any
+    scale."""
+    assert _plan(spark, "doc_chunk_windows").count("Exchange") == 0
+
+
+def test_quantize_mse_map_only(spark):
+    assert _plan(spark, "emb_quantize_mse").count("Exchange") == 0
+
+
+def test_star_join_broadcasts_dims(spark):
+    """The 4-table star join must broadcast its dimension tables, not
+    sort-merge them."""
+    plan = _plan(spark, "rel_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The time-bin rewrite must keep the range join out of
+    BroadcastNestedLoopJoin territory."""
+    assert "NestedLoop" not in _plan(spark, "rel_range_join")
+
+
+def test_block_range_reaches_parquet_scan(spark):
+    """A block-range predicate on the fixture path must reach the chain
+    parquet scan as a pushed filter (row-group pruning on the nested
+    snapshot's `number`); the Python-DataSource path's pruning is pinned
+    by partition assertions in test_rpc_source.py instead (its BatchScan
+    node doesn't print pushed filters)."""
+    plan = _plan(spark, "eth_erc20_movement")
+    assert "PushedFilters: [" in plan
+
+
+def test_top_miners_take_ordered(spark):
+    """Top-k must plan TakeOrderedAndProject (or window-group-limit), not a
+    global sort materialization."""
+    plan = _plan(spark, "eth_top_miners")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
