@@ -2378,6 +2378,70 @@ def _sql_views(spark: SparkSession, sf: str) -> None:
 
 
 @q(
+    "eth_erc20_exact_flows",
+    f"""
+    WITH lg AS (
+      SELECT unnest(t.logs) AS l
+      FROM (SELECT unnest(transactions) AS t
+            FROM read_parquet('{ETH}/chain_blocks.parquet'))
+    ),
+    tr AS (
+      SELECT l.address AS token_address, l.data AS data
+      FROM lg
+      WHERE lower(l.topics[1]) =
+            '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'
+        AND len(l.topics) >= 3
+        AND length(l.data) = 66
+        AND substr(l.data, 3, 34) = repeat('0', 34)
+    )
+    SELECT token_address,
+           count(*) AS n_transfers,
+           CAST(sum(
+             CAST(CAST(concat('0x', substr(data, 37, 15)) AS BIGINT) AS HUGEINT)
+               * 1152921504606846976
+             + CAST(CAST(concat('0x', substr(data, 52, 15)) AS BIGINT) AS HUGEINT)
+           ) AS DECIMAL(38,0)) AS total_wei_exact
+    FROM tr GROUP BY token_address
+    """,
+)
+def eth_erc20_exact_flows(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT token flows — the Decimal extension the survey's build plan
+    reserves (SURVEY §7 "optional Decimal mode"): standard 3-topic
+    Transfer events decode their value hex to DECIMAL(38,0)
+    (decode.hex_to_decimal_col) and sum exactly — no double mantissa loss
+    at any aggregation size, partition-order independent by construction.
+    The oracle reassembles each value as hi*2^60 + lo HUGEINT chunks from
+    the same hex.  Values needing > 120 bits are excluded by the
+    leading-zero guard on BOTH engines (none exist in the fixture; the
+    guard makes the contract explicit)."""
+    from presto_ethereum_spark.sources.decode import hex_to_decimal_col
+
+    chain = _eth_tables(spark).chain
+    logs = chain.select(F.explode("transactions").alias("t")).select(
+        F.explode("t.logs").alias("l")
+    )
+    tr = logs.where(
+        (
+            F.lower(F.col("l.topics")[0])
+            == "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+        )
+        & (F.size("l.topics") >= 3)
+        # standard single-field Transfer data only: fully-indexed events
+        # with multi-field data (ERC-721-ish) put the id in data and parse
+        # to values past Decimal(38) — outside the exact-mode contract
+        & (F.length("l.data") == 66)
+        & (F.substring(F.col("l.data"), 3, 34) == "0" * 34)
+    ).select(
+        F.col("l.address").alias("token_address"),
+        hex_to_decimal_col(F.col("l.data")).alias("wei_exact"),
+    )
+    return tr.groupBy("token_address").agg(
+        F.count("*").alias("n_transfers"),
+        F.sum("wei_exact").cast("decimal(38,0)").alias("total_wei_exact"),
+    )
+
+
+@q(
     "stream_ivf_ingest",
     f"""
     WITH cent AS (

@@ -106,6 +106,33 @@ def hex_to_double_col(col: Column) -> Column:
     return _hex_to_double_udf(col)
 
 
+def hex_to_decimal_col(col: Column) -> Column:
+    """EXACT-value extension (SURVEY §1.3 / §7: "optional Decimal mode"):
+    hex -> DECIMAL(38,0), widening the exact integer range from the
+    reference's double mantissa (2^53) to ~1.7e38.  True uint256 maxima
+    exceed Decimal(38) and decode to NULL — explicitly a narrower-but-
+    exact contract, vs the reference's wider-but-lossy double
+    (EthereumERC20Utils.java:8-14).  Unparseable hex -> NULL (the double
+    path's 0.0 fallback is for ERC-721 id-in-data events, which callers
+    of the exact path filter out beforehand)."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    @F.pandas_udf(DecimalType(38, 0))
+    def _f(s):  # type: ignore[no-untyped-def]
+        def conv(x):
+            try:
+                v = int(x, 16)
+            except (TypeError, ValueError):
+                return None
+            return Decimal(v) if v < 10**38 else None
+
+        return s.map(conv)
+
+    return _f(col)
+
+
 def token_symbol_col(address: Column) -> Column:
     """Known-token symbol via a 42-entry literal map (broadcast by value into
     the plan — no join, no shuffle); miss -> ``ERC20(<original-case addr>)``
