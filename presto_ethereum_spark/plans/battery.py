@@ -2378,6 +2378,89 @@ def _sql_views(spark: SparkSession, sf: str) -> None:
 
 
 @q(
+    "rel_partitioned_write_roundtrip",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_partitioned_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The WRITE path on the oracle gate: orders land as Hive-partitioned
+    parquet (sources/sink.write_partitioned, partitioned by order status),
+    are read back through a partition-pruned scan (only the 'F' directory
+    is touched — the write-side complement of the scan's block-range
+    pushdown), and the aggregate over the round-trip must equal the
+    direct SQL.  DECIMAL sum keeps the comparison exact."""
+    import tempfile
+
+    from presto_ethereum_spark.sources.sink import write_partitioned
+
+    o = t(spark, sf, "orders")
+    path = tempfile.mkdtemp(prefix="pes_roundtrip_") + "/orders_part"
+    write_partitioned(o, path, ["o_orderstatus"])
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@q(
+    "eth_nonce_gaps",
+    f"""
+    WITH seq AS (
+      SELECT tx_from, tx_nonce,
+             lag(tx_nonce) OVER (PARTITION BY tx_from
+                                 ORDER BY tx_nonce, tx_hash) AS prev_nonce
+      FROM read_parquet('{ETH}/transaction.parquet'))
+    SELECT tx_from AS sender,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(tx_nonce - prev_nonce - 1) AS BIGINT) AS missing_nonces,
+           CAST(min(prev_nonce + 1) AS BIGINT) AS first_missing
+    FROM seq
+    WHERE prev_nonce IS NOT NULL AND tx_nonce - prev_nonce > 1
+    GROUP BY tx_from
+    """,
+)
+def eth_nonce_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Nonce-gap detection per sender — the completeness audit for an
+    ingested chain slice: a sender's nonces must be consecutive, so a gap
+    means the scan missed transactions (or the range cut mid-account).
+    One window over (sender, nonce) + a filtered aggregate; the window
+    partitions by sender, so it parallelizes per account at any chain
+    size."""
+    tx = _eth_tables(spark).table("transaction")
+    w = Window.partitionBy("tx_from").orderBy("tx_nonce", "tx_hash")
+    seq = tx.select(
+        "tx_from", "tx_nonce", F.lag("tx_nonce").over(w).alias("prev_nonce")
+    )
+    return (
+        seq.where(
+            F.col("prev_nonce").isNotNull()
+            & (F.col("tx_nonce") - F.col("prev_nonce") > 1)
+        )
+        .groupBy(F.col("tx_from").alias("sender"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum(F.col("tx_nonce") - F.col("prev_nonce") - 1)
+            .cast("bigint")
+            .alias("missing_nonces"),
+            F.min(F.col("prev_nonce") + 1).cast("bigint").alias("first_missing"),
+        )
+    )
+
+
+@q(
     "eth_erc20_exact_flows",
     f"""
     WITH lg AS (
