@@ -2378,6 +2378,60 @@ def _sql_views(spark: SparkSession, sf: str) -> None:
 
 
 @q(
+    "doc_semantic_dedup",
+    f"""
+    WITH RECURSIVE de AS (
+      SELECT d.doc_id, d.source, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM de a JOIN de b ON a.doc_id < b.doc_id
+      WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.3),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id),
+    comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.doc_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           c.doc_id = c.cluster_id AS is_keeper,
+           de.source
+    FROM comp c JOIN de ON de.doc_id = c.doc_id
+    """,
+)
+def doc_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC dedup end to end — the embedding-cosine near-dup pipeline
+    bridged to the document corpus: embeddings join their documents, exact
+    cosine pairs (broadcast GEMM kernel) feed the connected-components
+    closure, and each cluster elects its min-id keeper with source
+    metadata attached.  This is the full "drop semantic duplicates before
+    training" shape; the lexical families (MinHash/SimHash/Jaccard) catch
+    re-crawls, this catches paraphrases."""
+    from presto_ethereum_spark.operators.dedup import dup_clusters
+    from presto_ethereum_spark.operators.similarity import cosine_pairs_gemm
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    joined = (
+        e.join(d, e["vec_id"] == d["doc_id"])
+        .select("doc_id", "source", "embedding")
+    )
+    pairs = cosine_pairs_gemm(
+        joined, threshold=0.3, id_col="doc_id", vec_col="embedding"
+    ).select("id_a", "id_b")
+    clusters = dup_clusters(pairs)
+    return clusters.join(d, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        "source",
+    )
+
+
+@q(
     "rel_partitioned_write_roundtrip",
     """
     SELECT o_orderpriority,
