@@ -201,3 +201,48 @@ def test_asof_forward_is_backward_on_negated_time(spark, lefts, rights):
         ).collect()
     }
     assert fwd == bwd
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive (multi-island) pushdown invariance through the live source
+# ---------------------------------------------------------------------------
+
+
+@given(
+    islands=st.lists(
+        st.integers(min_value=1, max_value=2400), min_size=1, max_size=8
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_disjunctive_pushdown_never_changes_results(spark, islands):
+    """For ANY set of block islands, the ordered-ranges pruning through
+    the pushdown DataSource returns exactly the rows a plain filtered
+    fixture scan returns — the reference's unenforced-constraint contract
+    (EthereumMetadata.java:236) held under the getOrderedRanges extension
+    (:190-199)."""
+    from presto_ethereum_spark.sources.rpc import EthereumPushdownDataSource
+
+    spark.dataSource.register(EthereumPushdownDataSource)
+    chain = "fixtures/eth/chain_blocks.parquet"
+    pruned = (
+        spark.read.format("ethereum-pushdown")
+        .option("table", "block")
+        .option("path", chain)
+        .load()
+        .where(F.col("block_number").isin(*islands))
+        .select("block_number", "block_miner")
+    )
+    plain = (
+        spark.read.parquet(chain)
+        .where(F.col("number").isin(*islands))
+        .select(
+            F.col("number").alias("block_number"),
+            F.col("miner").alias("block_miner"),
+        )
+    )
+    assert pruned.exceptAll(plain).count() == 0
+    assert plain.exceptAll(pruned).count() == 0
