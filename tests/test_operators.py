@@ -1112,3 +1112,53 @@ class TestIvfPq:
         # (256 codes) recall far higher; the pin here is "the composed
         # index carries real signal", not a quality target.
         assert recall >= 0.15, f"IVF+PQ recall too low: {recall:.3f}"
+
+
+class TestMinhashEstimator:
+    def test_signature_agreement_tracks_jaccard(self, spark):
+        """The affine family's collision rate must TRACK true Jaccard
+        (the property the docstring's slope-range tradeoff note claims
+        survives): over controlled-overlap doc pairs, mean |estimate −
+        exact| stays within the 16-hash binomial noise envelope.  This
+        measures the estimator the int64-safe family actually provides,
+        rather than assuming the textbook bound."""
+        from pyspark.sql import Row
+
+        words = [f"w{i:03d}" for i in range(64)]
+        rows = []
+        # doc 2k keeps a prefix of words, doc 2k+1 overlaps it by ~frac
+        for k, frac in enumerate([0.2, 0.4, 0.6, 0.8, 1.0]):
+            n = 40
+            shared = int(n * frac)
+            a = words[:n]
+            b = words[:shared] + [f"x{k}_{i}" for i in range(n - shared)]
+            rows.append(Row(doc_id=2 * k, text=" ".join(a)))
+            rows.append(Row(doc_id=2 * k + 1, text=" ".join(b)))
+        d = spark.createDataFrame(rows)
+        sigs = {
+            r["doc_id"]: list(r["s"])
+            for r in d.select(
+                "doc_id", dedup.minhash_signature(F.col("text")).alias("s")
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"]): r["j"]
+            for r in d.alias("a")
+            .join(d.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+            .where(F.col("a.doc_id") % 2 == 0)
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                dedup.jaccard(F.col("a.text"), F.col("b.text")).alias("j"),
+            )
+            .collect()
+        }
+        errs = []
+        for (ia, ib), j in exact.items():
+            est = sum(
+                x == y for x, y in zip(sigs[ia], sigs[ib])
+            ) / len(sigs[ia])
+            errs.append(abs(est - j))
+        # binomial std at n=16 is <= 0.125; mean error across 5 pairs
+        # comfortably under 2 sigma
+        assert sum(errs) / len(errs) <= 0.25, errs
