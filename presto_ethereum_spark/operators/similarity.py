@@ -242,27 +242,30 @@ def cosine_pairs_gemm(
     in ``test_operators.py``).
 
     **Scale honesty**: building the broadcast requires an eager driver-side
-    collect of the corpus (Arrow path, ``_collect_id_matrix``) — the driver
-    stages N·dim·8 bytes once.  ``tiles=C`` then broadcasts the corpus in C
-    row-chunks and unions C map-only passes, bounding EXECUTOR broadcast
-    memory at N·dim·8/C while the left side streams with zero shuffle in
-    every pass.  For corpora past driver memory, use ``cosine_pairs`` with
-    blocking columns, or the LSH (``lsh_topk``) / IVF (``ivf_topk``) paths.
+    collect of the corpus (Arrow path, ``_collect_id_matrix``).  With
+    ``tiles=1`` the driver stages the full N·dim·8 bytes once.  ``tiles=C``
+    collects PER TILE — the driver first pulls only the id column (8 B/row),
+    partitions the sorted id space into C contiguous ranges, and then
+    collect-broadcasts each range's vectors in turn — so peak driver Python
+    heap is N·8 + N·dim·8/C bytes and peak executor broadcast memory is
+    N·dim·8/C.  (The serialized broadcasts live in the JVM block manager
+    with MEMORY_AND_DISK semantics, so already-shipped tiles can spill.)
+    The cost is C filtered scans of the corpus during the build; the left
+    side still streams with zero shuffle in every scoring pass.  For
+    corpora past even that, use ``cosine_pairs`` with blocking columns, or
+    the LSH (``lsh_topk``) / IVF (``ivf_topk``) paths.
     """
     import numpy as np
     import pyarrow as pa
 
     spark = df.sparkSession
-    ids, mat = _collect_id_matrix(df, id_col, vec_col)
-    dim = mat.shape[1] if mat.ndim == 2 and mat.shape[0] else 0
-    norms = _seq_norm(mat) if dim else np.zeros(0)
-
     left = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     schema = "id_a long, id_b long, sim_raw double"
 
     def make_pass(bc):
         def block_scores(batches):
             b_ids, b_mat, b_norms = bc.value
+            dim = b_mat.shape[1] if b_mat.ndim == 2 else 0
             for rb in batches:
                 if not rb.num_rows:
                     continue
@@ -287,18 +290,38 @@ def cosine_pairs_gemm(
 
         return block_scores
 
-    tiles = max(1, min(int(tiles), max(1, len(ids))))
-    bounds = np.linspace(0, len(ids), tiles + 1).astype(np.int64)
+    def _bc_tile(ids_c, mat_c):
+        return spark.sparkContext.broadcast((ids_c, mat_c, _seq_norm(mat_c)))
+
+    tiles = max(1, int(tiles))
     out = None
-    for c in range(tiles):
-        lo, hi = int(bounds[c]), int(bounds[c + 1])
-        if lo == hi:
-            continue
-        bc = spark.sparkContext.broadcast(
-            (ids[lo:hi], mat[lo:hi], norms[lo:hi])
+    if tiles == 1:
+        ids, mat = _collect_id_matrix(df, id_col, vec_col)
+        if len(ids):
+            out = left.mapInArrow(make_pass(_bc_tile(ids, mat)), schema=schema)
+    else:
+        # id-space tiling: stage only one tile's vectors on the driver at a
+        # time.  Tile membership differs from row-index tiling but the pair
+        # set — and each pair's fp64 accumulation order — is unchanged, so
+        # the output is bit-identical (asserted in test_operators.py).
+        id_only = left.select("id").toArrow().column("id")
+        # unique => tile id-ranges are disjoint even if an id repeats
+        all_ids = np.unique(
+            id_only.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        part = left.mapInArrow(make_pass(bc), schema=schema)
-        out = part if out is None else out.unionAll(part)
+        for chunk in np.array_split(all_ids, min(tiles, max(1, len(all_ids)))):
+            if not len(chunk):
+                continue
+            lo, hi = int(chunk[0]), int(chunk[-1])
+            sub = df.where(
+                (F.col(id_col) >= F.lit(lo)) & (F.col(id_col) <= F.lit(hi))
+            )
+            ids_c, mat_c = _collect_id_matrix(sub, id_col, vec_col)
+            if not len(ids_c):
+                continue
+            part = left.mapInArrow(make_pass(_bc_tile(ids_c, mat_c)), schema=schema)
+            del ids_c, mat_c  # driver heap: only the broadcast handle survives
+            out = part if out is None else out.unionAll(part)
     if out is None:
         out = spark.createDataFrame([], schema)
     # round in the PLAN (Spark HALF_UP), matching cosine_pairs exactly
