@@ -43,6 +43,7 @@ __all__ = [
     "jaccard_pairs",
     "connected_components",
     "dup_clusters",
+    "substring_duplicates",
 ]
 
 NUM_HASHES = 16
@@ -572,5 +573,97 @@ def cluster_keepers(
             F.col(id_col).alias("keeper_doc_id"),
             F.col(rank_col).alias(f"keeper_{rank_col}"),
             "cluster_size",
+        )
+    )
+
+
+def substring_duplicates(
+    df: DataFrame,
+    k: int = 16,
+    anchor: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-window exact substring duplication profile, the signal behind
+    suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22): for every document, how much of
+    it is covered by a long (k whitespace-token) window whose exact text
+    also appears in ANOTHER document.
+
+    Windows are hashed at EVERY token position; with ``anchor > 1`` only
+    CONTENT-ANCHORED windows (``hash % anchor == 0``) participate, cutting
+    the shuffled volume by ``anchor``x.  Anchoring is a function of window
+    content, so a window anchored in one document is anchored in every
+    document containing the same text — the detection decision can never be
+    lost to sampling-grid misalignment.  (A POSITION-strided sample does
+    not have this property: two copies of a run at offsets of different
+    residue mod the stride never sample the same window, no matter how
+    long the run — the classic fixed-stride-chunking failure that
+    content-defined chunking exists to fix.)  ``anchor=1`` checks every
+    window: any shared run of >= k tokens is detected, exactly.  With
+    ``anchor=a``, a shared run of length L is detected iff any of its
+    L-k+1 windows is anchored — deterministic given the content, with a
+    ~``1-(1-1/a)^(L-k+1)`` a-priori detection rate.
+
+    Returns ``(doc_id, n_windows, n_dup_windows, dup_frac)`` over anchored
+    windows — linear in the corpus, never materializing doc-pair output
+    (the pair set of a template-heavy corpus is quadratic in the template
+    count; coverage fractions are what the filter-or-keep decision needs
+    anyway).
+
+    Plan: window hashes are a map-side array expression (60-bit ints, one
+    md5 per window); duplication is decided by one hash shuffle of
+    (window_hash, doc_id) pairs — grouped first to distinct docs per hash,
+    then joined back hash->positions.  Hot template hashes skew the group;
+    AQE's skew handling splits them, and the group key is a 60-bit int so
+    the shuffle never carries window text.
+    """
+    from presto_ethereum_spark.operators.text import tokens
+
+    if k <= 0 or anchor <= 0:
+        raise ValueError(f"k and anchor must be positive, got {k=} {anchor=}")
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= k,
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    whashes = F.transform(
+        starts,
+        lambda p: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, p, k))), 1, 15),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    if anchor > 1:
+        whashes = F.filter(whashes, lambda h: h % anchor == 0)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), whashes.alias("wh")
+    )
+    sites = base.select("doc_id", F.explode("wh").alias("h"))
+    shared = (
+        sites.dropDuplicates(["h", "doc_id"])
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup_per_doc = (
+        sites.join(shared, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    per_doc = base.select("doc_id", F.size("wh").alias("n_windows"))
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(F.col("n_windows") > 0,
+                   F.round(F.coalesce("n_dup_windows", F.lit(0))
+                           / F.col("n_windows"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
         )
     )

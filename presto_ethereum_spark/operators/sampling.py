@@ -29,6 +29,7 @@ __all__ = [
     "hash_bucket",
     "split_assign",
     "stratified_take",
+    "cap_by_budget",
     "pack_sequences",
     "weighted_sample",
 ]
@@ -98,6 +99,43 @@ def stratified_take(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n)
     )
+
+
+def cap_by_budget(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    cost_col: str,
+    budget: int,
+    salt: str = "",
+    keep_col: str = "kept",
+) -> DataFrame:
+    """Per-stratum BUDGET cap: rows are ordered pseudo-randomly (md5 hash,
+    then key) inside each stratum and survive while their cumulative
+    ``cost_col`` stays within ``budget`` — the "cap every domain at X
+    bytes/tokens" rule of web-corpus curation (a count cap is
+    ``stratified_take``; this is the size-aware variant, and the two differ
+    whenever document lengths are skewed).
+
+    A row is kept iff the running INCLUSIVE sum of its stratum's costs, in
+    hash order, is <= budget — so selection is greedy-prefix: the first
+    document that would overflow the budget is dropped, as is everything
+    after it.  (Greedy-prefix, not best-fit: order is the deterministic
+    hash order, which keeps the decision a pure function of (salt, key)
+    and independent of partitioning.)
+
+    Scale: one shuffle on the stratum key; the cumulative sum is a running
+    window aggregate (no buffering of the stratum beyond the sort), and
+    costs are summed as BIGINT so the cut point is exact in any engine.
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = (
+        Window.partitionBy(strata)
+        .orderBy(h, F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(cost_col).cast("long")).over(w)
+    return df.withColumn(keep_col, run <= F.lit(int(budget)))
 
 
 _U_DENOM = float(2**52 + 1)  # hash-uniform denominator; 2^52+1 is double-exact

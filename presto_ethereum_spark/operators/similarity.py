@@ -27,6 +27,7 @@ __all__ = [
     "brute_force_topk",
     "cosine_pairs",
     "cosine_pairs_gemm",
+    "mmr_rerank",
     "hyperplane_signature",
     "lsh_candidates",
     "lsh_topk",
@@ -951,4 +952,91 @@ def ivfpq_index(
 
     return corpus.select(id_col, vec_col).mapInArrow(
         build_blocks, schema="vec_id long, cell int, subspace int, code int"
+    )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) of each query's exact top-``pool`` candidates: greedily pick
+    ``k`` results maximizing
+
+        lam * sim(q, c)  -  (1 - lam) * max_{s in selected} sim(c, s)
+
+    — the diversity-aware serving stage of a retrieval pipeline (plain
+    top-k returns near-duplicate neighbors; MMR spends the candidate
+    budget on coverage).
+
+    Output: ``(query_id, neighbor_id, mmr_rank, mmr_score)`` with
+    ``mmr_rank`` 1..k in selection order; ``mmr_score`` is the round-6
+    objective value at selection time (the first pick's score is
+    ``lam * sim`` by convention — no diversity term yet).  Ties break to
+    the lower neighbor id, so the output is fully determined.
+
+    Scale: candidate generation is ``brute_force_topk`` (broadcast queries,
+    single corpus scan — swap in ``ivf_topk`` upstream for huge corpora);
+    the greedy selection is inherently sequential PER QUERY but independent
+    ACROSS queries, so it runs as ``applyInPandas`` over query groups:
+    state is one pool x dim matrix per group (tiny), and the shuffle moves
+    only pool rows per query.  Greedy MMR has no closed relational form —
+    this is the documented non-SQL-expressible exception (rows-only
+    correctness check; exactness is pinned by unit tests instead).
+    """
+    if k <= 0 or pool < k:
+        raise ValueError(f"need 0 < k <= pool, got {k=} {pool=}")
+    cands = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    withvec = cands.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "sim", "nv")
+
+    lam_f = float(lam)
+
+    def _mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["neighbor_id"]).reset_index(drop=True)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        cc = unit @ unit.T  # candidate-candidate cosine
+        rel = pdf["sim"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(ids)
+        selected: list[int] = []
+        out_rows = []
+        avail = np.ones(n, dtype=bool)
+        for rank in range(1, min(k, n) + 1):
+            if selected:
+                div = cc[:, selected].max(axis=1)
+            else:
+                div = np.zeros(n)
+            score = lam_f * rel - (1.0 - lam_f) * div
+            # ties -> lowest neighbor id: ids ascend by construction, and
+            # argmax returns the first maximal index
+            score[~avail] = -np.inf
+            pick = int(np.argmax(score))
+            avail[pick] = False
+            selected.append(pick)
+            out_rows.append(
+                (int(pdf["query_id"].iloc[0]), int(ids[pick]), rank,
+                 round(float(score[pick]), 6))
+            )
+        return pd.DataFrame(
+            out_rows, columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
+        )
+
+    return withvec.groupBy("query_id").applyInPandas(
+        _mmr, schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double"
     )

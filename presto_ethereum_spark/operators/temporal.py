@@ -38,6 +38,7 @@ __all__ = [
     "interval_join",
     "funnel_counts",
     "retention_cohorts",
+    "scd2_build",
 ]
 
 
@@ -306,4 +307,59 @@ def retention_cohorts(
         .where(F.col("week_offset") < max_weeks)
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col("u")).alias("active_users"))
+    )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from an event log:
+    one row per (key, consecutive run of equal ``attr_col``), with
+    ``valid_from`` / ``valid_to`` interval bounds (half-open; NULL
+    valid_to = current version) and a per-key ``version`` ordinal.
+
+    The warehouse-dimension primitive: an entity's attribute timeline,
+    change-compressed (an event that repeats the current value extends the
+    open version instead of opening a new one).
+
+    Plan — one shuffle on the key, three window passes over the same sorted
+    run (Spark reuses the sort across same-spec windows):
+    ``lag`` flags change points, a running sum numbers versions, and the
+    version interval is a groupBy over (key, version).  Events are ordered
+    by (time, tiebreak) so simultaneous events resolve deterministically.
+    """
+    order = [F.col(time_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag(F.col(attr_col)).over(w)
+    is_change = (
+        prev.isNull() | (~prev.eqNullSafe(F.col(attr_col)))
+    ).cast("long")
+    versioned = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("t"),
+        F.col(attr_col).alias("attr"),
+        (F.sum(is_change).over(run) - 1).alias("version"),
+    )
+    closed = versioned.groupBy("key", "version").agg(
+        F.first("attr").alias("attr"),  # constant within a version by construction
+        F.min("t").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("key").orderBy("version")
+    return closed.select(
+        "key",
+        F.col("version").cast("int").alias("version"),
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
     )

@@ -30,6 +30,7 @@ __all__ = [
     "lang_id",
     "alpha_terms",
     "document_frequency",
+    "importance_weights",
     "top_terms",
     "chunk_documents",
     "bm25_topk",
@@ -563,4 +564,68 @@ def decontaminate(
         .join(bench, "gram")
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("gram")).alias("n_hit_grams"))
+    )
+
+
+def importance_weights(
+    df,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+):
+    """Data-selection importance scores in the spirit of DSIR (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS'23): score each document by how much its token distribution
+    looks like a TARGET slice of the corpus relative to the corpus overall.
+
+    ``target`` is a boolean Column marking the target rows (e.g.
+    ``F.col("source") == "src0"``).  Each token position contributes the
+    smoothed frequency ratio
+
+        w(t) = floor( (c_target(t) + 1) * scale / (c_corpus(t) + 1) )
+
+    and a document's score is the sum over its positions.  DSIR proper uses
+    log-ratios of hashed n-gram probabilities; the integer ratio keeps the
+    SAME ranking signal (monotone per token) while staying exactly
+    reproducible across engines — floor-divided BIGINTs have one right
+    answer, log-sums do not.
+
+    Returns ``(doc_id, n_tokens, importance_score, avg_ratio)`` where
+    ``avg_ratio`` = score / n_tokens / scale (round 6).
+
+    Plan: two shuffles — token-stats aggregation (map-side partial
+    combine over the exploded stream), then the positions-to-stats join
+    re-aggregated by doc.  The stats side is vocabulary-sized; Catalyst
+    broadcasts it when small, and hot stopword tokens in the join are
+    AQE-skew-split at scale.  No Python anywhere.
+    """
+    positions = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_target"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    stats = positions.groupBy("tok").agg(
+        F.count("*").alias("c_all"),
+        F.count_if(F.col("is_target")).alias("c_tgt"),
+    )
+    w = F.expr(f"((c_tgt + 1) * CAST({int(scale)} AS BIGINT)) DIV (c_all + 1)")
+    return (
+        positions.join(stats, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(w).alias("importance_score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "importance_score",
+            F.round(
+                F.col("importance_score").cast("double")
+                / F.col("n_tokens")
+                / F.lit(float(scale)),
+                6,
+            ).alias("avg_ratio"),
+        )
     )

@@ -5460,3 +5460,220 @@ def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "approx_d2_q", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: graph triangles over the near-dup pair graph, budgeted
+# domain caps, DSIR-style importance weights, SCD2 dimension build,
+# substring-window dedup, MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+_DUCK_EMB_PAIRS_03 = """
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE
+        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+        >= 0.3
+"""
+
+
+@q(
+    "emb_pair_triangles",
+    f"""
+    WITH p AS ({_DUCK_EMB_PAIRS_03}),
+    tri AS (
+      SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+      FROM p e1
+      JOIN p e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+      JOIN p e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b),
+    corners AS (
+      SELECT x AS vec_id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+    SELECT vec_id, count(*) AS n_triangles FROM corners GROUP BY vec_id
+    """,
+)
+def emb_pair_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle counts over the cosine>=0.3 near-dup pair graph —
+    the cluster-density diagnostic of a semantic-dedup run (triangle-rich
+    neighborhoods are tight duplicate clusters; triangle-free stars are
+    chains of borderline matches).  Spark enumerates triangles with
+    degree-ordered edge orientation (operators/graph.triangles: wedge set
+    bounded O(m^1.5), Suri & Vassilvitskii WWW'11); the oracle is the naive
+    a<b<c triple join, feasible at fixture scale only."""
+    from presto_ethereum_spark.operators.graph import triangle_participation
+    from presto_ethereum_spark.operators.similarity import cosine_pairs
+
+    pairs = cosine_pairs(t_spread(spark, sf, "embeddings", parts=8), threshold=0.3)
+    tp = triangle_participation(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
+    return tp.select(F.col("n").alias("vec_id"), "n_triangles")
+
+
+@q(
+    "doc_domain_budget",
+    """
+    WITH ordered AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN run <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN run <= 10000 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM ordered GROUP BY source
+    """,
+)
+def doc_domain_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain BYTE budget cap (operators/sampling.cap_by_budget): each
+    source keeps documents in deterministic hash order until 10k chars are
+    spent — the size-aware "cap every domain" curation rule (a count cap
+    misses that domains have wildly different document lengths).  Summary
+    per source: docs seen / kept / chars kept."""
+    from presto_ethereum_spark.operators.sampling import cap_by_budget
+
+    d = t(spark, sf, "documents")
+    capped = cap_by_budget(
+        d, strata="source", key="doc_id", cost_col="n_chars", budget=10_000
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("kept")).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0)).alias(
+            "chars_kept"
+        ),
+    )
+
+
+@q(
+    "doc_importance_weights",
+    """
+    WITH pos AS (
+      SELECT doc_id, (source = 'src0') AS is_t,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    stats AS (
+      SELECT tok, count(*) AS c_all,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+      FROM pos GROUP BY tok),
+    per AS (
+      SELECT p.doc_id, count(*) AS n_tokens,
+             CAST(sum(((s.c_tgt + 1) * 1000000) // (s.c_all + 1)) AS BIGINT)
+               AS importance_score
+      FROM pos p JOIN stats s USING (tok) GROUP BY p.doc_id)
+    SELECT doc_id, n_tokens, importance_score,
+           round(CAST(importance_score AS DOUBLE) / n_tokens / 1000000.0, 6)
+             AS avg_ratio
+    FROM per
+    """,
+)
+def doc_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data-selection scores (operators/text.importance_weights):
+    rank every document by how target-like its token distribution is
+    (target slice = source 'src0'), with integer smoothed-frequency ratios
+    so both engines agree exactly."""
+    from presto_ethereum_spark.operators.text import importance_weights
+
+    d = t_spread(spark, sf, "documents")
+    return importance_weights(d, target=F.col("source") == "src0")
+
+
+@q(
+    "rel_scd2_build",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type AS attr, event_id
+      FROM events),
+    m AS (
+      SELECT user_id, t, attr, event_id,
+             CASE WHEN lag(attr) OVER w IS NULL
+                       OR lag(attr) OVER w <> attr THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    v AS (
+      SELECT user_id, t, attr,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS version
+      FROM m),
+    c AS (
+      SELECT user_id AS key, version, min(attr) AS attr, min(t) AS valid_from
+      FROM v GROUP BY user_id, version)
+    SELECT key, CAST(version AS INT) AS version, attr, valid_from,
+           lead(valid_from) OVER (PARTITION BY key ORDER BY version) AS valid_to
+    FROM c
+    """,
+)
+def rel_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build from the event log
+    (operators/temporal.scd2_build): per user, the change-compressed
+    event_type timeline as half-open [valid_from, valid_to) versions —
+    the warehouse dimension-maintenance primitive."""
+    from presto_ethereum_spark.operators.temporal import scd2_build
+
+    ev = t(spark, sf, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("t_us"), "event_type", "event_id"
+    )
+    return scd2_build(
+        ev, key_col="user_id", time_col="t_us", attr_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+@q(
+    "doc_substring_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    win AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(array_to_string(
+               ts[CAST(p AS INT):CAST(p + 7 AS INT)], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM tok, unnest(range(1, greatest(len(ts) - 7, 0) + 1)) AS r(p)),
+    anch AS (SELECT doc_id, h FROM win WHERE h % 4 = 0),
+    nw AS (
+      SELECT t.doc_id, CAST(coalesce(c.n, 0) AS INT) AS n_windows
+      FROM tok t LEFT JOIN (
+        SELECT doc_id, count(*) AS n FROM anch GROUP BY doc_id) c
+      USING (doc_id)),
+    shared AS (
+      SELECT h FROM (SELECT DISTINCT h, doc_id FROM anch)
+      GROUP BY h HAVING count(*) >= 2),
+    dup AS (
+      SELECT w.doc_id, count(*) AS n_dup
+      FROM anch w JOIN shared USING (h) GROUP BY w.doc_id)
+    SELECT n.doc_id, n.n_windows,
+           CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN n.n_windows > 0
+                THEN round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / n.n_windows, 6)
+                ELSE 0.0 END AS dup_frac
+    FROM nw n LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def doc_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Long-window exact substring duplication coverage (operators/dedup.
+    substring_duplicates, k=8 tokens, content-anchored 1-in-4 windows):
+    the suffix-array-dedup signal — what fraction of each document is text
+    that appears verbatim in another document.  Content anchoring (not
+    position striding) keeps detection alignment-free: a window anchored
+    in one copy of a run is anchored in every copy."""
+    from presto_ethereum_spark.operators.dedup import substring_duplicates
+
+    return substring_duplicates(
+        t_spread(spark, sf, "documents"), k=8, anchor=4
+    )
+
+
+@q("emb_mmr_rerank", None)
+def emb_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-ranking of the exact top-20
+    candidate pool down to 5 per query (operators/similarity.mmr_rerank).
+    Greedy MMR has no closed relational form (each pick conditions on the
+    previous picks), so this is a rows-only graded query; exact selection
+    behavior is pinned by unit tests on hand-checkable cases."""
+    from presto_ethereum_spark.operators.similarity import mmr_rerank
+
+    emb = t_spread(spark, sf, "embeddings", parts=8)
+    queries = emb.where(F.col("vec_id") < 8)
+    return mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)
