@@ -5677,3 +5677,27 @@ def emb_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     emb = t_spread(spark, sf, "embeddings", parts=8)
     queries = emb.where(F.col("vec_id") < 8)
     return mmr_rerank(emb, queries, k=5, pool=20, lam=0.7)
+
+
+@q(
+    "stream_upsert_state",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, value FROM events),
+    r AS (
+      SELECT user_id, t_us AS last_t_us, event_id AS last_event_id,
+             value AS last_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t_us DESC, event_id DESC) AS rn
+      FROM ev)
+    SELECT user_id, last_t_us, last_event_id, last_value FROM r WHERE rn = 1
+    """,
+)
+def stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming keyed upsert via foreachBatch compact-and-swap
+    (streaming/events.run_foreachbatch_upsert): the settled per-user latest
+    state must equal the batch arg-max — the exactly-once-upsert sink
+    pattern for stores without native MERGE."""
+    from presto_ethereum_spark.streaming.events import run_foreachbatch_upsert
+
+    return run_foreachbatch_upsert(spark, sf)

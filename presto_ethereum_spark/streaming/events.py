@@ -345,3 +345,100 @@ def run_ivf_ingest(spark: SparkSession, sf_dir: str, centroids: list) -> DataFra
     return _settle_to_memory(
         spark, ivf_ingest_stream(spark, sf_dir, centroids), "stream_ivf", "complete"
     )
+
+
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    """Per-user latest event as a struct-max (lexicographic on
+    (t_us, event_id) — event_id uniqueness makes the winner unique, so the
+    tag-along value is fully determined)."""
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("t_us").alias("t_us"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.t_us").alias("last_t_us"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.value").alias("last_value"),
+        )
+    )
+
+
+def run_foreachbatch_upsert(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
+    """Streaming KEYED UPSERT via ``foreachBatch`` compact-and-swap: each
+    micro-batch reduces to its per-key latest row, merges with the current
+    keyed state, and writes the merged state to a fresh parquet generation
+    (then the pointer swaps) — the idempotent-upsert sink pattern for
+    stores without native MERGE.  With a MERGE-capable table format the
+    body becomes a single ``MERGE INTO``; the batch-side reduction and
+    restart semantics are identical.
+
+    Re-running a batch overwrites its own generation and re-merges the
+    same input — the write is idempotent per (state, batch) pair, which is
+    exactly the contract foreachBatch requires for exactly-once results
+    under retries.
+
+    Scale: all heavy work (per-batch reduce, state merge) is distributed
+    DataFrame compute; the driver only sequences generations.  State size
+    is one row per key; the merge is a union + one re-reduce shuffled on
+    the key — at large key cardinality a real deployment buckets the state
+    table on the key so generations co-partition.
+
+    Returns the settled state ``(user_id, last_t_us, last_event_id,
+    last_value)`` after an ``availableNow`` run over the events file.
+    ``source`` overrides the input stream (must carry user_id / t_us /
+    event_id / value) — tests use a multi-file source to force the
+    multi-batch merge path.
+    """
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="upsert_state_")
+    gens: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        compact = _latest_per_key(
+            batch_df.select("user_id", "t_us", "event_id", "value")
+        )
+        if gens:
+            prev = batch_df.sparkSession.read.parquet(gens[-1]).select(
+                "user_id",
+                F.col("last_t_us").alias("t_us"),
+                F.col("last_event_id").alias("event_id"),
+                F.col("last_value").alias("value"),
+            )
+            compact = _latest_per_key(prev.unionByName(
+                compact.select(
+                    "user_id",
+                    F.col("last_t_us").alias("t_us"),
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("last_value").alias("value"),
+                )
+            ))
+        out = f"{root}/gen_{batch_id}"
+        compact.write.mode("overwrite").parquet(out)
+        gens.append(out)
+
+    q = (
+        (source if source is not None else _events_source(spark, sf_dir))
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_chk")
+        .start()
+    )
+    q.awaitTermination()
+    if not gens:
+        schema = "user_id long, last_t_us long, last_event_id long, last_value double"
+        return spark.createDataFrame([], schema)
+    settled = spark.read.parquet(gens[-1]).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return settled

@@ -240,3 +240,40 @@ def test_checkpoint_survives_reader_mode_switch(spark, tmp_path):
     assert second.count() == 2400
     got = sorted(r.block_number for r in second.collect())
     assert got == list(range(1, 2401))
+
+
+class TestForeachBatchUpsert:
+    def test_multibatch_merge_equals_batch_argmax(self, spark, tmp_path):
+        """Two files fed one-per-trigger force >= 2 micro-batches: the
+        generation-merge path must produce the same per-key latest state as
+        a single batch arg-max over the union."""
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import (
+            run_foreachbatch_upsert,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        # user 1 updated in both files (later wins), user 2 only in f1,
+        # user 3 ties on t_us across files (event_id breaks the tie)
+        f1 = pd.DataFrame(
+            {"user_id": [1, 2, 3], "t_us": [10, 5, 7],
+             "event_id": [100, 101, 102], "value": [1.0, 2.0, 3.0]}
+        )
+        f2 = pd.DataFrame(
+            {"user_id": [1, 3], "t_us": [20, 7],
+             "event_id": [103, 104], "value": [9.0, 4.0]}
+        )
+        f1.to_parquet(src / "a.parquet")
+        f2.to_parquet(src / "b.parquet")
+        schema = "user_id long, t_us long, event_id long, value double"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = run_foreachbatch_upsert(spark, sf_dir="", source=stream)
+        got = {r["user_id"]: (r["last_t_us"], r["last_event_id"], r["last_value"])
+               for r in out.collect()}
+        assert got == {1: (20, 103, 9.0), 2: (5, 101, 2.0), 3: (7, 104, 4.0)}
