@@ -178,7 +178,6 @@ def triangles(
     )
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
-    e3 = oriented.alias("e3")
     wedges = e1.join(
         e2,
         (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
@@ -187,12 +186,15 @@ def triangles(
         F.col("e1.v").alias("p"),
         F.col("e2.v").alias("q"),
     )
-    tri = wedges.join(
-        e3,
-        # the closing edge may be oriented either way under the degree order
-        ((F.col("p") == F.col("e3.u")) & (F.col("q") == F.col("e3.v")))
-        | ((F.col("q") == F.col("e3.u")) & (F.col("p") == F.col("e3.v"))),
+    # the closing edge may be oriented either way under the degree order;
+    # canonicalize BOTH sides to the unordered (lo, hi) id key so the join
+    # stays an equi-join — a (p=u AND q=v) OR (q=u AND p=v) predicate has
+    # no equi-conjuncts and Catalyst would plan a cartesian product
+    # (guarded in test_plan_shapes).  Wedges already have p < q by id.
+    closing = oriented.select(
+        F.least("u", "v").alias("p"), F.greatest("u", "v").alias("q")
     )
+    tri = wedges.join(closing, ["p", "q"])
     lo = F.least("apex", "p", "q")
     hi = F.greatest("apex", "p", "q")
     # median of three = the corner that is neither least nor greatest

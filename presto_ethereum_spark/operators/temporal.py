@@ -39,6 +39,7 @@ __all__ = [
     "funnel_counts",
     "retention_cohorts",
     "scd2_build",
+    "snapshot_diff",
 ]
 
 
@@ -326,11 +327,15 @@ def scd2_build(
     change-compressed (an event that repeats the current value extends the
     open version instead of opening a new one).
 
-    Plan — one shuffle on the key, three window passes over the same sorted
-    run (Spark reuses the sort across same-spec windows):
-    ``lag`` flags change points, a running sum numbers versions, and the
-    version interval is a groupBy over (key, version).  Events are ordered
-    by (time, tiebreak) so simultaneous events resolve deterministically.
+    Plan — ONE shuffle on the key, window-only: ``lag`` flags change
+    points, a running sum numbers versions, and — since a version's first
+    event IS its change point — filtering to change rows directly yields
+    (version, attr, valid_from) with no (key, version) re-aggregation;
+    ``valid_to`` is the next change row's time via ``lead`` over the same
+    key partitioning.  Every window clusters on the key, so the single
+    exchange is reused end-to-end (guarded in test_plan_shapes).  Events
+    are ordered by (time, tiebreak) so simultaneous events resolve
+    deterministically.
     """
     order = [F.col(time_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
@@ -345,21 +350,79 @@ def scd2_build(
     is_change = (
         prev.isNull() | (~prev.eqNullSafe(F.col(attr_col)))
     ).cast("long")
-    versioned = df.select(
+    starts = (
+        df.withColumn("_chg", is_change)
+        .withColumn("version", F.sum("_chg").over(run) - 1)
+        .where(F.col("_chg") == 1)
+    )
+    w2 = Window.partitionBy(key_col).orderBy("version")
+    return starts.select(
         F.col(key_col).alias("key"),
-        F.col(time_col).alias("t"),
-        F.col(attr_col).alias("attr"),
-        (F.sum(is_change).over(run) - 1).alias("version"),
-    )
-    closed = versioned.groupBy("key", "version").agg(
-        F.first("attr").alias("attr"),  # constant within a version by construction
-        F.min("t").alias("valid_from"),
-    )
-    w2 = Window.partitionBy("key").orderBy("version")
-    return closed.select(
-        "key",
         F.col("version").cast("int").alias("version"),
-        "attr",
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col(attr_col).alias("attr"),
+        F.col(time_col).alias("valid_from"),
+        F.lead(F.col(time_col)).over(w2).alias("valid_to"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture diff of two snapshots of the same keyed table:
+    one row per key whose state changed, tagged ``insert`` / ``delete`` /
+    ``update``, with the old and new values of every compared column
+    (``old_<c>`` / ``new_<c>``).  Unchanged keys are dropped — at 100 TB
+    the diff is the small output; emitting unchanged rows would make every
+    incremental pipeline rewrite the world.
+
+    Plan: one full-outer hash join on the key; change classification and
+    column comparison are row-local expressions (``eqNullSafe`` per
+    compared column, so NULL-to-value transitions count as updates).  Both
+    snapshots shuffle on the same key — on a real deployment bucket both
+    tables by the key and the join is exchange-free.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, cond, "full")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else same & eq
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change",
+            *[
+                c
+                for pair in (
+                    [F.col(f"old_{cc}"), F.col(f"new_{cc}")] for cc in compare_cols
+                )
+                for c in pair
+            ],
+        )
     )

@@ -5701,3 +5701,92 @@ def stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.streaming.events import run_foreachbatch_upsert
 
     return run_foreachbatch_upsert(spark, sf)
+
+
+@q(
+    "rel_snapshot_diff",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 7 <> 0),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                     OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                  THEN 'update' END AS change,
+           a.o_totalprice AS old_o_totalprice,
+           b.o_totalprice AS new_o_totalprice,
+           a.o_orderstatus AS old_o_orderstatus,
+           b.o_orderstatus AS new_o_orderstatus
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+               WHEN b.o_orderkey IS NULL THEN 'delete'
+               WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                    OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                 THEN 'update' END IS NOT NULL
+    """,
+)
+def rel_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC snapshot diff (operators/temporal.snapshot_diff): two synthetic
+    generations of the orders table (modulo-key deletes/inserts, doubled
+    totals as updates) classified insert/delete/update with old/new values
+    — the incremental-pipeline primitive (emit only what changed)."""
+    from presto_ethereum_spark.operators.temporal import snapshot_diff
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    snap_a = o.where(F.col("o_orderkey") % 7 != 0)
+    snap_b = o.where(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return snapshot_diff(
+        snap_a, snap_b,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_totalprice", "o_orderstatus"],
+    )
+
+
+@q(
+    "doc_bpe_merges",
+    """
+    WITH tok AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    pr AS (
+      SELECT ts[CAST(i AS INT)] AS w1, ts[CAST(i + 1 AS INT)] AS w2
+      FROM tok, unnest(range(1, len(ts))) AS r(i))
+    SELECT w1, w2, count(*) AS n
+    FROM pr GROUP BY w1, w2
+    ORDER BY n DESC, w1, w2 LIMIT 20
+    """,
+)
+def doc_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Top adjacent-token-pair counts — the candidate-scoring step of one
+    BPE/WordPiece merge round, at corpus scale: pair extraction is a
+    map-side array zip (no Python), the count is one partial-agg shuffle
+    on the pair, and the top-20 rides TakeOrderedAndProject with a total
+    (count, w1, w2) order so the cut is deterministic."""
+    d = t_spread(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ", -1)
+    prs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        d.select(F.explode(prs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(20)
+    )

@@ -1367,3 +1367,26 @@ class TestSubstringDup:
             for r in dedup.substring_duplicates(d, k=8, anchor=1).collect()
         }
         assert out[0]["n_dup_windows"] == 0
+
+
+class TestSnapshotDiff:
+    def test_classification_and_null_transitions(self, spark):
+        from presto_ethereum_spark.operators import temporal
+
+        old = spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=2, v=None), Row(k=3, v=30), Row(k=4, v=40)]
+        )
+        new = spark.createDataFrame(
+            [Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=None), Row(k=5, v=50)]
+        )
+        out = {
+            r["k"]: (r["change"], r["old_v"], r["new_v"])
+            for r in temporal.snapshot_diff(old, new, ["k"], ["v"]).collect()
+        }
+        assert out == {
+            2: ("update", None, 20),   # NULL -> value counts as update
+            3: ("update", 30, None),   # value -> NULL counts as update
+            4: ("delete", 40, None),
+            5: ("insert", None, 50),
+        }
+        assert 1 not in out  # unchanged keys are dropped

@@ -70,3 +70,45 @@ def test_top_miners_take_ordered(spark):
     global sort materialization."""
     plan = _plan(spark, "eth_top_miners")
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
+def test_triangles_no_nested_loop(spark):
+    """Degree-ordered triangle enumeration must plan its wedge build and
+    closing join as hash/sort-merge joins, never a nested loop (the graded
+    emb_pair_triangles pipeline is exempt upstream: its all-pairs cosine
+    INPUT is a documented O(N^2) theta join; the triangle stage itself must
+    stay equi-joined)."""
+    from pyspark.sql import Row
+
+    from presto_ethereum_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=(i * 7 + 1) % 50) for i in range(200)],
+        "src long, dst long",
+    )
+    plan = (
+        graph.triangles(edges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_single_join(spark):
+    """CDC diff is ONE full-outer join on the key: no extra exchanges
+    beyond the two snapshot shuffles + AQE wrappers."""
+    plan = _plan(spark, "rel_snapshot_diff")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+
+
+def test_bpe_merges_topk_pushdown(spark):
+    """The top-20 pair cut must ride TakeOrderedAndProject (partial top-k
+    per partition), never a global sort of the full pair-count table."""
+    assert "TakeOrderedAndProject" in _plan(spark, "doc_bpe_merges")
+
+
+def test_scd2_single_shuffle(spark):
+    """SCD2 build: one exchange on the key; the three window passes and
+    the version groupBy must reuse the same (key) partitioning."""
+    assert _plan(spark, "rel_scd2_build").count("Exchange") <= 2
