@@ -5790,3 +5790,72 @@ def doc_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "w1", "w2")
         .limit(20)
     )
+
+
+@q(
+    "doc_heavy_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS value FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM tok)
+    SELECT value, count(*) AS n
+    FROM tok, tot
+    GROUP BY value, n_total
+    HAVING count(*) > (n_total * 5000000) // 1000000000
+    """,
+)
+def doc_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT heavy hitters (> 0.5% of token positions) via per-partition
+    Misra-Gries candidates + exact verification (operators/frequency.
+    heavy_hitters): the scale path mines frequent items WITHOUT shuffling
+    one row per distinct token — candidates leave each partition k-bounded,
+    and the exact re-count makes the result row-identical to the naive
+    full groupBy the oracle runs."""
+    from presto_ethereum_spark.operators.frequency import heavy_hitters
+    from presto_ethereum_spark.operators.text import tokens
+
+    d = t_spread(spark, sf, "documents")
+    exploded = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(exploded, "tok", threshold_frac=0.005)
+
+
+@q(
+    "eth_address_sessions",
+    f"""
+    WITH tx AS (
+      SELECT tx_from AS addr, tx_blocknumber AS bn, tx_hash
+      FROM read_parquet('{ETH}/transaction.parquet')),
+    m AS (
+      SELECT addr, bn, tx_hash,
+             CASE WHEN lag(bn) OVER w IS NULL OR bn - lag(bn) OVER w > 50
+                  THEN 1 ELSE 0 END AS st
+      FROM tx WINDOW w AS (PARTITION BY addr ORDER BY bn, tx_hash)),
+    n AS (
+      SELECT addr, bn,
+             sum(st) OVER (PARTITION BY addr ORDER BY bn, tx_hash
+                           ROWS UNBOUNDED PRECEDING) - 1 AS sid
+      FROM m)
+    SELECT addr, CAST(sid AS BIGINT) AS session_id, count(*) AS n_tx,
+           min(bn) AS first_block, max(bn) AS last_block
+    FROM n GROUP BY addr, sid
+    """,
+)
+def eth_address_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Address activity sessions: bursts of transactions from one sender
+    separated by > 50 quiet blocks (operators/temporal.sessionize reused
+    on the chain decode path) — the address-behavior feature the
+    training-pipeline sessionizer computes on event logs, applied to the
+    connector's transaction table."""
+    from presto_ethereum_spark.operators.temporal import sessionize
+
+    tx = _eth_tables(spark).table("transaction").select(
+        F.col("tx_from").alias("addr"),
+        F.col("tx_blocknumber").alias("bn"),
+        "tx_hash",
+    )
+    s = sessionize(tx, key="addr", time_col="bn", gap=50, order_tiebreak="tx_hash")
+    return s.groupBy("addr", F.col("session_id")).agg(
+        F.count("*").alias("n_tx"),
+        F.min("bn").alias("first_block"),
+        F.max("bn").alias("last_block"),
+    )

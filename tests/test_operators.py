@@ -1390,3 +1390,48 @@ class TestSnapshotDiff:
             5: ("insert", None, 50),
         }
         assert 1 not in out  # unchanged keys are dropped
+
+
+class TestHeavyHitters:
+    def test_equals_naive_groupby_on_skew(self, spark):
+        from presto_ethereum_spark.operators import frequency
+
+        # 3 heavy values among a long distinct tail, spread over partitions
+        rows = (
+            [Row(v="hot1")] * 300
+            + [Row(v="hot2")] * 150
+            + [Row(v="hot3")] * 80
+            + [Row(v=f"tail{i}") for i in range(5000)]
+        )
+        df = spark.createDataFrame(rows).repartition(13)
+        got = {
+            (r["value"], r["n"])
+            for r in frequency.heavy_hitters(df, "v", threshold_frac=0.01).collect()
+        }
+        n_total = len(rows)
+        exact = {
+            (r["v"], r["n"])
+            for r in df.groupBy("v").agg(F.count("*").alias("n"))
+            .where(F.col("n") > int(n_total * 0.01))
+            .collect()
+        }
+        assert got == exact and len(got) >= 2
+
+    def test_threshold_is_strict_floor(self, spark):
+        from presto_ethereum_spark.operators import frequency
+
+        # 100 rows, frac 0.05 -> floor = 5: a value with exactly 5 is out,
+        # 6 is in
+        rows = [Row(v="five")] * 5 + [Row(v="six")] * 6 + [
+            Row(v=f"x{i}") for i in range(89)
+        ]
+        out = {r["value"] for r in frequency.heavy_hitters(
+            spark.createDataFrame(rows).repartition(4), "v", 0.05
+        ).collect()}
+        assert out == {"six"}
+
+    def test_all_distinct_empty(self, spark):
+        from presto_ethereum_spark.operators import frequency
+
+        df = spark.createDataFrame([Row(v=f"u{i}") for i in range(200)])
+        assert frequency.heavy_hitters(df, "v", 0.02).count() == 0
