@@ -1435,3 +1435,36 @@ class TestHeavyHitters:
 
         df = spark.createDataFrame([Row(v=f"u{i}") for i in range(200)])
         assert frequency.heavy_hitters(df, "v", 0.02).count() == 0
+
+
+class TestImportanceWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        from presto_ethereum_spark.operators import text as T
+
+        rows = [
+            Row(doc_id=0, src="tgt", text="alpha beta alpha beta"),
+            Row(doc_id=1, src="other", text="alpha beta beta alpha"),  # target-like
+            Row(doc_id=2, src="other", text="gamma delta gamma delta"),
+        ]
+        df = spark.createDataFrame(rows)
+        out = {
+            r["doc_id"]: r
+            for r in T.importance_weights(
+                df, target=F.col("src") == "tgt"
+            ).collect()
+        }
+        # doc 1 shares the target's vocabulary; doc 2 shares nothing
+        assert out[1]["importance_score"] > out[2]["importance_score"]
+        assert out[1]["n_tokens"] == out[2]["n_tokens"] == 4
+
+    def test_deterministic_integer_scores(self, spark):
+        from presto_ethereum_spark.operators import text as T
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, src="tgt" if i % 3 == 0 else "o",
+                 text=f"tok{i % 5} tok{i % 7} common") for i in range(60)]
+        )
+        a = sorted(map(tuple, T.importance_weights(df, F.col("src") == "tgt").collect()))
+        b = sorted(map(tuple, T.importance_weights(
+            df.repartition(9), F.col("src") == "tgt").collect()))
+        assert a == b
