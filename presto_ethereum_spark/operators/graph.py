@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pagerank", "triangles", "triangle_participation"]
+__all__ = ["pagerank", "triangles", "triangle_participation", "k_core"]
 
 FIXED_POINT_SCALE = 1_000_000_000_000_000.0  # 1e15
 
@@ -220,3 +220,59 @@ def triangle_participation(
         .union(tri.select(F.col("z").alias("n")))
     )
     return corners.groupBy("n").agg(F.count("*").alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph in which every node has
+    degree >= k, by iterative peeling (drop all nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint) — the
+    standard community-density filter ("keep addresses embedded in dense
+    interaction neighborhoods", "trim dangling near-dup chains before
+    clustering").
+
+    Returns ``(n, deg)`` — surviving nodes with their core-subgraph degree.
+
+    Scale: each round is one degree aggregation + two semi-joins on the
+    surviving-node set (all shuffles on node ids, never payloads); the
+    edge list is ``localCheckpoint``-ed once up front so rounds never
+    replay the upstream pipeline, and each round's survivor set is
+    checkpointed to keep the plan flat (the iterative-DataFrame lineage
+    trap).  Peeling converges in O(peeling-depth) rounds — small for the
+    power-law graphs this targets; ``max_iter`` bounds the worst case.
+    The fixpoint is unique (the k-core is order-independent), so the
+    result is deterministic regardless of partitioning.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = _canonical_undirected(edges, src, dst)
+    live = und.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (
+            live.select(F.col("a").alias("n"))
+            .union(live.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("n").localCheckpoint(eager=True)
+        nxt = (
+            live.join(keep.withColumnRenamed("n", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == live.count():
+            live = nxt
+            break
+        live = nxt
+    return (
+        live.select(F.col("a").alias("n"))
+        .union(live.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+        .where(F.col("deg") >= k)
+    )

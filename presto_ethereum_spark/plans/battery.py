@@ -5859,3 +5859,20 @@ def eth_address_sessions(spark: SparkSession, sf: str) -> DataFrame:
         F.min("bn").alias("first_block"),
         F.max("bn").alias("last_block"),
     )
+
+
+@q("emb_pair_kcore", None)
+def emb_pair_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core of the cosine>=0.3 near-dup pair graph (operators/graph.
+    k_core): trims pendant chains of borderline matches before cluster
+    resolution, keeping only nodes embedded in cyclic (dense) duplicate
+    structure.  Iterative peeling to a fixpoint has no closed relational
+    form (each round's degrees depend on the previous round's survivors),
+    so this is a rows-only graded query; exact peeling behavior is pinned
+    by unit tests on hand-checkable graphs and the fixpoint is unique/
+    order-independent, so the output is deterministic."""
+    from presto_ethereum_spark.operators.graph import k_core
+    from presto_ethereum_spark.operators.similarity import cosine_pairs
+
+    pairs = cosine_pairs(t_spread(spark, sf, "embeddings", parts=8), threshold=0.3)
+    return k_core(pairs.select("id_a", "id_b"), k=2, src="id_a", dst="id_b")

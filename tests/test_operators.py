@@ -1468,3 +1468,35 @@ class TestImportanceWeights:
         b = sorted(map(tuple, T.importance_weights(
             df.repartition(9), F.col("src") == "tgt").collect()))
         assert a == b
+
+
+class TestKCore:
+    def _g(self, spark, edges):
+        return spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+        )
+
+    def test_clique_with_tail_peels_tail(self, spark):
+        from presto_ethereum_spark.operators import graph
+
+        # K4 on {0,1,2,3} plus a pendant chain 3-10-11: the chain must peel
+        # away entirely for k=2 (10 keeps degree 2 only while 11 survives)
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        edges = k4 + [(3, 10), (10, 11)]
+        out = {r["n"]: r["deg"] for r in graph.k_core(self._g(spark, edges), k=2).collect()}
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_k3_of_two_triangles_sharing_edge(self, spark):
+        from presto_ethereum_spark.operators import graph
+
+        # two triangles sharing edge (1,2): nodes 0 and 3 have degree 2 ->
+        # no 3-core at all (peeling cascades)
+        edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+        assert graph.k_core(self._g(spark, edges), k=3).count() == 0
+
+    def test_whole_graph_is_its_own_1core(self, spark):
+        from presto_ethereum_spark.operators import graph
+
+        edges = [(0, 1), (2, 3), (4, 5)]
+        out = graph.k_core(self._g(spark, edges), k=1).collect()
+        assert {r["n"] for r in out} == {0, 1, 2, 3, 4, 5}
