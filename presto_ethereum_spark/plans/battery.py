@@ -5876,3 +5876,47 @@ def emb_pair_kcore(spark: SparkSession, sf: str) -> DataFrame:
 
     pairs = cosine_pairs(t_spread(spark, sf, "embeddings", parts=8), threshold=0.3)
     return k_core(pairs.select("id_a", "id_b"), k=2, src="id_a", dst="id_b")
+
+
+@q(
+    "rel_table_stats",
+    """
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS ndv_exact, 1 AS ndv_ok,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey), 1,
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice), 1,
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), 1, NULL, NULL,
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    """,
+)
+def rel_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style per-column statistics in one pass (operators/stats.
+    column_stats): row/null/distinct counts and typed min/max for four
+    orders columns from a single map-side-combined aggregation — the
+    cost-based-planning/data-quality primitive.  The HLL++ ndv rides a
+    tolerance verdict (referee pattern of rel_approx_sketches); the exact
+    distinct column exists only as that referee."""
+    from presto_ethereum_spark.operators.stats import column_stats
+
+    return column_stats(
+        t(spark, sf, "orders"),
+        cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )

@@ -1500,3 +1500,34 @@ class TestKCore:
         edges = [(0, 1), (2, 3), (4, 5)]
         out = graph.k_core(self._g(spark, edges), k=1).collect()
         assert {r["n"] for r in out} == {0, 1, 2, 3, 4, 5}
+
+
+class TestColumnStats:
+    def test_one_pass_stats_with_nulls(self, spark):
+        from presto_ethereum_spark.operators import stats
+
+        df = spark.createDataFrame(
+            [Row(a=1, s="x"), Row(a=2, s="y"), Row(a=None, s="x"), Row(a=2, s=None)]
+        )
+        out = {r["col_name"]: r for r in stats.column_stats(df).collect()}
+        assert out["a"]["n_rows"] == 4 and out["a"]["n_nulls"] == 1
+        assert out["a"]["ndv_exact"] == 2 and out["a"]["ndv_ok"] == 1
+        assert out["a"]["min_num"] == 1.0 and out["a"]["max_num"] == 2.0
+        assert out["a"]["min_str"] is None
+        assert out["s"]["min_str"] == "x" and out["s"]["max_str"] == "y"
+        assert out["s"]["min_num"] is None
+
+    def test_single_scan_plan(self, spark):
+        from presto_ethereum_spark.operators import stats
+
+        df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        plan = (
+            stats.column_stats(df, cols=["o_orderkey", "o_orderstatus"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # ONE scan feeds every column's aggregates (the multi-distinct
+        # Expand rewrite still reads the table once) -- never a scan per
+        # column
+        assert plan.count("FileScan") == 1
