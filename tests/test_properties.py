@@ -246,3 +246,143 @@ def test_disjunctive_pushdown_never_changes_results(spark, islands):
     )
     assert pruned.exceptAll(plain).count() == 0
     assert plain.exceptAll(pruned).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators: triangles vs brute force, budget-cap prefix law,
+# SCD2 interval laws, heavy hitters vs naive groupBy
+# ---------------------------------------------------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangles_match_brute_force(spark, edges):
+    from itertools import combinations
+
+    from presto_ethereum_spark.operators import graph
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in und for n in e})
+    want = {
+        (x, y, z)
+        for x, y, z in combinations(nodes, 3)
+        if {(x, y), (x, z), (y, z)} <= und
+    }
+    if not und:
+        return
+    df = spark.createDataFrame(list(und), "src long, dst long")
+    got = {(r["x"], r["y"], r["z"]) for r in graph.triangles(df).collect()}
+    assert got == want
+
+
+@given(
+    costs=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+    budget=st.integers(min_value=0, max_value=120),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cap_by_budget_prefix_law(spark, costs, budget):
+    """Kept rows are EXACTLY the maximal hash-order prefix whose cumulative
+    cost fits the budget — replayed by an independent Python reference
+    using the same md5 ordering."""
+    import hashlib
+
+    from presto_ethereum_spark.operators import sampling
+
+    rows = [(i, c) for i, c in enumerate(costs)]
+    df = spark.createDataFrame(rows, "k int, cost int").withColumn(
+        "s", F.lit("g")
+    )
+    got = {
+        r["k"]
+        for r in sampling.cap_by_budget(df, "s", "k", "cost", budget).collect()
+        if r["kept"]
+    }
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    want, run = set(), 0
+    for k, c in order:
+        run += c
+        if run > budget:
+            break
+        want.add(k)
+    assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # key
+            st.integers(min_value=0, max_value=20),   # time
+            st.sampled_from(["x", "y"]),              # attr
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_interval_laws(spark, events):
+    """Versions per key are 0..m consecutive; valid_from strictly
+    increases; valid_to chains to the next valid_from (NULL last);
+    adjacent versions never repeat the attr."""
+    from presto_ethereum_spark.operators import temporal
+
+    rows = [(k, t, a, i) for i, (k, t, a) in enumerate(events)]
+    df = spark.createDataFrame(rows, "k int, t int, a string, eid int")
+    out = temporal.scd2_build(df, "k", "t", "a", tiebreak_col="eid").collect()
+    by_key: dict = {}
+    for r in out:
+        by_key.setdefault(r["key"], []).append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(len(vs)))
+        for prev, cur in zip(vs, vs[1:]):
+            assert prev["valid_to"] == cur["valid_from"]
+            # equal valid_from is legal: simultaneous conflicting events
+            # (tiebroken) yield a zero-length version [t, t)
+            assert prev["valid_from"] <= cur["valid_from"]
+            assert prev["attr"] != cur["attr"]
+        assert vs[-1]["valid_to"] is None
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=60),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_heavy_hitters_equal_naive(spark, vals):
+    from presto_ethereum_spark.operators import frequency
+
+    frac = 0.15
+    df = spark.createDataFrame([(str(v),) for v in vals], "v string").repartition(3)
+    got = {
+        (r["value"], r["n"])
+        for r in frequency.heavy_hitters(df, "v", frac).collect()
+    }
+    from collections import Counter
+
+    cnt = Counter(str(v) for v in vals)
+    floor_thresh = int(len(vals) * 0.15)
+    want = {(v, c) for v, c in cnt.items() if c > floor_thresh}
+    assert got == want
