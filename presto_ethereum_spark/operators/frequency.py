@@ -92,11 +92,18 @@ def heavy_hitters(
     ).distinct()
     num = int(round(threshold_frac * 1_000_000_000))
     tot = vals.agg(F.count("*").alias("n_total"))
+    # the product n_total * num is computed in DECIMAL(38,0): BIGINT
+    # arithmetic would overflow (and silently wrap under non-ANSI Spark)
+    # past n_total ~ 2^63/num — a few TB of token positions, squarely the
+    # scale this operator targets.  The DIV quotient is back under 2^63.
+    thresh = F.expr(
+        f"CAST(n_total AS DECIMAL(38,0)) * {num} DIV 1000000000"
+    )
     return (
         vals.join(F.broadcast(cands), "value")
         .groupBy("value")
         .agg(F.count("*").alias("n"))
         .crossJoin(F.broadcast(tot))
-        .where(F.col("n") > F.expr(f"(n_total * {num}) DIV 1000000000"))
+        .where(F.col("n") > thresh)
         .select("value", "n")
     )

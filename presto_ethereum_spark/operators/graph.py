@@ -252,6 +252,7 @@ def k_core(
         raise ValueError(f"k must be >= 1, got {k}")
     und = _canonical_undirected(edges, src, dst)
     live = und.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         deg = (
             live.select(F.col("a").alias("n"))
@@ -267,8 +268,17 @@ def k_core(
         )
         if nxt.count() == live.count():
             live = nxt
+            converged = True
             break
         live = nxt
+    if not converged:
+        # returning the not-yet-converged survivor set would silently
+        # include non-core nodes (e.g. a long path peels one layer per
+        # round) — wrong answers must not look like answers
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} rounds; "
+            "raise max_iter (peeling depth exceeds it on long-chain graphs)"
+        )
     return (
         live.select(F.col("a").alias("n"))
         .union(live.select(F.col("b").alias("n")))

@@ -124,6 +124,11 @@ def cap_by_budget(
     hash order, which keeps the decision a pure function of (salt, key)
     and independent of partitioning.)
 
+    PRECONDITION: ``key`` must be unique within each stratum — two rows
+    sharing a key sort identically, so their relative order (and, at a
+    budget boundary, which of them is kept) would depend on partition
+    layout, voiding the determinism contract.
+
     Scale: one shuffle on the stratum key; the cumulative sum is a running
     window aggregate (no buffering of the stratum beyond the sort), and
     costs are summed as BIGINT so the cut point is exact in any engine.

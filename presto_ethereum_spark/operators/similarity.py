@@ -193,10 +193,11 @@ def _collect_id_matrix(df: DataFrame, id_col: str, vec_col: str):
     Arrow — one flatten + reshape of the list column's value buffer, no
     pandas object-of-lists intermediate (which costs several× N·dim·8 B in
     Python object overhead).  This is an EAGER, driver-side materialization:
-    memory is bounded by N·dim·8 bytes (~5 GiB at 10M × 64); past that,
-    callers must raise ``tiles`` (the executor-side broadcast shrinks per
-    tile, though the driver still stages the full matrix once) or switch to
-    the LSH/IVF blocked paths which avoid O(N²) scoring altogether."""
+    memory is bounded by N·dim·8 bytes of the COLLECTED frame (~5 GiB at
+    10M × 64).  ``cosine_pairs_gemm`` with ``tiles=C`` calls this on
+    id-range slices so the driver stages only one tile at a time; for
+    corpora past even that, the LSH/IVF blocked paths avoid O(N²) scoring
+    altogether."""
     import numpy as np
 
     tbl = df.select(
@@ -991,6 +992,13 @@ def mmr_rerank(
     """
     if k <= 0 or pool < k:
         raise ValueError(f"need 0 < k <= pool, got {k=} {pool=}")
+    id_type = dict(corpus.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the pandas kernel and its declared long output schema require
+        # integral ids (same contract as cosine_pairs_gemm's int64 collect)
+        raise ValueError(
+            f"mmr_rerank requires an integral {id_col!r} column, got {id_type}"
+        )
     cands = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
     withvec = cands.join(
         corpus.select(

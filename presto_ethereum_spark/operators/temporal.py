@@ -399,10 +399,11 @@ def snapshot_diff(
         eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
         cond = eq if cond is None else cond & eq
     j = o.join(n, cond, "full")
-    same = None
+    # empty compare_cols = presence-only diff: every matched key is
+    # "unchanged", only inserts/deletes survive
+    same = F.lit(True)
     for c in compare_cols:
-        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        same = eq if same is None else same & eq
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("insert"))
         .when(F.col("_in_new").isNull(), F.lit("delete"))

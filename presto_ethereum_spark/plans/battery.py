@@ -5468,14 +5468,10 @@ def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
 # substring-window dedup, MMR diversity re-ranking
 # ---------------------------------------------------------------------------
 
-_DUCK_EMB_PAIRS_03 = """
+_DUCK_EMB_PAIRS_03 = f"""
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE
-        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-        >= 0.3
+      WHERE {_DUCK_COSINE} >= 0.3
 """
 
 

@@ -406,11 +406,18 @@ def run_foreachbatch_upsert(
     gens: list[str] = []
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = f"{root}/gen_{batch_id}"
+        # foreachBatch may re-invoke a batch_id after a failure between the
+        # function returning and the offset-log commit: merge from the last
+        # generation that is NOT this batch's own output (reading and
+        # overwriting the same path in one job is both illegal and wrong —
+        # it would double-apply the batch)
+        prior = [g for g in gens if g != out]
         compact = _latest_per_key(
             batch_df.select("user_id", "t_us", "event_id", "value")
         )
-        if gens:
-            prev = batch_df.sparkSession.read.parquet(gens[-1]).select(
+        if prior:
+            prev = batch_df.sparkSession.read.parquet(prior[-1]).select(
                 "user_id",
                 F.col("last_t_us").alias("t_us"),
                 F.col("last_event_id").alias("event_id"),
@@ -424,9 +431,9 @@ def run_foreachbatch_upsert(
                     F.col("last_value").alias("value"),
                 )
             ))
-        out = f"{root}/gen_{batch_id}"
         compact.write.mode("overwrite").parquet(out)
-        gens.append(out)
+        if out not in gens:
+            gens.append(out)
 
     q = (
         (source if source is not None else _events_source(spark, sf_dir))

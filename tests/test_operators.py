@@ -1531,3 +1531,32 @@ class TestColumnStats:
         # Expand rewrite still reads the table once) -- never a scan per
         # column
         assert plan.count("FileScan") == 1
+
+
+class TestReviewFixes:
+    def test_kcore_raises_on_nonconvergence(self, spark):
+        from presto_ethereum_spark.operators import graph
+
+        path = spark.createDataFrame(
+            [Row(src=i, dst=i + 1) for i in range(10)], "src long, dst long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            graph.k_core(path, k=2, max_iter=2)
+
+    def test_snapshot_diff_presence_only(self, spark):
+        from presto_ethereum_spark.operators import temporal
+
+        old = spark.createDataFrame([Row(k=1), Row(k=2)])
+        new = spark.createDataFrame([Row(k=2), Row(k=3)])
+        out = {(r["k"], r["change"]) for r in
+               temporal.snapshot_diff(old, new, ["k"], []).collect()}
+        assert out == {(1, "delete"), (3, "insert")}
+
+    def test_mmr_rejects_non_integral_ids(self, spark):
+        from presto_ethereum_spark.operators import similarity
+
+        df = spark.createDataFrame(
+            [Row(vec_id="a", embedding=[1.0, 0.0])]
+        )
+        with pytest.raises(ValueError, match="integral"):
+            similarity.mmr_rerank(df, df, k=1, pool=1)
