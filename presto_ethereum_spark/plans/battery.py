@@ -5916,3 +5916,78 @@ def rel_table_stats(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "orders"),
         cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
     )
+
+
+@q(
+    "eth_block_stats",
+    f"""
+    WITH b AS (SELECT * FROM read_parquet('{ETH}/block.parquet'))
+    SELECT 'block_number' AS col_name, count(*) AS n_rows,
+           count(*) - count(block_number) AS n_nulls,
+           count(DISTINCT block_number) AS ndv_exact, 1 AS ndv_ok,
+           CAST(min(block_number) AS DOUBLE) AS min_num,
+           CAST(max(block_number) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM b
+    UNION ALL
+    SELECT 'block_timestamp', count(*), count(*) - count(block_timestamp),
+           count(DISTINCT block_timestamp), 1,
+           CAST(min(block_timestamp) AS DOUBLE), CAST(max(block_timestamp) AS DOUBLE),
+           NULL, NULL
+    FROM b
+    UNION ALL
+    SELECT 'block_miner', count(*), count(*) - count(block_miner),
+           count(DISTINCT block_miner), 1, NULL, NULL,
+           min(block_miner), max(block_miner)
+    FROM b
+    """,
+)
+def eth_block_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE over the chain source: one-pass per-column statistics of the
+    decoded block table (operators/stats.column_stats through the full
+    nested-snapshot decode pipeline) — the stats a planner needs to pick
+    block-range scan strategies, produced by the same operator that
+    profiles any relational table."""
+    from presto_ethereum_spark.operators.stats import column_stats
+
+    b = _eth_tables(spark).table("block")
+    return column_stats(b, cols=["block_number", "block_timestamp", "block_miner"])
+
+
+@q(
+    "eth_token_daily_volume",
+    f"""
+    WITH e AS (SELECT * FROM read_parquet('{ETH}/erc20.parquet')),
+    b AS (SELECT block_number, block_timestamp
+          FROM read_parquet('{ETH}/block.parquet'))
+    SELECT e.erc20_token AS token,
+           CAST(b.block_timestamp // 86400 AS BIGINT) AS day_no,
+           count(*) AS n_transfers,
+           printf('%.6e', sum(e.erc20_value)) AS volume
+    FROM e JOIN b ON b.block_number = e.erc20_blocknumber
+    GROUP BY token, day_no
+    """,
+)
+def eth_token_daily_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-derived-table analytics: ERC-20 transfers joined back to their
+    blocks for timestamps (the decode pipeline must keep block_number
+    consistent across the two exploded tables), daily volume per token.
+    Volumes are wei-scale doubles spanning ~1e90 (past any DECIMAL), so the
+    graded value is the %.6e rendering -- same 6-significant-digit
+    absorption of fp ordering noise as eth_erc20_movement; the block side
+    is a broadcastable (number, timestamp) projection."""
+    e = _eth_tables(spark).table("erc20")
+    b = _eth_tables(spark).table("block").select(
+        F.col("block_number").alias("bn"), "block_timestamp"
+    )
+    return (
+        e.join(F.broadcast(b), F.col("erc20_blocknumber") == F.col("bn"))
+        .groupBy(
+            F.col("erc20_token").alias("token"),
+            F.expr("block_timestamp DIV 86400").alias("day_no"),
+        )
+        .agg(
+            F.count("*").alias("n_transfers"),
+            F.format_string("%.6e", F.sum("erc20_value")).alias("volume"),
+        )
+    )
