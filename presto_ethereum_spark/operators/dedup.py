@@ -44,6 +44,7 @@ __all__ = [
     "connected_components",
     "dup_clusters",
     "substring_duplicates",
+    "delta_dup_pairs",
 ]
 
 NUM_HASHES = 16
@@ -665,5 +666,64 @@ def substring_duplicates(
                            / F.col("n_windows"), 6))
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
+        )
+    )
+
+
+def delta_dup_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INCREMENTAL dedup: near-dup pairs between a NEW shard and an
+    EXISTING corpus — ``(new_id, old_id, jaccard_sim)`` — without ever
+    comparing the corpus to itself.
+
+    The ingestion-time pattern: the corpus's banded MinHash index is built
+    once (and in production PERSISTED — it is exactly the ``(id, band,
+    key)`` table this function derives from ``old``); each arriving shard
+    computes only its own signatures and joins its bands against the
+    index.  Work per shard is O(|shard| + matching buckets), not
+    O(|corpus|); the exact-Jaccard verify touches candidate pairs only.
+    """
+
+    def _bands(df: DataFrame, side: str) -> DataFrame:
+        shingled = df.select(
+            F.col(id_col).alias(f"id_{side}"), F.col(text_col).alias("txt")
+        ).withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), 3)))
+        sigs = shingled.where(F.size("sh") > 0).withColumn(
+            "sig", minhash_signature_from_shingles(F.col("sh"))
+        )
+        return sigs.select(
+            f"id_{side}",
+            F.posexplode(minhash_band_keys(F.col("sig"))).alias("band", "key"),
+        )
+
+    cand = (
+        _bands(new, "new")
+        .join(_bands(old, "old"), ["band", "key"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+
+    def _shingles(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.array_distinct(word_shingles(F.col(text_col), 3)).alias(f"sh_{side}"),
+        )
+
+    return (
+        cand.join(_shingles(new, "new"), "id_new")
+        .join(_shingles(old, "old"), "id_old")
+        .withColumn(
+            "jaccard_sim", jaccard_from_shingles(F.col("sh_new"), F.col("sh_old"))
+        )
+        .where(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col("id_new").alias("new_id"),
+            F.col("id_old").alias("old_id"),
+            F.round("jaccard_sim", 6).alias("jaccard_sim"),
         )
     )

@@ -5991,3 +5991,43 @@ def eth_token_daily_volume(spark: SparkSession, sf: str) -> DataFrame:
             F.format_string("%.6e", F.sum("erc20_value")).alias("volume"),
         )
     )
+
+
+@q(
+    "doc_incremental_dedup",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_SIG},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM banded n JOIN banded o
+        ON n.band = o.band AND n.key = o.key
+      WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0)
+    SELECT new_id, old_id,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS jaccard_sim
+    FROM cand
+    JOIN shingled sa ON sa.doc_id = new_id
+    JOIN shingled sb ON sb.doc_id = old_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / (len(sa.shingles) + len(sb.shingles)
+             - len(list_intersect(sa.shingles, sb.shingles))) >= 0.3
+    """,
+)
+def doc_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Ingestion-time incremental dedup (operators/dedup.delta_dup_pairs):
+    a new shard (doc_id % 10 = 0) checked against the existing corpus's
+    banded MinHash index without any corpus-vs-corpus comparison — work
+    per shard is O(|shard| + matching buckets).  Exact-Jaccard verified
+    at >= 0.3 like the batch LSH query, so the two formulations share an
+    oracle skeleton."""
+    from presto_ethereum_spark.operators.dedup import delta_dup_pairs
+
+    d = t_spread(spark, sf, "documents")
+    return delta_dup_pairs(
+        d.where(F.col("doc_id") % 10 != 0),
+        d.where(F.col("doc_id") % 10 == 0),
+        threshold=0.3,
+    )
