@@ -135,7 +135,7 @@ def _canonical_undirected(
 
 
 def triangles(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", cache: bool = True
 ) -> DataFrame:
     """Enumerate every triangle of the undirected graph induced by
     ``edges`` once, as ``(x, y, z)`` with ``x < y < z``.
@@ -156,8 +156,18 @@ def triangles(
     same triangle set but wedge-joins on the *raw* ordering, whose work is
     unbounded per hub — fine for a differential check at fixture scale,
     wrong at 100 TB.
+
+    ``cache`` persists the two multiply-referenced invariants — the
+    canonical edge list (read by the degree count AND both sides of the
+    degree join) and the oriented list (read by the wedge build's two
+    sides AND the closing join).  Without it, every reference REPLAYS the
+    upstream edge pipeline; when edges come from an expensive producer
+    (an all-pairs similarity join, a chain decode) that multiplies the
+    dominant cost ~5x (the same invariant-caching trade as ``pagerank``).
     """
     und = _canonical_undirected(edges, src, dst)
+    if cache:
+        und = und.persist()
     deg = (
         und.select(F.col("a").alias("n"))
         .union(und.select(F.col("b").alias("n")))
@@ -176,6 +186,8 @@ def triangles(
         F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
+    if cache:
+        oriented = oriented.persist()
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(
@@ -208,16 +220,17 @@ def triangles(
 
 
 def triangle_participation(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", cache: bool = True
 ) -> DataFrame:
     """Per-node triangle membership counts ``(n, n_triangles)`` — the
     clustering-structure signal ("how embedded is this address") — from one
-    ``triangles`` enumeration exploded to its three corners."""
-    tri = triangles(edges, src=src, dst=dst)
-    corners = (
-        tri.select(F.col("x").alias("n"))
-        .union(tri.select(F.col("y").alias("n")))
-        .union(tri.select(F.col("z").alias("n")))
+    ``triangles`` enumeration exploded to its three corners.
+
+    The corner expansion is a single ``explode`` over each triangle row —
+    a three-way union would evaluate the triangle join three times."""
+    tri = triangles(edges, src=src, dst=dst, cache=cache)
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("n")
     )
     return corners.groupBy("n").agg(F.count("*").alias("n_triangles"))
 
