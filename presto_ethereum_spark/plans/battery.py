@@ -6031,3 +6031,45 @@ def doc_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         d.where(F.col("doc_id") % 10 == 0),
         threshold=0.3,
     )
+
+
+@q(
+    "stream_manifest_sink",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events
+    """,
+)
+def stream_manifest_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom streaming SINK via the Python DataSource API
+    (streaming/sink.py): events stream through the two-phase
+    stage-then-manifest commit protocol and the committed JSONL output is
+    read back via the manifests — it must equal the input exactly (a lost
+    task, double-published batch, or orphaned staging file would all break
+    the hash)."""
+    import tempfile
+
+    from presto_ethereum_spark.streaming.events import _events_source
+    from presto_ethereum_spark.streaming.sink import (
+        JsonlManifestDataSource,
+        read_manifested,
+    )
+
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = tempfile.mkdtemp(prefix="manifest_sink_")
+    q = (
+        _events_source(spark, sf)
+        .select("event_id", "user_id", "t_us", "event_type")
+        .writeStream.format("jsonl_manifest")
+        .option("path", out)
+        .option("checkpointLocation", f"{out}/_chk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = read_manifested(
+        spark, out, "event_id long, user_id long, t_us long, event_type string"
+    ).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    return got

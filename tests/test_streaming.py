@@ -277,3 +277,50 @@ class TestForeachBatchUpsert:
         got = {r["user_id"]: (r["last_t_us"], r["last_event_id"], r["last_value"])
                for r in out.collect()}
         assert got == {1: (20, 103, 9.0), 2: (5, 101, 2.0), 3: (7, 104, 4.0)}
+
+
+class TestJsonlManifestSink:
+    def test_commit_manifests_and_readback(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.sink import (
+            JsonlManifestDataSource,
+            manifested_files,
+            read_manifested,
+        )
+
+        spark.dataSource.register(JsonlManifestDataSource)
+        src = tmp_path / "in"
+        src.mkdir()
+        pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}).to_parquet(
+            src / "f1.parquet"
+        )
+        pd.DataFrame({"k": [4, 5], "v": ["d", "e"]}).to_parquet(src / "f2.parquet")
+        out = str(tmp_path / "out")
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("jsonl_manifest")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # one manifest per micro-batch, files published under data/
+        import os
+
+        manifests = sorted(os.listdir(f"{out}/_manifests"))
+        assert len(manifests) >= 2  # one file per trigger -> >= 2 batches
+        # a stray orphaned staging file must be invisible to readers
+        os.makedirs(f"{out}/_staging", exist_ok=True)
+        with open(f"{out}/_staging/orphan.jsonl", "w") as fh:
+            fh.write('{"k": 99, "v": "zz"}\n')
+        files = manifested_files(out)
+        assert all("orphan" not in f for f in files)
+        back = read_manifested(spark, out, "k long, v string")
+        got = sorted((r["k"], r["v"]) for r in back.collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
