@@ -6073,3 +6073,173 @@ def stream_manifest_sink(spark: SparkSession, sf: str) -> DataFrame:
 
     shutil.rmtree(out, ignore_errors=True)
     return got
+
+
+@q(
+    "eth_reorg_detection",
+    f"""
+    WITH a AS (SELECT block_number, block_hash
+               FROM read_parquet('{ETH}/block.parquet')),
+    b AS (SELECT block_number,
+                 CASE WHEN block_number > 1990
+                      THEN concat(block_hash, '-fork') ELSE block_hash END
+                   AS block_hash
+          FROM read_parquet('{ETH}/block.parquet'))
+    SELECT a.block_number,
+           'update' AS change,
+           a.block_hash AS old_block_hash,
+           b.block_hash AS new_block_hash
+    FROM a JOIN b ON a.block_number = b.block_number
+    WHERE a.block_hash <> b.block_hash
+    """,
+)
+def eth_reorg_detection(spark: SparkSession, sf: str) -> DataFrame:
+    """Chain-reorg detection as a keyed snapshot diff (operators/temporal.
+    snapshot_diff): compare the locally-ingested (number -> hash) map
+    against the node's current view; hash changes at the same height ARE
+    the orphaned blocks, and the fork point is the min changed height — 1.
+    The simulated node view forks the last ~10 blocks, the exact shape of
+    a head reorg an ingestion pipeline must detect and re-fetch."""
+    from presto_ethereum_spark.operators.temporal import snapshot_diff
+
+    blk = _eth_tables(spark).table("block").select("block_number", "block_hash")
+    forked = blk.withColumn(
+        "block_hash",
+        F.when(
+            F.col("block_number") > 1990, F.concat(F.col("block_hash"), F.lit("-fork"))
+        ).otherwise(F.col("block_hash")),
+    )
+    return snapshot_diff(
+        blk, forked, key_cols=["block_number"], compare_cols=["block_hash"]
+    )
+
+
+@q(
+    "doc_corpus_funnel",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_SIG},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    dup_b AS (
+      SELECT DISTINCT id_b FROM cand
+      JOIN shingled sa ON sa.doc_id = id_a
+      JOIN shingled sb ON sb.doc_id = id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.3),
+    pos AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+    grams AS (SELECT doc_id, array_to_string(l[i:i + 2], ' ') AS gram FROM pos),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+    hits AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 20 <> 0),
+    base AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS keeper
+      FROM documents),
+    flags AS (
+      SELECT b.doc_id, b.n_tokens,
+             CASE WHEN b.n_tokens >= 10 AND b.n_chars BETWEEN 100 AND 500
+                  THEN 1 ELSE 0 END AS s1,
+             b.keeper AS s2,
+             CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS s3,
+             CASE WHEN b.doc_id % 20 <> 0 AND h.doc_id IS NULL
+                  THEN 1 ELSE 0 END AS s4
+      FROM base b
+      LEFT JOIN dup_b d ON d.id_b = b.doc_id
+      LEFT JOIN hits h ON h.doc_id = b.doc_id)
+    SELECT 0 AS stage, 'all' AS stage_name,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM flags
+    UNION ALL SELECT 1, 'floors', CAST(sum(s1) AS BIGINT),
+           CAST(sum(s1 * n_tokens) AS BIGINT) FROM flags
+    UNION ALL SELECT 2, 'exact_dedup', CAST(sum(s1 * s2) AS BIGINT),
+           CAST(sum(s1 * s2 * n_tokens) AS BIGINT) FROM flags
+    UNION ALL SELECT 3, 'near_dedup', CAST(sum(s1 * s2 * s3) AS BIGINT),
+           CAST(sum(s1 * s2 * s3 * n_tokens) AS BIGINT) FROM flags
+    UNION ALL SELECT 4, 'decontaminated', CAST(sum(s1 * s2 * s3 * s4) AS BIGINT),
+           CAST(sum(s1 * s2 * s3 * s4 * n_tokens) AS BIGINT) FROM flags
+    """,
+)
+def doc_corpus_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END pretraining corpus build as one graded funnel: doc
+    and token counts surviving each pipeline stage in order — length/token
+    floors, exact-dup keeper election, near-dup (MinHash+LSH, J>=0.3)
+    keeper election, benchmark decontamination (3-gram overlap vs the
+    held-out doc_id%20 slice, which is itself excluded from the corpus).
+    Every stage predicate is computed corpus-wide by the SAME operators
+    the individual graded queries use (exact_dedup / minhash_dedup_pairs /
+    decontaminate), so this query pins their composition, not just each
+    piece."""
+    from presto_ethereum_spark.operators.dedup import minhash_dedup_pairs
+    from presto_ethereum_spark.operators.text import decontaminate, tokens
+
+    d = t_spread(spark, sf, "documents")
+    w_fp = Window.partitionBy(F.md5(F.col("text")))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        (F.col("doc_id") == F.min("doc_id").over(w_fp)).cast("int").alias("s2"),
+    )
+    dup_b = (
+        minhash_dedup_pairs(d, threshold=0.3).select("id_b").distinct()
+        .withColumnRenamed("id_b", "doc_id")
+        .withColumn("_dup", F.lit(1))
+    )
+    hits = (
+        decontaminate(d, n=3, bench_mod=20)
+        .select("doc_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    flags = (
+        base.join(dup_b, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "n_tokens",
+            (
+                (F.col("n_tokens") >= 10)
+                & F.col("n_chars").between(100, 500)
+            ).cast("int").alias("s1"),
+            "s2",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("s3"),
+            F.when(
+                (F.col("doc_id") % 20 != 0) & F.col("_hit").isNull(), 1
+            ).otherwise(0).alias("s4"),
+        )
+    )
+    pre = [
+        F.lit(1),
+        F.col("s1"),
+        F.col("s1") * F.col("s2"),
+        F.col("s1") * F.col("s2") * F.col("s3"),
+        F.col("s1") * F.col("s2") * F.col("s3") * F.col("s4"),
+    ]
+    names = ["all", "floors", "exact_dedup", "near_dedup", "decontaminated"]
+    agg = flags.agg(
+        *[F.sum(p).cast("long").alias(f"d_{i}") for i, p in enumerate(pre)],
+        *[
+            F.sum(p * F.col("n_tokens")).cast("long").alias(f"t_{i}")
+            for i, p in enumerate(pre)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(names[i]).alias("stage_name"),
+                F.col(f"d_{i}").alias("n_docs"),
+                F.col(f"t_{i}").alias("total_tokens"),
+            )
+            for i in range(5)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
