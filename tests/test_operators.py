@@ -1560,3 +1560,31 @@ class TestReviewFixes:
         )
         with pytest.raises(ValueError, match="integral"):
             similarity.mmr_rerank(df, df, k=1, pool=1)
+
+
+class TestDeltaDedup:
+    def test_only_cross_shard_pairs_reported(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        old = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=base),
+                Row(doc_id=2, text=base),  # old-old dup: must NOT be reported
+                Row(doc_id=3, text="totally different old content here now ok"),
+            ]
+        )
+        new = spark.createDataFrame(
+            [
+                Row(doc_id=10, text=base),                      # dup of old
+                Row(doc_id=11, text=base.replace("zeta", "zz")),  # near-dup
+                Row(doc_id=12, text="fresh unseen words entirely novel stuff"),
+                Row(doc_id=13, text=base),                      # new-new dup with 10: not reported
+            ]
+        )
+        out = dedup.delta_dup_pairs(old, new, threshold=0.5).collect()
+        pairs = {(r["new_id"], r["old_id"]) for r in out}
+        assert (10, 1) in pairs and (10, 2) in pairs
+        assert (13, 1) in pairs  # every new dup checks against the corpus
+        assert all(r["new_id"] >= 10 and r["old_id"] < 10 for r in out)
+        assert 12 not in {p[0] for p in pairs}
+        for r in out:
+            assert 0.0 <= r["jaccard_sim"] <= 1.0
