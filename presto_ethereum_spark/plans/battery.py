@@ -6243,3 +6243,74 @@ def doc_corpus_funnel(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@q(
+    "rel_zorder_layout",
+    """
+    WITH dims AS (
+      SELECT (o_custkey & 4095) AS a,
+             (date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) & 4095) AS b
+      FROM orders),
+    keyed AS (
+      SELECT a, b,
+             (((a >> 0) & 1) << 0)
+             + (((b >> 0) & 1) << 1)
+             + (((a >> 1) & 1) << 2)
+             + (((b >> 1) & 1) << 3)
+             + (((a >> 2) & 1) << 4)
+             + (((b >> 2) & 1) << 5)
+             + (((a >> 3) & 1) << 6)
+             + (((b >> 3) & 1) << 7)
+             + (((a >> 4) & 1) << 8)
+             + (((b >> 4) & 1) << 9)
+             + (((a >> 5) & 1) << 10)
+             + (((b >> 5) & 1) << 11)
+             + (((a >> 6) & 1) << 12)
+             + (((b >> 6) & 1) << 13)
+             + (((a >> 7) & 1) << 14)
+             + (((b >> 7) & 1) << 15)
+             + (((a >> 8) & 1) << 16)
+             + (((b >> 8) & 1) << 17)
+             + (((a >> 9) & 1) << 18)
+             + (((b >> 9) & 1) << 19)
+             + (((a >> 10) & 1) << 20)
+             + (((b >> 10) & 1) << 21)
+             + (((a >> 11) & 1) << 22)
+             + (((b >> 11) & 1) << 23) AS z
+      FROM dims)
+    SELECT z // 65536 AS z_bucket,
+           count(*) AS n,
+           min(a) AS min_cust, max(a) AS max_cust,
+           min(b) AS min_day, max(b) AS max_day
+    FROM keyed GROUP BY z_bucket
+    """,
+)
+def rel_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout keys (operators/layout.z_order_key): Morton-
+    interleave (customer, order-day) into one clustering key and report
+    per-key-range bucket spans -- each bucket covers a compact rectangle
+    in BOTH dimensions (narrow min/max on customer AND day), which is
+    exactly why files written sorted by z prune on either predicate.
+    The key is exact integer bit arithmetic, replayed by the oracle."""
+    from presto_ethereum_spark.operators.layout import z_order_key
+
+    o = t(spark, sf, "orders")
+    dims = o.select(
+        (F.col("o_custkey").bitwiseAND(F.lit(4095))).alias("a"),
+        (
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).bitwiseAND(F.lit(4095))
+        ).alias("b"),
+    )
+    keyed = dims.withColumn("z", z_order_key(["a", "b"], bits=12))
+    return keyed.groupBy(
+        F.expr("z DIV 65536").alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("a").alias("min_cust"),
+        F.max("a").alias("max_cust"),
+        F.min("b").alias("min_day"),
+        F.max("b").alias("max_day"),
+    )

@@ -1588,3 +1588,52 @@ class TestDeltaDedup:
         assert 12 not in {p[0] for p in pairs}
         for r in out:
             assert 0.0 <= r["jaccard_sim"] <= 1.0
+
+
+class TestZOrder:
+    def test_known_interleave_values(self, spark):
+        from presto_ethereum_spark.operators import layout
+
+        df = spark.createDataFrame(
+            [Row(a=0, b=0), Row(a=1, b=0), Row(a=0, b=1), Row(a=3, b=5)]
+        )
+        out = df.select("a", "b", layout.z_order_key(["a", "b"], bits=4).alias("z")).collect()
+        got = {(r["a"], r["b"]): r["z"] for r in out}
+
+        def ref(a, b):
+            z = 0
+            for i in range(4):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        assert got == {(a, b): ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5)]}
+
+    def test_zorder_write_bounds_both_dims(self, spark, tmp_path):
+        """Files written z-ordered must have MUCH tighter per-file spans on
+        the second dimension than files sorted by the first dimension only
+        (the whole point of interleaving)."""
+        import itertools
+
+        from presto_ethereum_spark.operators import layout
+
+        rows = [Row(a=a, b=b) for a, b in itertools.product(range(64), range(64))]
+        df = spark.createDataFrame(rows)
+        zp = str(tmp_path / "z")
+        layout.write_zordered(df, zp, ["a", "b"], bits=6, n_files=16)
+        import pyarrow.parquet as pq
+        import glob
+        import statistics
+
+        spans = []
+        for f in glob.glob(f"{zp}/part-*.parquet"):
+            t = pq.read_table(f)
+            if t.num_rows == 0:
+                continue
+            bs = t.column("b").to_pylist()
+            spans.append(max(bs) - min(bs))
+        # a pure a-sort gives every file the full b span (63); z-order
+        # keeps files in compact rectangles
+        assert statistics.mean(spans) < 40
+        back = spark.read.parquet(zp)
+        assert back.count() == 64 * 64
