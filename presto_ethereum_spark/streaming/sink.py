@@ -39,7 +39,12 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-__all__ = ["JsonlManifestDataSource", "manifested_files", "read_manifested"]
+__all__ = [
+    "JsonlManifestDataSource",
+    "manifested_files",
+    "read_manifested",
+    "compact_manifests",
+]
 
 
 @dataclasses.dataclass
@@ -100,25 +105,112 @@ class JsonlManifestDataSource(DataSource):
         return _JsonlStreamWriter(path)
 
 
-def manifested_files(path: str) -> list[str]:
-    """The committed data files, per the manifests — the ONLY correct way
-    to enumerate this sink's output (directory listings see orphaned
-    stagings from aborted/replayed batches)."""
+def _manifests(path: str) -> list[tuple[int, dict]]:
     mdir = f"{path}/_manifests"
     if not os.path.isdir(mdir):
         return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(f"{mdir}/{name}") as fh:
+                m = json.load(fh)
+            out.append((int(m["batch"]), m))
+    return sorted(out)
+
+
+def manifested_files(path: str, upto_batch: int | None = None) -> list[str]:
+    """The committed data files, per the manifests — the ONLY correct way
+    to enumerate this sink's output (directory listings see orphaned
+    stagings from aborted/replayed batches).  ``upto_batch`` reads the
+    table AS OF that batch id (inclusive): time travel falls out of the
+    ledger design for free, since each batch's manifest is immutable.
+
+    A CHECKPOINT manifest (written by :func:`compact_manifests`) declares
+    that its files cover every batch <= its id; readers skip older
+    manifests whether or not they have been garbage-collected yet, so a
+    compaction is atomic from a reader's point of view the moment the
+    checkpoint manifest lands.  Time travel to a batch below the latest
+    checkpoint is best-effort (it works until GC removes the superseded
+    manifests — compaction collapses that history)."""
+    ms = _manifests(path)
+    ckpt = max(
+        (b for b, m in ms if m.get("checkpoint")), default=None
+    )
     out: list[str] = []
-    for name in sorted(os.listdir(mdir)):
-        if not name.endswith(".json"):
+    for batch, m in ms:
+        if upto_batch is not None and batch > upto_batch:
             continue
-        with open(f"{mdir}/{name}") as fh:
-            out += [f"{path}/data/{f}" for f in json.load(fh)["files"]]
+        if (
+            ckpt is not None
+            and (upto_batch is None or upto_batch >= ckpt)
+            and batch <= ckpt
+            and not m.get("checkpoint")
+        ):
+            continue  # superseded by the checkpoint
+        out += [f"{path}/data/{f}" for f in m["files"]]
     return out
 
 
-def read_manifested(spark, path: str, schema):
-    """Read the sink's committed output back as a DataFrame."""
-    files = manifested_files(path)
+def read_manifested(spark, path: str, schema, upto_batch: int | None = None):
+    """Read the sink's committed output back as a DataFrame (optionally AS
+    OF ``upto_batch``)."""
+    files = manifested_files(path, upto_batch)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+def compact_manifests(spark, path: str, schema) -> int:
+    """Small-file COMPACTION with snapshot semantics: rewrite all committed
+    rows into one file, publish it as a CHECKPOINT manifest under the
+    highest existing batch id (one atomic rename), then garbage-collect
+    the superseded manifests and files.  The checkpoint flag — not the
+    deletion — is what makes the swap atomic for readers: the moment the
+    checkpoint manifest lands, ``manifested_files`` skips every older
+    manifest whether or not GC has removed it yet, so a racing reader sees
+    either the pre-compaction file set or exactly the checkpoint — never
+    both.  Returns the number of manifests retired.
+
+    (Micro-batch sinks accumulate one small file per task per trigger;
+    periodic compaction is what keeps scan-time file counts bounded — the
+    OPTIMIZE step of a lakehouse table, reduced to this ledger.)
+    """
+    import glob
+    import shutil
+
+    ms = _manifests(path)
+    if len(ms) <= 1:
+        return 0
+    top_batch = ms[-1][0]
+    old_files = manifested_files(path)
+    df = read_manifested(spark, path, schema)
+    n_rows = df.count()
+    # the rewrite is a SPARK job (no driver materialization); one output
+    # file here — a production compactor coalesces to target-size files
+    stage_dir = f"{path}/_staging/compact-{uuid.uuid4().hex}"
+    df.coalesce(1).write.mode("overwrite").json(stage_dir)
+    part = glob.glob(f"{stage_dir}/part-*")[0]
+    out = f"{path}/data/compact-{top_batch}-{uuid.uuid4().hex}.jsonl"
+    os.replace(part, out)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    manifest = f"{path}/_manifests/batch-{top_batch}.json"
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "batch": top_batch,
+                "files": [os.path.basename(out)],
+                "rows": n_rows,
+                "checkpoint": True,
+            },
+            fh,
+        )
+    os.replace(tmp, manifest)  # checkpoint live: readers now skip the rest
+    retired = 0
+    for batch, _ in ms[:-1]:
+        os.remove(f"{path}/_manifests/batch-{batch}.json")
+        retired += 1
+    for f in old_files:
+        if os.path.exists(f):
+            os.remove(f)
+    return retired

@@ -324,3 +324,79 @@ class TestJsonlManifestSink:
         back = read_manifested(spark, out, "k long, v string")
         got = sorted((r["k"], r["v"]) for r in back.collect())
         assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+class TestManifestTimeTravelAndCompaction:
+    def _write_batches(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.sink import JsonlManifestDataSource
+
+        spark.dataSource.register(JsonlManifestDataSource)
+        src = tmp_path / "in"
+        src.mkdir()
+        pd.DataFrame({"k": [1, 2]}).to_parquet(src / "a.parquet")
+        pd.DataFrame({"k": [3]}).to_parquet(src / "b.parquet")
+        out = str(tmp_path / "out")
+        q = (
+            spark.readStream.schema("k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .writeStream.format("jsonl_manifest")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    def test_as_of_batch_read(self, spark, tmp_path):
+        from presto_ethereum_spark.streaming.sink import read_manifested
+
+        out = self._write_batches(spark, tmp_path)
+        full = {r["k"] for r in read_manifested(spark, out, "k long").collect()}
+        asof0 = {
+            r["k"]
+            for r in read_manifested(spark, out, "k long", upto_batch=0).collect()
+        }
+        assert full == {1, 2, 3}
+        assert asof0 in ({1, 2}, {3})  # batch 0 is one of the two files
+        assert len(asof0) < len(full)
+
+    def test_compaction_preserves_rows_and_drops_manifests(self, spark, tmp_path):
+        import os
+
+        from presto_ethereum_spark.streaming.sink import (
+            compact_manifests,
+            read_manifested,
+        )
+
+        out = self._write_batches(spark, tmp_path)
+        before = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
+        retired = compact_manifests(spark, out, "k long")
+        assert retired >= 1
+        after = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
+        assert after == before == [1, 2, 3]
+        assert len(os.listdir(f"{out}/_manifests")) == 1
+        assert len(os.listdir(f"{out}/data")) == 1
+
+    def test_checkpoint_supersedes_stale_manifests(self, spark, tmp_path):
+        """A reader racing GC sees the checkpoint + leftover old manifests;
+        the checkpoint must supersede them (no double counting, no reads
+        of since-deleted files)."""
+        import json
+
+        from presto_ethereum_spark.streaming.sink import (
+            compact_manifests,
+            read_manifested,
+        )
+
+        out = self._write_batches(spark, tmp_path)
+        compact_manifests(spark, out, "k long")
+        # simulate the race: a superseded manifest still on disk, its data
+        # file already gone
+        with open(f"{out}/_manifests/batch-0.json", "w") as fh:
+            json.dump({"batch": 0, "files": ["batch-0-deadbeef.jsonl"], "rows": 2}, fh)
+        got = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
+        assert got == [1, 2, 3]
