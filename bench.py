@@ -6,6 +6,12 @@
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect overhead).  The flagship metric is total wall seconds across
 the headline set.
+
+Timing methodology: each query runs REPEATS (default 3) times in-session and
+the reported number is the MEDIAN, with per-query min/max spread recorded
+under "spread".  Single-run sub-second samples on a 32-thread local JVM move
+±30% from scheduler/JIT jitter alone; the median keeps real regressions from
+hiding in (or being invented by) that band.
 """
 
 from __future__ import annotations
@@ -87,11 +93,18 @@ def main() -> None:
     battery._IVF_CODEBOOKS[sf_dir] = seeds
     battery._IVF_CODEBOOKS[("pq", sf_dir)] = seeds[:4]
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        samples.sort()
+        times[name] = samples[len(samples) // 2]
+        spread[name] = [samples[0], samples[-1]]
 
     print(
         json.dumps(
@@ -100,6 +113,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": sf,
             }
         )
