@@ -859,6 +859,41 @@ def eth_erc20_movement(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "eth_erc20_movement_getlogs",
+    f"""
+    SELECT erc20_token,
+           printf('%.6e', sum(erc20_value)) AS total_value
+    FROM read_parquet('{ETH}/erc20.parquet')
+    WHERE erc20_blocknumber >= 100 AND erc20_blocknumber <= 600
+    GROUP BY erc20_token
+    """,
+)
+def eth_erc20_movement_getlogs(spark: SparkSession, sf: str) -> DataFrame:
+    """The README erc20 aggregation through the LIVE DataSource's bulk
+    ``logs_mode=eth_getLogs`` path: one filtered eth_getLogs RPC per
+    block-range partition instead of one receipt per transaction
+    (EthereumLogLazyIterator.java:39-42) — the cost model a chain-scale
+    scan needs.  Same oracle as eth_erc20_movement: the two paths must
+    decode identically."""
+    from presto_ethereum_spark.sources.rpc import EthereumDataSource
+
+    spark.dataSource.register(EthereumDataSource)
+    erc20 = (
+        spark.read.format("ethereum")
+        .option("table", "erc20")
+        .option("path", str(ETH / "chain_blocks.parquet"))
+        .option("start_block", 100)
+        .option("end_block", 600)
+        .option("logs_mode", "eth_getLogs")
+        .load()
+    )
+    return (
+        erc20.groupBy("erc20_token")
+        .agg(F.format_string("%.6e", F.sum("erc20_value")).alias("total_value"))
+    )
+
+
+@q(
     "eth_top_senders",
     f"""
     SELECT tx_from,

@@ -18,7 +18,7 @@ from presto_ethereum_spark.constants import (
     lookup_token,
 )
 
-__all__ = ["block_row", "transaction_rows", "erc20_rows"]
+__all__ = ["block_row", "transaction_rows", "erc20_rows", "erc20_row_from_log"]
 
 
 def block_row(b: dict) -> dict:
@@ -65,37 +65,45 @@ def transaction_rows(b: dict) -> list[dict]:
     ]
 
 
+def erc20_row_from_log(log: dict) -> dict | None:
+    """Decode ONE log into an erc20 row, or None for non-Transfer / "weird"
+    events (EthereumRecordCursor.java:151-189): case-insensitive topic
+    match, weird-event drop, unindexed-param promotion, h32->h20 narrowing,
+    hex->double with 0.0 fallback.  Shared by the per-block receipt decode
+    (:func:`erc20_rows`) and the bulk ``eth_getLogs`` scan, which must
+    agree row-for-row."""
+    topics = list(log["topics"])
+    data = log["data"]
+    if not topics or topics[0].lower() != TRANSFER_EVENT_TOPIC:
+        return None
+    if len(topics) < 3 and len(topics) + (len(data) - 2) // 64 != 4:
+        return None  # "weird" event (:160-161)
+    if len(topics) < 3:
+        fields = [
+            data[2 + 64 * i : 2 + 64 * (i + 1)]
+            for i in range((len(data) - 2) // 64)
+        ]
+        i = 0
+        while len(topics) < 3:
+            topics.append("0x" + fields[i])
+            i += 1
+        data = "0x" + fields[i]
+    return {
+        "erc20_token": lookup_token(log["address"]),
+        "erc20_from": h32_to_h20(topics[1]),
+        "erc20_to": h32_to_h20(topics[2]),
+        "erc20_value": hex_to_double(data),
+        "erc20_txhash": log["transactionhash"],
+        "erc20_blocknumber": log["blocknumber"],
+    }
+
+
 def erc20_rows(b: dict) -> list[dict]:
-    """ERC-20 Transfer decode (EthereumRecordCursor.java:151-189):
-    case-insensitive topic match, weird-event drop, unindexed-param
-    promotion, h32->h20 narrowing, hex->double with 0.0 fallback."""
+    """ERC-20 Transfer decode over a block's embedded receipt logs."""
     rows = []
     for t in b["transactions"]:
         for log in t.get("logs") or []:
-            topics = list(log["topics"])
-            data = log["data"]
-            if not topics or topics[0].lower() != TRANSFER_EVENT_TOPIC:
-                continue
-            if len(topics) < 3 and len(topics) + (len(data) - 2) // 64 != 4:
-                continue  # "weird" event (:160-161)
-            if len(topics) < 3:
-                fields = [
-                    data[2 + 64 * i : 2 + 64 * (i + 1)]
-                    for i in range((len(data) - 2) // 64)
-                ]
-                i = 0
-                while len(topics) < 3:
-                    topics.append("0x" + fields[i])
-                    i += 1
-                data = "0x" + fields[i]
-            rows.append(
-                {
-                    "erc20_token": lookup_token(log["address"]),
-                    "erc20_from": h32_to_h20(topics[1]),
-                    "erc20_to": h32_to_h20(topics[2]),
-                    "erc20_value": hex_to_double(data),
-                    "erc20_txhash": log["transactionhash"],
-                    "erc20_blocknumber": log["blocknumber"],
-                }
-            )
+            row = erc20_row_from_log(log)
+            if row is not None:
+                rows.append(row)
     return rows

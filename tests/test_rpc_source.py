@@ -272,3 +272,123 @@ def test_ipc_url_rejected():
         make_transport({"url": "ipc:///var/run/geth.ipc"})
     with pytest.raises(ValueError, match="not supported"):
         make_transport({"url": "/var/run/geth.ipc"})
+
+
+class CountingTransport:
+    """Delegating transport that counts RPC-surface calls — the cost-model
+    referee for the bulk eth_getLogs path."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.counts = {"get_blocks": 0, "get_receipt_logs": 0, "get_logs": 0}
+
+    def block_number(self):
+        return self.inner.block_number()
+
+    def block_number_by_hash(self, h):
+        return self.inner.block_number_by_hash(h)
+
+    def block_timestamp(self, n):
+        return self.inner.block_timestamp(n)
+
+    def get_blocks(self, numbers):
+        self.counts["get_blocks"] += 1
+        return self.inner.get_blocks(numbers)
+
+    def get_receipt_logs(self, tx_hashes):
+        self.counts["get_receipt_logs"] += 1
+        return self.inner.get_receipt_logs(tx_hashes)
+
+    def get_logs(self, start, end, topic0=None):
+        self.counts["get_logs"] += 1
+        return self.inner.get_logs(start, end, topic0)
+
+
+class TestBulkGetLogs:
+    """logs_mode=eth_getLogs: the live erc20 scan's bulk path (replaces the
+    reference's one-receipt-per-tx cost model,
+    EthereumLogLazyIterator.java:39-42)."""
+
+    def test_erc20_via_getlogs_matches_golden(self, registered, spark):
+        ds = _read(
+            registered, "erc20", start_block=200, end_block=400,
+            logs_mode="eth_getLogs",
+        )
+        golden = spark.read.parquet(str(ETH_FIXTURES / "erc20.parquet")).where(
+            "erc20_blocknumber BETWEEN 200 AND 400"
+        )
+        assert ds.exceptAll(golden).count() == 0
+        assert golden.exceptAll(ds).count() == 0
+
+    def test_rpc_count_is_o_ranges_not_o_txs(self):
+        # 500 blocks / 100-block partitions -> exactly 5 eth_getLogs calls,
+        # ZERO block-body or receipt calls (vs O(blocks)+O(txs) on the
+        # receipts path and 1+|txs| RPCs per block in the reference)
+        opts = {
+            "table": "erc20", "path": CHAIN,
+            "start_block": 1, "end_block": 500,
+            "blocks_per_partition": 100, "logs_mode": "eth_getLogs",
+        }
+        r = EthereumReader(opts, EthereumDataSource(opts).schema())
+        counting = CountingTransport(r.transport)
+        r.transport = counting
+        parts = r.partitions()
+        assert len(parts) == 5
+        rows = [row for p in parts for row in r.read(p)]
+        assert rows  # the range does contain Transfer events
+        assert counting.counts == {
+            "get_blocks": 0, "get_receipt_logs": 0, "get_logs": 5,
+        }
+
+    def test_receipts_path_unchanged_by_default(self):
+        opts = {
+            "table": "erc20", "path": CHAIN,
+            "start_block": 1, "end_block": 200,
+            "blocks_per_partition": 200,
+        }
+        r = EthereumReader(opts, EthereumDataSource(opts).schema())
+        counting = CountingTransport(r.transport)
+        r.transport = counting
+        list(r.read(r.partitions()[0]))
+        assert counting.counts["get_logs"] == 0
+        assert counting.counts["get_blocks"] >= 1
+
+    def test_bad_logs_mode_rejected(self):
+        opts = {"table": "erc20", "path": CHAIN, "logs_mode": "bogus"}
+        with pytest.raises(ValueError, match="logs_mode"):
+            EthereumReader(opts, EthereumDataSource(opts).schema())
+
+    def test_http_wire_format(self, monkeypatch):
+        from presto_ethereum_spark.sources.rpc import HttpJsonRpcTransport
+        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+
+        tr = HttpJsonRpcTransport("http://unused/")
+        seen = []
+
+        def fake_post(calls):
+            seen.append(calls)
+            return [[{
+                "address": "0xAbC0000000000000000000000000000000000001",
+                "topics": [TRANSFER_EVENT_TOPIC, "0x" + "0" * 63 + "1",
+                           "0x" + "0" * 63 + "2"],
+                "data": "0x" + "0" * 63 + "5",
+                "transactionHash": "0xdead",
+                "blockNumber": "0x10",
+            }]]
+
+        monkeypatch.setattr(tr, "_post", fake_post)
+        logs = tr.get_logs(16, 31, TRANSFER_EVENT_TOPIC)
+        [calls] = seen
+        [call] = calls
+        assert call["method"] == "eth_getLogs"
+        [params] = call["params"]
+        assert params == {
+            "fromBlock": "0x10", "toBlock": "0x1f",
+            "topics": [TRANSFER_EVENT_TOPIC],
+        }
+        [lg] = logs
+        assert lg["blocknumber"] == 16 and lg["transactionhash"] == "0xdead"
+        from presto_ethereum_spark.sources.pyrows import erc20_row_from_log
+
+        row = erc20_row_from_log(lg)
+        assert row is not None and row["erc20_value"] == 5.0
