@@ -246,10 +246,11 @@ def cosine_pairs_gemm(
     **Scale honesty**: building the broadcast requires an eager driver-side
     collect of the corpus (Arrow path, ``_collect_id_matrix``).  With
     ``tiles=1`` the driver stages the full N·dim·8 bytes once.  ``tiles=C``
-    collects PER TILE — the driver first pulls only the id column (8 B/row),
-    partitions the sorted id space into C contiguous ranges, and then
-    collect-broadcasts each range's vectors in turn — so peak driver Python
-    heap is N·8 + N·dim·8/C bytes and peak executor broadcast memory is
+    collects PER TILE — tile boundaries come from a distributed
+    ``approxQuantile`` sketch on the id column (C-1 doubles reach the
+    driver, never the ids), and each contiguous id range's vectors are
+    collect-broadcast in turn — so peak driver Python heap is ~N·dim·8/C
+    bytes (plus a constant sketch) and peak executor broadcast memory is
     N·dim·8/C.  (The serialized broadcasts live in the JVM block manager
     with MEMORY_AND_DISK semantics, so already-shipped tiles can spill.)
     The cost is C filtered scans of the corpus during the build; the left
@@ -303,21 +304,31 @@ def cosine_pairs_gemm(
             out = left.mapInArrow(make_pass(_bc_tile(ids, mat)), schema=schema)
     else:
         # id-space tiling: stage only one tile's vectors on the driver at a
-        # time.  Tile membership differs from row-index tiling but the pair
-        # set — and each pair's fp64 accumulation order — is unchanged, so
-        # the output is bit-identical (asserted in test_operators.py).
-        id_only = left.select("id").toArrow().column("id")
-        # unique => tile id-ranges are disjoint even if an id repeats
-        all_ids = np.unique(
-            id_only.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        for chunk in np.array_split(all_ids, min(tiles, max(1, len(all_ids)))):
-            if not len(chunk):
-                continue
-            lo, hi = int(chunk[0]), int(chunk[-1])
-            sub = df.where(
-                (F.col(id_col) >= F.lit(lo)) & (F.col(id_col) <= F.lit(hi))
-            )
+        # time.  Tile boundaries come from a DISTRIBUTED quantile sketch
+        # (approxQuantile, Greenwald-Khanna) — the driver receives C-1
+        # doubles, never the id column itself (which is 8 B/row: 80 GB of
+        # driver heap at 10^10 rows).  Half-open ranges (lo, hi] built from
+        # the cut points partition the id domain regardless of sketch
+        # accuracy (inexact quantiles only skew tile SIZES, never drop or
+        # duplicate an id); the first/last tiles are unbounded below/above
+        # so coverage needs no min/max pass.  Tile membership differs from
+        # row-index tiling but the pair set — and each pair's fp64
+        # accumulation order — is unchanged, so the output is bit-identical
+        # (asserted in test_operators.py).
+        probs = [i / tiles for i in range(1, tiles)]
+        rel_err = 1.0 / (4 * tiles)
+        cuts_f = df.approxQuantile(id_col, probs, rel_err) if probs else []
+        # floats cap exact long representation at 2^53 — far beyond any
+        # realistic id space, and inexact cuts only move tile boundaries
+        cuts = sorted({int(c) for c in cuts_f})
+        bounds: list[int | None] = [None, *cuts, None]
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(id_col) > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(id_col) <= F.lit(hi))
+            sub = df.where(cond)
             ids_c, mat_c = _collect_id_matrix(sub, id_col, vec_col)
             if not len(ids_c):
                 continue

@@ -144,6 +144,28 @@ class TestSimilarity:
         )
         assert tiled == single and len(single) > 0
 
+    def test_gemm_tiled_edge_cases(self, spark, emb):
+        """Quantile-cut tiling (no driver id collect) must cover the id
+        domain even when cuts collapse: tiles > distinct ids reduces to
+        fewer effective tiles, empty input yields an empty frame."""
+        small = emb.where("vec_id < 4")
+        single = sorted(
+            map(tuple, similarity.cosine_pairs_gemm(small, threshold=0.0).collect())
+        )
+        tiled = sorted(
+            map(
+                tuple,
+                similarity.cosine_pairs_gemm(small, threshold=0.0, tiles=10).collect(),
+            )
+        )
+        assert tiled == single and len(single) > 0
+        assert (
+            similarity.cosine_pairs_gemm(
+                emb.where("vec_id < 0"), threshold=0.0, tiles=3
+            ).count()
+            == 0
+        )
+
     def test_ivf_full_probe_equals_brute_force(self, emb):
         """With nprobe == n_cells every cell is probed, so the IVF result
         must equal exact search bit-for-bit — the index only *prunes*."""
