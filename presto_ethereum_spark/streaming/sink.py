@@ -15,11 +15,26 @@ with the two-phase commit contract Spark expects of an exactly-once sink:
   observable output.
 
 A re-executed batch (failure after commit-fn return, before the offset log
-records it) re-stages under fresh uuids and OVERWRITES its own manifest —
-the manifest for a batch id is the single source of truth, so replays
-cannot double-publish (the stale batch's orphaned staging files are never
-referenced).  This is the same ledger design as a table format's
-transaction log, reduced to one manifest per micro-batch.
+records it) re-stages under fresh uuids and OVERWRITES its own ``batch-N``
+manifest — the manifest for a batch id is the single source of truth, so
+replays cannot double-publish (the stale attempt's files are never
+referenced).  CHECKPOINT manifests (written by :func:`compact_manifests`)
+live in a separate ``checkpoint-N`` namespace that batch commits can never
+touch: a replay of the batch id a compaction landed on rewrites only
+``batch-N.json``, which readers skip as superseded — compacted history is
+immune to replays by construction.  This is the same ledger design as a
+table format's transaction log, reduced to one manifest per micro-batch.
+
+Filesystem substrate: every metadata operation goes through ``pyarrow.fs``
+(resolved from the path/URI), which serves local paths and object stores
+(s3://, gs://, hdfs://) through one API — and, unlike the JVM-side Hadoop
+FileSystem, is available inside executor tasks where ``write()`` runs.
+The ONLY atomicity primitive the design needs is atomic single-object
+publish of a manifest: on a local filesystem that is write-temp + rename;
+on an object store it is the PUT that completes when the output stream
+closes (readers see the whole object or none of it).  Data files need no
+atomic rename at all — they are invisible until a manifest references
+them — so the copy+delete "rename" of object stores is harmless here.
 
 Scale: tasks write in parallel straight to the target filesystem; the
 driver handles only file NAMES.  The manifest directory is the only point
@@ -30,7 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
+import posixpath
 import uuid
 
 from pyspark.sql.datasource import (
@@ -44,7 +59,45 @@ __all__ = [
     "manifested_files",
     "read_manifested",
     "compact_manifests",
+    "vacuum",
 ]
+
+
+def _resolve(path: str):
+    """(FileSystem, normalized root) for a local path or any pyarrow-
+    supported URI.  Re-resolved per call so instances pickle cheaply to
+    executors (a FileSystem handle is process-local)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    import os
+
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def _exists(fs, p: str) -> bool:
+    from pyarrow.fs import FileType
+
+    return fs.get_file_info(p).type != FileType.NotFound
+
+
+def _publish_json(fs, final: str, obj: dict) -> None:
+    """Atomic single-object publish of a manifest.  Local FS: temp +
+    rename (readers never observe a torn file).  Object stores: a direct
+    PUT — the object becomes visible atomically when the stream closes,
+    and a temp+rename would be WEAKER there (copy+delete)."""
+    from pyarrow import fs as pafs
+
+    data = json.dumps(obj).encode()
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = final + ".tmp"
+        with fs.open_output_stream(tmp) as fh:
+            fh.write(data)
+        fs.move(tmp, final)
+    else:
+        with fs.open_output_stream(final) as fh:
+            fh.write(data)
 
 
 @dataclasses.dataclass
@@ -58,37 +111,39 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
         self.path = path
 
     def write(self, iterator) -> _StagedFile:
-        os.makedirs(f"{self.path}/_staging", exist_ok=True)
-        out = f"{self.path}/_staging/{uuid.uuid4().hex}.jsonl"
+        fs, root = _resolve(self.path)
+        fs.create_dir(f"{root}/_staging", recursive=True)
+        out = f"{root}/_staging/{uuid.uuid4().hex}.jsonl"
         n = 0
-        with open(out, "w") as fh:
+        with fs.open_output_stream(out) as fh:
             for row in iterator:
-                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                fh.write((json.dumps(row.asDict(), default=str) + "\n").encode())
                 n += 1
         return _StagedFile(path=out, rows=n)
 
     def commit(self, messages, batchId: int) -> None:
-        data_dir = f"{self.path}/data"
-        os.makedirs(data_dir, exist_ok=True)
-        os.makedirs(f"{self.path}/_manifests", exist_ok=True)
+        fs, root = _resolve(self.path)
+        fs.create_dir(f"{root}/data", recursive=True)
+        fs.create_dir(f"{root}/_manifests", recursive=True)
         published, rows = [], 0
         for m in messages:
             if m is None:
                 continue
-            final = f"{data_dir}/batch-{batchId}-{os.path.basename(m.path)}"
-            os.replace(m.path, final)
-            published.append(os.path.basename(final))
+            name = f"batch-{batchId}-{posixpath.basename(m.path)}"
+            fs.move(m.path, f"{root}/data/{name}")
+            published.append(name)
             rows += m.rows
-        manifest = f"{self.path}/_manifests/batch-{batchId}.json"
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch": batchId, "files": published, "rows": rows}, fh)
-        os.replace(tmp, manifest)  # atomic publish
+        _publish_json(
+            fs,
+            f"{root}/_manifests/batch-{batchId}.json",
+            {"batch": batchId, "files": published, "rows": rows},
+        )
 
     def abort(self, messages, batchId: int) -> None:
+        fs, _ = _resolve(self.path)
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and _exists(fs, m.path):
+                fs.delete_file(m.path)
 
 
 class JsonlManifestDataSource(DataSource):
@@ -105,17 +160,28 @@ class JsonlManifestDataSource(DataSource):
         return _JsonlStreamWriter(path)
 
 
-def _manifests(path: str) -> list[tuple[int, dict]]:
-    mdir = f"{path}/_manifests"
-    if not os.path.isdir(mdir):
-        return []
-    out = []
-    for name in os.listdir(mdir):
-        if name.endswith(".json"):
-            with open(f"{mdir}/{name}") as fh:
-                m = json.load(fh)
-            out.append((int(m["batch"]), m))
-    return sorted(out)
+def _manifests(path: str):
+    """-> (batches, checkpoints), each a sorted list of (id, manifest).
+    Batch and checkpoint manifests live in disjoint name spaces
+    (``batch-N.json`` / ``checkpoint-N.json``) so a replayed batch commit
+    can never clobber compacted history."""
+    from pyarrow import fs as pafs
+
+    fs, root = _resolve(path)
+    mdir = f"{root}/_manifests"
+    batches: list[tuple[int, dict]] = []
+    ckpts: list[tuple[int, dict]] = []
+    for info in fs.get_file_info(pafs.FileSelector(mdir, allow_not_found=True)):
+        name = posixpath.basename(info.path)
+        if not name.endswith(".json"):
+            continue
+        with fs.open_input_stream(info.path) as fh:
+            m = json.loads(fh.read())
+        if m.get("checkpoint"):
+            ckpts.append((int(m["batch"]), m))
+        else:
+            batches.append((int(m["batch"]), m))
+    return sorted(batches), sorted(ckpts)
 
 
 def manifested_files(path: str, upto_batch: int | None = None) -> list[str]:
@@ -126,29 +192,50 @@ def manifested_files(path: str, upto_batch: int | None = None) -> list[str]:
     ledger design for free, since each batch's manifest is immutable.
 
     A CHECKPOINT manifest (written by :func:`compact_manifests`) declares
-    that its files cover every batch <= its id; readers skip older
-    manifests whether or not they have been garbage-collected yet, so a
-    compaction is atomic from a reader's point of view the moment the
-    checkpoint manifest lands.  Time travel to a batch below the latest
-    checkpoint is best-effort (it works until GC removes the superseded
-    manifests — compaction collapses that history)."""
-    ms = _manifests(path)
-    ckpt = max(
-        (b for b, m in ms if m.get("checkpoint")), default=None
+    that its one file covers every batch id in its ``covers`` list; readers
+    serve the latest checkpoint at-or-below the target and lay newer batch
+    manifests on top, skipping superseded ones whether or not GC removed
+    them — so a compaction is atomic from a reader's point of view the
+    moment the checkpoint manifest lands.  Time travel BELOW a checkpoint
+    works while the superseded per-batch manifests still exist; once GC
+    has collapsed that history the read RAISES rather than silently
+    serving a partial answer (the ``covers`` list is the completeness
+    referee)."""
+    batches, ckpts = _manifests(path)
+    bmap = dict(batches)
+    if upto_batch is None:
+        base = ckpts[-1] if ckpts else None
+    else:
+        eligible = [c for c in ckpts if c[0] <= upto_batch]
+        base = eligible[-1] if eligible else None
+    base_id = base[0] if base else None
+    serve_ids = sorted(
+        b
+        for b in bmap
+        if (base_id is None or b > base_id)
+        and (upto_batch is None or b <= upto_batch)
     )
-    out: list[str] = []
-    for batch, m in ms:
-        if upto_batch is not None and batch > upto_batch:
-            continue
-        if (
-            ckpt is not None
-            and (upto_batch is None or upto_batch >= ckpt)
-            and batch <= ckpt
-            and not m.get("checkpoint")
-        ):
-            continue  # superseded by the checkpoint
-        out += [f"{path}/data/{f}" for f in m["files"]]
-    return out
+    if upto_batch is not None:
+        # completeness: any NEWER checkpoint's covers list enumerates the
+        # batch ids that must still be servable from per-batch manifests
+        newer = [c for c in ckpts if base_id is None or c[0] > base_id]
+        needed = {
+            i
+            for _, m in newer
+            for i in m.get("covers", [])
+            if (base_id is None or i > base_id) and i <= upto_batch
+        }
+        missing = needed - set(serve_ids)
+        if missing:
+            raise ValueError(
+                f"cannot time-travel to batch {upto_batch}: batches "
+                f"{sorted(missing)} were compacted away (their per-batch "
+                f"manifests are gone); the oldest servable snapshot is the "
+                f"checkpoint at batch {min(c[0] for c in newer)}"
+            )
+    files = list(base[1]["files"]) if base else []
+    files += [f for i in serve_ids for f in bmap[i]["files"]]
+    return [f"{path}/data/{f}" for f in files]
 
 
 def read_manifested(spark, path: str, schema, upto_batch: int | None = None):
@@ -162,55 +249,118 @@ def read_manifested(spark, path: str, schema, upto_batch: int | None = None):
 
 def compact_manifests(spark, path: str, schema) -> int:
     """Small-file COMPACTION with snapshot semantics: rewrite all committed
-    rows into one file, publish it as a CHECKPOINT manifest under the
-    highest existing batch id (one atomic rename), then garbage-collect
-    the superseded manifests and files.  The checkpoint flag — not the
-    deletion — is what makes the swap atomic for readers: the moment the
-    checkpoint manifest lands, ``manifested_files`` skips every older
-    manifest whether or not GC has removed it yet, so a racing reader sees
-    either the pre-compaction file set or exactly the checkpoint — never
-    both.  Returns the number of manifests retired.
+    rows into one file, publish it as a CHECKPOINT manifest (its own
+    ``checkpoint-N`` namespace — one atomic manifest publish), then
+    garbage-collect the superseded manifests and files.  The checkpoint —
+    not the deletion — is what makes the swap atomic for readers: the
+    moment the checkpoint manifest lands, ``manifested_files`` skips every
+    older manifest whether or not GC has removed it yet, so a racing
+    reader sees either the pre-compaction file set or exactly the
+    checkpoint — never both.  The checkpoint records the batch ids it
+    folded in (``covers``), which is what lets later pre-checkpoint
+    time-travel attempts fail loudly instead of returning partial data.
+    Returns the number of manifests retired.
 
     (Micro-batch sinks accumulate one small file per task per trigger;
     periodic compaction is what keeps scan-time file counts bounded — the
     OPTIMIZE step of a lakehouse table, reduced to this ledger.)
     """
-    import glob
-    import shutil
+    from pyarrow import fs as pafs
 
-    ms = _manifests(path)
-    if len(ms) <= 1:
-        return 0
-    top_batch = ms[-1][0]
+    fs, root = _resolve(path)
+    batches, ckpts = _manifests(path)
+    prev = ckpts[-1] if ckpts else None
+    prev_id = prev[0] if prev else None
+    live = [(b, m) for b, m in batches if prev_id is None or b > prev_id]
+    if not live or (len(live) + len(ckpts)) <= 1:
+        return 0  # nothing to fold
+    top_batch = live[-1][0]
     old_files = manifested_files(path)
     df = read_manifested(spark, path, schema)
     n_rows = df.count()
+    covers = sorted(
+        set(prev[1].get("covers", []) if prev else []) | {b for b, _ in live}
+    )
     # the rewrite is a SPARK job (no driver materialization); one output
     # file here — a production compactor coalesces to target-size files
     stage_dir = f"{path}/_staging/compact-{uuid.uuid4().hex}"
     df.coalesce(1).write.mode("overwrite").json(stage_dir)
-    part = glob.glob(f"{stage_dir}/part-*")[0]
-    out = f"{path}/data/compact-{top_batch}-{uuid.uuid4().hex}.jsonl"
-    os.replace(part, out)
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    manifest = f"{path}/_manifests/batch-{top_batch}.json"
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "batch": top_batch,
-                "files": [os.path.basename(out)],
-                "rows": n_rows,
-                "checkpoint": True,
-            },
-            fh,
-        )
-    os.replace(tmp, manifest)  # checkpoint live: readers now skip the rest
+    _, stage_root = _resolve(stage_dir)
+    part = next(
+        info.path
+        for info in fs.get_file_info(pafs.FileSelector(stage_root))
+        if posixpath.basename(info.path).startswith("part-")
+    )
+    out_name = f"compact-{top_batch}-{uuid.uuid4().hex}.jsonl"
+    fs.move(part, f"{root}/data/{out_name}")
+    fs.delete_dir_contents(stage_root, missing_dir_ok=True)
+    fs.delete_dir(stage_root)
+    _publish_json(
+        fs,
+        f"{root}/_manifests/checkpoint-{top_batch}.json",
+        {
+            "batch": top_batch,
+            "files": [out_name],
+            "rows": n_rows,
+            "checkpoint": True,
+            "covers": covers,
+        },
+    )
+    # checkpoint live: readers now skip the rest — GC is mere housekeeping
     retired = 0
-    for batch, _ in ms[:-1]:
-        os.remove(f"{path}/_manifests/batch-{batch}.json")
+    for b, _ in live:
+        fs.delete_file(f"{root}/_manifests/batch-{b}.json")
+        retired += 1
+    if prev is not None:
+        fs.delete_file(f"{root}/_manifests/checkpoint-{prev_id}.json")
         retired += 1
     for f in old_files:
-        if os.path.exists(f):
-            os.remove(f)
+        _, fp = _resolve(f)
+        if _exists(fs, fp):
+            fs.delete_file(fp)
     return retired
+
+
+def vacuum(path: str) -> int:
+    """Remove files no manifest references: stagings left by failed or
+    speculative tasks, and data files from a batch attempt that was later
+    replayed (the replay re-publishes under fresh uuids, orphaning the
+    first attempt's files — including a replay that lands AFTER a
+    compaction already folded the batch into a checkpoint, whose stale
+    ``batch-N`` manifest is dropped here too).  Returns the number of
+    files deleted.
+
+    Run only while no stream is actively writing to ``path``: a commit in
+    flight has staged files that no manifest references YET, and vacuum
+    cannot tell them from garbage (the same contract as a lakehouse
+    VACUUM)."""
+    from pyarrow import fs as pafs
+
+    fs, root = _resolve(path)
+    batches, ckpts = _manifests(path)
+    ckpt_id = ckpts[-1][0] if ckpts else None
+    deleted = 0
+    # stale batch manifests a replay re-published after compaction
+    for b, _ in batches:
+        if ckpt_id is not None and b <= ckpt_id:
+            fs.delete_file(f"{root}/_manifests/batch-{b}.json")
+            deleted += 1
+    batches = [(b, m) for b, m in batches if ckpt_id is None or b > ckpt_id]
+    referenced = {
+        f for _, m in [*batches, *ckpts] for f in m["files"]
+    }
+    for info in fs.get_file_info(
+        pafs.FileSelector(f"{root}/data", allow_not_found=True)
+    ):
+        if posixpath.basename(info.path) not in referenced:
+            fs.delete_file(info.path)
+            deleted += 1
+    for info in fs.get_file_info(
+        pafs.FileSelector(f"{root}/_staging", allow_not_found=True, recursive=True)
+    ):
+        from pyarrow.fs import FileType
+
+        if info.type == FileType.File:
+            fs.delete_file(info.path)
+            deleted += 1
+    return deleted

@@ -400,3 +400,102 @@ class TestManifestTimeTravelAndCompaction:
             json.dump({"batch": 0, "files": ["batch-0-deadbeef.jsonl"], "rows": 2}, fh)
         got = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
         assert got == [1, 2, 3]
+
+
+class TestManifestReplayAndVacuum:
+    def _write_batches(self, spark, tmp_path):
+        return TestManifestTimeTravelAndCompaction._write_batches(
+            self, spark, tmp_path
+        )
+
+    def test_replay_after_compaction_cannot_clobber_checkpoint(
+        self, spark, tmp_path
+    ):
+        """Failure after commit but before the offset log records the batch,
+        then restart after a compaction ran: the replayed commit rewrites
+        batch-N.json, which lives in a DIFFERENT namespace than the
+        checkpoint manifest — compacted history stays intact and the
+        replayed rows are not double-served."""
+        import json as _json
+        import os
+
+        from presto_ethereum_spark.streaming.sink import (
+            compact_manifests,
+            read_manifested,
+        )
+
+        out = self._write_batches(spark, tmp_path)
+        compact_manifests(spark, out, "k long")
+        [ckpt_name] = os.listdir(f"{out}/_manifests")
+        assert ckpt_name.startswith("checkpoint-")
+        top = int(ckpt_name.split("-")[1].split(".")[0])
+        # simulate the replay of the top batch: a fresh commit of batch-{top}
+        # publishing new uuids (exactly what _JsonlStreamWriter.commit does)
+        with open(f"{out}/data/batch-{top}-replayed.jsonl", "w") as fh:
+            fh.write('{"k": 3}\n')
+        with open(f"{out}/_manifests/batch-{top}.json", "w") as fh:
+            _json.dump(
+                {"batch": top, "files": [f"batch-{top}-replayed.jsonl"], "rows": 1},
+                fh,
+            )
+        got = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
+        assert got == [1, 2, 3]  # checkpoint intact, no double count
+
+    def test_time_travel_below_gced_checkpoint_raises(self, spark, tmp_path):
+        """After GC removes the pre-checkpoint manifests, AS-OF a batch
+        below the checkpoint must fail loudly, never return a partial or
+        empty frame that looks like an answer."""
+        import pytest as _pytest
+
+        from presto_ethereum_spark.streaming.sink import (
+            compact_manifests,
+            read_manifested,
+        )
+
+        out = self._write_batches(spark, tmp_path)
+        # pre-compaction AS-OF works
+        assert read_manifested(spark, out, "k long", upto_batch=0).count() >= 1
+        compact_manifests(spark, out, "k long")
+        with _pytest.raises(ValueError, match="compacted away"):
+            read_manifested(spark, out, "k long", upto_batch=0)
+        # AS-OF at/above the checkpoint still serves
+        batches_total = {
+            r["k"] for r in read_manifested(spark, out, "k long").collect()
+        }
+        assert batches_total == {1, 2, 3}
+
+    def test_vacuum_removes_orphans_only(self, spark, tmp_path):
+        import json as _json
+        import os
+
+        from presto_ethereum_spark.streaming.sink import (
+            compact_manifests,
+            read_manifested,
+            vacuum,
+        )
+
+        out = self._write_batches(spark, tmp_path)
+        compact_manifests(spark, out, "k long")
+        [ckpt_name] = os.listdir(f"{out}/_manifests")
+        top = int(ckpt_name.split("-")[1].split(".")[0])
+        # orphan sources: a failed task's staging file, an unreferenced
+        # data file, and a stale replayed batch manifest + its file
+        os.makedirs(f"{out}/_staging", exist_ok=True)
+        with open(f"{out}/_staging/speculative.jsonl", "w") as fh:
+            fh.write('{"k": 99}\n')
+        with open(f"{out}/data/unreferenced.jsonl", "w") as fh:
+            fh.write('{"k": 98}\n')
+        with open(f"{out}/data/batch-{top}-replayed.jsonl", "w") as fh:
+            fh.write('{"k": 3}\n')
+        with open(f"{out}/_manifests/batch-{top}.json", "w") as fh:
+            _json.dump(
+                {"batch": top, "files": [f"batch-{top}-replayed.jsonl"], "rows": 1},
+                fh,
+            )
+        n = vacuum(out)
+        assert n == 4  # staging + unreferenced + replayed file + stale manifest
+        assert sorted(os.listdir(f"{out}/_manifests")) == [ckpt_name]
+        got = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
+        assert got == [1, 2, 3]
+        # idempotent: nothing left to clean
+        assert vacuum(out) == 0
