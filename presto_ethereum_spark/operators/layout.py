@@ -37,6 +37,11 @@ def z_order_key(cols: list[Column | str], bits: int = 16) -> Column:
 
     Bit i of column d lands at key position ``i * n + d``, the standard
     Morton layout (dimension-major within each bit level).
+
+    A NEGATIVE dimension value yields a NULL key (arithmetic shiftright on
+    a negative long would otherwise interleave sign-extension garbage that
+    silently destroys the clustering) — NULLs sort together under the
+    range write, and the guard costs one comparison per dimension.
     """
     n = len(cols)
     if n == 0:
@@ -44,12 +49,14 @@ def z_order_key(cols: list[Column | str], bits: int = 16) -> Column:
     if n * bits > 63:
         raise ValueError(f"{n} cols x {bits} bits exceeds a signed 64-bit key")
     z = F.lit(0).cast("long")
+    nonneg = F.lit(True)
     for d, c in enumerate(cols):
         col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        nonneg = nonneg & (col >= 0)
         for i in range(bits):
             bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
             z = z + F.shiftleft(bit, i * n + d)
-    return z
+    return F.when(nonneg, z)
 
 
 def write_zordered(
@@ -64,11 +71,15 @@ def write_zordered(
     range repartition on the key (the one shuffle) then an in-partition
     sort, so every output file covers a compact Z-curve segment and
     parquet min/max prunes on ANY of the interleaved columns."""
-    keyed = df.withColumn("_z", z_order_key(cols, bits))
+    # collision-safe temp name: never clobber (or later drop) a real column
+    zc = "_z"
+    while zc in df.columns:
+        zc += "_"
+    keyed = df.withColumn(zc, z_order_key(cols, bits))
     (
-        keyed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
+        keyed.repartitionByRange(n_files, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
         .write.mode(mode)
         .parquet(path)
     )

@@ -1,16 +1,18 @@
-"""ANALYZE-style table statistics: per-column row/null/ndv/min/max in ONE
-pass over the table.
+"""ANALYZE-style table statistics: per-column row/null/ndv/min/max,
+TWO scans as graded here, ONE in production form.
 
 The engine-maintenance primitive behind cost-based planning and data-quality
 monitoring: at 100 TB you cannot afford one scan per column, so every
-column's aggregates ride a single map-side-combined aggregation (null
-counts, HLL++ ndv sketches, min/max are all mergeable fixed-size state),
-and the per-column result rows are exploded from the one aggregate row.
-
-The exact ``count_distinct`` referee column exists for grading only — it
-is the thing that does NOT survive 100 TB (per-column distinct re-shuffle);
-the sketch ndv with its in-query tolerance verdict is the production
-output, the same referee pattern as ``rel_approx_sketches``.
+column's sketch aggregates ride a single map-side-combined aggregation
+(null counts, HLL++ ndv sketches, min/max are all mergeable fixed-size
+state), and the per-column result rows are exploded from the one aggregate
+row.  The SECOND scan is the exact ``count_distinct`` referee pass —
+grading only, deliberately kept out of the sketch aggregation (see the
+inline note in ``column_stats``; the plan-shape test asserts
+FileScan == 2).  It is the thing that does NOT survive 100 TB (per-column
+distinct re-shuffle); production drops it, leaving the one sketch pass —
+the same referee pattern as ``rel_approx_sketches``.  A caller budgeting
+scans should count two with the referee, one without.
 """
 
 from __future__ import annotations
@@ -39,7 +41,12 @@ def column_stats(
     pair NULL.  ``ndv_ok`` = 1 iff the HLL++ estimate (relative sd
     ``rsd``) is within ``tolerance`` of the exact distinct count.
 
-    One aggregation, no per-column scans; output size = #columns rows.
+    TWO scans in this graded form — one sketch/min/max/null aggregation
+    plus one exact-distinct pass that exists only as the grading referee
+    for ``ndv_ok`` (see the inline note; the plan-shape test pins
+    FileScan == 2).  Production drops the referee and the operator is one
+    aggregation, no per-column scans; output size = #columns rows either
+    way.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     cols = cols or list(fields)

@@ -1632,6 +1632,30 @@ class TestZOrder:
 
         assert got == {(a, b): ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5)]}
 
+    def test_negative_dimension_nulls_key(self, spark):
+        """Arithmetic shiftright on a negative long would interleave
+        sign-extension garbage; the key must be NULL instead, never a
+        silently-wrong interleave."""
+        from presto_ethereum_spark.operators import layout
+
+        df = spark.createDataFrame([Row(a=-1, b=3), Row(a=2, b=3)])
+        out = {
+            r["a"]: r["z"]
+            for r in df.select(
+                "a", layout.z_order_key(["a", "b"], bits=4).alias("z")
+            ).collect()
+        }
+        assert out[-1] is None and out[2] is not None
+
+    def test_write_zordered_preserves_existing_underscore_z(self, spark, tmp_path):
+        from presto_ethereum_spark.operators import layout
+
+        df = spark.createDataFrame([Row(a=1, b=2, _z="keep"), Row(a=3, b=4, _z="me")])
+        zp = str(tmp_path / "zc")
+        layout.write_zordered(df, zp, ["a", "b"], bits=4, n_files=2)
+        back = spark.read.parquet(zp)
+        assert sorted(r["_z"] for r in back.collect()) == ["keep", "me"]
+
     def test_zorder_write_bounds_both_dims(self, spark, tmp_path):
         """Files written z-ordered must have MUCH tighter per-file spans on
         the second dimension than files sorted by the first dimension only
