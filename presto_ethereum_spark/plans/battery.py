@@ -4102,6 +4102,62 @@ def _duck_pagerank_oracle() -> str:
     """
 
 
+def _duck_pagerank_redistribute_oracle() -> str:
+    """3 unrolled iterations of the ``dangling="redistribute"`` variant:
+    the dangling-mass scalar ``dm`` is itself fixed-point quantized, so
+    every fp64 expression matches operators/graph._pagerank_redistribute
+    term-for-term and the doubles hash-match bit-for-bit."""
+    S = "1000000000000000.0"
+    it = """
+    s{k} AS (
+      SELECT e.dst AS addr,
+             sum(CAST(floor(r.rank / d.deg * {S}) AS BIGINT)) AS s
+      FROM r{p} r JOIN edges e ON e.src = r.addr
+      JOIN outdeg d ON d.src = e.src
+      GROUP BY e.dst),
+    d{p} AS (
+      SELECT coalesce(sum(CAST(floor(r.rank * {S}) AS BIGINT)), 0) AS dm
+      FROM r{p} r JOIN dang g ON g.addr = r.addr),
+    r{k} AS (
+      SELECT n0.addr,
+             (CAST(1.0 AS DOUBLE) - 0.85) / t.n
+               + 0.85 * (CAST(coalesce(s.s, 0) AS DOUBLE) / {S}
+                         + CAST(dm.dm AS DOUBLE) / {S} / t.n) AS rank
+      FROM nodes n0 LEFT JOIN s{k} s ON s.addr = n0.addr, tot t, d{p} dm)"""
+    steps = ",".join(it.format(k=k, p=k - 1, S=S) for k in (1, 2, 3))
+    return f"""
+    WITH tx AS (SELECT * FROM read_parquet('{ETH}/transaction.parquet')),
+    edges AS (SELECT DISTINCT tx_from AS src, tx_to AS dst
+              FROM tx WHERE tx_to IS NOT NULL),
+    nodes AS (SELECT src AS addr FROM edges UNION SELECT dst FROM edges),
+    tot AS (SELECT count(*) AS n FROM nodes),
+    outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    dang AS (SELECT addr FROM nodes n
+             WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = n.addr)),
+    r0 AS (SELECT addr, 1.0 / t.n AS rank FROM nodes, tot t),
+    {steps}
+    SELECT addr, rank FROM r3
+    """
+
+
+@q("eth_tx_pagerank_dangling", _duck_pagerank_redistribute_oracle())
+def eth_tx_pagerank_dangling(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank with dangling-mass REDISTRIBUTION over the tx transfer
+    graph — the standard formulation (transfer graphs are full of sink
+    addresses whose rank the drop variant leaks, deflating everything).
+    Same fixed-point exactness discipline as eth_tx_pagerank, extended to
+    the per-iteration dangling scalar."""
+    from presto_ethereum_spark.operators.graph import pagerank
+
+    tx = _eth_tables(spark).table("transaction")
+    edges = tx.where(F.col("tx_to").isNotNull()).select(
+        F.col("tx_from").alias("src"), F.col("tx_to").alias("dst")
+    )
+    return pagerank(
+        edges, iterations=3, damping=0.85, cache=True, dangling="redistribute"
+    )
+
+
 @q("eth_tx_pagerank", _duck_pagerank_oracle())
 def eth_tx_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Address importance over the tx transfer graph (operators/graph.py:

@@ -672,6 +672,57 @@ class TestPageRank:
         assert got == self._ref([("a", "b")])
         assert sum(got.values()) < 1.0
 
+    @staticmethod
+    def _ref_redistribute(pairs, iters=3, d=0.85):
+        """Pure-Python replica of the dangling='redistribute' arithmetic
+        (fixed-point in-sums AND fixed-point dangling-mass scalar)."""
+        import math
+
+        scale = 1_000_000_000_000_000.0
+        edges = set(pairs)
+        nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+        n = len(nodes)
+        outdeg: dict[str, int] = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        dang = [v for v in nodes if v not in outdeg]
+        rank = {v: 1.0 / n for v in nodes}
+        q = 1.0 - d
+        for _ in range(iters):
+            dm = sum(math.floor(rank[v] * scale) for v in dang)
+            sums = {v: 0 for v in nodes}
+            for s, t in edges:
+                sums[t] += math.floor(rank[s] / outdeg[s] * scale)
+            rank = {
+                v: q / n + d * (float(sums[v]) / scale + float(dm) / scale / n)
+                for v in nodes
+            }
+        return rank
+
+    def test_redistribute_matches_reference_arithmetic_exactly(self, spark):
+        # b and e are dangling (no out-edges); e additionally HAS in-edges
+        pairs = [("a", "b"), ("a", "c"), ("c", "a"), ("c", "e"), ("d", "e")]
+        got = self._run(spark, pairs, dangling="redistribute")
+        assert got == self._ref_redistribute(pairs)
+        # mass is conserved up to quantization (the drop variant leaks it)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        dropped = self._run(spark, pairs)
+        assert sum(dropped.values()) < sum(got.values())
+
+    def test_redistribute_equals_drop_without_dangling_nodes(self, spark):
+        # every node has an out-edge -> D == 0 each iteration, so the two
+        # variants must agree bit-for-bit
+        pairs = [("a", "b"), ("b", "c"), ("c", "a")]
+        assert self._run(spark, pairs, dangling="redistribute") == self._run(
+            spark, pairs
+        )
+
+    def test_bad_dangling_mode_rejected(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="dangling"):
+            self._run(spark, [("a", "b")], dangling="bogus")
+
 
 class TestTopTerms:
     def test_df_counts_and_ties(self, spark):
