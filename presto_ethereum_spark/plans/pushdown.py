@@ -229,3 +229,160 @@ def _timestamp_range(f: Filter, get_timestamp, head: int) -> BlockRange:
         hi = find_block_by_timestamp(get_timestamp, head, v, +1)
         return BlockRange(max(1, lo), hi)
     return FULL_CHAIN
+
+
+# ---------------------------------------------------------------------------
+# SQL OR-of-ranges rewrite (driver-side)
+# ---------------------------------------------------------------------------
+#
+# Spark's Python DataSource pushFilters API delivers only the top-level
+# CONJUNCTION, so a disjunctive block predicate (`WHERE bn BETWEEN a AND b
+# OR bn BETWEEN c AND d`) never reaches the live source as prunable
+# structure — the one observable pruning behavior the reference has
+# (EthereumMetadata.java:190-199 walks an ordered RANGE LIST) that the API
+# cannot express.  This helper closes the gap from the other end: parse the
+# predicate STRING the user would put in `.where(...)`, transpose its
+# OR/AND/BETWEEN/IN structure over range algebra, and hand the result to
+# the existing `block_ranges` load option.  The source still yields every
+# filter back (unenforced contract), so the caller applies the same
+# predicate post-scan and the rewrite can only ever NARROW the scan, never
+# change results.
+
+_SQL_TOKEN = None  # built lazily
+
+
+def _sql_tokens(pred: str) -> list[str]:
+    import re
+
+    out = []
+    for m in re.finditer(
+        r"\s*(>=|<=|==|!=|<>|[<>=(),]|[A-Za-z_][A-Za-z_0-9]*|\d[\d_]*)", pred
+    ):
+        out.append(m.group(1))
+    joined = "".join(out)
+    stripped = "".join(pred.split())
+    if joined.replace(" ", "") != stripped:
+        raise ValueError(f"unsupported characters in predicate: {pred!r}")
+    return out
+
+
+def ranges_from_sql(pred: str) -> list[BlockRange]:
+    """Transpose a SQL boolean predicate over block-number columns into an
+    ordered-disjoint range list.  Grammar: OR/AND trees of parenthesized
+    terms; `col (>=|>|<=|<|=) n`, `n (>=|>|<=|<|=) col`, `col BETWEEN a
+    AND b`, `col IN (a, b, ...)`.  Predicates on non-block columns are
+    range-neutral: FULL in an AND (they narrow nothing) and FULL in an OR
+    (the disjunct may select any block) — both conservative, so the result
+    is always a superset of the blocks the predicate can match.  Raises on
+    syntax it does not understand (NOT, subqueries, arithmetic): a pruning
+    helper must fail loudly rather than mis-prune.
+    """
+    toks = _sql_tokens(pred)
+    pos = 0
+
+    def peek():
+        return toks[pos].upper() if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_int():
+        t = take()
+        if not t.replace("_", "").isdigit():
+            raise ValueError(f"expected integer, got {t!r}")
+        return int(t.replace("_", ""))
+
+    def predicate():
+        # number op col (mirrored) | col op number | col BETWEEN | col IN
+        if toks[pos].replace("_", "").isdigit():
+            n = parse_int()
+            op = take()
+            col = take().lower()
+            mirror = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "=": "=", "==": "="}
+            if op not in mirror:
+                raise ValueError(f"unsupported operator {op!r}")
+            return _sql_cmp(col, mirror[op], n)
+        col = take().lower()
+        if col.upper() in ("NOT", "EXISTS", "CASE", "SELECT"):
+            raise ValueError(f"unsupported construct {col.upper()} in predicate")
+        t = peek()
+        if t == "BETWEEN":
+            take()
+            lo = parse_int()
+            if take().upper() != "AND":
+                raise ValueError("BETWEEN requires AND")
+            hi = parse_int()
+            if col not in BLOCK_NUMBER_COLUMNS:
+                return [FULL_CHAIN]
+            return [BlockRange(lo, hi)]
+        if t == "IN":
+            take()
+            if take() != "(":
+                raise ValueError("IN requires (")
+            vals = [parse_int()]
+            while peek() == ",":
+                take()
+                vals.append(parse_int())
+            if take() != ")":
+                raise ValueError("IN list not closed")
+            if col not in BLOCK_NUMBER_COLUMNS:
+                return [FULL_CHAIN]
+            return _number_ranges(In((col,), tuple(vals)))
+        op = take()
+        n = parse_int()
+        return _sql_cmp(col, op, n)
+
+    def _sql_cmp(col, op, n):
+        if col not in BLOCK_NUMBER_COLUMNS:
+            return [FULL_CHAIN]
+        if op in ("=", "=="):
+            return [BlockRange(n, n)]
+        if op == ">":
+            return [BlockRange(n + 1, OPEN_END)]
+        if op == ">=":
+            return [BlockRange(n, OPEN_END)]
+        if op == "<":
+            return [BlockRange(1, n - 1)]
+        if op == "<=":
+            return [BlockRange(1, n)]
+        raise ValueError(f"unsupported operator {op!r}")
+
+    def factor():
+        if peek() == "(":
+            take()
+            r = expr()
+            if take() != ")":
+                raise ValueError("unbalanced parens")
+            return r
+        return predicate()
+
+    def term():
+        r = factor()
+        while peek() == "AND":
+            take()
+            r = intersect_range_lists(r, factor())
+        return r
+
+    def expr():
+        r = term()
+        while peek() == "OR":
+            take()
+            r = normalize_ranges(r + term())
+        return r
+
+    out = expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens from {toks[pos]!r} in {pred!r}")
+    return out
+
+
+def ranges_option_from_sql(pred: str) -> str:
+    """``ranges_from_sql`` serialized for the source's ``block_ranges``
+    load option ("lo:hi,lo:hi,...", '*' = open end)."""
+    return ",".join(
+        f"{r.start}:{'*' if r.end == OPEN_END else r.end}"
+        for r in ranges_from_sql(pred)
+    )

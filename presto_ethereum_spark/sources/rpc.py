@@ -562,3 +562,29 @@ class EthereumPushdownDataSource(EthereumDataSource):
 
     def reader(self, schema: StructType) -> EthereumPushdownReader:
         return EthereumPushdownReader(dict(self.options), schema)
+
+
+def read_ethereum_where(spark, table: str, predicate: str, **options):
+    """Driver-side OR-of-ranges pushdown: parse ``predicate`` (the string
+    you would pass to ``.where``), transpose its OR/AND/BETWEEN/IN
+    structure into the source's ``block_ranges`` option, and apply the SAME
+    predicate post-scan — the disjunctive pruning the reference plans from
+    its ordered range list (EthereumMetadata.java:190-199) that Spark's
+    conjunction-only pushFilters API cannot deliver.  The rewrite only ever
+    NARROWS the scan (non-block predicates transpose to the full chain),
+    and the post-scan ``where`` keeps semantics exact regardless.
+
+    Registers :class:`EthereumDataSource` if needed; extra ``options`` pass
+    through (``path``/``url``, ``blocks_per_partition``, ``logs_mode``...).
+    """
+    from presto_ethereum_spark.plans.pushdown import ranges_option_from_sql
+
+    spark.dataSource.register(EthereumDataSource)
+    reader = (
+        spark.read.format("ethereum")
+        .option("table", table)
+        .option("block_ranges", ranges_option_from_sql(predicate))
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load().where(predicate)

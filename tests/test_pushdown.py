@@ -193,3 +193,99 @@ class TestRangeListAlgebra:
         assert parse_ranges_option("500:*") == [BlockRange(500, OPEN_END)]
         # overlapping spec normalizes
         assert parse_ranges_option("1:10,5:20") == [BlockRange(1, 20)]
+
+
+class TestSqlRangesRewrite:
+    """Driver-side OR-of-BETWEEN -> block_ranges rewrite
+    (plans/pushdown.ranges_from_sql): closes the disjunctive pruning gap
+    the conjunction-only pushFilters API leaves open, mirroring the
+    reference's ordered range list (EthereumMetadata.java:190-199)."""
+
+    def test_or_of_betweens(self):
+        from presto_ethereum_spark.plans.pushdown import ranges_from_sql
+
+        got = ranges_from_sql(
+            "block_number BETWEEN 10 AND 20 OR block_number BETWEEN 100 AND 110"
+        )
+        assert [(r.start, r.end) for r in got] == [(10, 20), (100, 110)]
+
+    def test_and_intersects_or_merges_adjacent(self):
+        from presto_ethereum_spark.plans.pushdown import ranges_from_sql
+
+        got = ranges_from_sql(
+            "(block_number BETWEEN 1 AND 10 OR block_number BETWEEN 11 AND 20)"
+            " AND block_number >= 5"
+        )
+        assert [(r.start, r.end) for r in got] == [(5, 20)]
+
+    def test_non_block_predicates_are_neutral(self):
+        from presto_ethereum_spark.plans.pushdown import (
+            OPEN_END,
+            ranges_from_sql,
+        )
+
+        got = ranges_from_sql("tx_blocknumber > 7 AND tx_value = 5")
+        assert [(r.start, r.end) for r in got] == [(8, OPEN_END)]
+        # an OR with a non-block arm cannot prune at all
+        got = ranges_from_sql("block_number < 10 OR tx_value = 5")
+        assert [(r.start, r.end) for r in got] == [(1, OPEN_END)]
+
+    def test_mirrored_operands_in_list_equality(self):
+        from presto_ethereum_spark.plans.pushdown import ranges_from_sql
+
+        got = ranges_from_sql("1000 <= block_number AND block_number <= 2000")
+        assert [(r.start, r.end) for r in got] == [(1000, 2000)]
+        got = ranges_from_sql("block_number IN (5, 6, 7, 1000)")
+        assert [(r.start, r.end) for r in got] == [(5, 7), (1000, 1000)]
+
+    def test_unsupported_syntax_raises(self):
+        import pytest as _pytest
+
+        from presto_ethereum_spark.plans.pushdown import ranges_from_sql
+
+        for bad in (
+            "NOT block_number = 5",
+            "block_number + 1 > 5",
+            "block_number IN (SELECT 1)",
+        ):
+            with _pytest.raises(ValueError):
+                ranges_from_sql(bad)
+
+    def test_islands_launch_only_covered_partitions(self):
+        """The done-criterion: an OR-of-two-islands query must plan
+        partitions covering ONLY the islands (mirroring the reference's
+        getOrderedRanges loop), counted at the reader level."""
+        from presto_ethereum_spark.plans.pushdown import ranges_option_from_sql
+        from presto_ethereum_spark.sources.rpc import (
+            EthereumDataSource,
+            EthereumReader,
+        )
+        from tests.conftest import ETH_FIXTURES
+
+        pred = (
+            "block_number BETWEEN 10 AND 109"
+            " OR block_number BETWEEN 1000 AND 1099"
+        )
+        opts = {
+            "table": "block",
+            "path": str(ETH_FIXTURES / "chain_blocks.parquet"),
+            "block_ranges": ranges_option_from_sql(pred),
+            "blocks_per_partition": "50",
+        }
+        r = EthereumReader(opts, EthereumDataSource(opts).schema())
+        parts = r.partitions()
+        covered = sorted((p.start, p.end) for p in parts)
+        assert covered == [(10, 59), (60, 109), (1000, 1049), (1050, 1099)]
+
+    def test_read_ethereum_where_end_to_end(self, spark):
+        from presto_ethereum_spark.sources.rpc import read_ethereum_where
+        from tests.conftest import ETH_FIXTURES
+
+        pred = (
+            "block_number BETWEEN 10 AND 20 OR block_number BETWEEN 100 AND 110"
+        )
+        df = read_ethereum_where(
+            spark, "block", pred, path=str(ETH_FIXTURES / "chain_blocks.parquet")
+        )
+        got = sorted(r["block_number"] for r in df.select("block_number").collect())
+        assert got == list(range(10, 21)) + list(range(100, 111))
