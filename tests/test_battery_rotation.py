@@ -1,0 +1,56 @@
+"""Rotating oracle gate: each pytest run re-validates a date-seeded sample
+of battery entries against their DuckDB oracles, using the same comparator
+as scripts/check_battery.py (the driver-gate replica).
+
+The driver grades a fixed 50-query subset per round; the other ~115
+registered entries are only validated when someone runs check_battery by
+hand.  This test closes that hole: the sample rotates daily (deterministic
+within a day, different across days), so oracle drift on driver-ungraded
+queries surfaces in CI within a couple of weeks instead of at judge time.
+Run the full battery explicitly with `python scripts/check_battery.py`.
+"""
+
+import datetime
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from check_battery import TABLES, compare  # noqa: E402
+
+from presto_ethereum_spark.plans import battery  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+SAMPLE = 8
+
+
+def _todays_sample() -> list[str]:
+    oracles = battery.oracles()
+    names = sorted(oracles)
+    # deterministic within a day, rotates across days; stdlib Random so the
+    # schedule is reproducible for debugging ("what did CI check on day X")
+    import random
+
+    rng = random.Random(datetime.date.today().toordinal())
+    return rng.sample(names, min(SAMPLE, len(names)))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _todays_sample())
+def test_rotating_oracle_gate(spark, duck, name):
+    df = battery.queries()[name](spark, SF_DIR)
+    verdict = compare(name, df, duck.sql(battery.oracles()[name]))
+    assert verdict == "OK", f"{name}: {verdict}"
