@@ -353,17 +353,25 @@ def k_core(
     Scale: each round is one degree aggregation + two semi-joins on the
     surviving-node set (all shuffles on node ids, never payloads); the
     edge list is ``localCheckpoint``-ed once up front so rounds never
-    replay the upstream pipeline, and each round's survivor set is
+    replay the upstream pipeline, and each round's survivor edge list is
     checkpointed to keep the plan flat (the iterative-DataFrame lineage
-    trap).  Peeling converges in O(peeling-depth) rounds — small for the
-    power-law graphs this targets; ``max_iter`` bounds the worst case.
-    The fixpoint is unique (the k-core is order-independent), so the
-    result is deterministic regardless of partitioning.
+    trap).  TWO Spark jobs per round: the survivor-set filter is inlined
+    into the next-edge-list plan — its degree aggregation appears on both
+    semi-join sides but canonicalizes to ONE exchange, which
+    ReuseExchange dedupes (asserted in test_plan_shapes), so the
+    checkpoint materialization is one job — and convergence compares the
+    checkpointed edge count against the PREVIOUS round's (carried in a
+    variable, never recounted).  Peeling converges in O(peeling-depth)
+    rounds — small for the power-law graphs this targets; ``max_iter``
+    bounds the worst case.  The fixpoint is unique (the k-core is
+    order-independent), so the result is deterministic regardless of
+    partitioning.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     und = _canonical_undirected(edges, src, dst)
     live = und.localCheckpoint(eager=True)
+    n_live = live.count()
     converged = False
     for _ in range(max_iter):
         deg = (
@@ -372,17 +380,18 @@ def k_core(
             .groupBy("n")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.where(F.col("deg") >= k).select("n").localCheckpoint(eager=True)
+        keep = deg.where(F.col("deg") >= k).select("n")
         nxt = (
             live.join(keep.withColumnRenamed("n", "a"), "a", "leftsemi")
             .join(keep.withColumnRenamed("n", "b"), "b", "leftsemi")
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == live.count():
+        n_nxt = nxt.count()
+        if n_nxt == n_live:
             live = nxt
             converged = True
             break
-        live = nxt
+        live, n_live = nxt, n_nxt
     if not converged:
         # returning the not-yet-converged survivor set would silently
         # include non-core nodes (e.g. a long path peels one layer per

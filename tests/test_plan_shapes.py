@@ -112,3 +112,28 @@ def test_scd2_single_shuffle(spark):
     """SCD2 build: one exchange on the key; the three window passes and
     the version groupBy must reuse the same (key) partitioning."""
     assert _plan(spark, "rel_scd2_build").count("Exchange") <= 2
+
+
+def test_kcore_round_reuses_degree_exchange(spark):
+    """One k-core peel round inlines the survivor filter on BOTH semi-join
+    sides; the two occurrences of the degree aggregation canonicalize to
+    the same exchange, which ReuseExchange dedupes — the structural fact
+    that makes the fused round ONE materialization job instead of two."""
+    from pyspark.sql import functions as F
+
+    live = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "a string, b string"
+    ).localCheckpoint(eager=True)
+    deg = (
+        live.select(F.col("a").alias("n"))
+        .union(live.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    keep = deg.where(F.col("deg") >= 2).select("n")
+    nxt = live.join(keep.withColumnRenamed("n", "a"), "a", "leftsemi").join(
+        keep.withColumnRenamed("n", "b"), "b", "leftsemi"
+    )
+    nxt.collect()  # AQE finalizes reuse at execution
+    plan = nxt._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
