@@ -279,6 +279,49 @@ class HttpJsonRpcTransport:
         }
 
 
+class IpcJsonRpcTransport(HttpJsonRpcTransport):
+    """JSON-RPC over a geth-style UNIX domain socket
+    (EthereumWeb3jProvider.java:26 builds a ``UnixIpcService``; the
+    protocol is the same JSON-RPC 2.0 payloads, framed only by JSON
+    completeness).  One connection per batched request; the response is
+    accumulated until it parses as a complete JSON value.
+
+    SINGLE-NODE ONLY: a socket path is meaningful only on the machine
+    that runs the node, so this transport requires the explicit
+    ``local_ipc=true`` opt-in (valid for ``local[*]`` sessions or a
+    cluster whose every executor host runs a node at the same path —
+    the operator is asserting that, not the engine).  Inherits all RPC
+    methods and the retry envelope from the HTTP transport; only the
+    wire send differs."""
+
+    def __init__(self, sock_path: str, timeout: float = 60.0, retries: int = 4):
+        super().__init__(url=f"ipc://{sock_path}", timeout=timeout, retries=retries)
+        self.sock_path = sock_path
+
+    def _post_once(self, body: bytes) -> list | dict:
+        import socket
+
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.settimeout(self.timeout)
+            s.connect(self.sock_path)
+            s.sendall(body)
+            buf = b""
+            while True:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                try:
+                    obj, _ = json.JSONDecoder().raw_decode(buf.decode())
+                    return obj
+                except (ValueError, UnicodeDecodeError):
+                    continue  # incomplete JSON (or split multibyte); keep reading
+        raise ConnectionError(
+            f"ipc {self.sock_path}: connection closed before a complete "
+            f"JSON response ({len(buf)} bytes buffered)"
+        )
+
+
 class ParquetChainTransport:
     """Same interface served from a nested chain_blocks parquet — hermetic
     stand-in for a node (tests, offline demos).  Lazy-loads per process so
@@ -345,19 +388,32 @@ def make_transport(options: dict):
     """Transport selection, mirroring the reference's config surface
     (EthereumConnectorConfig.java:6-39: jsonrpc / ipc / infura).  http and
     infura are both HTTP POST (one ``url`` option); ``path`` selects the
-    parquet fixture.  Unix IPC sockets are REJECTED explicitly: a socket
-    path on the driver's filesystem is meaningless on remote executors, so
-    a distributed engine cannot honor it (EthereumWeb3jProvider.java:14-34
-    could, being single-node)."""
+    parquet fixture.  Unix IPC sockets (EthereumWeb3jProvider.java:26)
+    require the explicit ``local_ipc=true`` opt-in: a socket path on the
+    driver's filesystem is meaningless on remote executors, so honoring it
+    silently would mis-read on any real cluster — the opt-in is the
+    operator asserting every executor host can reach the path (trivially
+    true for ``local[*]``)."""
     path = options.get("path")
     if path:
         return ParquetChainTransport(path)
     url = options.get("url", "http://localhost:8545/")
-    if url.startswith("ipc://") or options.get("ipc") or url.endswith(".ipc"):
+    ipc_path = None
+    if url.startswith("ipc://"):
+        ipc_path = url[len("ipc://"):]
+    elif options.get("ipc"):
+        ipc_path = options["ipc"]
+    elif url.endswith(".ipc"):
+        ipc_path = url
+    if ipc_path:
+        if str(options.get("local_ipc", "")).lower() in ("true", "1", "yes"):
+            return IpcJsonRpcTransport(ipc_path)
         raise ValueError(
             f"ipc:// endpoints are not supported in distributed mode "
             f"(got {url!r}): executors cannot reach a driver-local unix "
-            f"socket; use an HTTP(S) JSON-RPC url instead"
+            f"socket; use an HTTP(S) JSON-RPC url instead, or pass "
+            f"local_ipc=true to assert a single-node (local[*]) deployment "
+            f"where every task host runs the node at this path"
         )
     return HttpJsonRpcTransport(url)
 
