@@ -5673,6 +5673,41 @@ def doc_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_bigram_fluency",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    vocab AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(toks) AS tok FROM d)),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS s(i)),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    sc AS (
+      SELECT g.doc_id, count(*) AS n_bigrams,
+             CAST(sum(((bc.c12 + 1) * 1000000) // (c1.c1 + v.v)) AS BIGINT)
+               AS fluency_score
+      FROM big g JOIN bc USING (w1, w2) JOIN c1 USING (w1), vocab v
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           sc.fluency_score,
+           round(CAST(sc.fluency_score AS DOUBLE) / sc.n_bigrams / 1000000.0, 6)
+             AS avg_prob
+    FROM d LEFT JOIN sc USING (doc_id)
+    """,
+)
+def doc_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-self-trained bigram-LM quality score (operators/text.
+    bigram_fluency) — the CCNet-style fluency filter with integer-exact
+    smoothed conditional-frequency sums instead of log-probabilities, so
+    both engines agree bit-for-bit."""
+    from presto_ethereum_spark.operators.text import bigram_fluency
+
+    return bigram_fluency(t_spread(spark, sf, "documents"))
+
+
+@q(
     "rel_scd2_build",
     """
     WITH ev AS (

@@ -1735,3 +1735,33 @@ class TestZOrder:
         assert statistics.mean(spans) < 40
         back = spark.read.parquet(zp)
         assert back.count() == 64 * 64
+
+
+class TestBigramFluency:
+    def test_hand_computed_scores(self, spark):
+        from presto_ethereum_spark.operators.text import bigram_fluency
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b"), (3, "x"), (4, "c c")],
+            "doc_id long, text string",
+        )
+        # corpus bigrams: (a,b)x3 (docs 1+2), (b,a)x1, (c,c)x1;
+        # heads c1: a:3, b:1, c:1; vocab {a,b,x,c} -> V=4
+        # contrib(a,b) = (3+1)*1e6 // (3+4) = 571428
+        # contrib(b,a) = (1+1)*1e6 // (1+4) = 400000
+        # contrib(c,c) = (1+1)*1e6 // (1+4) = 400000
+        out = {r["doc_id"]: r for r in bigram_fluency(df).collect()}
+        assert out[1]["n_bigrams"] == 3
+        assert out[1]["fluency_score"] == 571428 + 400000 + 571428
+        assert out[2]["fluency_score"] == 571428
+        assert out[3]["n_bigrams"] == 0 and out[3]["fluency_score"] is None
+        assert out[4]["fluency_score"] == 400000
+        assert out[2]["avg_prob"] == 0.571428
+
+    def test_partitioning_invariance(self, spark):
+        from presto_ethereum_spark.operators.text import bigram_fluency
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, bigram_fluency(df).collect()))
+        b = sorted(map(tuple, bigram_fluency(df.repartition(13)).collect()))
+        assert a == b and len(a) > 0
