@@ -32,6 +32,7 @@ __all__ = [
     "cap_by_budget",
     "pack_sequences",
     "weighted_sample",
+    "curriculum_interleave",
 ]
 
 
@@ -285,4 +286,66 @@ def negative_samples(
     return draws.join(payload, "neg_id").select(
         "anchor_id", "sample_idx", "neg_id",
         *[f"neg_{c}" for c in payload_cols],
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    key: str,
+    n_buckets: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Curriculum ordering: place every row in a difficulty ``bucket``
+    (0 = highest score) and give it a per-bucket ``slot`` in deterministic
+    hash order; training consumes rows sorted by ``(slot, bucket)``, which
+    interleaves one row from each difficulty level per cycle — each
+    training window sees the full difficulty mix while the schedule stays
+    a pure function of (salt, data).
+
+    Buckets come from the EXACT score distribution, not a global ntile: a
+    global ``ntile()`` window drags the whole table through one partition,
+    while the distribution table (count per distinct score) is tiny — the
+    one single-partition window here runs over DISTINCT SCORES (bounded:
+    quality scores are rounded), and rows join back to their bucket by
+    score.  bucket(s) = (n_buckets * ranked-rows-before-s) DIV total,
+    capped at n_buckets - 1 — integer arithmetic, one right answer in any
+    engine.  Ties in score share a bucket (equal difficulty is not
+    splittable deterministically).
+
+    Returns ``df`` + ``(bucket int, slot long)``.
+
+    Shuffles: score-count aggregation (map-side combined), broadcast join
+    of the tiny distribution table, one hash shuffle on ``bucket`` for the
+    slot window.  PRECONDITION: ``key`` unique per row (same contract as
+    ``cap_by_budget``).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    s = F.col(score_col)
+    dist = (
+        df.groupBy(s.alias("_cs")).agg(F.count("*").alias("_cn"))
+    )
+    w_cum = (
+        Window.orderBy(F.col("_cs").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = dist.agg(F.sum("_cn").alias("_ct"))
+    buckets = (
+        dist.withColumn("_cb", F.coalesce(F.sum("_cn").over(w_cum), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "_cs",
+            F.least(
+                F.lit(n_buckets - 1),
+                F.expr(f"({n_buckets} * _cb) DIV _ct").cast("int"),
+            ).alias("bucket"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w_slot = Window.partitionBy("bucket").orderBy(h, F.col(key))
+    return (
+        df.join(F.broadcast(buckets), s == F.col("_cs"))
+        .drop("_cs")
+        .withColumn("slot", F.row_number().over(w_slot).cast("long"))
     )

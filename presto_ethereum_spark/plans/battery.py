@@ -5708,6 +5708,42 @@ def doc_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_curriculum_order",
+    """
+    WITH dist AS (SELECT n_chars AS cs, count(*) AS cn
+                  FROM documents GROUP BY n_chars),
+    tot AS (SELECT CAST(sum(cn) AS BIGINT) AS ct FROM dist),
+    b AS (
+      SELECT cs,
+             least(7, CAST((8 * coalesce(sum(cn) OVER (
+                 ORDER BY cs DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               // ct AS INT)) AS bucket
+      FROM dist, tot)
+    SELECT d.doc_id, b.bucket,
+           CAST(row_number() OVER (
+               PARTITION BY b.bucket
+               ORDER BY md5('c1' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+             AS BIGINT) AS slot
+    FROM documents d JOIN b ON d.n_chars = b.cs
+    """,
+)
+def doc_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-based curriculum interleave (operators/sampling.
+    curriculum_interleave): exact-CDF difficulty buckets over n_chars
+    (bucket 0 = longest) + deterministic per-bucket slots; training reads
+    sorted by (slot, bucket) so every window mixes all difficulty levels.
+    The bucket CDF comes from the tiny distinct-score distribution table,
+    never a global ntile window."""
+    from presto_ethereum_spark.operators.sampling import curriculum_interleave
+
+    d = t_spread(spark, sf, "documents")
+    return curriculum_interleave(
+        d, "n_chars", "doc_id", n_buckets=8, salt="c1"
+    ).select("doc_id", "bucket", "slot")
+
+
+@q(
     "rel_scd2_build",
     """
     WITH ev AS (

@@ -1765,3 +1765,47 @@ class TestBigramFluency:
         a = sorted(map(tuple, bigram_fluency(df).collect()))
         b = sorted(map(tuple, bigram_fluency(df.repartition(13)).collect()))
         assert a == b and len(a) > 0
+
+
+class TestCurriculumInterleave:
+    def test_buckets_cover_and_interleave(self, spark):
+        from presto_ethereum_spark.operators.sampling import curriculum_interleave
+
+        df = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(20)], "doc_id long, score double"
+        )
+        out = curriculum_interleave(df, "score", "doc_id", n_buckets=5).collect()
+        assert len(out) == 20
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["bucket"], []).append(r["slot"])
+        # 5 score values x 4 rows -> each bucket holds exactly one score's rows
+        assert sorted(by_bucket) == [0, 1, 2, 3, 4]
+        assert all(sorted(v) == [1, 2, 3, 4] for v in by_bucket.values())
+        # bucket 0 is the HIGHEST score (curriculum: hardest first slot-wise)
+        score_of = {r["bucket"]: r["score"] for r in out}
+        assert score_of[0] == 4.0 and score_of[4] == 0.0
+
+    def test_ties_share_bucket_and_determinism(self, spark):
+        from presto_ethereum_spark.operators.sampling import curriculum_interleave
+
+        df = spark.createDataFrame(
+            [(i, 1.0 if i < 9 else 2.0) for i in range(10)],
+            "doc_id long, score double",
+        )
+        out = curriculum_interleave(df, "score", "doc_id", n_buckets=4)
+        rows = out.collect()
+        # the 9-way tie cannot split: all score-1.0 rows share one bucket
+        assert len({r["bucket"] for r in rows if r["score"] == 1.0}) == 1
+        again = sorted(map(tuple, curriculum_interleave(
+            df.repartition(7), "score", "doc_id", n_buckets=4).collect()))
+        assert sorted(map(tuple, rows)) == again
+
+    def test_bad_buckets_rejected(self, spark):
+        import pytest as _pytest
+
+        from presto_ethereum_spark.operators.sampling import curriculum_interleave
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+        with _pytest.raises(ValueError, match="n_buckets"):
+            curriculum_interleave(df, "score", "doc_id", n_buckets=0)
