@@ -4271,6 +4271,58 @@ _KMEANS_S = "1000000000000000.0"  # 1e15 fixed-point quantum (matches pagerank)
 
 
 @q(
+    "emb_diverse_sample",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, c.cid, {cos} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, CAST(cid AS INT) AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    )
+    SELECT vec_id, cell, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY cell
+               ORDER BY md5('dv' || CAST(vec_id AS VARCHAR)), vec_id) AS rank
+      FROM assign) WHERE rank <= 10
+    """.replace("{cos}", _duck_cos("c.cvec", "e.embedding")),
+)
+def emb_diverse_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced diversity sampling — the "spread the sample across
+    embedding space" curation step (SemDeDup-adjacent): assign every
+    vector to its nearest seed centroid (the map-only Arrow IVF kernel,
+    bit-identical to ivf_assign) and keep a deterministic hash-ordered
+    n=10 per cell via stratified_take (WindowGroupLimit caps shuffle
+    volume at n x cells).  A pure composition of two graded operators —
+    the pipeline pattern, not new machinery."""
+    from presto_ethereum_spark.operators.sampling import stratified_take
+    from presto_ethereum_spark.operators.similarity import (
+        _ivf_corpus_index,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    idx = _ivf_corpus_index(e, cents, "vec_id", "embedding").select(
+        F.col("neighbor_id").alias("vec_id"), F.col("cell").cast("int").alias("cell")
+    )
+    return stratified_take(idx, strata="cell", key="vec_id", n=10, salt="dv").select(
+        "vec_id", "cell", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@q(
     "emb_kmeans_step",
     f"""
     WITH cent AS (
