@@ -208,19 +208,27 @@ class HttpJsonRpcTransport:
         return out
 
     def get_logs(
-        self, start: int, end: int, topic0: str | None = None
+        self,
+        start: int,
+        end: int,
+        topic0: str | None = None,
+        addresses: list[str] | None = None,
     ) -> list[dict]:
         """Bulk ``eth_getLogs`` over an inclusive block range: ONE filtered
         RPC replaces one ``eth_getTransactionReceipt`` per transaction (the
         reference's lazy per-tx cost model, EthereumLogLazyIterator.java:39-42)
         — at ~150 tx/block that is two-plus orders of magnitude fewer calls.
-        ``topic0`` (e.g. the ERC-20 Transfer signature) filters SERVER-side,
-        so non-matching logs never cross the wire.  Nodes match topics
-        against the canonical lowercase hex; the client-side weird-event /
+        ``topic0`` (e.g. the ERC-20 Transfer signature) and ``addresses``
+        (emitting token contracts) filter SERVER-side, so non-matching logs
+        never cross the wire — "scan one token's transfers over the whole
+        chain" costs the matching logs only.  Nodes match topics against
+        the canonical lowercase hex; the client-side weird-event /
         case-insensitive decode still runs on what comes back."""
         params: dict = {"fromBlock": hex(start), "toBlock": hex(end)}
         if topic0 is not None:
             params["topics"] = [topic0]
+        if addresses:
+            params["address"] = list(addresses)
         [r] = self._post(
             [{"jsonrpc": "2.0", "id": 0, "method": "eth_getLogs", "params": [params]}]
         )
@@ -361,13 +369,18 @@ class ParquetChainTransport:
         return {}
 
     def get_logs(
-        self, start: int, end: int, topic0: str | None = None
+        self,
+        start: int,
+        end: int,
+        topic0: str | None = None,
+        addresses: list[str] | None = None,
     ) -> list[dict]:
         """eth_getLogs served from the embedded receipt logs.  A real node
-        matches topics against canonical lowercase hex; mirrored here with a
-        case-insensitive compare so fixture blocks that exercise the
-        reference's case-insensitivity path behave identically."""
+        matches topics/addresses against canonical lowercase hex; mirrored
+        here with case-insensitive compares so fixture blocks that exercise
+        the reference's case-insensitivity path behave identically."""
         by = self._load()
+        addr_set = {a.lower() for a in addresses} if addresses else None
         out: list[dict] = []
         for n in range(start, end + 1):
             b = by.get(n)
@@ -378,6 +391,10 @@ class ParquetChainTransport:
                     topics = lg.get("topics") or []
                     if topic0 is not None and (
                         not topics or topics[0].lower() != topic0.lower()
+                    ):
+                        continue
+                    if addr_set is not None and (
+                        (lg.get("address") or "").lower() not in addr_set
                     ):
                         continue
                     out.append(lg)
@@ -475,6 +492,15 @@ class EthereumReader(DataSourceReader):
                 f"logs_mode must be 'receipts' or 'eth_getLogs' "
                 f"(got {options.get('logs_mode')!r})"
             )
+        spec = options.get("logs_address")
+        self.logs_addresses = (
+            [a.strip() for a in spec.split(",") if a.strip()] if spec else None
+        )
+        if self.logs_addresses and self.logs_mode != "eth_getlogs":
+            raise ValueError(
+                "logs_address requires logs_mode=eth_getLogs (the receipts "
+                "path fetches per-tx logs and cannot narrow server-side)"
+            )
         spec = options.get("block_ranges")
         if spec:
             # explicit disjunction — the reference's ordered-ranges list
@@ -535,7 +561,10 @@ class EthereumReader(DataSourceReader):
 
             cols = self.columns
             logs = self.transport.get_logs(
-                partition.start, partition.end, TRANSFER_EVENT_TOPIC
+                partition.start,
+                partition.end,
+                TRANSFER_EVENT_TOPIC,
+                addresses=self.logs_addresses,
             )
             for lg in logs:
                 row = pyrows.erc20_row_from_log(lg)

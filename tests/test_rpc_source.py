@@ -520,3 +520,61 @@ class TestIpcTransport:
             assert rows[5]["block_miner"] == "0xm"
         finally:
             srv.close()
+
+
+class TestGetLogsAddressFilter:
+    """logs_address: the server-side token-contract filter — "scan one
+    token's transfers" costs only the matching logs at any chain scale."""
+
+    TOKEN = "0x1F573D6Fb3F13D689fF844B4cE37794D79a7fF1C"
+
+    def test_address_filter_matches_post_scan_filter(self, registered, spark):
+        ds = _read(
+            registered, "erc20", start_block=1, end_block=400,
+            logs_mode="eth_getLogs", logs_address=self.TOKEN,
+        )
+        unfiltered = _read(
+            registered, "erc20", start_block=1, end_block=400,
+            logs_mode="eth_getLogs",
+        )
+        # server-side filter == client-side filter on the decoded token
+    # address; the erc20 schema exposes the looked-up symbol, so compare
+        # via the underlying transport decode instead: re-derive expected
+        # rows by filtering the unfiltered scan on the tx hashes present
+        got = sorted(map(tuple, ds.collect()))
+        from presto_ethereum_spark.constants import lookup_token
+
+        want = sorted(
+            tuple(r) for r in unfiltered.collect()
+            if r["erc20_token"] == lookup_token(self.TOKEN)
+        )
+        assert got == want and len(got) >= 1
+
+    def test_case_insensitive_address_match(self, registered):
+        lower = _read(
+            registered, "erc20", start_block=1, end_block=400,
+            logs_mode="eth_getLogs", logs_address=self.TOKEN.lower(),
+        ).count()
+        exact = _read(
+            registered, "erc20", start_block=1, end_block=400,
+            logs_mode="eth_getLogs", logs_address=self.TOKEN,
+        ).count()
+        assert lower == exact >= 1
+
+    def test_requires_getlogs_mode(self):
+        opts = {"table": "erc20", "path": CHAIN, "logs_address": self.TOKEN}
+        with pytest.raises(ValueError, match="logs_address requires"):
+            EthereumReader(opts, EthereumDataSource(opts).schema())
+
+    def test_http_wire_includes_address(self, monkeypatch):
+        from presto_ethereum_spark.sources.rpc import HttpJsonRpcTransport
+
+        tr = HttpJsonRpcTransport("http://unused/")
+        seen = []
+        monkeypatch.setattr(
+            tr, "_post", lambda calls: (seen.append(calls), [[]])[1]
+        )
+        tr.get_logs(1, 16, "0xtopic", addresses=[self.TOKEN, "0xother"])
+        [params] = seen[0][0]["params"]
+        assert params["address"] == [self.TOKEN, "0xother"]
+        assert params["topics"] == ["0xtopic"]
