@@ -299,9 +299,9 @@ class CountingTransport:
         self.counts["get_receipt_logs"] += 1
         return self.inner.get_receipt_logs(tx_hashes)
 
-    def get_logs(self, start, end, topic0=None):
+    def get_logs(self, start, end, topic0=None, addresses=None):
         self.counts["get_logs"] += 1
-        return self.inner.get_logs(start, end, topic0)
+        return self.inner.get_logs(start, end, topic0, addresses)
 
 
 class TestBulkGetLogs:
