@@ -6537,3 +6537,174 @@ def rel_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
         F.min("b").alias("min_day"),
         F.max("b").alias("max_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: deeper TPC-H-shaped relational coverage (Q9/Q12/Q16/Q21
+# analogs over the available columns)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rel_profit_by_nation_year",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def rel_profit_by_nation_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: five-table join (fact + three broadcast dims + a
+    part-name residual filter) grouped by (supplier nation, order year).
+    Exact DECIMAL profit sums keep the doubles partition-order-free."""
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    p = t(spark, sf, "part").where(F.col("p_name").like("%widget%"))
+    o = t(spark, sf, "orders")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+@q(
+    "rel_late_shipment_priority",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def rel_late_shipment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join with a date-arithmetic residual
+    (shipments lagging the order by >60 days) and conditional-aggregation
+    priority counts — the CASE-WHEN pivot over a join Spark plans as one
+    shuffle + partial aggs."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "rel_supplier_cnt_by_part",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+                FROM lineitem)
+    SELECT p_brand, p_size, CAST(count(DISTINCT suppkey) AS BIGINT)
+             AS supplier_cnt
+    FROM ps JOIN part ON partkey = p_partkey
+    WHERE p_size IN (1, 14, 23, 45)
+      AND suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def rel_supplier_cnt_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct part-supplier relation (derived from
+    lineitem — the schema has no partsupp), NOT-IN exclusion of
+    negative-balance suppliers (plans as a broadcast anti-join), count
+    DISTINCT suppliers per (brand, size)."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part").where(F.col("p_size").isin(1, 14, 23, 45))
+    bad = t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    return (
+        ps.join(bad, ps.suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "rel_waiting_supplier",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def rel_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: the hard correlated EXISTS + NOT-EXISTS pair — the
+    last shipper holding up a multi-supplier finished order.  EXISTS plans
+    as a left-semi join on the order key, NOT EXISTS as a left-anti join
+    with the extra non-equi shipdate conjunct; both correlate only on
+    l_orderkey so the shuffles stay key-local."""
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    o = t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    sem = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    anti = sem.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return (
+        anti.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
