@@ -189,6 +189,12 @@ def _pagerank_redistribute(
         .agg(F.sum("c").alias("s"))
     )
     for _ in range(iterations - 1):
+        if cache:
+            # sums_k feeds BOTH D_k and sums_{k+1}: without persistence the
+            # two consumers each replay the whole lineage, and the replay
+            # count doubles per iteration (the branching-lineage trap the
+            # drop variant avoids by having one consumer)
+            sums = sums.persist()
         # D_k from rank_k: dangling nodes can still HAVE in-edges, so join
         # the in-sums (left: no in-edges -> coalesce 0)
         new_dm = (
