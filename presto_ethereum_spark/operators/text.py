@@ -669,7 +669,12 @@ def bigram_fluency(
     positions-to-counts join on (w1, w2), and the per-doc re-aggregation.
     The c1 head-count table derives from the (much smaller) bigram-count
     table, not the raw stream; V is one broadcast scalar.  Hot head words
-    in the join are AQE-skew-split.
+    in the join are AQE-skew-split.  SCAN count, stated plainly: the
+    corpus tokenizes on three branches (count build, probe positions,
+    vocabulary) plus a column-pruned id-only scan for the restore join —
+    ``df.persist()`` upstream collapses them to one materialization when
+    the scan dominates (the branches share no exchange, so Catalyst
+    cannot dedupe them itself).
     """
     d = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     big = d.select(
