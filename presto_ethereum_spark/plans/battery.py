@@ -6708,3 +6708,51 @@ def rel_waiting_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@q(
+    "stream_erc20_tail",
+    f"""
+    SELECT erc20_token,
+           printf('%.6e', sum(erc20_value)) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_transfers
+    FROM read_parquet('{ETH}/erc20.parquet')
+    GROUP BY erc20_token
+    """,
+)
+def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ERC-20 transfer tail: readStream over the chain source
+    with table=erc20 — each micro-batch is ONE filtered eth_getLogs per
+    block range (the bulk path, no block bodies, no receipts), decoded by
+    the same per-log rules as the batch scan.  Drained availableNow and
+    aggregated per token; must equal the golden batch aggregation exactly
+    (%.6e canonicalization absorbs fp summation order, as in
+    eth_erc20_movement)."""
+    import uuid
+
+    from presto_ethereum_spark.streaming.chain import EthereumStreamDataSource
+
+    spark.dataSource.register(EthereumStreamDataSource)
+    stream = (
+        spark.readStream.format("ethereum-stream")
+        .option("path", str(ETH / "chain_blocks.parquet"))
+        .option("table", "erc20")
+        .option("max_blocks_per_batch", 3000)
+        .load()
+    )
+    agg = stream.groupBy("erc20_token").agg(
+        F.format_string("%.6e", F.sum("erc20_value")).alias("total_value"),
+        F.count("*").alias("n_transfers"),
+    )
+    sink = f"stream_erc20_{uuid.uuid4().hex[:8]}"
+    q_ = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from presto_ethereum_spark.schemas import BLOCK_SCHEMA
+from presto_ethereum_spark.schemas import BLOCK_SCHEMA, SCHEMAS
 from presto_ethereum_spark.sources.rpc import make_transport
 
 
@@ -55,7 +55,12 @@ class EthereumStreamReader(SimpleDataSourceStreamReader):
         self.transport = make_transport(options)
         self.start_block = int(options.get("start_block", 1))
         self.max_per_batch = int(options.get("max_blocks_per_batch", 100))
-        self.columns = [f.name for f in BLOCK_SCHEMA.fields]
+        self.table = options.get("table", "block").lower()
+        spec = options.get("logs_address")
+        self.logs_addresses = (
+            [a.strip() for a in spec.split(",") if a.strip()] if spec else None
+        )
+        self.columns = [f.name for f in SCHEMAS[self.table].fields]
 
     def initialOffset(self) -> dict:
         return {"next": self.start_block}
@@ -63,13 +68,10 @@ class EthereumStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, lo: int, hi: int) -> list[tuple]:
         # a LIST, not a generator: Spark's simple-stream wrapper pickles the
         # prefetched batch to serve readBetweenOffsets replays
-        from presto_ethereum_spark.sources import pyrows
-
-        out = []
-        for b in self.transport.get_blocks(list(range(lo, hi))):
-            row = pyrows.block_row(b)
-            out.append(tuple(row[c] for c in self.columns))
-        return out
+        return _table_rows(
+            self.transport, self.table, lo, hi - 1, self.columns,
+            self.logs_addresses,
+        )
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = start["next"]
@@ -88,6 +90,32 @@ class EthereumStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # transports are stateless; nothing to clean up
+
+
+def _table_rows(
+    transport, table: str, start: int, end: int, columns, addresses=None
+) -> list[tuple]:
+    """Rows of ``table`` for an INCLUSIVE block range.  ``block`` fetches
+    block bodies; ``erc20`` rides the bulk eth_getLogs path (one filtered
+    RPC per range, server-side Transfer topic + optional token addresses —
+    the cheap way to TAIL a token's transfers live)."""
+    from presto_ethereum_spark.sources import pyrows
+
+    out: list[tuple] = []
+    if table == "erc20":
+        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+
+        for lg in transport.get_logs(
+            start, end, TRANSFER_EVENT_TOPIC, addresses=addresses
+        ):
+            row = pyrows.erc20_row_from_log(lg)
+            if row is not None:
+                out.append(tuple(row[c] for c in columns))
+        return out
+    for b in transport.get_blocks(list(range(start, end + 1))):
+        row = pyrows.block_row(b)
+        out.append(tuple(row[c] for c in columns))
+    return out
 
 
 class ChainBatchPartition(InputPartition):
@@ -111,7 +139,12 @@ class EthereumPartitionedStreamReader(DataSourceStreamReader):
         self.start_block = int(options.get("start_block", 1))
         self.max_per_batch = int(options.get("max_blocks_per_batch", 100))
         self.blocks_per_partition = int(options.get("blocks_per_partition", 200))
-        self.columns = [f.name for f in BLOCK_SCHEMA.fields]
+        self.table = options.get("table", "block").lower()
+        spec = options.get("logs_address")
+        self.logs_addresses = (
+            [a.strip() for a in spec.split(",") if a.strip()] if spec else None
+        )
+        self.columns = [f.name for f in SCHEMAS[self.table].fields]
         self._last: dict | None = None
 
     def initialOffset(self) -> dict:
@@ -149,14 +182,11 @@ class EthereumPartitionedStreamReader(DataSourceStreamReader):
     def read(self, partition: ChainBatchPartition) -> Iterator[tuple]:
         # runs on the EXECUTOR: fresh transport per task, like the batch
         # source's read path
-        from presto_ethereum_spark.sources import pyrows
-
         transport = make_transport(self.options)
-        for b in transport.get_blocks(
-            list(range(partition.start, partition.end + 1))
-        ):
-            row = pyrows.block_row(b)
-            yield tuple(row[c] for c in self.columns)
+        yield from _table_rows(
+            transport, self.table, partition.start, partition.end,
+            self.columns, self.logs_addresses,
+        )
 
     def commit(self, end: dict) -> None:
         # stateless transports — but the recovery path calls commit with
@@ -171,7 +201,13 @@ class EthereumStreamDataSource(DataSource):
         return "ethereum-stream"
 
     def schema(self) -> StructType:
-        return BLOCK_SCHEMA
+        table = self.options.get("table", "block").lower()
+        if table not in ("block", "erc20"):
+            raise ValueError(
+                f"ethereum-stream serves table=block|erc20 (got {table!r}); "
+                f"transaction bodies stream via table=block + batch explode"
+            )
+        return SCHEMAS[table]
 
     def simpleStreamReader(self, schema: StructType) -> EthereumStreamReader:
         return EthereumStreamReader(dict(self.options))

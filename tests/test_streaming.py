@@ -499,3 +499,107 @@ class TestManifestReplayAndVacuum:
         assert got == [1, 2, 3]
         # idempotent: nothing left to clean
         assert vacuum(out) == 0
+
+
+class TestErc20StreamTable:
+    """table=erc20 on the chain stream source: micro-batches ride the bulk
+    eth_getLogs path (one filtered call per range), decoded by the same
+    per-log rules as the batch scan."""
+
+    def _drain(self, spark, **opts):
+        import uuid
+
+        from presto_ethereum_spark.streaming.chain import (
+            EthereumStreamDataSource,
+        )
+
+        spark.dataSource.register(EthereumStreamDataSource)
+        r = (
+            spark.readStream.format("ethereum-stream")
+            .option("path", "fixtures/eth/chain_blocks.parquet")
+            .option("table", "erc20")
+            # availableNow = ONE micro-batch for Python stream readers
+            # (see test_chain_stream, line 16) -> cover the fixture chain
+            .option("max_blocks_per_batch", 3000)
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        sink = "erc20s_" + uuid.uuid4().hex[:8]
+        q = (
+            r.load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return out
+
+    @pytest.mark.parametrize("mode", ["simple", "partitioned"])
+    def test_stream_equals_golden(self, spark, mode):
+        got = self._drain(spark, reader_mode=mode)
+        golden = spark.read.parquet("fixtures/eth/erc20.parquet")
+        assert got.exceptAll(golden).count() == 0
+        assert golden.exceptAll(got).count() == 0
+
+    def test_address_filter_narrows(self, spark):
+        token = "0x1F573D6Fb3F13D689fF844B4cE37794D79a7fF1C"
+        got = self._drain(spark, logs_address=token)
+        from presto_ethereum_spark.constants import lookup_token
+
+        assert got.count() >= 1
+        assert {r["erc20_token"] for r in got.collect()} == {lookup_token(token)}
+
+    def test_multi_batch_tail_equals_golden(self, spark, tmp_path):
+        """Micro-batch cadence (400 blocks/trigger): the tailing path must
+        converge to the same row set as one big batch."""
+        import time
+        import uuid
+
+        from presto_ethereum_spark.streaming.chain import (
+            EthereumStreamDataSource,
+        )
+
+        spark.dataSource.register(EthereumStreamDataSource)
+        golden = spark.read.parquet("fixtures/eth/erc20.parquet")
+        want = golden.count()
+        sink = "erc20mb_" + uuid.uuid4().hex[:8]
+        q = (
+            spark.readStream.format("ethereum-stream")
+            .option("path", "fixtures/eth/chain_blocks.parquet")
+            .option("table", "erc20")
+            .option("max_blocks_per_batch", 400)
+            .load()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "erc20_ckpt"))
+            .start()
+        )
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(sink).count() >= want:
+                break
+            time.sleep(1)
+        q.stop()
+        got = spark.table(sink)
+        assert got.exceptAll(golden).count() == 0
+        assert golden.exceptAll(got).count() == 0
+        assert len(q.recentProgress) >= 2400 // 400
+        spark.catalog.dropTempView(sink)
+
+    def test_unknown_table_rejected(self, spark):
+        from presto_ethereum_spark.streaming.chain import (
+            EthereumStreamDataSource,
+        )
+
+        spark.dataSource.register(EthereumStreamDataSource)
+        with pytest.raises(Exception, match="block\\|erc20"):
+            (
+                spark.readStream.format("ethereum-stream")
+                .option("path", "fixtures/eth/chain_blocks.parquet")
+                .option("table", "transaction")
+                .load()
+            )
