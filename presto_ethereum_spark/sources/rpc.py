@@ -72,6 +72,29 @@ DEFAULT_BLOCKS_PER_PARTITION = 200
 DEFAULT_RPC_BATCH = 50
 
 
+class RpcError(RuntimeError):
+    """A JSON-RPC response carried an ``error`` member.  Distinct from
+    transport failures (those retry in ``_post``): the node REJECTED the
+    request — silently treating it as an empty result would drop data."""
+
+    def __init__(self, code: int | None, message: str):
+        super().__init__(f"JSON-RPC error {code}: {message}")
+        self.code = code
+        self.message = message
+
+    def is_result_too_large(self) -> bool:
+        """Node-side response-size caps (Infura -32005 "query returned more
+        than 10000 results", geth "query exceeds limit" variants) — the
+        caller should split the block range and retry."""
+        if self.code == -32005:
+            return True
+        m = self.message.lower()
+        return any(
+            t in m
+            for t in ("more than", "too many", "exceeds", "response size", "limit")
+        )
+
+
 # ---------------------------------------------------------------------------
 # Transports
 # ---------------------------------------------------------------------------
@@ -133,7 +156,16 @@ class HttpJsonRpcTransport:
         if isinstance(out, dict):
             out = [out]
         by_id = {r["id"]: r for r in out}
-        return [by_id[c["id"]].get("result") for c in calls]
+        results = []
+        for c in calls:
+            r = by_id[c["id"]]
+            if r.get("error"):
+                err = r["error"]
+                # an error member is a REJECTION, not an empty result —
+                # swallowing it would silently drop the call's data
+                raise RpcError(err.get("code"), str(err.get("message", err)))
+            results.append(r.get("result"))
+        return results
 
     def block_number(self) -> int:
         [r] = self._post(
@@ -560,13 +592,7 @@ class EthereumReader(DataSourceReader):
             from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
 
             cols = self.columns
-            logs = self.transport.get_logs(
-                partition.start,
-                partition.end,
-                TRANSFER_EVENT_TOPIC,
-                addresses=self.logs_addresses,
-            )
-            for lg in logs:
+            for lg in self._logs_adaptive(partition.start, partition.end):
                 row = pyrows.erc20_row_from_log(lg)
                 if row is not None:
                     yield tuple(row[c] for c in cols)
@@ -587,6 +613,31 @@ class EthereumReader(DataSourceReader):
                 else:
                     for row in pyrows.erc20_rows(b):
                         yield tuple(row[c] for c in cols)
+
+    def _logs_adaptive(self, start: int, end: int) -> Iterator[dict]:
+        """Bulk getLogs with ADAPTIVE range splitting: production nodes cap
+        eth_getLogs response sizes (Infura -32005 at 10k logs, geth response
+        byte limits), so a dense range must bisect and retry rather than
+        fail the task.  Recursion floor is a single block — if ONE block's
+        logs exceed the node cap the error is real and propagates."""
+        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+
+        stack = [(start, end)]
+        while stack:
+            lo, hi = stack.pop()
+            try:
+                yield from self.transport.get_logs(
+                    lo, hi, TRANSFER_EVENT_TOPIC, addresses=self.logs_addresses
+                )
+            except RpcError as e:
+                if lo >= hi or not e.is_result_too_large():
+                    raise
+                mid = (lo + hi) // 2
+                # LIFO with the upper half pushed first keeps emission in
+                # ascending block order (not semantically required — rows
+                # are unordered — but it keeps retries cache-friendly)
+                stack.append((mid + 1, hi))
+                stack.append((lo, mid))
 
     def _attach_logs(self, blocks: list[dict]) -> None:
         """Lazy receipt fetch, erc20 only: skip blocks without transactions

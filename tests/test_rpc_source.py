@@ -578,3 +578,92 @@ class TestGetLogsAddressFilter:
         [params] = seen[0][0]["params"]
         assert params["address"] == [self.TOKEN, "0xother"]
         assert params["topics"] == ["0xtopic"]
+
+
+class CappedTransport:
+    """Wraps the parquet transport with a node-style response cap: ranges
+    wider than `max_span` blocks are rejected with the Infura -32005
+    error, forcing the reader to bisect."""
+
+    def __init__(self, inner, max_span):
+        self.inner = inner
+        self.max_span = max_span
+        self.calls = []
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+    def get_logs(self, start, end, topic0=None, addresses=None):
+        from presto_ethereum_spark.sources.rpc import RpcError
+
+        self.calls.append((start, end))
+        if end - start + 1 > self.max_span:
+            raise RpcError(-32005, "query returned more than 10000 results")
+        return self.inner.get_logs(start, end, topic0, addresses)
+
+
+class TestAdaptiveGetLogs:
+    def _reader(self, max_span, start=1, end=400, bpp=400):
+        opts = {
+            "table": "erc20", "path": CHAIN,
+            "start_block": start, "end_block": end,
+            "blocks_per_partition": bpp, "logs_mode": "eth_getLogs",
+        }
+        r = EthereumReader(opts, EthereumDataSource(opts).schema())
+        r.transport = CappedTransport(r.transport, max_span)
+        return r
+
+    def test_bisects_until_under_cap_and_loses_nothing(self, spark):
+        r = self._reader(max_span=60)
+        rows = [row for p in r.partitions() for row in r.read(p)]
+        golden = spark.read.parquet(str(ETH_FIXTURES / "erc20.parquet")).where(
+            "erc20_blocknumber BETWEEN 1 AND 400"
+        )
+        assert len(rows) == golden.count() > 0
+        # every successful call stayed under the cap; rejected ones split
+        ok_calls = [c for c in r.transport.calls if c[1] - c[0] + 1 <= 60]
+        assert sorted(x for c in ok_calls for x in range(c[0], c[1] + 1)) == list(
+            range(1, 401)
+        )
+
+    def test_single_block_overflow_propagates(self):
+        import pytest as _pytest
+
+        from presto_ethereum_spark.sources.rpc import RpcError
+
+        r = self._reader(max_span=0)  # even one block is "too large"
+        with _pytest.raises(RpcError):
+            list(r.read(r.partitions()[0]))
+
+    def test_non_size_errors_propagate_immediately(self):
+        import pytest as _pytest
+
+        from presto_ethereum_spark.sources.rpc import RpcError
+
+        r = self._reader(max_span=60)
+
+        def reject(start, end, topic0=None, addresses=None):
+            raise RpcError(-32600, "invalid request")
+
+        r.transport.get_logs = reject
+        with _pytest.raises(RpcError, match="invalid request"):
+            list(r.read(r.partitions()[0]))
+
+    def test_post_raises_on_error_member(self, monkeypatch):
+        from presto_ethereum_spark.sources.rpc import (
+            HttpJsonRpcTransport,
+            RpcError,
+        )
+
+        tr = HttpJsonRpcTransport("http://unused/")
+        monkeypatch.setattr(
+            tr,
+            "_post_once",
+            lambda body: [
+                {"id": 0, "error": {"code": -32005, "message": "too big"}}
+            ],
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(RpcError, match="-32005"):
+            tr.block_number()
