@@ -386,3 +386,77 @@ def test_heavy_hitters_equal_naive(spark, vals):
     floor_thresh = int(len(vals) * 0.15)
     want = {(v, c) for v, c in cnt.items() if c > floor_thresh}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SQL OR-of-ranges rewrite — soundness property: for ANY predicate tree the
+# parser accepts, the produced range list COVERS every block the predicate
+# can match (the rewrite may only narrow the scan, never lose a block).
+# ---------------------------------------------------------------------------
+
+_N_BLOCKS = 60
+
+
+@st.composite
+def _pred_tree(draw, depth=0):
+    node = draw(
+        st.sampled_from(
+            ["cmp", "between", "in", "other"]
+            + (["and", "or"] if depth < 3 else [])
+        )
+    )
+    B = st.integers(min_value=1, max_value=_N_BLOCKS)
+    if node == "cmp":
+        op = draw(st.sampled_from([">", ">=", "<", "<=", "="]))
+        v = draw(B)
+        sql = f"block_number {op} {v}"
+        fn = {
+            ">": lambda b: b > v,
+            ">=": lambda b: b >= v,
+            "<": lambda b: b < v,
+            "<=": lambda b: b <= v,
+            "=": lambda b: b == v,
+        }[op]
+        return sql, fn
+    if node == "between":
+        a, b2 = sorted([draw(B), draw(B)])
+        return f"block_number BETWEEN {a} AND {b2}", lambda x: a <= x <= b2
+    if node == "in":
+        vals = draw(st.lists(B, min_size=1, max_size=5, unique=True))
+        vs = set(vals)
+        return (
+            "block_number IN (" + ", ".join(map(str, sorted(vals))) + ")",
+            lambda x: x in vs,
+        )
+    if node == "other":
+        # a non-block predicate: range-neutral; truth unknown to the
+        # parser, so model it as "can be true anywhere"
+        return "tx_value = 5", lambda x: True
+    l_sql, l_fn = draw(_pred_tree(depth=depth + 1))
+    r_sql, r_fn = draw(_pred_tree(depth=depth + 1))
+    if node == "and":
+        return f"({l_sql} AND {r_sql})", lambda x: l_fn(x) and r_fn(x)
+    return f"({l_sql} OR {r_sql})", lambda x: l_fn(x) or r_fn(x)
+
+
+@given(tree=_pred_tree())
+@settings(max_examples=200, deadline=None)
+def test_sql_ranges_cover_every_matching_block(tree):
+    from presto_ethereum_spark.plans.pushdown import OPEN_END, ranges_from_sql
+
+    sql, fn = tree
+    ranges = ranges_from_sql(sql)
+
+    def covered(b):
+        return any(
+            r.start <= b and (r.end == OPEN_END or b <= r.end) for r in ranges
+        )
+
+    for b in range(1, _N_BLOCKS + 1):
+        if fn(b):
+            assert covered(b), f"{sql!r} matches block {b} but ranges {ranges} drop it"
+    # and the list is normalized: ordered, disjoint, non-empty members
+    for r in ranges:
+        assert r.end == OPEN_END or r.start <= r.end
+    for a, b2 in zip(ranges, ranges[1:]):
+        assert a.end != OPEN_END and a.end + 1 < b2.start
