@@ -31,6 +31,7 @@ __all__ = [
     "alpha_terms",
     "document_frequency",
     "bigram_fluency",
+    "bpe_train",
     "importance_weights",
     "top_terms",
     "chunk_documents",
@@ -716,4 +717,88 @@ def bigram_fluency(
                 6,
             ).alias("avg_prob"),
         )
+    )
+
+
+def bpe_train(
+    df,
+    n_merges: int = 10,
+    text_col: str = "text",
+):
+    """Iterative BPE merge-rule training (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units", ACL'16) — the actual
+    trainer, not just one round of pair counts (``doc_bpe_merges`` is that
+    first round): N rounds of count-adjacent-pairs → take the most
+    frequent → merge it everywhere, producing the ordered merge list a
+    tokenizer applies at inference.
+
+    Returns ``(merge_rank, left, right, pair_count)``, one row per learned
+    merge in order.
+
+    Spark shape: train on the WORD-DISTINCT table (word, corpus_count) —
+    the classic trick that makes BPE tractable: pair counts weight by word
+    frequency, so the loop touches vocabulary-sized data (millions of
+    rows) regardless of corpus size (trillions of tokens).  Per round: one
+    pair-count shuffle (map-side combined), a 1-row argmax to the driver
+    (TakeOrdered; ties break (count desc, left, right) so the rule
+    sequence is deterministic), and a map-side left-to-right merge fold
+    (``aggregate`` HOF — the standard non-overlapping BPE scan, 'a a a'
+    merges once).  The symbol table is ``localCheckpoint``-ed per round so
+    expression nesting and lineage stay flat.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    syms = words.select(
+        "wc", F.split("w", "").alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = syms.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+                    " (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word is a single symbol already
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        lcol, rcol, mcol = F.lit(left), F.lit(right), F.lit(left + right)
+
+        def merge_fold(acc, s):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lcol)
+                & (s == rcol)
+            )
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mcol)),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        syms = syms.select(
+            "wc",
+            F.aggregate(
+                "syms", F.array().cast("array<string>"), merge_fold
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
     )

@@ -6756,3 +6756,18 @@ def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+@q("doc_bpe_train", None)
+def doc_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative BPE merge-rule training (operators/text.bpe_train): 6
+    rounds of weighted pair counting + argmax + merge fold over the
+    word-distinct table.  Rows-only in the driver gate (an N-round
+    iterative trainer has no reasonable single-SQL oracle — same category
+    as emb_mmr_rerank); the merge sequence is pinned EXACTLY against a
+    pure-Python Sennrich reference in tests/test_operators.py
+    (TestBpeTrain), including tie-breaks and non-overlapping merge
+    semantics."""
+    from presto_ethereum_spark.operators.text import bpe_train
+
+    return bpe_train(t_spread(spark, sf, "documents"), n_merges=6)

@@ -1809,3 +1809,83 @@ class TestCurriculumInterleave:
         df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
         with _pytest.raises(ValueError, match="n_buckets"):
             curriculum_interleave(df, "score", "doc_id", n_buckets=0)
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _ref(corpus, n_merges):
+        """Pure-Python Sennrich BPE on whitespace words with (count desc,
+        left, right) tie-break — must match the Spark trainer exactly."""
+        from collections import Counter
+
+        words = Counter(w for text in corpus for w in text.split(" ") if w)
+        syms = {w: list(w) for w in words}
+        out = []
+        for rank in range(n_merges):
+            pairs = Counter()
+            for w, c in words.items():
+                sy = syms[w]
+                for a, b in zip(sy, sy[1:]):
+                    pairs[(a, b)] += c
+            if not pairs:
+                break
+            (l, r), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rank, l, r, cnt))
+            for w, sy in syms.items():
+                new = []
+                for sym in sy:
+                    if new and new[-1] == l and sym == r:
+                        new[-1] = l + r
+                    else:
+                        new.append(sym)
+                syms[w] = new
+        return out
+
+    def test_matches_python_reference_exactly(self, spark):
+        from presto_ethereum_spark.operators.text import bpe_train
+
+        corpus = [
+            "low low low lower lowest",
+            "new newer newest low",
+            "wide wider widest",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train(df, n_merges=8).orderBy("merge_rank").collect()
+        ]
+        assert got == self._ref(corpus, 8)
+        assert len(got) == 8
+
+    def test_nonoverlapping_merge_semantics(self, spark):
+        # 'a a a a' (chars "aaaa") -> pair (a,a) merges non-overlapping:
+        # round 1 yields [aa, aa], count 3 (BPE counts all adjacent pairs)
+        from presto_ethereum_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+        got = [
+            (r["left"], r["right"], r["pair_count"])
+            for r in bpe_train(df, n_merges=2).orderBy("merge_rank").collect()
+        ]
+        assert got == [(l, r, c) for _, l, r, c in self._ref(["aaaa aaaa"], 2)]
+        assert got[0] == ("a", "a", 6)  # 3 adjacent pairs x 2 occurrences
+        assert got[1] == ("aa", "aa", 2)  # merged symbols pair up next
+
+    def test_exhausted_vocabulary_stops_early(self, spark):
+        from presto_ethereum_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+        out = bpe_train(df, n_merges=10).collect()
+        assert len(out) == 1  # after merging a+b every word is one symbol
+
+    def test_partitioning_invariance(self, spark):
+        from presto_ethereum_spark.operators.text import bpe_train
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, bpe_train(df, n_merges=3).collect()))
+        b = sorted(map(tuple, bpe_train(df.repartition(11), n_merges=3).collect()))
+        assert a == b and len(a) == 3
