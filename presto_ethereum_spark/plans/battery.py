@@ -885,6 +885,11 @@ def eth_erc20_movement_getlogs(spark: SparkSession, sf: str) -> DataFrame:
         .option("start_block", 100)
         .option("end_block", 600)
         .option("logs_mode", "eth_getLogs")
+        # one partition: the parquet TRANSPORT loads the whole nested
+        # fixture per task (a stand-in for a node, not a columnar scan), so
+        # more partitions just repeat that load.  A LIVE url= source wants
+        # the default 200-block partitions — the RPC cost dominates there.
+        .option("blocks_per_partition", 501)
         .load()
     )
     return (
