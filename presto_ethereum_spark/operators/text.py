@@ -32,6 +32,7 @@ __all__ = [
     "document_frequency",
     "bigram_fluency",
     "bpe_train",
+    "bpe_apply",
     "importance_weights",
     "top_terms",
     "chunk_documents",
@@ -801,4 +802,77 @@ def bpe_train(
     spark = df.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_apply(
+    df,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply an ordered BPE merge-rule list (the output of
+    :func:`bpe_train`) — the inference side of the tokenizer: segment
+    every document into subword tokens and report per-doc counts.
+
+    ``merges``: the ``bpe_train`` result DataFrame, or a list of
+    ``(left, right)`` pairs in merge order.  Returns
+    ``(doc_id, n_words, n_subwords)``.
+
+    Scale shape: merges apply on the WORD-DISTINCT table (tokenization is
+    a pure function of the word), so the per-word merge loop — an Arrow
+    ``mapInArrow`` pass carrying the rule list in the task closure — runs
+    over vocabulary-sized data regardless of corpus size; real tokenizers
+    have ~32k rules, which makes a rules-length chain of JVM folds
+    unreasonable while a Python loop over distinct words stays tiny.  The
+    corpus-side work is one explode + join on the word (the vocabulary
+    side broadcasts when small) + per-doc aggregation.
+    """
+    import pyarrow as pa
+
+    if not isinstance(merges, list):
+        merges = [(r["left"], r["right"]) for r in merges.orderBy("merge_rank").collect()]
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+
+    def tokenize(batches):
+        def word_toks(w):
+            sy = list(w)
+            # canonical BPE apply: repeatedly merge the LOWEST-rank pair
+            # present (order matters: rule 0 before rule 1, everywhere)
+            while len(sy) > 1:
+                best, best_i = None, -1
+                for i, pair in enumerate(zip(sy, sy[1:])):
+                    rk = ranks.get(pair)
+                    if rk is not None and (best is None or rk < best):
+                        best, best_i = rk, i
+                if best is None:
+                    break
+                sy[best_i : best_i + 2] = [sy[best_i] + sy[best_i + 1]]
+            return sy
+
+        for rb in batches:
+            ws = rb.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ws), pa.array([word_toks(w) for w in ws])],
+                names=["w", "toks"],
+            )
+
+    vocab = words.mapInArrow(tokenize, schema="w string, toks array<string>")
+    doc_words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).where(F.col("w") != "")
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.size("toks")).alias("n_subwords"),
+        )
     )

@@ -6776,3 +6776,17 @@ def doc_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import bpe_train
 
     return bpe_train(t_spread(spark, sf, "documents"), n_merges=6)
+
+
+@q("doc_bpe_tokenize", None)
+def doc_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Train-then-apply tokenizer round trip (operators/text.bpe_train +
+    bpe_apply): learn 6 merge rules from the corpus, segment every document
+    with them, report per-doc word/subword counts.  Rows-only (iterative
+    trainer + rank-priority inference have no single-SQL oracle); both
+    halves are pinned exactly against pure-Python references in
+    tests/test_operators.py (TestBpeTrain / TestBpeApply)."""
+    from presto_ethereum_spark.operators.text import bpe_apply, bpe_train
+
+    d = t_spread(spark, sf, "documents")
+    return bpe_apply(d, bpe_train(d, n_merges=6))

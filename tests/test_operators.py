@@ -1889,3 +1889,65 @@ class TestBpeTrain:
         a = sorted(map(tuple, bpe_train(df, n_merges=3).collect()))
         b = sorted(map(tuple, bpe_train(df.repartition(11), n_merges=3).collect()))
         assert a == b and len(a) == 3
+
+
+class TestBpeApply:
+    @staticmethod
+    def _apply_ref(word, merges):
+        """Canonical rank-priority BPE inference (the GPT-2/HF algorithm)."""
+        ranks = {p: i for i, p in enumerate(merges)}
+        sy = list(word)
+        while len(sy) > 1:
+            best, best_i = None, -1
+            for i, pair in enumerate(zip(sy, sy[1:])):
+                rk = ranks.get(pair)
+                if rk is not None and (best is None or rk < best):
+                    best, best_i = rk, i
+            if best is None:
+                break
+            sy[best_i : best_i + 2] = [sy[best_i] + sy[best_i + 1]]
+        return sy
+
+    def test_counts_match_reference(self, spark):
+        from presto_ethereum_spark.operators.text import bpe_apply, bpe_train
+
+        corpus = ["low low lower lowest", "new newer newest low"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        rules_df = bpe_train(df, n_merges=5)
+        merges = [
+            (r["left"], r["right"])
+            for r in rules_df.orderBy("merge_rank").collect()
+        ]
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in bpe_apply(df, rules_df).collect()
+        }
+        for i, text in enumerate(corpus):
+            ws = [w for w in text.split(" ") if w]
+            want = sum(len(self._apply_ref(w, merges)) for w in ws)
+            assert got[i] == (len(ws), want)
+
+    def test_zero_rules_yields_char_counts(self, spark):
+        from presto_ethereum_spark.operators.text import bpe_apply
+
+        df = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+        [r] = bpe_apply(df, []).collect()
+        assert (r["n_words"], r["n_subwords"]) == (2, 5)
+
+    def test_rule_order_is_priority_not_listing(self, spark):
+        # rules [(a,b), (ab,c)] on "abc": r0 -> [ab, c]; r1 -> [abc].
+        # With the rules REVERSED, (ab,c) can never fire before (a,b)
+        # exists... but rank priority still applies (a,b) first (it has
+        # lower rank in its own list), so both lists end at 1 token only
+        # when the chain is rank-ordered.
+        from presto_ethereum_spark.operators.text import bpe_apply
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        [chained] = bpe_apply(df, [("a", "b"), ("ab", "c")]).collect()
+        assert chained["n_subwords"] == 1
+        [broken] = bpe_apply(df, [("ab", "c"), ("a", "b")]).collect()
+        # (ab,c) has rank 0 but can only fire after (a,b) merges -> fine:
+        # after (a,b) applies, (ab,c) is present and merges too
+        assert broken["n_subwords"] == 1
