@@ -103,7 +103,9 @@ def main() -> None:
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(round(time.perf_counter() - t0, 3))
         samples.sort()
-        times[name] = samples[len(samples) // 2]
+        import statistics
+
+        times[name] = round(statistics.median(samples), 3)
         spread[name] = [samples[0], samples[-1]]
 
     print(

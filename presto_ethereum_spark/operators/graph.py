@@ -190,11 +190,16 @@ def _pagerank_redistribute(
     )
     for _ in range(iterations - 1):
         if cache:
-            # sums_k feeds BOTH D_k and sums_{k+1}: without persistence the
-            # two consumers each replay the whole lineage, and the replay
-            # count doubles per iteration (the branching-lineage trap the
-            # drop variant avoids by having one consumer)
-            sums = sums.persist()
+            # sums_k feeds BOTH D_k and sums_{k+1}: without materialization
+            # the two consumers each replay the whole lineage, and the
+            # replay count doubles per iteration (the branching-lineage
+            # trap the drop variant avoids by having one consumer).  Eager
+            # localCheckpoint over persist: it truncates lineage NOW (one
+            # bounded job per iteration), and the checkpoint blocks are
+            # freed by the ContextCleaner when the frame goes out of scope
+            # — persist would pin one shuffle's worth of cache per
+            # iteration for the session lifetime unless someone unpersists
+            sums = sums.localCheckpoint(eager=True)
         # D_k from rank_k: dangling nodes can still HAVE in-edges, so join
         # the in-sums (left: no in-edges -> coalesce 0)
         new_dm = (

@@ -322,30 +322,35 @@ def curriculum_interleave(
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # collision-proof temp names (same contract as write_zordered)
+    cs, cn, ct, cb = "_cs", "_cn", "_ct", "_cb"
+    while any(c in df.columns for c in (cs, cn, ct, cb)):
+        cs, cn, ct, cb = (c + "_" for c in (cs, cn, ct, cb))
     s = F.col(score_col)
-    dist = (
-        df.groupBy(s.alias("_cs")).agg(F.count("*").alias("_cn"))
+    dist = df.groupBy(s.alias(cs)).agg(F.count("*").alias(cn))
+    # desc_nulls_last: a NULL score is "unknown difficulty" and lands
+    # deterministically in the LAST bucket region rather than vanishing
+    w_cum = Window.orderBy(F.col(cs).desc_nulls_last()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    w_cum = (
-        Window.orderBy(F.col("_cs").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    total = dist.agg(F.sum("_cn").alias("_ct"))
+    total = dist.agg(F.sum(cn).alias(ct))
     buckets = (
-        dist.withColumn("_cb", F.coalesce(F.sum("_cn").over(w_cum), F.lit(0)))
+        dist.withColumn(cb, F.coalesce(F.sum(cn).over(w_cum), F.lit(0)))
         .crossJoin(F.broadcast(total))
         .select(
-            "_cs",
+            cs,
             F.least(
                 F.lit(n_buckets - 1),
-                F.expr(f"({n_buckets} * _cb) DIV _ct").cast("int"),
+                F.expr(f"({n_buckets} * {cb}) DIV {ct}").cast("int"),
             ).alias("bucket"),
         )
     )
     h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
     w_slot = Window.partitionBy("bucket").orderBy(h, F.col(key))
     return (
-        df.join(F.broadcast(buckets), s == F.col("_cs"))
-        .drop("_cs")
+        # null-safe equality: NULL-scored rows keep their bucket instead of
+        # dropping out of the inner join
+        df.join(F.broadcast(buckets), s.eqNullSafe(F.col(cs)))
+        .drop(cs)
         .withColumn("slot", F.row_number().over(w_slot).cast("long"))
     )

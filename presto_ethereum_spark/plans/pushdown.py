@@ -256,12 +256,13 @@ def _sql_tokens(pred: str) -> list[str]:
 
     out = []
     for m in re.finditer(
-        r"\s*(>=|<=|==|!=|<>|[<>=(),]|[A-Za-z_][A-Za-z_0-9]*|\d[\d_]*)", pred
+        r"\s*(>=|<=|==|!=|<>|[<>=(),]|'[^']*'|[A-Za-z_][A-Za-z_0-9]*|\d[\d_]*)",
+        pred,
     ):
         out.append(m.group(1))
-    joined = "".join(out)
+    joined = "".join(out).replace(" ", "")
     stripped = "".join(pred.split())
-    if joined.replace(" ", "") != stripped:
+    if joined != stripped:
         raise ValueError(f"unsupported characters in predicate: {pred!r}")
     return out
 
@@ -295,6 +296,15 @@ def ranges_from_sql(pred: str) -> list[BlockRange]:
             raise ValueError(f"expected integer, got {t!r}")
         return int(t.replace("_", ""))
 
+    def parse_value():
+        # int literal, or a single-quoted string (valid only against
+        # non-block columns, which are range-neutral anyway)
+        t = toks[pos]
+        if t.startswith("'"):
+            take()
+            return t[1:-1]
+        return parse_int()
+
     def predicate():
         # number op col (mirrored) | col op number | col BETWEEN | col IN
         if toks[pos].replace("_", "").isdigit():
@@ -311,33 +321,41 @@ def ranges_from_sql(pred: str) -> list[BlockRange]:
         t = peek()
         if t == "BETWEEN":
             take()
-            lo = parse_int()
+            lo = parse_value()
             if take().upper() != "AND":
                 raise ValueError("BETWEEN requires AND")
-            hi = parse_int()
+            hi = parse_value()
             if col not in BLOCK_NUMBER_COLUMNS:
                 return [FULL_CHAIN]
+            if not isinstance(lo, int) or not isinstance(hi, int):
+                raise ValueError(f"non-integer BETWEEN bound on {col}")
             return [BlockRange(lo, hi)]
         if t == "IN":
             take()
             if take() != "(":
                 raise ValueError("IN requires (")
-            vals = [parse_int()]
+            vals = [parse_value()]
             while peek() == ",":
                 take()
-                vals.append(parse_int())
+                vals.append(parse_value())
             if take() != ")":
                 raise ValueError("IN list not closed")
             if col not in BLOCK_NUMBER_COLUMNS:
                 return [FULL_CHAIN]
+            if not all(isinstance(v, int) for v in vals):
+                raise ValueError(f"non-integer IN value on {col}")
             return _number_ranges(In((col,), tuple(vals)))
         op = take()
-        n = parse_int()
-        return _sql_cmp(col, op, n)
+        v = parse_value()
+        return _sql_cmp(col, op, v)
 
     def _sql_cmp(col, op, n):
         if col not in BLOCK_NUMBER_COLUMNS:
-            return [FULL_CHAIN]
+            if op in ("=", "==", ">", ">=", "<", "<=", "!=", "<>"):
+                return [FULL_CHAIN]
+            raise ValueError(f"unsupported operator {op!r}")
+        if not isinstance(n, int):
+            raise ValueError(f"non-integer comparison value on {col}: {n!r}")
         if op in ("=", "=="):
             return [BlockRange(n, n)]
         if op == ">":
@@ -345,9 +363,12 @@ def ranges_from_sql(pred: str) -> list[BlockRange]:
         if op == ">=":
             return [BlockRange(n, OPEN_END)]
         if op == "<":
-            return [BlockRange(1, n - 1)]
+            # n <= 1 matches no valid block; an empty LIST is the correct
+            # zero (n-1 = 0 would collide with the OPEN_END=-1 sentinel
+            # family and scan the whole chain)
+            return [BlockRange(1, n - 1)] if n > 1 else []
         if op == "<=":
-            return [BlockRange(1, n)]
+            return [BlockRange(1, n)] if n >= 1 else []
         raise ValueError(f"unsupported operator {op!r}")
 
     def factor():

@@ -83,15 +83,22 @@ class RpcError(RuntimeError):
         self.message = message
 
     def is_result_too_large(self) -> bool:
-        """Node-side response-size caps (Infura -32005 "query returned more
-        than 10000 results", geth "query exceeds limit" variants) — the
-        caller should split the block range and retry."""
-        if self.code == -32005:
-            return True
+        """Node-side RESULT-SIZE caps (Infura -32005 "query returned more
+        than 10000 results", geth "query exceeds response size limit"
+        variants) — the caller should split the block range and retry.
+        Deliberately narrow: -32005 alone is ambiguous (Infura also uses it
+        for request-RATE limiting, where bisection would AMPLIFY the load),
+        so the message must actually talk about result/response size."""
         m = self.message.lower()
         return any(
             t in m
-            for t in ("more than", "too many", "exceeds", "response size", "limit")
+            for t in (
+                "more than",
+                "too many results",
+                "response size",
+                "result set",
+                "returned more",
+            )
         )
 
 
@@ -351,6 +358,12 @@ class IpcJsonRpcTransport(HttpJsonRpcTransport):
                 if not chunk:
                     break
                 buf += chunk
+                # Re-parsing the whole buffer per 64 KB chunk is quadratic
+                # on multi-MB responses; a JSON document can only END at
+                # '}'/']' (modulo trailing whitespace), so skip the parse
+                # attempt for chunks that provably leave it open.
+                if chunk.rstrip()[-1:] not in (b"}", b"]"):
+                    continue
                 try:
                     obj, _ = json.JSONDecoder().raw_decode(buf.decode())
                     return obj
@@ -431,6 +444,41 @@ class ParquetChainTransport:
                         continue
                     out.append(lg)
         return out
+
+
+def fetch_logs_adaptive(
+    transport,
+    start: int,
+    end: int,
+    topic0: str | None = None,
+    addresses: list[str] | None = None,
+) -> Iterator[dict]:
+    """Bulk getLogs with ADAPTIVE range splitting: production nodes cap
+    eth_getLogs response sizes (Infura -32005 at 10k logs, geth response
+    byte limits), so a dense range must bisect and retry rather than fail
+    the Spark task.  Recursion floor is a single block — if ONE block's
+    logs exceed the node cap the error is real and propagates.  Shared by
+    the batch erc20 reader and the streaming erc20 tail (a stream that
+    cannot split would replay the identical failing range forever).
+    ``topic0`` defaults to the ERC-20 Transfer signature."""
+    if topic0 is None:
+        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+
+        topic0 = TRANSFER_EVENT_TOPIC
+    stack = [(start, end)]
+    while stack:
+        lo, hi = stack.pop()
+        try:
+            yield from transport.get_logs(lo, hi, topic0, addresses=addresses)
+        except RpcError as e:
+            if lo >= hi or not e.is_result_too_large():
+                raise
+            mid = (lo + hi) // 2
+            # LIFO with the upper half pushed first keeps emission in
+            # ascending block order (not semantically required — rows are
+            # unordered — but it keeps retries cache-friendly)
+            stack.append((mid + 1, hi))
+            stack.append((lo, mid))
 
 
 def make_transport(options: dict):
@@ -534,9 +582,12 @@ class EthereumReader(DataSourceReader):
                 "path fetches per-tx logs and cannot narrow server-side)"
             )
         spec = options.get("block_ranges")
-        if spec:
+        if spec is not None:
             # explicit disjunction — the reference's ordered-ranges list
-            # (EthereumTableLayoutHandle.java:13-36) as a load-time option
+            # (EthereumTableLayoutHandle.java:13-36) as a load-time option.
+            # An EMPTY spec ("") is an explicit empty disjunction — a
+            # contradiction predicate prunes to ZERO partitions, never a
+            # full-chain fallback
             self.ranges = parse_ranges_option(spec)
         else:
             lo = options.get("start_block")
@@ -589,8 +640,6 @@ class EthereumReader(DataSourceReader):
             # blocks_per_partition), vs O(blocks) + O(txs) on the receipts
             # path and 1 + |txs| per BLOCK in the reference
             # (EthereumRecordSet.java:48-56, EthereumLogLazyIterator.java:39-42).
-            from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
-
             cols = self.columns
             for lg in self._logs_adaptive(partition.start, partition.end):
                 row = pyrows.erc20_row_from_log(lg)
@@ -615,29 +664,9 @@ class EthereumReader(DataSourceReader):
                         yield tuple(row[c] for c in cols)
 
     def _logs_adaptive(self, start: int, end: int) -> Iterator[dict]:
-        """Bulk getLogs with ADAPTIVE range splitting: production nodes cap
-        eth_getLogs response sizes (Infura -32005 at 10k logs, geth response
-        byte limits), so a dense range must bisect and retry rather than
-        fail the task.  Recursion floor is a single block — if ONE block's
-        logs exceed the node cap the error is real and propagates."""
-        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
-
-        stack = [(start, end)]
-        while stack:
-            lo, hi = stack.pop()
-            try:
-                yield from self.transport.get_logs(
-                    lo, hi, TRANSFER_EVENT_TOPIC, addresses=self.logs_addresses
-                )
-            except RpcError as e:
-                if lo >= hi or not e.is_result_too_large():
-                    raise
-                mid = (lo + hi) // 2
-                # LIFO with the upper half pushed first keeps emission in
-                # ascending block order (not semantically required — rows
-                # are unordered — but it keeps retries cache-friendly)
-                stack.append((mid + 1, hi))
-                stack.append((lo, mid))
+        return fetch_logs_adaptive(
+            self.transport, start, end, addresses=self.logs_addresses
+        )
 
     def _attach_logs(self, blocks: list[dict]) -> None:
         """Lazy receipt fetch, erc20 only: skip blocks without transactions

@@ -103,11 +103,11 @@ def _table_rows(
 
     out: list[tuple] = []
     if table == "erc20":
-        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+        from presto_ethereum_spark.sources.rpc import fetch_logs_adaptive
 
-        for lg in transport.get_logs(
-            start, end, TRANSFER_EVENT_TOPIC, addresses=addresses
-        ):
+        # adaptive bisection, same as the batch path: a stream that cannot
+        # split a capped range would replay the identical failure forever
+        for lg in fetch_logs_adaptive(transport, start, end, addresses=addresses):
             row = pyrows.erc20_row_from_log(lg)
             if row is not None:
                 out.append(tuple(row[c] for c in columns))

@@ -1951,3 +1951,28 @@ class TestBpeApply:
         # (ab,c) has rank 0 but can only fire after (a,b) merges -> fine:
         # after (a,b) applies, (ab,c) is present and merges too
         assert broken["n_subwords"] == 1
+
+
+class TestCurriculumNullScores:
+    def test_null_scores_keep_rows_in_last_bucket(self, spark):
+        from presto_ethereum_spark.operators.sampling import curriculum_interleave
+
+        df = spark.createDataFrame(
+            [(1, 3.0), (2, 2.0), (3, None), (4, 1.0)],
+            "doc_id long, score double",
+        )
+        out = {r["doc_id"]: r for r in
+               curriculum_interleave(df, "score", "doc_id", n_buckets=4).collect()}
+        assert sorted(out) == [1, 2, 3, 4]  # nothing dropped
+        # unknown difficulty sorts after every known score
+        assert out[3]["bucket"] == max(r["bucket"] for r in out.values())
+
+    def test_existing_temp_column_names_survive(self, spark):
+        from presto_ethereum_spark.operators.sampling import curriculum_interleave
+
+        df = spark.createDataFrame(
+            [(1, 1.0, "keep"), (2, 2.0, "me")],
+            "doc_id long, score double, _cs string",
+        )
+        out = curriculum_interleave(df, "score", "doc_id", n_buckets=2)
+        assert sorted(r["_cs"] for r in out.collect()) == ["keep", "me"]

@@ -289,3 +289,52 @@ class TestSqlRangesRewrite:
         )
         got = sorted(r["block_number"] for r in df.select("block_number").collect())
         assert got == list(range(10, 21)) + list(range(100, 111))
+
+
+class TestSqlRangesReviewFixes:
+    def test_lt_small_n_is_empty_not_open_ended(self):
+        from presto_ethereum_spark.plans.pushdown import ranges_from_sql
+
+        assert ranges_from_sql("block_number < 0") == []
+        assert ranges_from_sql("block_number < 1") == []
+        assert ranges_from_sql("block_number <= 0") == []
+        # and an impossible arm of an OR vanishes instead of widening
+        got = ranges_from_sql("block_number < 0 OR block_number = 7")
+        assert [(r.start, r.end) for r in got] == [(7, 7)]
+
+    def test_contradiction_launches_zero_partitions(self):
+        from presto_ethereum_spark.plans.pushdown import ranges_option_from_sql
+        from presto_ethereum_spark.sources.rpc import (
+            EthereumDataSource,
+            EthereumReader,
+        )
+        from tests.conftest import ETH_FIXTURES
+
+        spec = ranges_option_from_sql(
+            "block_number >= 700 AND block_number <= 100"
+        )
+        assert spec == ""
+        opts = {
+            "table": "block",
+            "path": str(ETH_FIXTURES / "chain_blocks.parquet"),
+            "block_ranges": spec,
+        }
+        r = EthereumReader(opts, EthereumDataSource(opts).schema())
+        assert r.partitions() == []  # zero partitions, never a full scan
+
+    def test_string_literals_are_range_neutral(self):
+        from presto_ethereum_spark.plans.pushdown import ranges_from_sql
+
+        got = ranges_from_sql(
+            "erc20_token = 'UNI' AND erc20_blocknumber <= 100"
+        )
+        assert [(r.start, r.end) for r in got] == [(1, 100)]
+        got = ranges_from_sql(
+            "tx_input != 'a b c' AND tx_blocknumber BETWEEN 5 AND 9"
+        )
+        assert [(r.start, r.end) for r in got] == [(5, 9)]
+        # a string literal against a BLOCK column is an error, not a guess
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="non-integer"):
+            ranges_from_sql("block_number = 'abc'")

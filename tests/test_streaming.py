@@ -603,3 +603,31 @@ class TestErc20StreamTable:
                 .option("table", "transaction")
                 .load()
             )
+
+
+def test_erc20_stream_bisects_capped_ranges(spark, monkeypatch):
+    """The streaming erc20 tail must split node-capped getLogs ranges like
+    the batch path (a stream that cannot split replays the same failing
+    range forever)."""
+    from presto_ethereum_spark.sources.rpc import ParquetChainTransport, RpcError
+    from presto_ethereum_spark.streaming.chain import _table_rows
+    from presto_ethereum_spark.schemas import SCHEMAS
+
+    inner = ParquetChainTransport("fixtures/eth/chain_blocks.parquet")
+    calls = []
+    real = inner.get_logs
+
+    def capped(start, end, topic0=None, addresses=None):
+        calls.append((start, end))
+        if end - start + 1 > 100:
+            raise RpcError(-32005, "query returned more than 10000 results")
+        return real(start, end, topic0, addresses)
+
+    inner.get_logs = capped
+    cols = [f.name for f in SCHEMAS["erc20"].fields]
+    rows = _table_rows(inner, "erc20", 1, 400, cols)
+    golden = spark.read.parquet("fixtures/eth/erc20.parquet").where(
+        "erc20_blocknumber BETWEEN 1 AND 400"
+    )
+    assert len(rows) == golden.count() > 0
+    assert any(e - s + 1 > 100 for s, e in calls)  # the cap actually fired
