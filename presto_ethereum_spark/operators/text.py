@@ -39,6 +39,7 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "mask_pii",
+    "k_anonymity",
     "PII_PATTERNS",
     "normalize_text",
     "fingerprint",
@@ -875,4 +876,30 @@ def bpe_apply(
             F.count("*").alias("n_words"),
             F.sum(F.size("toks")).alias("n_subwords"),
         )
+    )
+
+
+def k_anonymity(df, quasi_cols: list[str], k: int = 5):
+    """k-anonymity audit over quasi-identifier columns (Sweeney, "k-anonymity:
+    a model for protecting privacy", IJUFKS'02): every row joined with the
+    size of its quasi-identifier equivalence class and a flag for whether
+    that class meets the ``k`` threshold — the release-gate check a
+    privacy-aware corpus pipeline runs next to PII masking (`mask_pii`
+    removes direct identifiers; this measures re-identification risk from
+    the INDIRECT ones).
+
+    Returns one row per equivalence class: ``(*quasi_cols, class_size,
+    k_anonymous)``.  Suppress/generalize classes with ``k_anonymous =
+    false`` before release.
+
+    One map-side-combined aggregation on the quasi columns — the output is
+    class-count-sized, never row-sized, at any corpus scale."""
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi-identifier column")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("class_size"))
+        .withColumn("k_anonymous", F.col("class_size") >= k)
     )

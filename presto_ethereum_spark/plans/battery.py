@@ -6790,3 +6790,21 @@ def doc_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t_spread(spark, sf, "documents")
     return bpe_apply(d, bpe_train(d, n_merges=6))
+
+
+@q(
+    "doc_k_anonymity",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size,
+           count(*) >= 25 AS k_anonymous
+    FROM documents GROUP BY lang, source
+    """,
+)
+def doc_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (operators/text.k_anonymity) over the (lang,
+    source) quasi-identifier pair — the privacy release gate next to
+    mask_pii: classes below the threshold need suppression or
+    generalization before the corpus ships."""
+    from presto_ethereum_spark.operators.text import k_anonymity
+
+    return k_anonymity(t_spread(spark, sf, "documents"), ["lang", "source"], k=25)

@@ -1976,3 +1976,29 @@ class TestCurriculumNullScores:
         )
         out = curriculum_interleave(df, "score", "doc_id", n_buckets=2)
         assert sorted(r["_cs"] for r in out.collect()) == ["keep", "me"]
+
+
+class TestKAnonymity:
+    def test_class_sizes_and_flag(self, spark):
+        from presto_ethereum_spark.operators.text import k_anonymity
+
+        df = spark.createDataFrame(
+            [("en", "web"), ("en", "web"), ("en", "web"), ("de", "web"), ("en", "book")],
+            "lang string, source string",
+        )
+        out = {(r["lang"], r["source"]): (r["class_size"], r["k_anonymous"])
+               for r in k_anonymity(df, ["lang", "source"], k=3).collect()}
+        assert out == {
+            ("en", "web"): (3, True),
+            ("de", "web"): (1, False),
+            ("en", "book"): (1, False),
+        }
+
+    def test_validation(self, spark):
+        from presto_ethereum_spark.operators.text import k_anonymity
+
+        df = spark.createDataFrame([("en",)], "lang string")
+        with pytest.raises(ValueError, match="quasi"):
+            k_anonymity(df, [], k=2)
+        with pytest.raises(ValueError, match="k must"):
+            k_anonymity(df, ["lang"], k=0)
