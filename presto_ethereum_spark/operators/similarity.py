@@ -34,6 +34,7 @@ __all__ = [
     "seed_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_topk_from_index",
     "quantize_error",
     "label_centroids",
     "pq_codes",
@@ -1142,4 +1143,65 @@ def mmr_rerank(
 
     return withvec.groupBy("query_id").applyInPandas(
         _mmr, schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double"
+    )
+
+
+def ivf_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN from a MATERIALIZED IVF index — the deployment shape
+    ``ivf_topk``'s docstring promises: ``index`` is the
+    ``_ivf_corpus_index`` output ``(neighbor_id, cvd, cn, cell)``, written
+    out ``partitionBy("cell")`` and read back.  Each query's ``nprobe``
+    closest cells are resolved DRIVER-side (the probe set is tiny by
+    contract in every ANN path here) and applied as a LITERAL ``cell IN``
+    filter, so a parquet cell-partitioned index prunes at the STORAGE
+    layer — serving I/O is nprobe/n_cells of the index, and raw vectors
+    are never read (the staged double vectors + norms ride the index).
+    Scoring is the staged-cosine expression, bit-identical to the fused
+    Arrow kernel in ``ivf_topk`` (asserted by sharing its oracle)."""
+    probe_cells = F.transform(
+        F.slice(
+            F.reverse(
+                F.array_sort(_centroid_scores(F.col("query_vec"), centroids))
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cid"],
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+        .withColumn("cell", F.explode(probe_cells))
+        .withColumn("qvd", _d(F.col("query_vec")))
+        .withColumn("qn", l2_norm(F.col("qvd")))
+        .select("query_id", "cell", "qvd", "qn")
+        .localCheckpoint(eager=True)
+    )
+    cells = [int(r["cell"]) for r in probes.select("cell").distinct().collect()]
+    scored = (
+        index.where(F.col("cell").isin(cells))  # literal -> partition pruning
+        .join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_staged(
+                F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn")
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
     )

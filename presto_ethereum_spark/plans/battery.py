@@ -6808,3 +6808,40 @@ def doc_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import k_anonymity
 
     return k_anonymity(t_spread(spark, sf, "documents"), ["lang", "source"], k=25)
+
+
+@q("emb_ivf_materialized_serve", battery_oracle("emb_ivf_topk"))
+def emb_ivf_materialized_serve(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN served from a MATERIALIZED cell-partitioned IVF index
+    (operators/similarity.ivf_topk_from_index): the _ivf_corpus_index
+    table written partitionBy(cell) and read back, probed cells applied as
+    a literal filter so parquet partition pruning bounds serving I/O at
+    nprobe/n_cells of the index — the deployment shape of IVF at scale.
+    Shares emb_ivf_topk's oracle verbatim: the fused in-kernel path and
+    the materialized path must produce identical results."""
+    import shutil
+    import tempfile
+
+    from presto_ethereum_spark.operators.similarity import (
+        _ivf_corpus_index,
+        ivf_topk_from_index,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    idx_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    _ivf_corpus_index(e, cents, "vec_id", "embedding").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(idx_dir)
+    out = ivf_topk_from_index(
+        spark.read.parquet(idx_dir),
+        e.where(F.col("vec_id") < 5),
+        cents,
+        nprobe=2,
+        k=10,
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return out

@@ -137,3 +137,33 @@ def test_kcore_round_reuses_degree_exchange(spark):
     nxt.collect()  # AQE finalizes reuse at execution
     plan = nxt._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_ivf_materialized_serve_prunes_partitions(spark, tmp_path):
+    """Serving from the cell-partitioned index must read only probed
+    cells: the literal cell filter reaches PartitionFilters on the parquet
+    scan (storage-layer pruning, the whole point of materializing)."""
+    from presto_ethereum_spark.operators.similarity import (
+        _ivf_corpus_index,
+        ivf_topk,
+        ivf_topk_from_index,
+        seed_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = seed_centroids(e, n_cells=8)
+    idx_dir = str(tmp_path / "ivf_idx")
+    _ivf_corpus_index(e, cents, "vec_id", "embedding").write.partitionBy(
+        "cell"
+    ).parquet(idx_dir)
+    q = e.where("vec_id < 3")
+    served = ivf_topk_from_index(
+        spark.read.parquet(idx_dir), q, cents, nprobe=2, k=5
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    # and identical to the fused in-kernel path
+    fused = ivf_topk(e, q, centroids=cents, nprobe=2, k=5)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, fused.collect())
+    )
