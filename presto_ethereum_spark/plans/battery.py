@@ -6845,3 +6845,87 @@ def emb_ivf_materialized_serve(spark: SparkSession, sf: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
     return out
+
+
+def _duck_e2e_pipeline_oracle() -> str:
+    """The full curation pipeline closed-form in SQL: quality scoring ->
+    threshold filter -> exact dedup keep-first -> deterministic split ->
+    per-split stats with integer-exact aggregates."""
+    from presto_ethereum_spark.operators.text import EN_STOPWORDS
+
+    bucket = _DUCK_BUCKET.format(salt="e2e", key="doc_id", buckets=100)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(lower(text), ' ') AS toks_l,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(replace(text, ' ', '')) AS n_nospace
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, n_tok,
+             round(0.35 * least(n_chars / 500.0, 1.0)
+                 + 0.25 * (CASE WHEN n_nospace / greatest(n_tok, 1) >= 3
+                                 AND n_nospace / greatest(n_tok, 1) <= 10
+                            THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(len(list_filter(toks_l,
+                       t -> list_contains({_sql_list(EN_STOPWORDS)}, t)))
+                       / greatest(n_tok, 1) * 4, 1.0)
+                 + 0.2 * (1 - least((n_punct / greatest(n_chars, 1)
+                                     + n_digit / greatest(n_chars, 1)) * 3,
+                                    1.0)), 6) AS quality
+      FROM base),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    dd AS (
+      SELECT * FROM (
+        SELECT doc_id, text, n_tok, quality,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1),
+    sp AS (
+      SELECT CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_tok, quality
+      FROM (SELECT *, {bucket} AS b FROM dd))
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_quality_e6
+    FROM sp GROUP BY split
+    """
+
+
+@q("doc_e2e_pipeline", _duck_e2e_pipeline_oracle())
+def doc_e2e_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The operators COMPOSED as a real curation pipeline: quality filter
+    (threshold 0.5) -> exact dedup keeping the lowest doc_id per content
+    hash -> deterministic 90/5/5 split -> per-split doc/token/quality
+    stats.  Every stage is an already-graded operator; this entry grades
+    that they compose without seams (the whole pipeline is one Catalyst
+    plan — filter and dedup run before the split ever shuffles, and the
+    quality sum is integer-exact so the aggregate survives any
+    partitioning)."""
+    from presto_ethereum_spark.operators import text as T
+    from presto_ethereum_spark.operators.sampling import split_assign
+
+    d = t_spread(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", "text", T.quality_score(F.col("text")).alias("quality")
+    )
+    kept = scored.where(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    )
+    sp = split_assign(deduped, "doc_id", salt="e2e")
+    return sp.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(T.token_count_ws(F.col("text"))).alias("n_tokens"),
+        F.sum(F.round(F.col("quality") * 1000000).cast("long")).alias(
+            "sum_quality_e6"
+        ),
+    )
