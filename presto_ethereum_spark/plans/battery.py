@@ -6929,3 +6929,55 @@ def doc_e2e_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             "sum_quality_e6"
         ),
     )
+
+
+@q(
+    "rel_ohlc_bars",
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 3600000000 AS bar,
+             epoch_us(ts) AS t, event_id, value
+      FROM events),
+    r AS (
+      SELECT bar, value,
+             row_number() OVER (PARTITION BY bar
+                                ORDER BY t, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY bar
+                                ORDER BY t DESC, event_id DESC) AS rn_d
+      FROM ev)
+    SELECT CAST(bar AS BIGINT) AS bar,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM r GROUP BY bar
+    """,
+)
+def rel_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC bar rollup over the event stream — the time-series
+    downsampling every chain/market monitor runs.  Open/close are
+    DETERMINISTIC firsts/lasts: Spark's min_by/first are tie-unstable
+    under partitioning, so both ends resolve via a (t, event_id)-ordered
+    row_number + conditional aggregate — one window shuffle on the bar,
+    one aggregate, same plan both engines."""
+    # ts is epoch-NANOS long (t() normalizes); derive micros like every
+    # other events query
+    ev = t_spread(spark, sf, "events").select(
+        F.expr("(ts DIV 1000) DIV 3600000000").alias("bar"),
+        F.expr("ts DIV 1000").alias("t"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("bar").orderBy("t", "event_id")
+    wd = Window.partitionBy("bar").orderBy(F.col("t").desc(), F.col("event_id").desc())
+    r = ev.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("bar").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
