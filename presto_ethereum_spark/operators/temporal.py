@@ -52,11 +52,19 @@ def asof_join(
     on_right: str | None = None,
     right_value_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_time <= left_time`` for the same key (``direction='backward'``;
     ``'forward'`` matches the next right row instead).  Left rows with no
     match keep nulls (LEFT ASOF JOIN semantics).
+
+    ``tolerance`` (same NUMERIC units as the time columns) bounds the
+    staleness of a match — pandas ``merge_asof(tolerance=...)`` semantics:
+    a carried right row further than ``tolerance`` from the left time is
+    treated as NO match (nulls), so a quote/state older than the allowed
+    window never silently attaches.  Zero extra shuffles: the cut is one
+    comparison on the already-carried match.
 
     Ties: a right row at exactly left_time matches (<=); make the right side
     unique per (key, time) upstream for fully determined output.
@@ -105,13 +113,24 @@ def asof_join(
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    out = (
-        unioned.withColumn("_match", carried)
-        .where(F.col("_side") == 1)
-        .select(
-            *[F.col("_lrow")[c].alias(c) for c in left.columns],
-            *[F.col("_match")[c].alias(f"asof_{c}") for c in [right_time] + right_value_cols],
+    matched = unioned.withColumn("_match", carried).where(F.col("_side") == 1)
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+        dist = (
+            F.col("_t") - F.col("_match")[right_time]
+            if direction == "backward"
+            else F.col("_match")[right_time] - F.col("_t")
         )
+        matched = matched.withColumn(
+            "_match", F.when(dist <= F.lit(tolerance), F.col("_match"))
+        )
+    out = matched.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[
+            F.col("_match")[c].alias(f"asof_{c}")
+            for c in [right_time] + right_value_cols
+        ],
     )
     return out
 

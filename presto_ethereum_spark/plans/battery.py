@@ -6981,3 +6981,64 @@ def rel_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
     )
+
+
+_ASOF_TOL_US = 90 * 24 * 3600 * 1_000_000  # 90 days
+
+
+@q(
+    "rel_asof_tolerance",
+    f"""
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+    ord AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS o_us, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1),
+    j AS (
+      SELECT ev.event_id, ev.user_id, ev.t_us,
+             ord.o_us, ord.o_orderkey, ord.o_totalprice
+      FROM ev ASOF LEFT JOIN ord
+      ON ev.user_id = ord.o_custkey AND ev.t_us >= ord.o_us)
+    SELECT event_id, user_id,
+           CASE WHEN t_us - o_us <= {_ASOF_TOL_US} THEN o_us END AS asof_o_us,
+           CASE WHEN t_us - o_us <= {_ASOF_TOL_US} THEN o_orderkey END
+             AS asof_o_orderkey,
+           CASE WHEN t_us - o_us <= {_ASOF_TOL_US} THEN o_totalprice END
+             AS asof_o_totalprice
+    FROM j
+    """,
+)
+def rel_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a 90-day staleness bound (pandas merge_asof
+    tolerance semantics): an order older than the window never silently
+    attaches to an event.  One comparison on the carried match — no extra
+    shuffle over the plain as-of."""
+    from presto_ethereum_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    ord_ = (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            (F.unix_timestamp("o_orderdate") * 1_000_000).alias("o_us"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    return asof_join(
+        ev,
+        ord_,
+        on_left="user_id",
+        left_time="t_us",
+        right_time="o_us",
+        on_right="o_custkey",
+        tolerance=_ASOF_TOL_US,
+    ).select(
+        "event_id", "user_id", "asof_o_us", "asof_o_orderkey", "asof_o_totalprice"
+    )

@@ -2002,3 +2002,55 @@ class TestKAnonymity:
             k_anonymity(df, [], k=2)
         with pytest.raises(ValueError, match="k must"):
             k_anonymity(df, ["lang"], k=0)
+
+
+class TestAsofTolerance:
+    def test_stale_match_nulls_out(self, spark):
+        from presto_ethereum_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100), (1, 250), (2, 50)], "k long, t long"
+        )
+        right = spark.createDataFrame(
+            [(1, 90, "a"), (1, 95, "b"), (2, 10, "c")], "k long, rt long, v string"
+        )
+        out = {
+            (r["k"], r["t"]): (r["asof_rt"], r["asof_v"])
+            for r in asof_join(
+                left, right, on_left="k", left_time="t", right_time="rt",
+                on_right="k", tolerance=20,
+            ).collect()
+        }
+        assert out[(1, 100)] == (95, "b")      # 5 <= 20: matches
+        assert out[(1, 250)] == (None, None)   # 155 > 20: stale, nulled
+        assert out[(2, 50)] == (None, None)    # 40 > 20
+        # without tolerance the stale rows DO match (regression guard)
+        full = {
+            (r["k"], r["t"]): r["asof_v"]
+            for r in asof_join(
+                left, right, on_left="k", left_time="t", right_time="rt",
+                on_right="k",
+            ).collect()
+        }
+        assert full[(1, 250)] == "b" and full[(2, 50)] == "c"
+
+    def test_forward_tolerance_and_validation(self, spark):
+        from presto_ethereum_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([(1, 100)], "k long, t long")
+        right = spark.createDataFrame([(1, 130, "x")], "k long, rt long, v string")
+        [r] = asof_join(
+            left, right, on_left="k", left_time="t", right_time="rt",
+            on_right="k", direction="forward", tolerance=20,
+        ).collect()
+        assert r["asof_v"] is None  # 30 ahead > 20
+        [r2] = asof_join(
+            left, right, on_left="k", left_time="t", right_time="rt",
+            on_right="k", direction="forward", tolerance=40,
+        ).collect()
+        assert r2["asof_v"] == "x"
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(
+                left, right, on_left="k", left_time="t", right_time="rt",
+                on_right="k", tolerance=-1,
+            ).collect()
