@@ -7042,3 +7042,51 @@ def rel_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "asof_o_us", "asof_o_orderkey", "asof_o_totalprice"
     )
+
+
+def _duck_pagerank_weighted_oracle() -> str:
+    """3 unrolled weighted-PageRank iterations: integer (w, W) multiplicity
+    ratios inside the same 1e15 fixed-point quantization, expression order
+    ``floor(rank * w / W * S)`` matching pagerank_weighted exactly."""
+    S = "1000000000000000.0"
+    it = """
+    s{k} AS (
+      SELECT e.dst AS addr,
+             sum(CAST(floor(r.rank * e.w / e.tw * {S}) AS BIGINT)) AS s
+      FROM r{p} r JOIN edges e ON e.src = r.addr
+      GROUP BY e.dst),
+    r{k} AS (
+      SELECT n0.addr,
+             (CAST(1.0 AS DOUBLE) - 0.85) / t.n
+               + 0.85 * (CAST(coalesce(s.s, 0) AS DOUBLE) / {S}) AS rank
+      FROM nodes n0 LEFT JOIN s{k} s ON s.addr = n0.addr, tot t)"""
+    steps = ",".join(it.format(k=k, p=k - 1, S=S) for k in (1, 2, 3))
+    return f"""
+    WITH tx AS (SELECT * FROM read_parquet('{ETH}/transaction.parquet')),
+    mult AS (SELECT tx_from AS src, tx_to AS dst, count(*) AS w
+             FROM tx WHERE tx_to IS NOT NULL GROUP BY tx_from, tx_to),
+    edges AS (SELECT src, dst, w,
+                     CAST(sum(w) OVER (PARTITION BY src) AS BIGINT) AS tw
+              FROM mult),
+    nodes AS (SELECT src AS addr FROM edges UNION SELECT dst FROM edges),
+    tot AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT addr, 1.0 / t.n AS rank FROM nodes, tot t),
+    {steps}
+    SELECT addr, rank FROM r3
+    """
+
+
+@q("eth_tx_pagerank_weighted", _duck_pagerank_weighted_oracle())
+def eth_tx_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiplicity-weighted PageRank over the tx transfer graph
+    (operators/graph.pagerank_weighted): rank flows proportionally to how
+    often each counterparty pair transacts — the token-flow importance
+    model the unweighted dedup discards.  Integer weight ratios inside the
+    1e15 fixed point keep the differential bit-exact."""
+    from presto_ethereum_spark.operators.graph import pagerank_weighted
+
+    tx = _eth_tables(spark).table("transaction")
+    edges = tx.where(F.col("tx_to").isNotNull()).select(
+        F.col("tx_from").alias("src"), F.col("tx_to").alias("dst")
+    )
+    return pagerank_weighted(edges, iterations=3, damping=0.85, cache=True)

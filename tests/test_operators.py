@@ -2054,3 +2054,61 @@ class TestAsofTolerance:
                 left, right, on_left="k", left_time="t", right_time="rt",
                 on_right="k", tolerance=-1,
             ).collect()
+
+
+class TestPageRankWeighted:
+    @staticmethod
+    def _ref(pairs, iters=3, d=0.85):
+        import math
+        from collections import Counter
+
+        w = Counter(pairs)
+        tw = Counter()
+        for (s, _), c in w.items():
+            tw[s] += c
+        nodes = sorted({s for s, _ in w} | {t for _, t in w})
+        n = len(nodes)
+        scale = 1_000_000_000_000_000.0
+        rank = {v: 1.0 / n for v in nodes}
+        q = 1.0 - d
+        for _ in range(iters):
+            sums = {v: 0 for v in nodes}
+            for (s, t), c in w.items():
+                sums[t] += math.floor(rank[s] * c / tw[s] * scale)
+            rank = {v: q / n + d * (float(sums[v]) / scale) for v in nodes}
+        return rank
+
+    def test_matches_reference_and_multiplicity_matters(self, spark):
+        from presto_ethereum_spark.operators.graph import (
+            pagerank,
+            pagerank_weighted,
+        )
+
+        # a sends to b 3 times and to c once; unweighted treats them equal
+        pairs = [("a", "b")] * 3 + [("a", "c"), ("b", "a"), ("c", "a")]
+        df = spark.createDataFrame(
+            [Row(src=s, dst=t) for s, t in pairs], "src string, dst string"
+        )
+        got = {r.addr: r.rank for r in pagerank_weighted(df).collect()}
+        assert got == self._ref(pairs)
+        assert got["b"] > got["c"]  # 3x the inflow weight
+        flat = {r.addr: r.rank for r in pagerank(df).collect()}
+        assert flat["b"] == flat["c"]  # dedup'd: equal
+
+    def test_uniform_weights_equal_unweighted(self, spark):
+        from presto_ethereum_spark.operators.graph import (
+            pagerank,
+            pagerank_weighted,
+        )
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        df = spark.createDataFrame(
+            [Row(src=s, dst=t) for s, t in pairs], "src string, dst string"
+        )
+        wtd = {r.addr: r.rank for r in pagerank_weighted(df).collect()}
+        flat = {r.addr: r.rank for r in pagerank(df).collect()}
+        # all multiplicities 1 -> w/W == 1/deg... but the fp op ORDER
+        # differs (rank*1/W vs rank/deg), so allow last-bit drift only
+        assert set(wtd) == set(flat)
+        for k in wtd:
+            assert abs(wtd[k] - flat[k]) < 1e-12
