@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pagerank", "pagerank_weighted", "triangles", "triangle_participation", "k_core"]
+__all__ = ["pagerank", "pagerank_weighted", "hits", "triangles", "triangle_participation", "k_core"]
 
 FIXED_POINT_SCALE = 1_000_000_000_000_000.0  # 1e15
 
@@ -496,4 +496,99 @@ def pagerank_weighted(
         nodes.join(sums, "addr", "left")
         .crossJoin(F.broadcast(tot))
         .select("addr", rank_from_s.alias("rank"))
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    cache: bool = True,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM'99) over a distinct edge list: per
+    iteration, ``auth(v) = sum_in hub(u)``, then ``hub(u) = sum_out
+    auth(v)``, each L1-normalized.  On a transfer graph: authorities are
+    collectors (exchanges, sinks), hubs are distributors — the
+    counterpart question to PageRank's single importance score.
+
+    Determinism: scores quantize to the 1e15 fixed point before every
+    sum (integer sums are partition-order-exact, as in :func:`pagerank`),
+    and L1 normalization divides by the INTEGER total of the quantized
+    scores — one global scalar per half-step, exact in any engine; the
+    final doubles replay bit-for-bit in the unrolled-CTE oracle.  Sums
+    ride DECIMAL(38,0): unlike pagerank's rank-magnitude values (< 1/N
+    each), a normalized score sums to 1e15 PER half-step total, so the
+    global normalizer exceeds BIGINT beyond ~9000 edges.
+
+    Shuffles: two per iteration (auth sum on dst, hub sum on src) plus
+    two broadcast-scalar normalizations; the distinct edge list is the
+    one persisted invariant.  Returns ``(addr, hub, auth)`` over all
+    nodes (0.0 where a node has no out/in edges).
+    """
+    S = F.lit(FIXED_POINT_SCALE)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    if cache:
+        e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("addr"))
+        .union(e.select(F.col("dst").alias("addr")))
+        .distinct()
+    )
+    if cache:
+        nodes = nodes.persist()
+
+    # state: hubs as (addr, h) with h double; start uniform 1.0
+    hubs = nodes.select("addr", F.lit(1.0).alias("h"))
+    auths = None
+    for _ in range(iterations):
+        # auth(v) = sum_in hub(u), fixed-point quantized, L1-normalized
+        asum = (
+            e.join(hubs, e["src"] == hubs["addr"])
+            .select(
+                F.col("dst").alias("addr"),
+                F.floor(F.col("h") * S).cast("decimal(38,0)").alias("c"),
+            )
+            .groupBy("addr")
+            .agg(F.sum("c").alias("ai"))
+        )
+        atot = asum.agg(F.sum("ai").alias("at"))
+        auths = (
+            asum.crossJoin(F.broadcast(atot))
+            .select(
+                "addr",
+                (F.col("ai").cast("double") / F.col("at").cast("double")).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # hub(u) = sum_out auth(v), quantized, L1-normalized
+        hsum = (
+            e.join(auths, e["dst"] == auths["addr"])
+            .select(
+                F.col("src").alias("addr"),
+                F.floor(F.col("a") * S).cast("decimal(38,0)").alias("c"),
+            )
+            .groupBy("addr")
+            .agg(F.sum("c").alias("hi"))
+        )
+        htot = hsum.agg(F.sum("hi").alias("ht"))
+        hubs = (
+            hsum.crossJoin(F.broadcast(htot))
+            .select(
+                "addr",
+                (F.col("hi").cast("double") / F.col("ht").cast("double")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(hubs, "addr", "left")
+        .join(auths, "addr", "left")
+        .select(
+            "addr",
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("auth"),
+        )
     )

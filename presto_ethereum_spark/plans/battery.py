@@ -7090,3 +7090,56 @@ def eth_tx_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
         F.col("tx_from").alias("src"), F.col("tx_to").alias("dst")
     )
     return pagerank_weighted(edges, iterations=3, damping=0.85, cache=True)
+
+
+def _duck_hits_oracle(iters: int = 2) -> str:
+    """Unrolled HITS with fixed-point quantized sums and integer-total L1
+    normalization — expression-for-expression operators/graph.hits."""
+    S = "1000000000000000.0"
+    steps = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    a{k}s AS (
+      SELECT e.dst AS addr,
+             sum(CAST(floor(h.h * {S}) AS DECIMAL(38,0))) AS ai
+      FROM {prev_h} h JOIN edges e ON e.src = h.addr GROUP BY e.dst),
+    a{k}t AS (SELECT CAST(sum(ai) AS DECIMAL(38,0)) AS at FROM a{k}s),
+    a{k} AS (SELECT addr, CAST(ai AS DOUBLE) / CAST(at AS DOUBLE) AS a
+             FROM a{k}s, a{k}t),
+    h{k}s AS (
+      SELECT e.src AS addr,
+             sum(CAST(floor(a.a * {S}) AS DECIMAL(38,0))) AS hi
+      FROM a{k} a JOIN edges e ON e.dst = a.addr GROUP BY e.src),
+    h{k}t AS (SELECT CAST(sum(hi) AS DECIMAL(38,0)) AS ht FROM h{k}s),
+    h{k} AS (SELECT addr, CAST(hi AS DOUBLE) / CAST(ht AS DOUBLE) AS h
+             FROM h{k}s, h{k}t)""")
+        prev_h = f"h{k}"
+    return f"""
+    WITH tx AS (SELECT * FROM read_parquet('{ETH}/transaction.parquet')),
+    edges AS (SELECT DISTINCT tx_from AS src, tx_to AS dst
+              FROM tx WHERE tx_to IS NOT NULL),
+    nodes AS (SELECT src AS addr FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT addr, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+    {",".join(steps)}
+    SELECT n.addr, coalesce(h{iters}.h, 0.0) AS hub,
+           coalesce(a{iters}.a, 0.0) AS auth
+    FROM nodes n
+    LEFT JOIN h{iters} ON h{iters}.addr = n.addr
+    LEFT JOIN a{iters} ON a{iters}.addr = n.addr
+    """
+
+
+@q("eth_tx_hits", _duck_hits_oracle(2))
+def eth_tx_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities over the tx transfer graph
+    (operators/graph.hits, 2 iterations): distributors vs collectors —
+    the complementary importance decomposition to PageRank, with the same
+    fixed-point + integer-normalizer exactness discipline."""
+    from presto_ethereum_spark.operators.graph import hits
+
+    tx = _eth_tables(spark).table("transaction")
+    edges = tx.where(F.col("tx_to").isNotNull()).select(
+        F.col("tx_from").alias("src"), F.col("tx_to").alias("dst")
+    )
+    return hits(edges, iterations=2, cache=True)

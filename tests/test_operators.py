@@ -2112,3 +2112,38 @@ class TestPageRankWeighted:
         assert set(wtd) == set(flat)
         for k in wtd:
             assert abs(wtd[k] - flat[k]) < 1e-12
+
+
+class TestHits:
+    def test_authority_and_hub_structure(self, spark):
+        from presto_ethereum_spark.operators.graph import hits
+
+        # a,b,c all point at x; x points at a; a also points at y
+        df = spark.createDataFrame(
+            [Row(src=s, dst=t) for s, t in
+             [("a", "x"), ("b", "x"), ("c", "x"), ("x", "a"), ("a", "y")]],
+            "src string, dst string",
+        )
+        out = {r["addr"]: (r["hub"], r["auth"]) for r in hits(df, 2).collect()}
+        # x is the dominant authority; a/b/c are the hubs
+        assert out["x"][1] == max(v[1] for v in out.values())
+        assert out["a"][0] > 0 and out["b"][0] > 0 and out["c"][0] > 0
+        assert out["y"][0] == 0.0  # y has no out-edges
+        # L1 normalization: hubs and auths each sum to ~1
+        assert abs(sum(v[0] for v in out.values()) - 1.0) < 1e-9
+        assert abs(sum(v[1] for v in out.values()) - 1.0) < 1e-9
+
+    def test_partitioning_invariance(self, spark):
+        from presto_ethereum_spark.operators.graph import hits
+
+        import random
+
+        rng = random.Random(5)
+        pairs = [(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(120)]
+        pairs = [(s, t) for s, t in pairs if s != t]
+        df = spark.createDataFrame(
+            [Row(src=s, dst=t) for s, t in pairs], "src string, dst string"
+        )
+        a = sorted(map(tuple, hits(df, 2).collect()))
+        b = sorted(map(tuple, hits(df.repartition(7), 2).collect()))
+        assert a == b and len(a) > 0
