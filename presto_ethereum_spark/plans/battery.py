@@ -7143,3 +7143,82 @@ def eth_tx_hits(spark: SparkSession, sf: str) -> DataFrame:
         F.col("tx_from").alias("src"), F.col("tx_to").alias("dst")
     )
     return hits(edges, iterations=2, cache=True)
+
+
+@q(
+    "rel_pivot_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                AS BIGINT) AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+                AS BIGINT) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+                AS BIGINT) AS unspecified,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def rel_pivot_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: priority counts spread to columns per order status.  The
+    value list is EXPLICIT (never inferred), so the plan is a single
+    partial-aggregated pass — no distinct-values pre-query, stable schema
+    at any scale; the oracle is the equivalent conditional aggregation."""
+    o = t(spark, sf, "orders")
+    names = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "unspecified",
+        "5-LOW": "low",
+    }
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(names))
+        .count()
+    )
+    out = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(n) for v, n in names.items()],
+    )
+    return out
+
+
+@q(
+    "rel_unpivot_metrics",
+    """
+    WITH m AS (
+      SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem)
+    SELECT metric, CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 6) AS lo, round(max(v), 6) AS hi
+    FROM m GROUP BY metric
+    """,
+)
+def rel_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (melt): three lineitem measures to (metric, value) rows,
+    aggregated per metric.  Spark's unpivot is a zero-shuffle row
+    expansion (the stack expression); min/max aggregates avoid fp-sum
+    ordering entirely."""
+    li = t(spark, sf, "lineitem")
+    m = li.unpivot(
+        [],
+        [
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+        ],
+        "metric",
+        "v",
+    )
+    return m.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )
