@@ -6,7 +6,8 @@ The driver grades a fixed 50-query subset per round; the other ~115
 registered entries are only validated when someone runs check_battery by
 hand.  This test closes that hole: the sample rotates daily (deterministic
 within a day, different across days), so oracle drift on driver-ungraded
-queries surfaces in CI within a couple of weeks instead of at judge time.
+queries surfaces in CI within ~2 weeks instead of at judge time (12/run
+over ~180 oracle entries).
 Run the full battery explicitly with `python scripts/check_battery.py`.
 """
 
@@ -24,7 +25,7 @@ from check_battery import TABLES, compare  # noqa: E402
 from presto_ethereum_spark.plans import battery  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-SAMPLE = 8
+SAMPLE = 12
 
 
 def _todays_sample() -> list[str]:
