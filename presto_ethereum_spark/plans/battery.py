@@ -7222,3 +7222,69 @@ def rel_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("lo"),
         F.round(F.max("v"), 6).alias("hi"),
     )
+
+
+@q(
+    "doc_cms_token_counts",
+    """
+    WITH tok AS (
+      SELECT t.tok FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      WHERE t.tok <> ''),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+      SELECT r.row,
+             CAST(('0x' || substring(md5('cms' || r.row || ':' || tok), 1, 8))
+                  AS UBIGINT) % 512 AS col,
+             count(*) AS cnt
+      FROM tok, rows_ r GROUP BY r.row, col),
+    top AS (
+      SELECT tok AS key, CAST(count(*) AS BIGINT) AS exact
+      FROM tok GROUP BY tok ORDER BY exact DESC, key LIMIT 20),
+    addr AS (
+      SELECT t.key, t.exact, r.row,
+             CAST(('0x' || substring(md5('cms' || r.row || ':' || t.key), 1, 8))
+                  AS UBIGINT) % 512 AS col
+      FROM top t, rows_ r)
+    SELECT a.key, a.exact,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est,
+           min(coalesce(c.cnt, 0)) >= a.exact AS never_undercounts
+    FROM addr a LEFT JOIN cells c ON c.row = a.row AND c.col = a.col
+    GROUP BY a.key, a.exact
+    """,
+)
+def doc_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream
+    (operators/frequency.count_min_sketch, 4x512 md5-derived cells):
+    point-estimates for the top-20 exact tokens, with the never-undercount
+    invariant carried as a graded column.  The sketch is deterministic (no
+    RNG), so an APPROXIMATE summary is exactly reproduced by the SQL
+    oracle — including its overcounts."""
+    from presto_ethereum_spark.operators.frequency import (
+        cms_estimate,
+        count_min_sketch,
+    )
+    from presto_ethereum_spark.operators.text import tokens
+
+    d = t_spread(spark, sf, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    sketch = count_min_sketch(tok, "tok", width=512, depth=4)
+    top = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.col("exact").desc(), "tok")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top, "tok", width=512, depth=4)
+    return (
+        top.withColumnRenamed("tok", "key")
+        .join(est, "key")
+        .select(
+            "key",
+            "exact",
+            "est",
+            (F.col("est") >= F.col("exact")).alias("never_undercounts"),
+        )
+    )

@@ -2147,3 +2147,51 @@ class TestHits:
         a = sorted(map(tuple, hits(df, 2).collect()))
         b = sorted(map(tuple, hits(df.repartition(7), 2).collect()))
         assert a == b and len(a) > 0
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_bounded_size(self, spark):
+        from presto_ethereum_spark.operators.frequency import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(f"t{i % 40}",) for i in range(400)], "tok string"
+        )
+        sk = count_min_sketch(df, "tok", width=32, depth=4)
+        assert sk.count() <= 32 * 4
+        exact = {
+            r["tok"]: r["n"]
+            for r in df.groupBy("tok").agg(F.count("*").alias("n")).collect()
+        }
+        est = {
+            r["key"]: r["est"]
+            for r in cms_estimate(
+                sk, df.select("tok").distinct(), "tok", 32, 4
+            ).collect()
+        }
+        assert all(est[k] >= exact[k] for k in exact)
+
+    def test_sketches_merge_by_cell_addition(self, spark):
+        from presto_ethereum_spark.operators.frequency import count_min_sketch
+
+        a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "tok string")
+        b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, "tok string")
+        merged = (
+            count_min_sketch(a, "tok", 16, 3)
+            .unionAll(count_min_sketch(b, "tok", 16, 3))
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = count_min_sketch(a.unionAll(b), "tok", 16, 3)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_validation(self, spark):
+        from presto_ethereum_spark.operators.frequency import count_min_sketch
+
+        df = spark.createDataFrame([("x",)], "tok string")
+        with pytest.raises(ValueError, match="width/depth"):
+            count_min_sketch(df, "tok", width=0)
