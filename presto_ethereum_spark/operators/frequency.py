@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash"]
+__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain"]
 
 
 def _mg_candidates_kernel(k: int):
@@ -172,4 +172,74 @@ def cms_estimate(
         addr.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m_bits: int = 8192, k_hashes: int = 5
+) -> DataFrame:
+    """Bloom filter of a key set as a DISTINCT bit-index table (at most
+    ``m_bits`` rows): each key sets ``k_hashes`` md5-derived bits — the
+    compact membership summary that prunes a join when broadcasting the
+    key SET itself is too large (bits ~ 1.2 bytes/key at 1% fp vs tens of
+    bytes per raw key).  Deterministic (no RNG), mergeable (union of bit
+    tables = bloom of the union), and therefore exactly reproducible by a
+    SQL oracle."""
+    if m_bits < 1 or k_hashes < 1:
+        raise ValueError(f"m_bits/k_hashes must be >= 1, got {m_bits}/{k_hashes}")
+    v = F.col(key_col)
+    parts = None
+    for s in range(k_hashes):
+        p = df.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{s}:"), v.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(m_bits)
+            ).alias("bit")
+        )
+        parts = p if parts is None else parts.unionAll(p)
+    return parts.distinct()
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Membership test: for each distinct probe key, ``might_contain`` is
+    true iff ALL its ``k_hashes`` bits are set.  The bit table broadcasts
+    (bounded by ``m_bits`` rows); per probe this is k lookups + one
+    count — no scan of the original key set.  No false negatives by
+    construction; false positives at the standard (1-e^{-kn/m})^k rate."""
+    k = probes.select(F.col(key_col).alias("key")).distinct()
+    addr = None
+    for s in range(k_hashes):
+        p = k.select(
+            "key",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{s}:"), F.col("key").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(m_bits)
+            ).alias("bit"),
+        )
+        addr = p if addr is None else addr.unionAll(p)
+    hit = bits.withColumn("_hit", F.lit(1))
+    return (
+        addr.join(F.broadcast(hit), "bit", "left")
+        .groupBy("key")
+        .agg((F.count("_hit") == F.lit(k_hashes)).alias("might_contain"))
     )

@@ -7288,3 +7288,66 @@ def doc_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("est") >= F.col("exact")).alias("never_undercounts"),
         )
     )
+
+
+@q(
+    "rel_bloom_prefilter",
+    """
+    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0),
+    seeds AS (SELECT unnest([0, 1, 2, 3, 4]) AS s),
+    bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substring(md5('bf' || s || ':'
+                  || CAST(s_suppkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 4096
+               AS bit
+      FROM bad, seeds),
+    probes AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+    addr AS (
+      SELECT p.key, sd.s,
+             CAST(('0x' || substring(md5('bf' || sd.s || ':'
+                  || CAST(p.key AS VARCHAR)), 1, 8)) AS UBIGINT) % 4096
+               AS bit
+      FROM probes p, seeds sd),
+    mc AS (
+      SELECT a.key, count(b.bit) = 5 AS might_contain
+      FROM addr a LEFT JOIN bits b ON b.bit = a.bit
+      GROUP BY a.key)
+    SELECT mc.might_contain,
+           (mc.key IN (SELECT s_suppkey FROM bad)) AS actually_in,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM mc GROUP BY mc.might_contain, actually_in
+    """,
+)
+def rel_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter join prefilter (operators/frequency.bloom_bits):
+    membership summary of the negative-balance suppliers probed by every
+    distinct lineitem suppkey, graded as the (might_contain, actually_in)
+    contingency — the oracle reproduces the exact bit pattern, and the
+    absent (false, true) cell IS the no-false-negatives guarantee.  At
+    scale the m-bit table broadcasts where the raw key set cannot."""
+    from presto_ethereum_spark.operators.frequency import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    bad = t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    bits = bloom_bits(bad, "s_suppkey", m_bits=4096, k_hashes=5)
+    probes = t(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("key")
+    ).distinct()
+    mc = bloom_might_contain(bits, probes, "key", m_bits=4096, k_hashes=5)
+    return (
+        mc.join(
+            bad.withColumn("actually_in", F.lit(True)),
+            mc["key"] == bad["s_suppkey"],
+            "left",
+        )
+        .select(
+            "might_contain",
+            F.coalesce(F.col("actually_in"), F.lit(False)).alias("actually_in"),
+        )
+        .groupBy("might_contain", "actually_in")
+        .agg(F.count("*").alias("n_keys"))
+    )

@@ -2195,3 +2195,36 @@ class TestCountMinSketch:
         df = spark.createDataFrame([("x",)], "tok string")
         with pytest.raises(ValueError, match="width/depth"):
             count_min_sketch(df, "tok", width=0)
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_merge(self, spark):
+        from presto_ethereum_spark.operators.frequency import (
+            bloom_bits,
+            bloom_might_contain,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(60)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(60, 120)], "k long")
+        merged = bloom_bits(a, "k", 2048, 5).unionAll(
+            bloom_bits(b, "k", 2048, 5)
+        ).distinct()
+        whole = bloom_bits(a.unionAll(b), "k", 2048, 5)
+        assert sorted(r["bit"] for r in merged.collect()) == sorted(
+            r["bit"] for r in whole.collect()
+        )
+        probes = spark.createDataFrame([(i,) for i in range(200)], "k long")
+        out = {
+            r["key"]: r["might_contain"]
+            for r in bloom_might_contain(whole, probes, "k", 2048, 5).collect()
+        }
+        assert all(out[i] for i in range(120))  # no false negatives, ever
+        fp = sum(out[i] for i in range(120, 200))
+        assert fp <= 20  # ~(1-e^{-5*120/2048})^5 ~= 0.15% -> generous bound
+
+    def test_validation(self, spark):
+        from presto_ethereum_spark.operators.frequency import bloom_bits
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="m_bits"):
+            bloom_bits(df, "k", m_bits=0)
