@@ -7351,3 +7351,52 @@ def rel_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("might_contain", "actually_in")
         .agg(F.count("*").alias("n_keys"))
     )
+
+
+def _duck_langid_confusion_oracle() -> str:
+    from presto_ethereum_spark.operators.text import LANG_PROFILES
+
+    score_cols = ",\n             ".join(
+        f"len(list_filter(toks_l, t -> list_contains({_sql_list(w)}, t))) AS s_{lg}"
+        for lg, w in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{lg} = best AND best > 0 THEN '{lg}'" for lg in langs)
+        + " ELSE 'und' END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT lang, string_split(lower(text), ' ') AS toks_l FROM documents),
+    sc AS (
+      SELECT lang,
+             {score_cols}
+      FROM base),
+    p AS (SELECT lang, {best} AS best,
+                 {", ".join("s_" + lg for lg in langs)} FROM sc)
+    SELECT lang AS true_lang, {case} AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY true_lang, pred_lang
+    """
+
+
+@q("doc_langid_confusion", _duck_langid_confusion_oracle())
+def doc_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID EVALUATION: confusion matrix of the stopword-profile
+    classifier (operators/text.lang_id) against the corpus ground-truth
+    labels — the measure-your-classifier step a pipeline runs before
+    trusting a filter, as a graded query (one aggregation over two
+    map-side expressions)."""
+    from presto_ethereum_spark.operators.text import lang_id
+
+    d = t(spark, sf, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
