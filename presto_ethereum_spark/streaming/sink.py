@@ -247,9 +247,14 @@ def read_manifested(spark, path: str, schema, upto_batch: int | None = None):
     return spark.read.schema(schema).json(files)
 
 
-def compact_manifests(spark, path: str, schema) -> int:
+def compact_manifests(
+    spark, path: str, schema, target_bytes: int = 128 * 1024 * 1024
+) -> int:
     """Small-file COMPACTION with snapshot semantics: rewrite all committed
-    rows into one file, publish it as a CHECKPOINT manifest (its own
+    rows into ~``target_bytes``-sized files (the OPTIMIZE file-size target;
+    the output file count comes from the current committed bytes, measured
+    from the live data files' sizes — one metadata listing, no data read),
+    publish them as a CHECKPOINT manifest (its own
     ``checkpoint-N`` namespace — one atomic manifest publish), then
     garbage-collect the superseded manifests and files.  The checkpoint —
     not the deletion — is what makes the swap atomic for readers: the
@@ -281,18 +286,29 @@ def compact_manifests(spark, path: str, schema) -> int:
     covers = sorted(
         set(prev[1].get("covers", []) if prev else []) | {b for b, _ in live}
     )
-    # the rewrite is a SPARK job (no driver materialization); one output
-    # file here — a production compactor coalesces to target-size files
+    # the rewrite is a SPARK job (no driver materialization); file count
+    # targets ``target_bytes`` per output using the CURRENT committed
+    # bytes (file metadata only)
+    total_bytes = 0
+    for f in old_files:
+        _, fp = _resolve(f)
+        info = fs.get_file_info(fp)
+        if info.size is not None:
+            total_bytes += info.size
+    n_files = max(1, -(-total_bytes // max(1, int(target_bytes))))
     stage_dir = f"{path}/_staging/compact-{uuid.uuid4().hex}"
-    df.coalesce(1).write.mode("overwrite").json(stage_dir)
+    df.repartition(n_files).write.mode("overwrite").json(stage_dir)
     _, stage_root = _resolve(stage_dir)
-    part = next(
+    parts = sorted(
         info.path
         for info in fs.get_file_info(pafs.FileSelector(stage_root))
         if posixpath.basename(info.path).startswith("part-")
     )
-    out_name = f"compact-{top_batch}-{uuid.uuid4().hex}.jsonl"
-    fs.move(part, f"{root}/data/{out_name}")
+    out_names = []
+    for i, part in enumerate(parts):
+        out_name = f"compact-{top_batch}-{i}-{uuid.uuid4().hex}.jsonl"
+        fs.move(part, f"{root}/data/{out_name}")
+        out_names.append(out_name)
     fs.delete_dir_contents(stage_root, missing_dir_ok=True)
     fs.delete_dir(stage_root)
     _publish_json(
@@ -300,7 +316,7 @@ def compact_manifests(spark, path: str, schema) -> int:
         f"{root}/_manifests/checkpoint-{top_batch}.json",
         {
             "batch": top_batch,
-            "files": [out_name],
+            "files": out_names,
             "rows": n_rows,
             "checkpoint": True,
             "covers": covers,

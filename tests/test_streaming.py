@@ -631,3 +631,22 @@ def test_erc20_stream_bisects_capped_ranges(spark, monkeypatch):
     )
     assert len(rows) == golden.count() > 0
     assert any(e - s + 1 > 100 for s, e in calls)  # the cap actually fired
+
+
+def test_compaction_targets_file_size(spark, tmp_path):
+    """A tiny target_bytes must fan the checkpoint out to multiple files
+    (production OPTIMIZE shape) with identical content."""
+    import os
+
+    from presto_ethereum_spark.streaming.sink import (
+        compact_manifests,
+        read_manifested,
+    )
+
+    out = TestManifestTimeTravelAndCompaction._write_batches(None, spark, tmp_path)
+    before = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
+    compact_manifests(spark, out, "k long", target_bytes=8)  # ~1 row/file
+    files = os.listdir(f"{out}/data")
+    assert len(files) > 1 and all(f.startswith("compact-") for f in files)
+    after = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
+    assert after == before == [1, 2, 3]
