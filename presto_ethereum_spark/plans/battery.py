@@ -7400,3 +7400,36 @@ def doc_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "doc_chunks_udtf",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    idx AS (
+      SELECT doc_id, text, L,
+             unnest(generate_series(0,
+                 CASE WHEN L <= 200 THEN 0
+                      ELSE CAST(ceil((L - 200) / 180.0) AS INT) END)) AS cid
+      FROM d WHERE L > 0)
+    SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           substring(text, cid * 180 + 1, 200) AS chunk
+    FROM idx
+    """,
+)
+def doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG chunking through the SQL TABLE-FUNCTION surface
+    (functions/udtfs.ChunksUdtf, Spark 4 Python UDTF + LATERAL): the
+    ergonomics a SQL user expects, graded against the closed-form window
+    arithmetic.  Row-at-a-time Python by design — the bulk path stays the
+    expression pipeline (doc_chunk_windows); this grades the API surface."""
+    from presto_ethereum_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    t(spark, sf, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk
+        FROM _udtf_docs d, LATERAL chunks(d.text, 200, 20) c
+        """
+    )

@@ -194,3 +194,31 @@ def test_udaf_module_imports_without_session():
 
     importlib.reload(m)  # would raise at decoration time if eager
     assert callable(m.median_udaf) and callable(m.split_sentences_udtf)
+
+
+class TestUdtfs:
+    def test_chunks_lateral_and_edges(self, spark):
+        from presto_ethereum_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        rows = spark.sql(
+            "SELECT * FROM chunks('abcdefghij', 4, 1) ORDER BY chunk_id"
+        ).collect()
+        assert [(r["chunk_id"], r["chunk"]) for r in rows] == [
+            (0, "abcd"), (1, "defg"), (2, "ghij"),
+        ]
+        # exact-fit text yields one chunk; bad params yield none
+        assert spark.sql("SELECT * FROM chunks('abcd', 4, 1)").count() == 1
+        assert spark.sql("SELECT * FROM chunks('abc', 0, 0)").count() == 0
+        assert spark.sql("SELECT * FROM chunks('abc', 2, 2)").count() == 0
+
+    def test_ngrams(self, spark):
+        from presto_ethereum_spark.functions.udtfs import register_udtfs
+
+        register_udtfs(spark)
+        rows = spark.sql(
+            "SELECT * FROM ngrams('a b  c d', 2) ORDER BY pos"
+        ).collect()
+        assert [(r["pos"], r["gram"]) for r in rows] == [
+            (0, "a b"), (1, "b c"), (2, "c d"),
+        ]
