@@ -46,7 +46,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from presto_ethereum_spark.schemas import BLOCK_SCHEMA, SCHEMAS
+from presto_ethereum_spark.schemas import SCHEMAS
 from presto_ethereum_spark.sources.rpc import make_transport
 
 
