@@ -7433,3 +7433,76 @@ def doc_chunks_udtf(spark: SparkSession, sf: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL chunks(d.text, 200, 20) c
         """
     )
+
+
+@q(
+    "rel_gap_fill",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id, value
+      FROM events WHERE user_id < 50),
+    dedup AS (
+      SELECT user_id, t_us, value FROM (
+        SELECT user_id, t_us, value,
+               row_number() OVER (PARTITION BY user_id, t_us
+                                  ORDER BY event_id DESC) AS rn
+        FROM ev) WHERE rn = 1),
+    b AS (
+      SELECT user_id,
+             min(t_us) // 3600000000 AS h_lo,
+             max(t_us) // 3600000000 AS h_hi
+      FROM ev GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(h AS BIGINT) AS hour,
+             CAST(h AS BIGINT) * 3600000000 + 3599999999 AS probe_us
+      FROM b, unnest(generate_series(h_lo, h_hi)) AS s(h)),
+    j AS (
+      SELECT g.user_id, g.hour, d.value AS filled_value
+      FROM grid g ASOF LEFT JOIN dedup d
+      ON g.user_id = d.user_id AND g.probe_us >= d.t_us)
+    SELECT user_id, hour, filled_value FROM j
+    """,
+)
+def rel_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar GAP FILL with forward-fill: every user gets a dense hourly
+    grid between their first and last event, each slot carrying the most
+    recent observed value at or before the hour's end — the
+    state-reconstruction rollup dashboards need where raw events are
+    sparse.  Pure composition: bounds agg -> sequence explode (the grid
+    never materializes wider than its rows) -> the graded as-of join.
+    Right side deduped per (user, t) by latest event_id so the carried
+    value is fully determined."""
+    from presto_ethereum_spark.operators.temporal import asof_join
+
+    ev = (
+        t(spark, sf, "events")
+        .where(F.col("user_id") < 50)
+        .select("user_id", F.expr("ts DIV 1000").alias("t_us"), "event_id", "value")
+    )
+    w = Window.partitionBy("user_id", "t_us").orderBy(F.col("event_id").desc())
+    dedup = (
+        ev.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+        .select("user_id", "t_us", "value")
+    )
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.min("t_us") / F.lit(3600000000)).cast("long").alias("h_lo"),
+            (F.max("t_us") / F.lit(3600000000)).cast("long").alias("h_hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("h_lo", "h_hi")).alias("hour"),
+        )
+        .withColumn("probe_us", F.col("hour") * F.lit(3600000000) + F.lit(3599999999))
+    )
+    return asof_join(
+        grid,
+        dedup,
+        on_left="user_id",
+        left_time="probe_us",
+        right_time="t_us",
+        right_value_cols=["value"],
+    ).select(
+        "user_id", "hour", F.col("asof_value").alias("filled_value")
+    )
