@@ -7506,3 +7506,88 @@ def rel_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "user_id", "hour", F.col("asof_value").alias("filled_value")
     )
+
+
+@q(
+    "rel_top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def rel_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: windowed revenue per supplier with a scalar
+    max-subquery selection (every supplier tying the max survives — the
+    Q15 view semantics).  DECIMAL sums make 'equal to the max' exact
+    under any partitioning, which is the whole trick: a double sum would
+    make the equality nondeterministic."""
+    li = t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.suppkey)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "rel_excess_quantity_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(l_quantity) AS DOUBLE) AS sq
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    pt AS (
+      SELECT l_partkey, CAST(sum(l_quantity) AS DOUBLE) AS tq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominated_parts
+    FROM pq JOIN pt USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE sq > 0.5 * tq
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def rel_excess_quantity_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: per-(part, supplier) quantity vs a correlated
+    per-part total — suppliers DOMINATING a part's supply (> half its
+    shipped quantity).  Decorrelated as two aggregations joined on the
+    part key; quantities are small integers so the double sums are exact
+    and the > comparison is safe."""
+    li = t(spark, sf, "lineitem")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("double").alias("sq")
+    )
+    pt = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("double").alias("tq")
+    )
+    s = t(spark, sf, "supplier")
+    return (
+        pq.join(pt, "l_partkey")
+        .where(F.col("sq") > 0.5 * F.col("tq"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominated_parts"))
+    )
