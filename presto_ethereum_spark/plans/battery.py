@@ -7591,3 +7591,71 @@ def rel_excess_quantity_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_dominated_parts"))
     )
+
+
+@q(
+    "rel_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type LIKE '%STAND%')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def rel_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table join (fact +
+    seven broadcast dims, nation joined TWICE under different roles) with
+    a conditional-aggregation ratio per order year.  Both sums are exact
+    DECIMAL; only the final share divides as double (rounded), so the
+    ratio is partition-order-free."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    cn = t(spark, sf, "nation").alias("cn")
+    r = t(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    s = t(spark, sf, "supplier")
+    sn = t(spark, sf, "nation").alias("sn")
+    p = t(spark, sf, "part").where(F.col("p_type").like("%STAND%"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(r, F.col("cn.n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("sn.n_nationkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("vol"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(
+                    zero
+                )
+            ).cast("double")
+            / F.sum("vol").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
