@@ -650,3 +650,39 @@ def test_compaction_targets_file_size(spark, tmp_path):
     assert len(files) > 1 and all(f.startswith("compact-") for f in files)
     after = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
     assert after == before == [1, 2, 3]
+
+
+def test_erc20_tail_through_manifest_sink(spark, tmp_path):
+    """Full streaming pipeline: chain source (table=erc20, bulk getLogs)
+    -> transactional manifest sink -> manifest readback equals the golden
+    batch table — source and sink exactly-once semantics composing."""
+    from presto_ethereum_spark.streaming.chain import EthereumStreamDataSource
+    from presto_ethereum_spark.streaming.sink import (
+        JsonlManifestDataSource,
+        read_manifested,
+    )
+
+    spark.dataSource.register(EthereumStreamDataSource)
+    spark.dataSource.register(JsonlManifestDataSource)
+    out = str(tmp_path / "erc20_ledger")
+    q = (
+        spark.readStream.format("ethereum-stream")
+        .option("path", "fixtures/eth/chain_blocks.parquet")
+        .option("table", "erc20")
+        .option("max_blocks_per_batch", 3000)
+        .load()
+        .writeStream.format("jsonl_manifest")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    schema = (
+        "erc20_token string, erc20_from string, erc20_to string, "
+        "erc20_value double, erc20_txhash string, erc20_blocknumber bigint"
+    )
+    back = read_manifested(spark, out, schema)
+    golden = spark.read.parquet("fixtures/eth/erc20.parquet")
+    assert back.exceptAll(golden).count() == 0
+    assert golden.exceptAll(back).count() == 0
