@@ -28,7 +28,10 @@ class ChunksUdtf:
     (no empty tail chunk)."""
 
     def eval(self, text: str, size: int, overlap: int):
-        if not text or size <= 0 or overlap >= size:
+        # negative overlap would SKIP characters between windows (silent
+        # text loss for a chunker that promises overlap) — invalid params
+        # consistently yield no rows
+        if not text or size <= 0 or overlap < 0 or overlap >= size:
             return
         step = size - overlap
         i, cid = 0, 0

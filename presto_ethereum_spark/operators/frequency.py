@@ -109,15 +109,19 @@ def heavy_hitters(
     )
 
 
+def _hash_mod(value: Column, prefix: str, modulus: int) -> Column:
+    """First 8 md5 hex digits of (prefix || value) mod ``modulus`` — the
+    one seedable, engine-portable hash construction behind the CMS rows
+    AND the Bloom bits (sampling.hash_bucket is the same shape).  A single
+    definition so build and probe can never drift apart."""
+    h = F.md5(F.concat(F.lit(prefix), value.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(modulus)
+
+
 def cms_hash(value: Column, seed: int, width: int) -> Column:
     """Deterministic CMS column index for ``value`` under hash row
-    ``seed``: first 8 md5 hex digits of (seed || value) mod width —
-    engine-portable (md5 is everywhere) and seedable without an RNG, the
-    same construction as sampling.hash_bucket."""
-    h = F.md5(F.concat(F.lit(f"cms{seed}:"), value.cast("string")))
-    return (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(width)
-    ).alias("col")
+    ``seed``."""
+    return _hash_mod(value, f"cms{seed}:", width).alias("col")
 
 
 def count_min_sketch(
@@ -142,13 +146,18 @@ def count_min_sketch(
     if width < 1 or depth < 1:
         raise ValueError(f"width/depth must be >= 1, got {width}x{depth}")
     v = F.col(value_col)
-    rows = None
-    for r in range(depth):
-        part = df.select(
-            F.lit(r).alias("row"), cms_hash(v, r, width).alias("col")
+    # ONE pass: all depth cell addresses per value ride a posexplode'd
+    # array (a unionAll-per-row variant re-scans the stream depth times —
+    # the dominant cost for the streams this structure exists for)
+    return (
+        df.select(
+            F.posexplode(
+                F.array(*[cms_hash(v, r, width) for r in range(depth)])
+            ).alias("row", "col")
         )
-        rows = part if rows is None else rows.unionAll(part)
-    return rows.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_estimate(
@@ -160,14 +169,12 @@ def cms_estimate(
     depth*width rows) broadcasts; per key this is depth lookups + one
     min — no scan of the original stream."""
     k = keys.select(F.col(key_col).alias("key")).distinct()
-    addr = None
-    for r in range(depth):
-        part = k.select(
-            "key",
-            F.lit(r).alias("row"),
-            cms_hash(F.col("key"), r, width).alias("col"),
-        )
-        addr = part if addr is None else addr.unionAll(part)
+    addr = k.select(
+        "key",
+        F.posexplode(
+            F.array(*[cms_hash(F.col("key"), r, width) for r in range(depth)])
+        ).alias("row", "col"),
+    )
     return (
         addr.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy("key")
@@ -188,22 +195,17 @@ def bloom_bits(
     if m_bits < 1 or k_hashes < 1:
         raise ValueError(f"m_bits/k_hashes must be >= 1, got {m_bits}/{k_hashes}")
     v = F.col(key_col)
-    parts = None
-    for s in range(k_hashes):
-        p = df.select(
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"bf{s}:"), v.cast("string"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % F.lit(m_bits)
+    # one pass over the key set; explode the k bit addresses per key
+    return (
+        df.select(
+            F.explode(
+                F.array(
+                    *[_hash_mod(v, f"bf{s}:", m_bits) for s in range(k_hashes)]
+                )
             ).alias("bit")
         )
-        parts = p if parts is None else parts.unionAll(p)
-    return parts.distinct()
+        .distinct()
+    )
 
 
 def bloom_might_contain(
@@ -219,27 +221,24 @@ def bloom_might_contain(
     count — no scan of the original key set.  No false negatives by
     construction; false positives at the standard (1-e^{-kn/m})^k rate."""
     k = probes.select(F.col(key_col).alias("key")).distinct()
-    addr = None
-    for s in range(k_hashes):
-        p = k.select(
-            "key",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"bf{s}:"), F.col("key").cast("string"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % F.lit(m_bits)
-            ).alias("bit"),
-        )
-        addr = p if addr is None else addr.unionAll(p)
-    hit = bits.withColumn("_hit", F.lit(1))
+    # DISTINCT on both sides makes membership robust to (a) bit tables
+    # merged with bag-semantics union (duplicate bits would multiply the
+    # hit count past k and flip a PRESENT key to false — a false negative)
+    # and (b) two seeds colliding to the same bit for one key
+    addr = k.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    _hash_mod(F.col("key"), f"bf{s}:", m_bits)
+                    for s in range(k_hashes)
+                ]
+            )
+        ).alias("bit"),
+    ).distinct()
+    hit = bits.select("bit").distinct().withColumn("_hit", F.lit(1))
     return (
         addr.join(F.broadcast(hit), "bit", "left")
         .groupBy("key")
-        .agg((F.count("_hit") == F.lit(k_hashes)).alias("might_contain"))
+        .agg((F.count("_hit") == F.count("*")).alias("might_contain"))
     )

@@ -124,15 +124,33 @@ def pagerank(
     # (coalesced to 0), so the nodes-side left join never has to run inside
     # the loop — only once at the end to restore sink-only nodes.  That is
     # one fewer sequential stage per iteration at any scale.
+    return _pagerank_drop_loop(
+        e_deg, nodes, tot, iterations, _quant, rank_from_s
+    )
+
+
+
+def _pagerank_drop_loop(
+    edge_df: DataFrame,
+    nodes: DataFrame,
+    tot: DataFrame,
+    iterations: int,
+    _quant,
+    rank_from_s,
+) -> DataFrame:
+    """The dangling='drop' fixed-point iteration, shared by ``pagerank``
+    and ``pagerank_weighted`` — the only degrees of freedom between the
+    two are the prepared edge frame and the contribution quantizer, so the
+    loop invariants (and their oracle-matching fp64 op order) live ONCE."""
     sums = (
-        e_deg.crossJoin(F.broadcast(tot))
+        edge_df.crossJoin(F.broadcast(tot))
         .select(F.col("dst").alias("addr"), _quant(F.lit(1.0) / F.col("n")))
         .groupBy("addr")
         .agg(F.sum("c").alias("s"))
     )
     for _ in range(iterations - 1):
         sums = (
-            e_deg.join(sums, e_deg["src"] == sums["addr"], "left")
+            edge_df.join(sums, edge_df["src"] == sums["addr"], "left")
             .crossJoin(F.broadcast(tot))
             .select(F.col("dst").alias("addr"), _quant(rank_from_s))
             .groupBy("addr")
@@ -478,25 +496,7 @@ def pagerank_weighted(
         return nodes.crossJoin(F.broadcast(tot)).select(
             "addr", (F.lit(1.0) / F.col("n")).alias("rank")
         )
-    sums = (
-        e_w.crossJoin(F.broadcast(tot))
-        .select(F.col("dst").alias("addr"), _quant(F.lit(1.0) / F.col("n")))
-        .groupBy("addr")
-        .agg(F.sum("c").alias("s"))
-    )
-    for _ in range(iterations - 1):
-        sums = (
-            e_w.join(sums, e_w["src"] == sums["addr"], "left")
-            .crossJoin(F.broadcast(tot))
-            .select(F.col("dst").alias("addr"), _quant(rank_from_s))
-            .groupBy("addr")
-            .agg(F.sum("c").alias("s"))
-        )
-    return (
-        nodes.join(sums, "addr", "left")
-        .crossJoin(F.broadcast(tot))
-        .select("addr", rank_from_s.alias("rank"))
-    )
+    return _pagerank_drop_loop(e_w, nodes, tot, iterations, _quant, rank_from_s)
 
 
 def hits(
@@ -540,6 +540,15 @@ def hits(
     )
     if cache:
         nodes = nodes.persist()
+
+    if iterations <= 0:
+        # uniform L1-normalized scores, consistent with pagerank's guard
+        tot = nodes.agg(F.count("*").alias("n"))
+        return nodes.crossJoin(F.broadcast(tot)).select(
+            "addr",
+            (F.lit(1.0) / F.col("n")).alias("hub"),
+            (F.lit(1.0) / F.col("n")).alias("auth"),
+        )
 
     # state: hubs as (addr, h) with h double; start uniform 1.0
     hubs = nodes.select("addr", F.lit(1.0).alias("h"))

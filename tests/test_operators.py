@@ -2228,3 +2228,25 @@ class TestBloomFilter:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError, match="m_bits"):
             bloom_bits(df, "k", m_bits=0)
+
+
+class TestBloomBagUnionRegression:
+    def test_bag_union_merge_has_no_false_negatives(self, spark):
+        """Bag-semantics union of two bit tables (duplicate bits for keys
+        set by both halves) must NOT flip present keys to false."""
+        from presto_ethereum_spark.operators.frequency import (
+            bloom_bits,
+            bloom_might_contain,
+        )
+
+        a = spark.createDataFrame([(i,) for i in range(40)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(20, 60)], "k long")
+        bag_merged = bloom_bits(a, "k", 1024, 5).unionAll(
+            bloom_bits(b, "k", 1024, 5)
+        )  # deliberately NOT distinct
+        probes = spark.createDataFrame([(i,) for i in range(60)], "k long")
+        out = {
+            r["key"]: r["might_contain"]
+            for r in bloom_might_contain(bag_merged, probes, "k", 1024, 5).collect()
+        }
+        assert all(out[i] for i in range(60))
