@@ -7659,3 +7659,31 @@ def rel_market_share(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("mkt_share")
     )
+
+
+@q(
+    "stream_trending_topk",
+    """
+    WITH c AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_value
+      FROM events GROUP BY window_start, event_type)
+    SELECT window_start, event_type, n, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rank
+      FROM c) WHERE rank <= 3
+    """,
+)
+def stream_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-window trending leaderboard over the STREAMING windowed counts
+    (streaming/events.run_trending_topk): tumbling event-time windows
+    drain availableNow, then each window's top-3 event types rank
+    deterministically — the settled stream must equal the batch windowed
+    rank exactly."""
+    from presto_ethereum_spark.streaming.events import run_trending_topk
+
+    return run_trending_topk(spark, sf, window="1 hour", k=3).select(
+        "window_start", "event_type", "n", F.col("rank").cast("int").alias("rank")
+    )

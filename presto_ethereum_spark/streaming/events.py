@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -449,3 +449,25 @@ def run_foreachbatch_upsert(
     settled = spark.read.parquet(gens[-1]).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return settled
+
+
+def run_trending_topk(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", k: int = 3
+) -> DataFrame:
+    """Per-window TRENDING top-k event types: the settled windowed counts
+    ranked within each window (count desc, type asc for determinism) and
+    cut to ``k`` — the leaderboard a monitoring surface keeps per time
+    bucket.  The rank runs on the SETTLED aggregate (complete-mode memory
+    sink), not inside the stream: per-window top-k over an updating
+    aggregation would re-rank every trigger for no benefit when the
+    consumer reads the settled board anyway; state stays bounded by the
+    windowed aggregation's watermark exactly as in run_windowed_counts."""
+    counts = run_windowed_counts(spark, sf_dir, window)
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("window_start", "event_type", "n", "rank")
+    )
