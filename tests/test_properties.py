@@ -460,3 +460,43 @@ def test_sql_ranges_cover_every_matching_block(tree):
         assert r.end == OPEN_END or r.start <= r.end
     for a, b2 in zip(ranges, ranges[1:]):
         assert a.end != OPEN_END and a.end + 1 < b2.start
+
+
+# ---------------------------------------------------------------------------
+# As-of tolerance law: asof(tolerance=T) == asof() with matches further
+# than T nulled out — for ANY data.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=12, unique=True,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+        min_size=1, max_size=12, unique=True,
+    ),
+    tol=st.integers(0, 300),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_asof_tolerance_equals_postfiltered_asof(spark, lefts, rights, tol):
+    from presto_ethereum_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(lefts, "k long, t long")
+    rdf = spark.createDataFrame(
+        [(k, t, f"v{k}_{t}") for k, t in rights], "k long, rt long, v string"
+    )
+    kw = dict(on_left="k", left_time="t", right_time="rt", on_right="k")
+    with_tol = {
+        (r["k"], r["t"]): (r["asof_rt"], r["asof_v"])
+        for r in asof_join(ldf, rdf, tolerance=tol, **kw).collect()
+    }
+    plain = {
+        (r["k"], r["t"]): (r["asof_rt"], r["asof_v"])
+        for r in asof_join(ldf, rdf, **kw).collect()
+    }
+    for key, (rt, v) in plain.items():
+        expect = (rt, v) if rt is not None and key[1] - rt <= tol else (None, None)
+        assert with_tol[key] == expect
