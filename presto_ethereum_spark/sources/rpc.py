@@ -369,6 +369,14 @@ class IpcJsonRpcTransport(HttpJsonRpcTransport):
                     return obj
                 except (ValueError, UnicodeDecodeError):
                     continue  # incomplete JSON (or split multibyte); keep reading
+        # connection closed: one last parse in case the final chunk ended
+        # on a byte the fast-path heuristic skipped (valid JSON-RPC always
+        # ends '}'/']', but be lenient about what we accept)
+        try:
+            obj, _ = json.JSONDecoder().raw_decode(buf.decode())
+            return obj
+        except (ValueError, UnicodeDecodeError):
+            pass
         raise ConnectionError(
             f"ipc {self.sock_path}: connection closed before a complete "
             f"JSON response ({len(buf)} bytes buffered)"

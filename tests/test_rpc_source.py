@@ -667,3 +667,62 @@ class TestAdaptiveGetLogs:
 
         with _pytest.raises(RpcError, match="-32005"):
             tr.block_number()
+
+
+class TestIpcChunkFraming:
+    """The parse-skip optimization (only attempt JSON parse when a chunk
+    could END the document) must still parse correctly under adversarial
+    chunk splits: a '}' that closes a NESTED object mid-stream, and a
+    final chunk ending in trailing whitespace."""
+
+    def _serve_chunks(self, sock_path, chunks):
+        import socket
+        import threading
+
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(sock_path)
+        srv.listen(1)
+
+        def loop():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                conn.recv(65536)  # consume the request
+                for c in chunks:
+                    conn.sendall(c)
+
+        threading.Thread(target=loop, daemon=True).start()
+        return srv
+
+    def test_nested_close_brace_mid_stream(self, tmp_path):
+        from presto_ethereum_spark.sources.rpc import IpcJsonRpcTransport
+
+        body = b'[{"id": 0, "result": {"number": "0x10", "nested": {"a": 1}'
+        tail = b', "b": 2}}]'
+        sock = str(tmp_path / "a.ipc")
+        srv = self._serve_chunks(sock, [body, tail])
+        try:
+            tr = IpcJsonRpcTransport(sock, timeout=10)
+            # first chunk ENDS with '}' but is incomplete JSON -> the
+            # parser must keep reading, then succeed on the second
+            out = tr._post(
+                [{"jsonrpc": "2.0", "id": 0, "method": "x", "params": []}]
+            )
+            assert out[0]["number"] == "0x10" and out[0]["b"] == 2
+        finally:
+            srv.close()
+
+    def test_trailing_whitespace_final_chunk(self, tmp_path):
+        from presto_ethereum_spark.sources.rpc import IpcJsonRpcTransport
+
+        sock = str(tmp_path / "b.ipc")
+        srv = self._serve_chunks(
+            sock, [b'[{"id": 0, "result": "0x2a"}]', b"\n  \n"]
+        )
+        try:
+            tr = IpcJsonRpcTransport(sock, timeout=10)
+            assert tr.block_number() == 42
+        finally:
+            srv.close()
