@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "skew_report"]
 
 # (partial expr builder, final combiner) per supported algebraic aggregate
 _ALGEBRAIC = {
@@ -95,3 +95,46 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return l_s.join(r_s, [on, "_salt"], "inner").drop("_salt")
+
+
+def skew_report(df: DataFrame, key: str, top_k: int = 5) -> DataFrame:
+    """Join/aggregation key-skew diagnosis — the measurement that decides
+    whether :func:`salted_agg` / :func:`salted_join` (or AQE skew split)
+    is worth its overhead: ONE row with the key-frequency distribution
+    shape plus the top offenders.
+
+    ``(n_rows, n_keys, max_freq, avg_freq_x100, skew_factor_x100,
+    top_keys)`` — ``skew_factor`` = max/avg frequency (1.0 = perfectly
+    uniform; a 1000x factor means one reducer gets 1000x the average
+    partition's work).  Ratios ride as integer-x100 (exact under any
+    partitioning); ``top_keys`` lists the ``top_k`` hottest keys in
+    (freq desc, key) order.
+
+    Two aggregations over the key-count table (itself one map-side
+    combined shuffle); the report is one row at any scale."""
+    counts = df.groupBy(F.col(key).cast("string").alias("k")).agg(
+        F.count("*").alias("freq")
+    )
+    top = (
+        counts.orderBy(F.col("freq").desc(), "k")
+        .limit(top_k)
+        .agg(F.collect_list("k").alias("top_keys"))
+    )
+    return (
+        counts.agg(
+            F.sum("freq").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("freq").alias("max_freq"),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            F.expr("(100 * n_rows) DIV n_keys").alias("avg_freq_x100"),
+            F.expr("(100 * max_freq * n_keys) DIV n_rows").alias(
+                "skew_factor_x100"
+            ),
+            "top_keys",
+        )
+    )

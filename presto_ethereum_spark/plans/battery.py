@@ -7687,3 +7687,30 @@ def stream_trending_topk(spark: SparkSession, sf: str) -> DataFrame:
     return run_trending_topk(spark, sf, window="1 hour", k=3).select(
         "window_start", "event_type", "n", F.col("rank").cast("int").alias("rank")
     )
+
+
+@q(
+    "rel_skew_report",
+    """
+    WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS freq
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(sum(freq) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(freq) AS BIGINT) AS max_freq FROM c),
+    tk AS (SELECT list(k ORDER BY freq DESC, k) AS top_keys
+           FROM (SELECT k, freq FROM c ORDER BY freq DESC, k LIMIT 5))
+    SELECT n_rows, n_keys, max_freq,
+           (100 * n_rows) // n_keys AS avg_freq_x100,
+           (100 * max_freq * n_keys) // n_rows AS skew_factor_x100,
+           top_keys
+    FROM t, tk
+    """,
+)
+def rel_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew diagnosis for the orders-per-customer key
+    (operators/skew.skew_report): the measurement that justifies (or
+    rules out) salting — one row of exact integer ratios plus the top
+    offender keys."""
+    from presto_ethereum_spark.operators.skew import skew_report
+
+    return skew_report(t(spark, sf, "orders"), "o_custkey", top_k=5)
