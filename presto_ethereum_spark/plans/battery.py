@@ -7714,3 +7714,65 @@ def rel_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.skew import skew_report
 
     return skew_report(t(spark, sf, "orders"), "o_custkey", top_k=5)
+
+
+@q(
+    "eth_gas_anomalies",
+    f"""
+    WITH b AS (
+      SELECT block_number, CAST(block_gasused AS BIGINT) AS g,
+             block_number // 200 AS bucket
+      FROM read_parquet('{ETH}/block.parquet')),
+    m AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s,
+             CAST(sum(g * g) AS BIGINT) AS ss
+      FROM b GROUP BY bucket)
+    , v AS (
+      SELECT bucket, n, s,
+             CAST(ss AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+      FROM m)
+    SELECT b.block_number, b.g AS gas_used,
+           round((b.g - CAST(v.s AS DOUBLE) / v.n) / sqrt(v.var), 4) AS z
+    FROM b JOIN v USING (bucket)
+    WHERE v.var > 0
+      AND abs((b.g - CAST(v.s AS DOUBLE) / v.n) / sqrt(v.var)) > 2.0
+    """,
+)
+def eth_gas_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Gas-usage anomaly detection: z-score of each block's gas against
+    its 200-block segment, anomalies = |z| > 2 — chain-telemetry
+    monitoring as a graded query.  Moments come from EXACT integer sums
+    (gas values are integral; sum and sum-of-squares as BIGINT are
+    partition-order-free), so the derived doubles — and the > 2 cut —
+    are deterministic; segmentation keeps the window partitioned (no
+    global-order window at chain scale)."""
+    b = (
+        _eth_tables(spark)
+        .table("block")
+        .select(
+            "block_number",
+            F.col("block_gasused").cast("long").alias("g"),
+            F.expr("block_number DIV 200").alias("bucket"),
+        )
+    )
+    m = b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    # a zero-variance segment (constant gas) has no anomalies by
+    # definition — and its divisor would be 0 under ANSI arithmetic
+    z = F.when(var > 0, (F.col("g") - mean) / F.sqrt(var))
+    return (
+        b.join(m, "bucket")
+        .where(F.abs(z) > 2.0)
+        .select(
+            "block_number",
+            F.col("g").alias("gas_used"),
+            F.round(z, 4).alias("z"),
+        )
+    )
