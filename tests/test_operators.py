@@ -2250,3 +2250,18 @@ class TestBloomBagUnionRegression:
             for r in bloom_might_contain(bag_merged, probes, "k", 1024, 5).collect()
         }
         assert all(out[i] for i in range(60))
+
+
+class TestSkewReport:
+    def test_hand_computed(self, spark):
+        from presto_ethereum_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 1 + [("d",)] * 1,
+            "k string",
+        )
+        [r] = skew_report(df, "k", top_k=2).collect()
+        assert (r["n_rows"], r["n_keys"], r["max_freq"]) == (10, 4, 6)
+        assert r["avg_freq_x100"] == 250      # 10/4 = 2.5
+        assert r["skew_factor_x100"] == 240   # 6/2.5 = 2.4
+        assert r["top_keys"] == ["a", "b"]
