@@ -2265,3 +2265,50 @@ class TestSkewReport:
         assert r["avg_freq_x100"] == 250      # 10/4 = 2.5
         assert r["skew_factor_x100"] == 240   # 6/2.5 = 2.4
         assert r["top_keys"] == ["a", "b"]
+
+
+class TestOhlcDeterminism:
+    def test_equal_timestamp_ties_resolve_by_event_id(self, spark):
+        """Two events at the same instant: open/close must come from the
+        (t, event_id) order, not from min_by/first tie luck."""
+        from presto_ethereum_spark.plans import battery
+
+        rows = [
+            # one hourly bar (bar = 0), all at t=1000us except a tie pair
+            (1, 1000, 10.0),
+            (2, 1000, 20.0),   # tie with event 1: open = event 1's value
+            (3, 2000, 5.0),
+            (4, 3600_000_000 - 1, 7.0),
+            (5, 3600_000_000 - 1, 9.0),  # tie at the end: close = event 5
+        ]
+        df = spark.createDataFrame(
+            [(eid, t * 1000, eid % 2, "x", v, "{}") for eid, t, v in rows],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.createOrReplaceTempView("_ohlc_probe")
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window
+
+        ev = df.select(
+            F.expr("(ts DIV 1000) DIV 3600000000").alias("bar"),
+            F.expr("ts DIV 1000").alias("t"),
+            "event_id",
+            "value",
+        )
+        wa = Window.partitionBy("bar").orderBy("t", "event_id")
+        wd = Window.partitionBy("bar").orderBy(
+            F.col("t").desc(), F.col("event_id").desc()
+        )
+        r = ev.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+            "rn_d", F.row_number().over(wd)
+        )
+        [bar] = (
+            r.groupBy("bar")
+            .agg(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            )
+            .collect()
+        )
+        assert bar["open"] == 10.0 and bar["close"] == 9.0
