@@ -139,7 +139,12 @@ def count_min_sketch(
     (the mergeable-summary property streaming aggregation needs).
 
     Estimates (:func:`cms_estimate`) never undercount; overcount is
-    bounded by e/width * N per the standard analysis.  Hashes are
+    bounded by e/width * N per the standard analysis.  CONTRACT: probe
+    with the SAME (width, depth) the sketch was built with — a mismatch
+    addresses rows/columns the sketch never populated, which is
+    indistinguishable from an empty cell and silently breaks the
+    never-undercount guarantee (the parameters are part of the sketch's
+    identity, like a hash seed).  Hashes are
     md5-derived (no RNG), so the sketch — and therefore the estimate — is
     bit-reproducible by an independent engine, making an APPROXIMATE
     structure exactly gradeable."""
