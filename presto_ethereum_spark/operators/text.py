@@ -33,6 +33,7 @@ __all__ = [
     "bigram_fluency",
     "bpe_train",
     "bpe_apply",
+    "distribution_drift",
     "importance_weights",
     "top_terms",
     "chunk_documents",
@@ -903,3 +904,102 @@ def k_anonymity(df, quasi_cols: list[str], k: int = 5):
         .agg(F.count("*").alias("class_size"))
         .withColumn("k_anonymous", F.col("class_size") >= k)
     )
+
+
+def distribution_drift(
+    df,
+    slice_col: str,
+    base: str,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+):
+    """Token-distribution DRIFT of every slice against a base slice, as
+    total-variation distance — the distribution-shift monitor a corpus
+    pipeline runs when a new crawl/source lands (TV = max probability a
+    single event distinguishes the distributions; 0 = identical, 1 =
+    disjoint).
+
+    TV(p, q) = 1/2 * sum_t |p_t - q_t| computes EXACTLY from integer
+    counts: with per-slice token counts c_t and totals N,
+    ``sum_t |c_t * N_base - b_t * N_slice|`` is an exact integer
+    numerator over the exact ``2 * N_slice * N_base`` denominator — no
+    floating-point sum ordering anywhere until the final scaled division
+    (``tv_e6`` = floor of 1e6 * TV).  (A KL/JS divergence needs logs,
+    whose last bits differ across engines; TV carries the same drift
+    signal exactly — the determinism trade of ``importance_weights``.)
+
+    Returns one row per non-base slice: ``(slice, n_tokens, tv_e6)``.
+
+    Shuffles: one (slice, token) count aggregation (map-side combined),
+    a token-level full outer join of each slice against the base counts,
+    one final per-slice sum.  Token counts are vocabulary-sized, never
+    corpus-sized.  Counts ride DECIMAL(38,0) products so web-scale totals
+    (N ~ 1e12) cannot overflow the cross-products.
+    """
+    toks = df.select(
+        F.col(slice_col).alias("sl"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("sl", "tok").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("sl").agg(F.sum("c").alias("n"))
+    basec = counts.where(F.col("sl") == base).select(
+        F.col("tok").alias("btok"), F.col("c").alias("bc")
+    )
+    base_n = totals.where(F.col("sl") == base).select(
+        F.col("n").alias("bn")
+    )
+    other = counts.where(F.col("sl") != base)
+    joined = (
+        other.join(basec, other["tok"] == basec["btok"], "full")
+        .join(
+            totals.withColumnRenamed("sl", "tsl"),
+            F.coalesce(F.col("sl"), F.lit("__none__")) == F.col("tsl"),
+            "left",
+        )
+        .crossJoin(F.broadcast(base_n))
+    )
+    # a token absent from one side contributes its full mass on the other;
+    # tokens absent from the base still need the SLICE identity, which a
+    # full-outer row lacks when sl is null (base-only token): those rows
+    # must fan out to EVERY non-base slice — handled by computing base-only
+    # mass separately below.
+    dec = "decimal(38,0)"
+    term = F.abs(
+        F.coalesce(F.col("c"), F.lit(0)).cast(dec) * F.col("bn").cast(dec)
+        - F.coalesce(F.col("bc"), F.lit(0)).cast(dec) * F.coalesce(
+            F.col("n"), F.lit(0)
+        ).cast(dec)
+    )
+    present = (
+        joined.where(F.col("sl").isNotNull())
+        .groupBy("sl", "n")
+        .agg(F.sum(term).alias("num_present"))
+    )
+    # base tokens this slice lacks entirely: sum of bc over tokens not in
+    # the slice = bn - (sum of bc over shared tokens)
+    shared_bc = (
+        other.join(basec, other["tok"] == basec["btok"])
+        .groupBy("sl")
+        .agg(F.sum("bc").alias("shared_bc"))
+    )
+    out = (
+        present.join(shared_bc, "sl", "left")
+        .crossJoin(F.broadcast(base_n))
+        .select(
+            F.col("sl").alias("slice"),
+            F.col("n").alias("n_tokens"),
+            # the FINAL division runs in BIGINT: engines agree exactly on
+            # integer DIV, while decimal division rounds to a result scale
+            # first (observed one-ulp drift vs DuckDB //).  Sums stay
+            # DECIMAL against overflow; the numerator*scale fits BIGINT up
+            # to ~2e6 tokens/slice (2*N*BN*1e6 < 2^63) — beyond that,
+            # rescale `scale` down, the statistic has no use for 6 digits
+            # at that size anyway
+            F.expr(
+                f"(CAST(num_present + (CAST(bn AS {dec})"
+                f" - CAST(coalesce(shared_bc, 0) AS {dec}))"
+                f" * CAST(n AS {dec}) AS BIGINT) * CAST({int(scale)} AS BIGINT))"
+                f" DIV (2 * n * bn)"
+            ).alias("tv_e6"),
+        )
+    )
+    return out

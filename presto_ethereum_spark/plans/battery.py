@@ -7776,3 +7776,49 @@ def eth_gas_anomalies(spark: SparkSession, sf: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@q(
+    "doc_distribution_drift",
+    """
+    WITH tok AS (
+      SELECT source AS sl, t.tok FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t(source, tok)
+      WHERE t.tok <> ''),
+    counts AS (SELECT sl, tok, CAST(count(*) AS BIGINT) AS c
+               FROM tok GROUP BY sl, tok),
+    totals AS (SELECT sl, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY sl),
+    basec AS (SELECT tok, c AS bc FROM counts WHERE sl = 'src0'),
+    bn_ AS (SELECT n AS bn FROM totals WHERE sl = 'src0'),
+    other AS (SELECT * FROM counts WHERE sl <> 'src0'),
+    present AS (
+      SELECT o.sl, t.n,
+             sum(abs(CAST(o.c AS DECIMAL(38,0)) * CAST(b.bn AS DECIMAL(38,0))
+                     - CAST(coalesce(bc.bc, 0) AS DECIMAL(38,0))
+                       * CAST(t.n AS DECIMAL(38,0)))) AS num_present
+      FROM other o
+      LEFT JOIN basec bc USING (tok)
+      JOIN totals t ON t.sl = o.sl, bn_ b
+      GROUP BY o.sl, t.n),
+    shared AS (
+      SELECT o.sl, CAST(sum(bc.bc) AS BIGINT) AS shared_bc
+      FROM other o JOIN basec bc USING (tok) GROUP BY o.sl)
+    SELECT p.sl AS slice, p.n AS n_tokens,
+           (CAST(p.num_present
+                 + (CAST(b.bn AS DECIMAL(38,0))
+                    - CAST(coalesce(s.shared_bc, 0) AS DECIMAL(38,0)))
+                   * CAST(p.n AS DECIMAL(38,0)) AS BIGINT)
+            * 1000000) // (2 * p.n * b.bn) AS tv_e6
+    FROM present p LEFT JOIN shared s ON s.sl = p.sl, bn_ b
+    """,
+)
+def doc_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution drift of every source against 'src0' as
+    total-variation distance (operators/text.distribution_drift): the
+    new-crawl distribution-shift monitor, exactly integer (cross-product
+    numerator over exact totals, DECIMAL(38,0) against web-scale
+    overflow) so an approximate-sounding statistic is bit-gradeable."""
+    from presto_ethereum_spark.operators.text import distribution_drift
+
+    return distribution_drift(t_spread(spark, sf, "documents"), "source", "src0")

@@ -2312,3 +2312,42 @@ class TestOhlcDeterminism:
             .collect()
         )
         assert bar["open"] == 10.0 and bar["close"] == 9.0
+
+
+class TestDistributionDrift:
+    def test_hand_computed_tv(self, spark):
+        from presto_ethereum_spark.operators.text import distribution_drift
+
+        df = spark.createDataFrame(
+            [("a", "x x y"), ("a", "z"), ("b", "x y y q"), ("c", "x x y z")],
+            "src string, text string",
+        )
+        out = {
+            r["slice"]: (r["n_tokens"], r["tv_e6"])
+            for r in distribution_drift(df, "src", "a").collect()
+        }
+        # base a = {x:2, y:1, z:1}/4; b = {x:1, y:2, q:1}/4 -> TV = 1/2
+        # c identical to a -> TV = 0
+        assert out == {"b": (4, 500000), "c": (4, 0)}
+
+    def test_disjoint_vocabularies_are_maximally_distant(self, spark):
+        from presto_ethereum_spark.operators.text import distribution_drift
+
+        df = spark.createDataFrame(
+            [("a", "x y"), ("b", "p q")], "src string, text string"
+        )
+        [r] = distribution_drift(df, "src", "a").collect()
+        assert r["tv_e6"] == 1000000
+
+    def test_partitioning_invariance(self, spark):
+        from presto_ethereum_spark.operators.text import distribution_drift
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, distribution_drift(df, "source", "src0").collect()))
+        b = sorted(
+            map(
+                tuple,
+                distribution_drift(df.repartition(9), "source", "src0").collect(),
+            )
+        )
+        assert a == b and len(a) > 0
