@@ -987,18 +987,19 @@ def distribution_drift(
         .select(
             F.col("sl").alias("slice"),
             F.col("n").alias("n_tokens"),
-            # the FINAL division runs in BIGINT: engines agree exactly on
-            # integer DIV, while decimal division rounds to a result scale
-            # first (observed one-ulp drift vs DuckDB //).  Sums stay
-            # DECIMAL against overflow; the numerator*scale fits BIGINT up
-            # to ~2e6 tokens/slice (2*N*BN*1e6 < 2^63) — beyond that,
-            # rescale `scale` down, the statistic has no use for 6 digits
-            # at that size anyway
+            # the FINAL division is integral DIV: engines agree exactly on
+            # integer division, while decimal division rounds to a result
+            # scale first (observed one-ulp drift vs DuckDB //).  The whole
+            # numerator — including the multiply-by-scale — stays
+            # DECIMAL(38,0) so nothing silently wraps at ~2e6 tokens/slice
+            # the way a BIGINT intermediate would under non-ANSI
+            # arithmetic; Spark's DIV accepts decimal operands and returns
+            # BIGINT (quotient <= scale, always representable)
             F.expr(
                 f"(CAST(num_present + (CAST(bn AS {dec})"
                 f" - CAST(coalesce(shared_bc, 0) AS {dec}))"
-                f" * CAST(n AS {dec}) AS BIGINT) * CAST({int(scale)} AS BIGINT))"
-                f" DIV (2 * n * bn)"
+                f" * CAST(n AS {dec}) AS {dec}) * CAST({int(scale)} AS {dec}))"
+                f" DIV (CAST(2 AS {dec}) * CAST(n AS {dec}) * CAST(bn AS {dec}))"
             ).alias("tv_e6"),
         )
     )

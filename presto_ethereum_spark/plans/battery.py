@@ -7805,11 +7805,11 @@ def eth_gas_anomalies(spark: SparkSession, sf: str) -> DataFrame:
       SELECT o.sl, CAST(sum(bc.bc) AS BIGINT) AS shared_bc
       FROM other o JOIN basec bc USING (tok) GROUP BY o.sl)
     SELECT p.sl AS slice, p.n AS n_tokens,
-           (CAST(p.num_present
+           CAST((CAST(p.num_present
                  + (CAST(b.bn AS DECIMAL(38,0))
                     - CAST(coalesce(s.shared_bc, 0) AS DECIMAL(38,0)))
-                   * CAST(p.n AS DECIMAL(38,0)) AS BIGINT)
-            * 1000000) // (2 * p.n * b.bn) AS tv_e6
+                   * CAST(p.n AS DECIMAL(38,0)) AS HUGEINT)
+            * 1000000) // (2 * CAST(p.n AS HUGEINT) * b.bn) AS BIGINT) AS tv_e6
     FROM present p LEFT JOIN shared s ON s.sl = p.sl, bn_ b
     """,
 )

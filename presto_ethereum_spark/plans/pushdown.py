@@ -369,6 +369,11 @@ def ranges_from_sql(pred: str) -> list[BlockRange]:
             return [BlockRange(1, n - 1)] if n > 1 else []
         if op == "<=":
             return [BlockRange(1, n)] if n >= 1 else []
+        if op in ("!=", "<>"):
+            # the complement of a point is (effectively) the full chain;
+            # range-neutral like non-block columns — the post-scan
+            # ``.where`` keeps semantics exact
+            return [FULL_CHAIN]
         raise ValueError(f"unsupported operator {op!r}")
 
     def factor():
@@ -397,7 +402,10 @@ def ranges_from_sql(pred: str) -> list[BlockRange]:
     out = expr()
     if pos != len(toks):
         raise ValueError(f"trailing tokens from {toks[pos]!r} in {pred!r}")
-    return out
+    # a single top-level term bypasses the OR/AND combiners, so normalize
+    # here too: the documented contract is an ordered-disjoint empty-free
+    # list (e.g. "BETWEEN 10 AND 5" must come back [] — not [10,5])
+    return normalize_ranges(out)
 
 
 def ranges_option_from_sql(pred: str) -> str:

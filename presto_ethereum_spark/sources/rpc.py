@@ -83,23 +83,36 @@ class RpcError(RuntimeError):
         self.message = message
 
     def is_result_too_large(self) -> bool:
-        """Node-side RESULT-SIZE caps (Infura -32005 "query returned more
-        than 10000 results", geth "query exceeds response size limit"
-        variants) — the caller should split the block range and retry.
-        Deliberately narrow: -32005 alone is ambiguous (Infura also uses it
-        for request-RATE limiting, where bisection would AMPLIFY the load),
-        so the message must actually talk about result/response size."""
+        """Node-side RESULT/RANGE caps that a smaller block range can cure
+        (Infura -32005 "query returned more than 10000 results", geth
+        "query exceeds response size limit", geth/BSC/Alchemy block-RANGE
+        caps "eth_getLogs ... exceed maximum block range") — the caller
+        should split the block range and retry.  Deliberately narrow:
+        -32005 alone is ambiguous (Infura also uses it for request-RATE
+        limiting, where bisection would AMPLIFY the load), and generic
+        phrases like "more than" appear in rate-limit and argument errors
+        too — so a generic phrase only counts when a size-context word
+        (result/response/logs/range) appears alongside it."""
         m = self.message.lower()
-        return any(
+        # unambiguous phrasings: result-size and block-range caps
+        if any(
             t in m
             for t in (
-                "more than",
                 "too many results",
                 "response size",
                 "result set",
                 "returned more",
+                "block range",   # "exceed maximum block range" (geth/BSC)
+                "blocks range",  # Alchemy variant
             )
-        )
+        ):
+            return True
+        # generic quantity phrases need a size-context word next to them:
+        # "more than 10000 results" splits; "more than 100 requests/s"
+        # (rate limit) must NOT — bisection would double the request rate
+        if "more than" in m:
+            return any(w in m for w in ("result", "logs", "response"))
+        return False
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,15 @@ class EthereumStreamReader(SimpleDataSourceStreamReader):
         self.transport = make_transport(options)
         self.start_block = int(options.get("start_block", 1))
         self.max_per_batch = int(options.get("max_blocks_per_batch", 100))
+        # Confirmation depth: never ingest blocks above head - k.  Blocks
+        # near head can still reorg; once an offset commits, the micro-batch
+        # is never re-read, so an orphaned block's rows would be permanently
+        # wrong in the sink.  The batch connector is immune because it
+        # re-resolves head per query (EthereumSplitManager.java:51-57); a
+        # stream cannot, so it must lag.  k=0 preserves the old behavior.
+        self.confirmations = int(options.get("confirmations", 0))
+        if self.confirmations < 0:
+            raise ValueError("confirmations must be >= 0")
         self.table = options.get("table", "block").lower()
         spec = options.get("logs_address")
         self.logs_addresses = (
@@ -76,7 +85,7 @@ class EthereumStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = start["next"]
         head = self.transport.block_number()
-        hi = min(head + 1, lo + self.max_per_batch)
+        hi = min(head + 1 - self.confirmations, lo + self.max_per_batch)
         if hi <= lo:
             # caught up: the wrapper probes this with next() (expects an
             # ITERATOR raising StopIteration); non-empty batches below must
@@ -138,6 +147,11 @@ class EthereumPartitionedStreamReader(DataSourceStreamReader):
         self.transport = make_transport(options)  # driver: head polls only
         self.start_block = int(options.get("start_block", 1))
         self.max_per_batch = int(options.get("max_blocks_per_batch", 100))
+        # see EthereumStreamReader: cap ingestion at head - confirmations
+        # so reorg-able blocks near head are never committed
+        self.confirmations = int(options.get("confirmations", 0))
+        if self.confirmations < 0:
+            raise ValueError("confirmations must be >= 0")
         self.blocks_per_partition = int(options.get("blocks_per_partition", 200))
         self.table = options.get("table", "block").lower()
         spec = options.get("logs_address")
@@ -164,7 +178,8 @@ class EthereumPartitionedStreamReader(DataSourceStreamReader):
         # blocks: dict offsets compare by equality, not order).
         lo = self._last["next"] if self._last else self.start_block
         head = self.transport.block_number()
-        self._last = {"next": max(lo, min(head + 1, lo + self.max_per_batch))}
+        hi = min(head + 1 - self.confirmations, lo + self.max_per_batch)
+        self._last = {"next": max(lo, hi)}
         return self._last
 
     def partitions(self, start: dict, end: dict) -> list[ChainBatchPartition]:

@@ -160,6 +160,28 @@ class JsonlManifestDataSource(DataSource):
         return _JsonlStreamWriter(path)
 
 
+def _merge_intervals(intervals) -> list[list[int]]:
+    """Sort + merge overlapping/adjacent [lo, hi] id intervals."""
+    out: list[list[int]] = []
+    for lo, hi in sorted((int(a), int(b)) for a, b in intervals):
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return out
+
+
+def _covered_intervals(m: dict) -> list[list[int]]:
+    """Batch-id intervals a checkpoint manifest covers.  New manifests
+    store compact ``covers_ranges`` [[lo, hi], ...] — batch ids are
+    monotonically increasing, so a handful of merged intervals carries the
+    same completeness information as the enumerated ``covers`` list older
+    manifests wrote, without growing O(stream lifetime)."""
+    if "covers_ranges" in m:
+        return _merge_intervals(m["covers_ranges"])
+    return _merge_intervals((i, i) for i in m.get("covers", []))
+
+
 def _manifests(path: str):
     """-> (batches, checkpoints), each a sorted list of (id, manifest).
     Batch and checkpoint manifests live in disjoint name spaces
@@ -192,14 +214,15 @@ def manifested_files(path: str, upto_batch: int | None = None) -> list[str]:
     ledger design for free, since each batch's manifest is immutable.
 
     A CHECKPOINT manifest (written by :func:`compact_manifests`) declares
-    that its one file covers every batch id in its ``covers`` list; readers
+    that its one file covers every batch id in its ``covers_ranges``
+    intervals (older manifests: an enumerated ``covers`` list); readers
     serve the latest checkpoint at-or-below the target and lay newer batch
     manifests on top, skipping superseded ones whether or not GC removed
     them — so a compaction is atomic from a reader's point of view the
     moment the checkpoint manifest lands.  Time travel BELOW a checkpoint
     works while the superseded per-batch manifests still exist; once GC
     has collapsed that history the read RAISES rather than silently
-    serving a partial answer (the ``covers`` list is the completeness
+    serving a partial answer (the covered intervals are the completeness
     referee)."""
     batches, ckpts = _manifests(path)
     bmap = dict(batches)
@@ -216,15 +239,18 @@ def manifested_files(path: str, upto_batch: int | None = None) -> list[str]:
         and (upto_batch is None or b <= upto_batch)
     )
     if upto_batch is not None:
-        # completeness: any NEWER checkpoint's covers list enumerates the
-        # batch ids that must still be servable from per-batch manifests
+        # completeness: any NEWER checkpoint's covered intervals name the
+        # batch ids that must still be servable from per-batch manifests.
+        # Only the window (base_id, upto_batch] is ever expanded — the same
+        # order of size as the manifests that would have to exist in it.
         newer = [c for c in ckpts if base_id is None or c[0] > base_id]
-        needed = {
-            i
-            for _, m in newer
-            for i in m.get("covers", [])
-            if (base_id is None or i > base_id) and i <= upto_batch
-        }
+        needed: set[int] = set()
+        for _, m in newer:
+            for lo, hi in _covered_intervals(m):
+                lo = max(lo, base_id + 1) if base_id is not None else lo
+                hi = min(hi, upto_batch)
+                if lo <= hi:
+                    needed.update(range(lo, hi + 1))
         missing = needed - set(serve_ids)
         if missing:
             raise ValueError(
@@ -262,7 +288,7 @@ def compact_manifests(
     older manifest whether or not GC has removed it yet, so a racing
     reader sees either the pre-compaction file set or exactly the
     checkpoint — never both.  The checkpoint records the batch ids it
-    folded in (``covers``), which is what lets later pre-checkpoint
+    folded in (``covers_ranges``), which is what lets later pre-checkpoint
     time-travel attempts fail loudly instead of returning partial data.
     Returns the number of manifests retired.
 
@@ -283,8 +309,9 @@ def compact_manifests(
     old_files = manifested_files(path)
     df = read_manifested(spark, path, schema)
     n_rows = df.count()
-    covers = sorted(
-        set(prev[1].get("covers", []) if prev else []) | {b for b, _ in live}
+    covers_ranges = _merge_intervals(
+        (_covered_intervals(prev[1]) if prev else [])
+        + [(b, b) for b, _ in live]
     )
     # the rewrite is a SPARK job (no driver materialization); file count
     # targets ``target_bytes`` per output using the CURRENT committed
@@ -319,7 +346,7 @@ def compact_manifests(
             "files": out_names,
             "rows": n_rows,
             "checkpoint": True,
-            "covers": covers,
+            "covers_ranges": covers_ranges,
         },
     )
     # checkpoint live: readers now skip the rest — GC is mere housekeeping
@@ -337,7 +364,7 @@ def compact_manifests(
     return retired
 
 
-def vacuum(path: str) -> int:
+def vacuum(path: str, min_age_seconds: float = 3600.0) -> int:
     """Remove files no manifest references: stagings left by failed or
     speculative tasks, and data files from a batch attempt that was later
     replayed (the replay re-publishes under fresh uuids, orphaning the
@@ -346,17 +373,33 @@ def vacuum(path: str) -> int:
     ``batch-N`` manifest is dropped here too).  Returns the number of
     files deleted.
 
-    Run only while no stream is actively writing to ``path``: a commit in
-    flight has staged files that no manifest references YET, and vacuum
-    cannot tell them from garbage (the same contract as a lakehouse
-    VACUUM)."""
+    ``min_age_seconds`` is the race guard: a commit IN FLIGHT has staged
+    files no manifest references yet, and an unconditional vacuum racing
+    it would delete the batch out from under the commit.  Only files whose
+    modification time is at least this old are eligible (default 1h — far
+    longer than any stage-to-commit window), the same retention-window
+    contract as a lakehouse VACUUM.  Pass 0 only when no stream is
+    actively writing to ``path``."""
+    import datetime
+
     from pyarrow import fs as pafs
 
     fs, root = _resolve(path)
     batches, ckpts = _manifests(path)
     ckpt_id = ckpts[-1][0] if ckpts else None
     deleted = 0
-    # stale batch manifests a replay re-published after compaction
+
+    def _old_enough(info) -> bool:
+        if min_age_seconds <= 0 or info.mtime is None:
+            return True
+        now = datetime.datetime.now(datetime.timezone.utc)
+        mtime = info.mtime
+        if mtime.tzinfo is None:
+            mtime = mtime.replace(tzinfo=datetime.timezone.utc)
+        return (now - mtime).total_seconds() >= min_age_seconds
+
+    # stale batch manifests a replay re-published after compaction: already
+    # superseded by the checkpoint ledger, safe at any age
     for b, _ in batches:
         if ckpt_id is not None and b <= ckpt_id:
             fs.delete_file(f"{root}/_manifests/batch-{b}.json")
@@ -368,7 +411,7 @@ def vacuum(path: str) -> int:
     for info in fs.get_file_info(
         pafs.FileSelector(f"{root}/data", allow_not_found=True)
     ):
-        if posixpath.basename(info.path) not in referenced:
+        if posixpath.basename(info.path) not in referenced and _old_enough(info):
             fs.delete_file(info.path)
             deleted += 1
     for info in fs.get_file_info(
@@ -376,7 +419,7 @@ def vacuum(path: str) -> int:
     ):
         from pyarrow.fs import FileType
 
-        if info.type == FileType.File:
+        if info.type == FileType.File and _old_enough(info):
             fs.delete_file(info.path)
             deleted += 1
     return deleted

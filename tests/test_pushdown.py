@@ -238,6 +238,27 @@ class TestSqlRangesRewrite:
         got = ranges_from_sql("block_number IN (5, 6, 7, 1000)")
         assert [(r.start, r.end) for r in got] == [(5, 7), (1000, 1000)]
 
+    def test_inequality_on_block_column_is_range_neutral(self):
+        # != / <> on a block column: the complement of a point is the full
+        # chain, so it must behave like a non-block predicate (conservative
+        # scan; post-scan .where keeps it exact) rather than raise
+        from presto_ethereum_spark.plans.pushdown import (
+            OPEN_END,
+            ranges_from_sql,
+        )
+
+        got = ranges_from_sql("block_number != 5 AND block_number <= 100")
+        assert [(r.start, r.end) for r in got] == [(1, 100)]
+        got = ranges_from_sql("block_number <> 5")
+        assert [(r.start, r.end) for r in got] == [(1, OPEN_END)]
+
+    def test_top_level_term_is_normalized(self):
+        # the ordered-disjoint empty-free contract must hold for a single
+        # top-level term too, not only inside OR/AND combination
+        from presto_ethereum_spark.plans.pushdown import ranges_from_sql
+
+        assert ranges_from_sql("block_number BETWEEN 10 AND 5") == []
+
     def test_unsupported_syntax_raises(self):
         import pytest as _pytest
 

@@ -726,3 +726,37 @@ class TestIpcChunkFraming:
             assert tr.block_number() == 42
         finally:
             srv.close()
+
+
+class TestResultTooLargeClassifier:
+    """Splittable (result-size / block-range caps) vs non-splittable
+    (rate-limit / argument) node errors — bisecting a rate limit would
+    amplify the load it is complaining about."""
+
+    def _err(self, msg, code=-32005):
+        from presto_ethereum_spark.sources.rpc import RpcError
+
+        return RpcError(code, msg)
+
+    def test_splittable_messages(self):
+        for msg in (
+            "query returned more than 10000 results",
+            "Log response size exceeded",
+            "query exceeds max result set size",
+            "too many results in requested range",
+            "eth_getLogs is limited to a 2000 block range",
+            "exceed maximum block range: 5000",
+            "blocks range is too wide",
+            "returned more logs than the node allows",
+        ):
+            assert self._err(msg).is_result_too_large(), msg
+
+    def test_non_splittable_messages(self):
+        for msg in (
+            "more than 100 requests per second",  # rate limit
+            "daily request count exceeded, more than allowed",
+            "project ID does not have access",
+            "invalid argument 0: hex string without 0x prefix",
+            "execution timeout",
+        ):
+            assert not self._err(msg).is_result_too_large(), msg

@@ -492,13 +492,40 @@ class TestManifestReplayAndVacuum:
                 {"batch": top, "files": [f"batch-{top}-replayed.jsonl"], "rows": 1},
                 fh,
             )
-        n = vacuum(out)
-        assert n == 4  # staging + unreferenced + replayed file + stale manifest
+        # age guard: every orphan is seconds old, so a default (1h) vacuum
+        # must leave data/staging files alone — only the stale superseded
+        # manifest (checkpoint-ledger-proven garbage) goes at any age
+        assert vacuum(out) == 1
+        assert os.path.exists(f"{out}/_staging/speculative.jsonl")
+        assert os.path.exists(f"{out}/data/unreferenced.jsonl")
+        # min_age_seconds=0 = "no stream is writing": full cleanup
+        n = vacuum(out, min_age_seconds=0)
+        assert n == 3  # staging + unreferenced + replayed file
         assert sorted(os.listdir(f"{out}/_manifests")) == [ckpt_name]
         got = sorted(r["k"] for r in read_manifested(spark, out, "k long").collect())
         assert got == [1, 2, 3]
         # idempotent: nothing left to clean
-        assert vacuum(out) == 0
+        assert vacuum(out, min_age_seconds=0) == 0
+
+    def test_vacuum_age_guard_spares_inflight_staging(self, spark, tmp_path):
+        """A staged-but-uncommitted file (a commit in flight) survives a
+        default vacuum; an OLD orphan with the same shape is collected."""
+        import os
+        import time
+
+        from presto_ethereum_spark.streaming.sink import vacuum
+
+        out = self._write_batches(spark, tmp_path)
+        os.makedirs(f"{out}/_staging", exist_ok=True)
+        fresh = f"{out}/_staging/inflight.jsonl"
+        stale = f"{out}/_staging/crashed-last-week.jsonl"
+        for fp in (fresh, stale):
+            with open(fp, "w") as fh:
+                fh.write('{"k": 0}\n')
+        week_ago = time.time() - 7 * 24 * 3600
+        os.utime(stale, (week_ago, week_ago))
+        assert vacuum(out) == 1  # only the old orphan
+        assert os.path.exists(fresh) and not os.path.exists(stale)
 
 
 class TestErc20StreamTable:
@@ -686,3 +713,84 @@ def test_erc20_tail_through_manifest_sink(spark, tmp_path):
     golden = spark.read.parquet("fixtures/eth/erc20.parquet")
     assert back.exceptAll(golden).count() == 0
     assert golden.exceptAll(back).count() == 0
+
+
+class TestConfirmationDepth:
+    """confirmations=k lags ingestion k blocks behind head so reorg-able
+    blocks are never committed (a stream, unlike the batch connector's
+    per-query head resolve in EthereumSplitManager.java:51-57, can never
+    re-read a committed offset)."""
+
+    class _Recording:
+        def __init__(self, inner):
+            self.inner = inner
+            self.fetched: list[int] = []
+
+        def block_number(self):
+            return self.inner.block_number()
+
+        def get_blocks(self, nums):
+            self.fetched.extend(nums)
+            return self.inner.get_blocks(nums)
+
+    def test_simple_reader_never_fetches_above_cap(self):
+        from presto_ethereum_spark.streaming.chain import EthereumStreamReader
+
+        r = EthereumStreamReader(
+            {"path": CHAIN, "start_block": 2380,
+             "max_blocks_per_batch": 1000, "confirmations": 6}
+        )
+        r.transport = self._Recording(r.transport)
+        head = r.transport.block_number()  # fixture head = 2400
+        rows, nxt = r.read({"next": 2380})
+        rows = list(rows)
+        assert nxt == {"next": head + 1 - 6}
+        assert len(rows) == (head - 6) - 2380 + 1
+        # the contract: no block above head - k is ever requested
+        assert max(r.transport.fetched) == head - 6
+        # caught up at the lagged cap: empty batch, offset unchanged
+        rows2, nxt2 = r.read(nxt)
+        assert list(rows2) == [] and nxt2 == nxt
+
+    def test_partitioned_reader_caps_latest_offset(self):
+        from presto_ethereum_spark.streaming.chain import (
+            EthereumPartitionedStreamReader,
+        )
+
+        r = EthereumPartitionedStreamReader(
+            {"path": CHAIN, "start_block": 2300,
+             "max_blocks_per_batch": 1000, "confirmations": 10}
+        )
+        head = r.transport.block_number()
+        assert r.latestOffset() == {"next": head + 1 - 10}
+        assert r.latestOffset() == {"next": head + 1 - 10}  # stays lagged
+        parts = r.partitions({"next": 2300}, {"next": head + 1 - 10})
+        assert max(p.end for p in parts) == head - 10
+
+    def test_offset_never_regresses_when_depth_exceeds_progress(self):
+        # a floor already above head - k must not move backward (dict
+        # offsets compare by equality; a regression re-reads committed
+        # blocks)
+        from presto_ethereum_spark.streaming.chain import (
+            EthereumPartitionedStreamReader,
+        )
+
+        r = EthereumPartitionedStreamReader(
+            {"path": CHAIN, "start_block": 2399,
+             "max_blocks_per_batch": 1000, "confirmations": 50}
+        )
+        head = r.transport.block_number()
+        assert r.latestOffset() == {"next": 2399}  # head-50 < floor: hold
+        r._raise_floor(head + 1)  # simulate restart from a k=0 checkpoint
+        assert r.latestOffset() == {"next": head + 1}
+
+    def test_negative_confirmations_rejected(self):
+        from presto_ethereum_spark.streaming.chain import (
+            EthereumPartitionedStreamReader,
+            EthereumStreamReader,
+        )
+
+        with pytest.raises(ValueError, match="confirmations"):
+            EthereumStreamReader({"path": CHAIN, "confirmations": -1})
+        with pytest.raises(ValueError, match="confirmations"):
+            EthereumPartitionedStreamReader({"path": CHAIN, "confirmations": -1})
