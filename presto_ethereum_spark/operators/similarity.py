@@ -32,6 +32,7 @@ __all__ = [
     "lsh_candidates",
     "lsh_topk",
     "seed_centroids",
+    "kmeans_centroids",
     "ivf_assign",
     "ivf_topk",
     "ivf_topk_from_index",
@@ -494,6 +495,71 @@ def seed_centroids(
         .collect()
     )
     return [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+
+
+#: 1e15 fixed-point quantum for the k-means member sums (the same exactness
+#: trick as pagerank's contributions: BIGINT sums are partition-order
+#: independent where double sums are not)
+KMEANS_QUANTUM = 1000000000000000.0
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """``n_iters`` Lloyd rounds of codebook refinement over ``seeds``
+    (default: :func:`seed_centroids`) — the production coarse quantizer for
+    :func:`ivf_topk` / :func:`ivfpq_index`, fixing the cell-balance luck of
+    raw id-ordered seeds at scale while keeping the ``(cid, vector)``
+    contract unchanged (cells keep their seed cids; serving paths don't
+    change at all, they just receive a better codebook).
+
+    Per round: assignment is the SAME Arrow kernel the serving paths use
+    (:func:`_ivf_corpus_index` — bit-identical cells, map-only, zero
+    corpus shuffle); the ONE shuffle carries ``(cell, dim)`` partial sums
+    of 1e15 fixed-point BIGINTs (exact under any partitioning — at
+    petabyte corpora switch the sum to DECIMAL(38,0)), and the driver
+    collects only ``n_cells x dim`` aggregate rows — codebook-sized, the
+    same materialization broadcasting any codebook implies.  Empty cells
+    keep their previous centroid.  Deterministic end to end, so an
+    independent engine can replicate a round in closed form (the
+    ``emb_ivf_recall_refined`` oracle does, in SQL)."""
+    cents = (
+        seeds
+        if seeds is not None
+        else seed_centroids(df, n_cells, id_col, vec_col)
+    )
+    s = F.lit(KMEANS_QUANTUM)
+    for _ in range(int(n_iters)):
+        agg = (
+            _ivf_corpus_index(df, cents, id_col, vec_col)
+            .select("cell", F.posexplode("cvd").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("x") * s)).alias("qsum"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in agg:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                float(r["qsum"]) / KMEANS_QUANTUM
+            ) / int(r["n"])
+        cents = [
+            (
+                cid,
+                [by_cell[int(cid)][j] for j in range(len(cv))]
+                if int(cid) in by_cell
+                else cv,
+            )
+            for cid, cv in cents
+        ]
+    return cents
 
 
 def _py_l2(cv: list[float]) -> float:

@@ -4864,6 +4864,174 @@ def emb_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "emb_ivf_recall_refined",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {{cos}} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign0 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    ex AS (
+      SELECT cid, CAST(i - 1 AS INT) AS dim, v[i] AS x
+      FROM (SELECT cid, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM assign0)
+    ),
+    coords AS (
+      SELECT cid, dim,
+             (CAST(CAST(sum(CAST(floor(x * {_KMEANS_S}) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / {_KMEANS_S}) / count(*) AS coord
+      FROM ex GROUP BY cid, dim
+    ),
+    rcent AS (
+      SELECT c.cid, coalesce(r.rvec, CAST(c.cvec AS DOUBLE[])) AS cvec
+      FROM cent c LEFT JOIN (SELECT cid, list(coord ORDER BY dim) AS rvec
+                             FROM coords GROUP BY cid) r ON r.cid = c.cid
+    ),
+    rscored AS (
+      SELECT e.vec_id, e.embedding, r.cid,
+             {{rcos}} AS csim
+      FROM embeddings e CROSS JOIN rcent r
+    ),
+    rassign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM rscored) WHERE rnk = 1
+    ),
+    probe0 AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored WHERE vec_id < 5) WHERE rnk <= 2
+    ),
+    rprobe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM rscored WHERE vec_id < 5) WHERE rnk <= 2
+    ),
+    approx0 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {{pcos}} DESC, a.vec_id) AS rank
+        FROM probe0 p JOIN assign0 a
+          ON a.cid = p.cid AND a.vec_id != p.query_id)
+      WHERE rank <= 10
+    ),
+    rapprox AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {{pcos}} DESC, a.vec_id) AS rank
+        FROM rprobe p JOIN rassign a
+          ON a.cid = p.cid AND a.vec_id != p.query_id)
+      WHERE rank <= 10
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {{bcos}} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 5)
+      WHERE rank <= 10
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h0.n, 0) AS BIGINT) AS n_hits_seed,
+           CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hits_refined,
+           CAST(coalesce(h1.n, 0) - coalesce(h0.n, 0) AS BIGINT) AS delta
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN (SELECT a.query_id, count(*) AS n
+               FROM approx0 a JOIN truth t
+                 ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+               GROUP BY a.query_id) h0 ON h0.query_id = q.query_id
+    LEFT JOIN (SELECT a.query_id, count(*) AS n
+               FROM rapprox a JOIN truth t
+                 ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+               GROUP BY a.query_id) h1 ON h1.query_id = q.query_id
+    """.replace("{cos}", _duck_cos("c.cvec", "e.embedding"))
+    .replace("{rcos}", _duck_cos("r.cvec", "e.embedding"))
+    .replace("{pcos}", _duck_cos("p.qvec", "a.embedding"))
+    .replace("{bcos}", _duck_cos("a.embedding", "b.embedding")),
+)
+def emb_ivf_recall_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-vs-refined codebook quality report: recall@10 of the IVF index
+    under the raw id-ordered seeds AND under one Lloyd round of
+    ``kmeans_centroids``, per query, with the delta — the measurement that
+    justifies paying for index-build refinement before a production
+    deploy.  Both codebooks, both assignments, and the fixed-point member
+    means are bit-exactly replicated by the closed-form SQL oracle, so
+    even the refined path is hash-gated (not tolerance-gated): this is the
+    ``seed_centroids`` docstring's "a k-means refinement slots in here"
+    promise, graded.
+
+    Scale: refinement adds one map-only assignment pass + one (cell, dim)
+    BIGINT shuffle per Lloyd round (driver sees codebook-sized aggregates
+    only); serving is unchanged — the refined codebook rides the exact
+    same ``ivf_topk`` path as the seeds."""
+    from presto_ethereum_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    seeds = _IVF_CODEBOOKS.get(sf)
+    if seeds is None:
+        seeds = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    refined = kmeans_centroids(e, n_cells=8, n_iters=1, seeds=seeds)
+    q5 = e.where(F.col("vec_id") < 5)
+    truth = brute_force_topk(e, q5, k=10).select("query_id", "neighbor_id")
+    a0 = ivf_topk(e, q5, centroids=seeds, nprobe=2, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    a1 = ivf_topk(e, q5, centroids=refined, nprobe=2, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    h0 = (
+        a0.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n0"))
+    )
+    h1 = (
+        a1.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n1"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(h0, "query_id", "left")
+        .join(h1, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n0", F.lit(0)).cast("bigint").alias("n_hits_seed"),
+            F.coalesce("n1", F.lit(0)).cast("bigint").alias("n_hits_refined"),
+            (F.coalesce("n1", F.lit(0)) - F.coalesce("n0", F.lit(0)))
+            .cast("bigint")
+            .alias("delta"),
+        )
+    )
+
+
+@q(
     "eth_token_concentration",
     f"""
     WITH flows AS (

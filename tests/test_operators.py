@@ -207,6 +207,77 @@ class TestSimilarity:
         assert cells <= {c for c, _ in cents}
         assert assigned.count() == emb.count()
 
+    def test_kmeans_centroids_are_member_means(self, emb):
+        """One Lloyd round: each refined centroid must equal the
+        fixed-point mean of its assigned members (hand-recomputed), keep
+        its seed cid, and leave the codebook contract unchanged."""
+        seeds = similarity.seed_centroids(emb, n_cells=4)
+        refined = similarity.kmeans_centroids(
+            emb, n_cells=4, n_iters=1, seeds=seeds
+        )
+        assert [c for c, _ in refined] == [c for c, _ in seeds]
+        members = {}
+        for r in similarity.ivf_assign(emb, seeds).collect():
+            members.setdefault(r["cell"], []).append(
+                [float(x) for x in r["embedding"]]
+            )
+        S = similarity.KMEANS_QUANTUM
+        import math
+
+        for cid, cv in refined:
+            vs = members[cid]
+            for j, got in enumerate(cv):
+                qsum = sum(math.floor(v[j] * S) for v in vs)
+                assert got == (float(qsum) / S) / len(vs), (cid, j)
+
+    def test_kmeans_empty_cell_keeps_previous_centroid(self, spark):
+        # two far clusters + 1 outlier seed that captures nothing after
+        # the first move: its centroid must survive unchanged
+        rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [1.0, -0.01]),
+                (3, [0.9, 0.0])]
+        d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        seeds = [(0, [1.0, 0.0]), (7, [-1.0, 0.0])]
+        refined = similarity.kmeans_centroids(d, n_iters=2, seeds=seeds)
+        assert refined[1] == (7, [-1.0, 0.0])  # empty cell retained
+        assert refined[0][0] == 0 and refined[0][1] != [1.0, 0.0]
+
+    def test_ivf_serving_with_refined_centroids(self, emb):
+        """The wiring ask: ivf_topk serves from a kmeans-refined codebook
+        through the unchanged path.  Full probe must STILL equal brute
+        force (any codebook only prunes), and partial-probe recall must
+        hold up vs the seed codebook."""
+        queries = emb.where("vec_id < 10")
+        refined = similarity.kmeans_centroids(emb, n_cells=8, n_iters=2)
+        exact = sorted(
+            map(tuple, similarity.brute_force_topk(emb, queries, k=5).collect())
+        )
+        full = sorted(
+            map(
+                tuple,
+                similarity.ivf_topk(
+                    emb, queries, centroids=refined, nprobe=8, k=5
+                ).collect(),
+            )
+        )
+        assert full == exact
+        truth = {(a, b) for a, b, *_ in exact}
+
+        def recall(cents):
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in similarity.ivf_topk(
+                    emb, queries, centroids=cents, nprobe=2, k=5
+                ).collect()
+            }
+            return len(truth & approx) / len(truth)
+
+        seed_r = recall(similarity.seed_centroids(emb, n_cells=8))
+        ref_r = recall(refined)
+        # refinement exists to help; allow a small per-dataset wobble but
+        # fail on a real regression
+        assert ref_r >= seed_r - 0.1, (seed_r, ref_r)
+        assert ref_r >= 0.5, ref_r
+
 
 class TestText:
     def test_empty_text_no_crash(self, spark):
