@@ -52,6 +52,18 @@ HEADLINE = [
     "rel_funnel_steps",
     "doc_weighted_sample",
     "doc_bm25_topk",
+    # round-4/5 operator families (graph variants, sketches, temporal,
+    # TPC-H Q8 shape, streaming top-k, refined-codebook ANN) — timed so a
+    # perf regression there is visible round-over-round
+    "eth_tx_hits",
+    "eth_tx_pagerank_weighted",
+    "doc_cms_token_counts",
+    "rel_bloom_prefilter",
+    "rel_gap_fill",
+    "rel_ohlc_bars",
+    "rel_market_share",
+    "stream_trending_topk",
+    "emb_ivf_recall_refined",
 ]
 
 

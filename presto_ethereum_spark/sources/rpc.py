@@ -774,3 +774,28 @@ def read_ethereum_where(spark, table: str, predicate: str, **options):
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load().where(predicate)
+
+
+def register_ethereum_where_view(
+    spark, view_name: str, table: str, predicate: str, **options
+) -> None:
+    """SQL-first entry point for the disjunctive pruning: registers a temp
+    view over :func:`read_ethereum_where`, so plain ``spark.sql`` queries
+    get island-only scan partitions without calling any Python API beyond
+    this one registration — the way Presto users hit the reference's
+    ordered range list (EthereumMetadata.java:190-199) without knowing it
+    exists::
+
+        register_ethereum_where_view(
+            spark, "recent_blocks", "block",
+            "block_number BETWEEN 100 AND 200 OR block_number > 2300",
+            path="fixtures/eth/chain_blocks.parquet")
+        spark.sql("SELECT block_miner, count(*) FROM recent_blocks GROUP BY 1")
+
+    The view is a logical plan, not a snapshot: each query re-plans it, so
+    further WHERE clauses compose on top (Spark re-applies every filter
+    post-scan; the ``block_ranges`` narrowing baked into the view stays
+    correct because it only ever covers the registered predicate)."""
+    read_ethereum_where(spark, table, predicate, **options).createOrReplaceTempView(
+        view_name
+    )

@@ -63,6 +63,19 @@ __all__ = [
 ]
 
 
+#: scheme -> explicit FileSystem instance, consulted before
+#: FileSystem.from_uri — the hook fsspec-backed stores (PyFileSystem +
+#: FSSpecHandler) and object-store test doubles plug into.  Driver-side
+#: metadata ops only; executor tasks re-resolve in their own process, so a
+#: registered scheme must be re-registered there (or use a real URI).
+_FS_SCHEMES: dict[str, object] = {}
+
+
+def register_filesystem(scheme: str, fs) -> None:
+    """Route ``scheme://`` paths to an explicit pyarrow ``FileSystem``."""
+    _FS_SCHEMES[scheme] = fs
+
+
 def _resolve(path: str):
     """(FileSystem, normalized root) for a local path or any pyarrow-
     supported URI.  Re-resolved per call so instances pickle cheaply to
@@ -70,6 +83,10 @@ def _resolve(path: str):
     from pyarrow import fs as pafs
 
     if "://" in path:
+        scheme, _, rest = path.partition("://")
+        override = _FS_SCHEMES.get(scheme)
+        if override is not None:
+            return override, rest
         return pafs.FileSystem.from_uri(path)
     import os
 
@@ -390,8 +407,12 @@ def vacuum(path: str, min_age_seconds: float = 3600.0) -> int:
     deleted = 0
 
     def _old_enough(info) -> bool:
-        if min_age_seconds <= 0 or info.mtime is None:
+        if min_age_seconds <= 0:
             return True
+        if info.mtime is None:
+            # a store that reports no mtime can't prove the file is old;
+            # with the age guard active, keep it (conservative)
+            return False
         now = datetime.datetime.now(datetime.timezone.utc)
         mtime = info.mtime
         if mtime.tzinfo is None:

@@ -311,6 +311,32 @@ class TestSqlRangesRewrite:
         got = sorted(r["block_number"] for r in df.select("block_number").collect())
         assert got == list(range(10, 21)) + list(range(100, 111))
 
+    def test_sql_view_drives_island_pruning(self, spark):
+        """The SQL-first entry point: a registered view makes the
+        disjunctive pruning reachable from plain spark.sql, and further
+        WHERE clauses compose exactly on top of the baked-in narrowing."""
+        from presto_ethereum_spark.sources.rpc import (
+            register_ethereum_where_view,
+        )
+        from tests.conftest import ETH_FIXTURES
+
+        register_ethereum_where_view(
+            spark,
+            "island_blocks",
+            "block",
+            "block_number BETWEEN 10 AND 20 OR block_number BETWEEN 100 AND 110",
+            path=str(ETH_FIXTURES / "chain_blocks.parquet"),
+        )
+        got = [
+            (r["block_number"], r["n"])
+            for r in spark.sql(
+                "SELECT block_number, count(*) AS n FROM island_blocks"
+                " WHERE block_number >= 105 GROUP BY 1 ORDER BY 1"
+            ).collect()
+        ]
+        assert got == [(b, 1) for b in range(105, 111)]
+        spark.catalog.dropTempView("island_blocks")
+
 
 class TestSqlRangesReviewFixes:
     def test_lt_small_n_is_empty_not_open_ended(self):

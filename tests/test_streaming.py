@@ -794,3 +794,144 @@ class TestConfirmationDepth:
             EthereumStreamReader({"path": CHAIN, "confirmations": -1})
         with pytest.raises(ValueError, match="confirmations"):
             EthereumPartitionedStreamReader({"path": CHAIN, "confirmations": -1})
+
+
+class TestNonLocalFilesystemSink:
+    """The manifest sink's metadata layer against a NON-local pyarrow
+    FileSystem (pyarrow's in-memory mock, routed through the scheme
+    registry): exercises the object-store branches LocalFileSystem tests
+    never reach — the direct-PUT manifest publish (no temp+rename), task
+    stage + fs.move promotion, ledger reads, time-travel completeness, and
+    the vacuum age guard on store-reported mtimes.  The one step that
+    stays engine-side is compaction's Spark data rewrite (the JVM can't
+    mount a Python FileSystem); its fs operations (size listing, move,
+    delete) are the same ones covered here."""
+
+    @pytest.fixture()
+    def mockfs(self):
+        from pyarrow.fs import _MockFileSystem
+
+        from presto_ethereum_spark.streaming import sink as snk
+
+        fs = _MockFileSystem()
+        snk.register_filesystem("mock", fs)
+        yield fs
+        snk._FS_SCHEMES.pop("mock", None)
+
+    def _commit_batch(self, writer, batch_id, rows):
+        from pyspark.sql import Row
+
+        msg = writer.write(iter([Row(k=v) for v in rows]))
+        writer.commit([msg], batch_id)
+
+    def test_stage_commit_publish_and_readback(self, mockfs):
+        from pyarrow.fs import FileSelector
+
+        from presto_ethereum_spark.streaming.sink import (
+            _JsonlStreamWriter,
+            manifested_files,
+        )
+
+        w = _JsonlStreamWriter("mock://table")
+        self._commit_batch(w, 0, [1, 2])
+        self._commit_batch(w, 1, [3])
+        # PUT-branch publish: the manifest object exists whole, and no
+        # .tmp sibling was ever created in the namespace
+        names = sorted(
+            p.path.rsplit("/", 1)[-1]
+            for p in mockfs.get_file_info(FileSelector("table/_manifests"))
+        )
+        assert names == ["batch-0.json", "batch-1.json"]
+        assert not any(n.endswith(".tmp") for n in names)
+        # staged files were MOVED into data/ (no stale staging copies)
+        assert [
+            p.path for p in mockfs.get_file_info(FileSelector("table/_staging"))
+        ] == []
+        files = manifested_files("mock://table")
+        assert len(files) == 2 and all(f.startswith("mock://table/data/") for f in files)
+        # rows are intact through the non-local read path
+        got = []
+        for f in files:
+            with mockfs.open_input_stream(f.replace("mock://", "")) as fh:
+                got += [int(line.split(b":")[1].rstrip(b"}\n")) for line in fh.read().splitlines()]
+        assert sorted(got) == [1, 2, 3]
+
+    def test_replayed_commit_overwrites_manifest_atomically(self, mockfs):
+        from presto_ethereum_spark.streaming.sink import (
+            _JsonlStreamWriter,
+            manifested_files,
+        )
+
+        w = _JsonlStreamWriter("mock://table")
+        self._commit_batch(w, 0, [1, 2])
+        first = set(manifested_files("mock://table"))
+        # a replay of batch 0 re-stages under fresh uuids and re-PUTs the
+        # same manifest object — readers must see exactly the new file set
+        self._commit_batch(w, 0, [1, 2])
+        second = set(manifested_files("mock://table"))
+        assert len(second) == 1 and first.isdisjoint(second)
+
+    def test_abort_deletes_staged_files(self, mockfs):
+        from pyspark.sql import Row
+
+        from presto_ethereum_spark.streaming.sink import (
+            _JsonlStreamWriter,
+            manifested_files,
+        )
+
+        w = _JsonlStreamWriter("mock://table")
+        msg = w.write(iter([Row(k=9)]))
+        w.abort([msg], 0)
+        assert manifested_files("mock://table") == []
+        assert not mockfs.get_file_info(msg.path).size
+
+    def test_checkpoint_ledger_and_time_travel_raise(self, mockfs):
+        from presto_ethereum_spark.streaming.sink import (
+            _JsonlStreamWriter,
+            _publish_json,
+            manifested_files,
+        )
+
+        w = _JsonlStreamWriter("mock://table")
+        for b in range(3):
+            self._commit_batch(w, b, [b])
+        # hand-publish the checkpoint the compaction job would write, with
+        # interval coverage, then GC the per-batch history
+        with mockfs.open_output_stream("table/data/compact-2-0.jsonl") as fh:
+            fh.write(b'{"k": 0}\n{"k": 1}\n{"k": 2}\n')
+        _publish_json(
+            mockfs,
+            "table/_manifests/checkpoint-2.json",
+            {"batch": 2, "files": ["compact-2-0.jsonl"], "rows": 3,
+             "checkpoint": True, "covers_ranges": [[0, 2]]},
+        )
+        for b in range(3):
+            mockfs.delete_file(f"table/_manifests/batch-{b}.json")
+        assert manifested_files("mock://table") == [
+            "mock://table/data/compact-2-0.jsonl"
+        ]
+        with pytest.raises(ValueError, match="compacted away"):
+            manifested_files("mock://table", upto_batch=1)
+
+    def test_vacuum_on_mock_store_respects_age_guard(self, mockfs):
+        from presto_ethereum_spark.streaming.sink import (
+            _JsonlStreamWriter,
+            vacuum,
+        )
+
+        w = _JsonlStreamWriter("mock://table")
+        self._commit_batch(w, 0, [1])
+        with mockfs.open_output_stream("table/data/orphan.jsonl") as fh:
+            fh.write(b'{"k": 5}\n')
+        with mockfs.open_output_stream("table/_staging/crashed.jsonl") as fh:
+            fh.write(b'{"k": 6}\n')
+        # store-reported mtimes are seconds old: the default window keeps
+        # both orphans
+        assert vacuum("mock://table") == 0
+        assert vacuum("mock://table", min_age_seconds=0) == 2
+        from pyarrow.fs import FileSelector
+
+        remaining = [
+            p.path for p in mockfs.get_file_info(FileSelector("table/data"))
+        ]
+        assert remaining == ["table/data/batch-0-" + remaining[0].rsplit("-", 1)[-1]]
