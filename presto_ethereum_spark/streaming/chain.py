@@ -299,3 +299,49 @@ def run_chain_gas_buckets(
     out = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
     return out
+
+
+def rescan_reorged(spark, ingested, options: dict, depth: int = 64):
+    """Post-hoc reorg audit for an ingestion pipeline: re-fetch the last
+    ``depth`` chain heights and diff their hashes against what was
+    ingested — rows that differ ARE the orphaned blocks whose sink data
+    must be deleted and re-ingested.
+
+    The complement of the ``confirmations=k`` stream option: k bounds how
+    deep a reorg the stream can ever ADMIT, this finds any that slipped in
+    when k was chosen too shallow (the same keyed diff as the batch
+    ``eth_reorg_detection`` query, aimed at the node's live view).  The
+    window fetch is ``depth`` block headers on the driver — a constant,
+    never data-scale.
+
+    ``ingested`` needs ``block_number`` + ``block_hash`` columns (the
+    stream's block table, or a read-back of the sink).  Returns
+    (block_number, ingested_hash, chain_hash), ascending.
+    """
+    from pyspark.sql import functions as F
+
+    from presto_ethereum_spark.sources import pyrows
+
+    hi = ingested.agg(F.max("block_number").alias("m")).collect()[0]["m"]
+    schema = "block_number long, ingested_hash string, chain_hash string"
+    if hi is None:
+        return spark.createDataFrame([], schema)
+    lo = max(1, int(hi) - depth + 1)
+    transport = make_transport(options)
+    cur = spark.createDataFrame(
+        [
+            (int(r["block_number"]), r["block_hash"])
+            for r in (
+                pyrows.block_row(b)
+                for b in transport.get_blocks(list(range(lo, int(hi) + 1)))
+            )
+        ],
+        "block_number long, chain_hash string",
+    )
+    return (
+        ingested.where(F.col("block_number").between(lo, hi))
+        .select("block_number", F.col("block_hash").alias("ingested_hash"))
+        .join(F.broadcast(cur), "block_number")
+        .where(F.col("ingested_hash") != F.col("chain_hash"))
+        .orderBy("block_number")
+    )

@@ -935,3 +935,39 @@ class TestNonLocalFilesystemSink:
             p.path for p in mockfs.get_file_info(FileSelector("table/data"))
         ]
         assert remaining == ["table/data/batch-0-" + remaining[0].rsplit("-", 1)[-1]]
+
+
+class TestRescanReorged:
+    def test_detects_only_forked_heights(self, spark):
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.streaming.chain import rescan_reorged
+
+        ingested = spark.read.parquet("fixtures/eth/block.parquet").select(
+            "block_number", "block_hash"
+        )
+        # simulate: our sink holds hashes from a branch that lost — heights
+        # 2395..2397 differ from what the chain now says
+        forked = ingested.withColumn(
+            "block_hash",
+            F.when(
+                F.col("block_number").between(2395, 2397),
+                F.concat(F.col("block_hash"), F.lit("-orphan")),
+            ).otherwise(F.col("block_hash")),
+        )
+        out = rescan_reorged(
+            spark, forked, {"path": CHAIN}, depth=50
+        ).collect()
+        assert [r["block_number"] for r in out] == [2395, 2396, 2397]
+        assert all(r["ingested_hash"].endswith("-orphan") for r in out)
+        assert all(not r["chain_hash"].endswith("-orphan") for r in out)
+
+    def test_clean_history_and_empty_input(self, spark):
+        from presto_ethereum_spark.streaming.chain import rescan_reorged
+
+        ingested = spark.read.parquet("fixtures/eth/block.parquet").select(
+            "block_number", "block_hash"
+        )
+        assert rescan_reorged(spark, ingested, {"path": CHAIN}, depth=20).count() == 0
+        empty = ingested.where("block_number < 0")
+        assert rescan_reorged(spark, empty, {"path": CHAIN}).count() == 0
