@@ -45,6 +45,7 @@ __all__ = [
     "dup_clusters",
     "substring_duplicates",
     "delta_dup_pairs",
+    "duplicate_chunk_filter",
 ]
 
 NUM_HASHES = 16
@@ -725,5 +726,82 @@ def delta_dup_pairs(
             F.col("id_new").alias("new_id"),
             F.col("id_old").alias("old_id"),
             F.round("jaccard_sim", 6).alias("jaccard_sim"),
+        )
+    )
+
+
+def duplicate_chunk_filter(
+    df: DataFrame,
+    chunk_tokens: int = 3,
+    max_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/CCNet-style boilerplate removal: drop every non-overlapping
+    ``chunk_tokens``-token span whose exact text occurs >= ``max_count``
+    times ACROSS THE CORPUS, and reassemble each document from its surviving
+    spans.  (C4 removes any three-sentence span seen more than once; CCNet
+    drops duplicated paragraphs by hash — this is that operator with
+    token-window spans, which is what the newline-free synthetic corpus
+    has.)
+
+    Returns (doc_id, n_chunks, n_removed, kept_text); kept_text preserves
+    original span order and is ``''`` when everything was boilerplate.
+
+    Scale architecture — raw text never rides a wide shuffle:
+
+    1. chunking is a pure map-side array transform on the doc row (zero
+       shuffle, like chunk_documents);
+    2. the corpus-global frequency count shuffles only ``(doc_id, cidx,
+       md5)`` triples — 16-byte fingerprints, not text — and the boilerplate
+       set (count >= max_count) is the frequent TAIL, typically tiny
+       relative to the chunk vocabulary, so AQE turns the marking join into
+       a broadcast;
+    3. the per-doc removal verdict travels back as an int LIST keyed by
+       doc_id (one row per affected doc), and the final filter is again a
+       map-side array op (``F.filter`` by position) on the original doc row.
+
+    The one place document text crosses the wire is the doc_id equi-join of
+    step 3 — and only for docs that actually contain boilerplate; clean docs
+    take the left-join fast path untouched."""
+    toks = F.split(F.col(text_col), " ", -1)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(chunk_tokens) + 1, chunk_tokens), " "
+        ),
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"), chunk_arr.alias("chunks"))
+    sites = docs.select(
+        "doc_id", F.posexplode("chunks").alias("cidx", "chunk")
+    ).select("doc_id", "cidx", F.md5("chunk").alias("h"))
+    boiler = (
+        sites.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= max_count)
+        .select("h")
+    )
+    removed = (
+        sites.join(boiler, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("cidx")).alias("removed"))
+    )
+    return (
+        docs.join(removed, "doc_id", "left")
+        .withColumn(
+            "removed", F.coalesce("removed", F.array().cast("array<int>"))
+        )
+        .select(
+            "doc_id",
+            F.size("chunks").alias("n_chunks"),
+            F.size("removed").alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    F.col("chunks"),
+                    lambda ch, i: ~F.array_contains(F.col("removed"), i),
+                ),
+                " ",
+            ).alias("kept_text"),
         )
     )

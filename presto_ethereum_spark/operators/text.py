@@ -34,6 +34,8 @@ __all__ = [
     "bpe_train",
     "bpe_apply",
     "distribution_drift",
+    "quality_classifier_score",
+    "quality_classifier_weights",
     "importance_weights",
     "top_terms",
     "chunk_documents",
@@ -1004,3 +1006,68 @@ def distribution_drift(
         )
     )
     return out
+
+
+QUALITY_HASH_DIM = 64
+
+
+def quality_classifier_weights(dim: int = QUALITY_HASH_DIM) -> list[int]:
+    """Deterministic integer weight vector for the hashing-trick linear
+    scorer, in milli-units in [-500, 499]: ``w[i] = (i * 2654435761 + 40503)
+    % 1000 - 500`` (Knuth multiplicative mixing).  Pseudo-random but
+    data-independent and engine-reproducible — a SQL oracle regenerates the
+    identical table, so the classifier is exactly differentially testable.
+    In production the list would come from a trained model's coefficient
+    dump; the operator below is indifferent to where the ints come from."""
+    return [((i * 2654435761 + 40503) % 1000) - 500 for i in range(dim)]
+
+
+def quality_classifier_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = QUALITY_HASH_DIM,
+    weights: list[int] | None = None,
+):
+    """fastText-style document quality classifier: a linear model over
+    hashed bag-of-words features — the standard web-corpus quality gate
+    (e.g. the CCNet/LLaMA "looks like Wikipedia" filter), re-expressed as a
+    pure JVM column pipeline.
+
+    Feature index = first 32 md5 bits of the token, mod ``dim`` (the
+    hashing trick); score_e3 = SUM of integer milli-weights over tokens.
+    Integer accumulation makes the score associative-exact, so the result
+    is independent of partitioning and identical across engines — a float
+    dot product would drift under reordering.
+
+    Returns (doc_id, n_tokens, score_e3, is_quality) with
+    ``is_quality = score_e3 > 0``.
+
+    Scale: zero shuffle, zero UDF, zero join — the weight vector rides the
+    plan as a 64-element array literal (O(1) ``element_at`` per token) and
+    everything is one map-side projection inside WholeStageCodegen.  At
+    100 TB this runs at scan speed; a real model swap (say 2^18 buckets)
+    only grows the literal array."""
+    w = weights if weights is not None else quality_classifier_weights(dim)
+    if len(w) != dim:
+        raise ValueError(f"weights must have length dim={dim}, got {len(w)}")
+    warr = F.array(*[F.lit(int(x)).cast("bigint") for x in w])
+    toks = tokens(F.col(text_col))
+    feat = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+                % F.lit(dim)
+            ).cast("int")
+            + F.lit(1),
+        ),
+    )
+    score = F.aggregate(feat, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        score.alias("score_e3"),
+        (score > 0).alias("is_quality"),
+    )

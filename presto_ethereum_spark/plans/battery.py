@@ -1563,6 +1563,83 @@ def doc_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     return top_terms(t_spread(spark, sf, "documents"), k=25)
 
 
+def _quality_weight_values() -> str:
+    from presto_ethereum_spark.operators.text import quality_classifier_weights
+
+    return ", ".join(
+        f"({i}, {w})" for i, w in enumerate(quality_classifier_weights())
+    )
+
+
+@q(
+    "doc_quality_classifier",
+    f"""
+    WITH w(i, wt) AS (VALUES {_quality_weight_values()}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS i
+      FROM toks)
+    SELECT f.doc_id,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(sum(w.wt) AS BIGINT) AS score_e3,
+           CAST(sum(w.wt) AS BIGINT) > 0 AS is_quality
+    FROM feats f JOIN w USING (i)
+    GROUP BY f.doc_id
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed linear quality gate (text.py
+    quality_classifier_score): md5-hashed bag-of-words, mod-64 buckets, an
+    integer milli-weight dot product, threshold at 0.  Integer accumulation
+    keeps the score partition-order exact; the whole operator is one
+    map-side projection (weights are a 64-literal array, element_at per
+    token) — scan-speed at any corpus size."""
+    from presto_ethereum_spark.operators.text import quality_classifier_score
+
+    return quality_classifier_score(t_spread(spark, sf, "documents"))
+
+
+@q(
+    "doc_chunk_dedup_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(b AS INT) AS cidx,
+             array_to_string(list_slice(ts, b*3 + 1, b*3 + 3), ' ') AS chunk
+      FROM toks, range(0, 4096) r(b)
+      WHERE b*3 < len(ts)),
+    boiler AS (
+      SELECT md5(chunk) AS h FROM chunks
+      GROUP BY md5(chunk) HAVING count(*) >= 2),
+    marked AS (
+      SELECT c.doc_id, c.cidx, c.chunk, (b.h IS NOT NULL) AS dup
+      FROM chunks c LEFT JOIN boiler b ON md5(c.chunk) = b.h)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_chunks,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INT) AS n_removed,
+           coalesce(
+             string_agg(CASE WHEN NOT dup THEN chunk END, ' ' ORDER BY cidx),
+             '') AS kept_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def doc_chunk_dedup_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/CCNet-style boilerplate removal (dedup.py duplicate_chunk_filter):
+    drop every non-overlapping 3-token span occurring >= 2 times corpus-wide
+    and reassemble each document from the survivors.  Raw text never rides a
+    wide shuffle: the frequency count moves only 16-byte md5 fingerprints,
+    the removal verdict returns as a per-doc int list, and chunking/filtering
+    are map-side array transforms on the doc row."""
+    from presto_ethereum_spark.operators.dedup import duplicate_chunk_filter
+
+    return duplicate_chunk_filter(
+        t_spread(spark, sf, "documents"), chunk_tokens=3, max_count=2
+    )
+
+
 # -- dedup ------------------------------------------------------------------
 
 # DuckDB mirror of hash32 / affine minhash signature / band keys (dedup.py)

@@ -2422,3 +2422,97 @@ class TestDistributionDrift:
             )
         )
         assert a == b and len(a) > 0
+
+
+class TestDuplicateChunkFilter:
+    def test_hand_computed(self, spark):
+        # W=2 chunks: d0 -> ["a b","c d"], d1 -> ["a b","x y"], d2 -> ["q"]
+        # "a b" occurs twice -> removed from both docs
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="a b c d"),
+                Row(doc_id=1, text="a b x y"),
+                Row(doc_id=2, text="q"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.duplicate_chunk_filter(
+                df, chunk_tokens=2, max_count=2
+            ).collect()
+        }
+        assert (out[0]["n_chunks"], out[0]["n_removed"]) == (2, 1)
+        assert out[0]["kept_text"] == "c d"
+        assert out[1]["kept_text"] == "x y"
+        assert (out[2]["n_chunks"], out[2]["n_removed"]) == (1, 0)
+        assert out[2]["kept_text"] == "q"
+
+    def test_fully_boilerplate_doc_keeps_empty_text(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="a b"), Row(doc_id=1, text="a b")]
+        )
+        out = dedup.duplicate_chunk_filter(df, chunk_tokens=2, max_count=2)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[0]["kept_text"] == "" and rows[0]["n_removed"] == 1
+        assert rows[1]["kept_text"] == "" and rows[1]["n_removed"] == 1
+
+    def test_threshold_not_met_keeps_everything(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="a b"), Row(doc_id=1, text="a b")]
+        )
+        rows = dedup.duplicate_chunk_filter(
+            df, chunk_tokens=2, max_count=3
+        ).collect()
+        assert all(r["n_removed"] == 0 and r["kept_text"] == "a b" for r in rows)
+
+    def test_partial_tail_chunk(self, spark):
+        # 5 tokens, W=3 -> chunks "a b c" and "d e" (ceil coverage, no drop)
+        df = spark.createDataFrame([Row(doc_id=0, text="a b c d e")])
+        [r] = dedup.duplicate_chunk_filter(df, chunk_tokens=3).collect()
+        assert r["n_chunks"] == 2 and r["kept_text"] == "a b c d e"
+
+    def test_partitioning_invariance(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(
+            map(tuple, dedup.duplicate_chunk_filter(df).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                dedup.duplicate_chunk_filter(df.repartition(9)).collect(),
+            )
+        )
+        assert a == b and len(a) > 0
+
+
+class TestQualityClassifier:
+    def test_hand_computed_score(self, spark):
+        import hashlib
+
+        w = text.quality_classifier_weights()
+        df = spark.createDataFrame([Row(doc_id=0, text="hello world")])
+        [r] = text.quality_classifier_score(df).collect()
+        expect = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 64]
+            for t in ("hello", "world")
+        )
+        assert r["score_e3"] == expect
+        assert r["n_tokens"] == 2
+        assert r["is_quality"] == (expect > 0)
+
+    def test_score_is_token_order_invariant(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="x y z"), Row(doc_id=1, text="z y x")]
+        )
+        rows = text.quality_classifier_score(df).collect()
+        assert rows[0]["score_e3"] == rows[1]["score_e3"]
+
+    def test_weights_length_validated(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="a")])
+        with pytest.raises(ValueError):
+            text.quality_classifier_score(df, weights=[1, 2, 3])
+
+    def test_custom_weights_zero_give_zero_scores(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+        [r] = text.quality_classifier_score(df, weights=[0] * 64).collect()
+        assert r["score_e3"] == 0 and r["is_quality"] is False
