@@ -1065,9 +1065,13 @@ def quality_classifier_score(
         ),
     )
     score = F.aggregate(feat, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    return df.select(
+    # Two-stage projection so the fold is evaluated ONCE per row:
+    # is_quality references the score_e3 attribute, and CollapseProject
+    # keeps the stages separate because the fold is non-cheap (a same-level
+    # formulation duplicates the whole aggregate into both columns).
+    scored = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("n_tokens"),
         score.alias("score_e3"),
-        (score > 0).alias("is_quality"),
     )
+    return scored.withColumn("is_quality", F.col("score_e3") > 0)

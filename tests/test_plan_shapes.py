@@ -167,3 +167,27 @@ def test_ivf_materialized_serve_prunes_partitions(spark, tmp_path):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, fused.collect())
     )
+
+
+def test_quality_classifier_map_only(spark):
+    """The hashed linear scorer is a map-side projection: no hash/range
+    exchange anywhere (the one RoundRobin exchange is t_spread's
+    small-input fan-out, a no-op at real scale), and the expensive token
+    fold must appear exactly once per consuming projection level — a
+    same-level formulation duplicates the whole aggregate into both
+    score_e3 and is_quality."""
+    plan = _plan(spark, "doc_quality_classifier")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("aggregate(transform(split(") == 1
+
+
+def test_chunk_dedup_no_text_on_count_shuffle(spark):
+    """duplicate_chunk_filter's corpus-global frequency count must shuffle
+    md5 fingerprints only — the chunk/kept text columns may never appear in
+    an Exchange's output schema (raw text stays map-side until the final
+    doc_id join)."""
+    plan = _plan(spark, "doc_chunk_dedup_filter")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(h#" in line:
+            assert "chunk" not in line and "text" not in line
