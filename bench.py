@@ -64,6 +64,10 @@ HEADLINE = [
     "rel_market_share",
     "stream_trending_topk",
     "emb_ivf_recall_refined",
+    # round-5 additions: corpus-global boilerplate removal + hashed linear
+    # quality gate
+    "doc_chunk_dedup_filter",
+    "doc_quality_classifier",
 ]
 
 
