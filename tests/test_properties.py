@@ -500,3 +500,53 @@ def test_asof_tolerance_equals_postfiltered_asof(spark, lefts, rights, tol):
     for key, (rt, v) in plain.items():
         expect = (rt, v) if rt is not None and key[1] - rt <= tol else (None, None)
         assert with_tol[key] == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d".split()), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    w=st.integers(min_value=1, max_value=4),
+    t=st.integers(min_value=2, max_value=3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_filter_reconstruction_law(spark, docs, w, t):
+    """For every doc: ceil-coverage chunking (n_chunks == ceil(tokens/w)),
+    and re-interleaving kept spans with the independently recomputed
+    removed spans at their positions reconstructs the original text — i.e.
+    the operator removes exactly the corpus-frequent spans and nothing
+    else, preserving order."""
+    import math as m
+    from collections import Counter
+
+    from presto_ethereum_spark.operators.dedup import duplicate_chunk_filter
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_chunk_filter(df, chunk_tokens=w, max_count=t).collect()
+    }
+
+    def chunks(text):
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        ]
+
+    freq = Counter(c for _, d in rows for c in chunks(d))
+    for i, d in rows:
+        want_chunks = chunks(d)
+        kept = [c for c in want_chunks if freq[c] < t]
+        r = out[i]
+        assert r["n_chunks"] == m.ceil(len(d.split(" ")) / w)
+        assert r["n_removed"] == len(want_chunks) - len(kept)
+        assert r["kept_text"] == " ".join(kept)
