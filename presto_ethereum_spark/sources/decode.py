@@ -95,15 +95,61 @@ def h32_to_h20_col(col: Column) -> Column:
 def _hex_to_double_udf(s):  # type: ignore[no-untyped-def]
     """Arbitrary-precision hex -> double (EthereumERC20Utils.java:8-14).
 
-    Python ints parse unbounded hex natively; Spark's built-in ``conv`` caps
-    at 64 bits so this one column rides Arrow.  Vectorized per batch; the
-    only Python-side step in the scan pipeline.
+    Python ints parse unbounded hex natively; kept as the differential
+    REFERENCE for the JVM expression below (bit-identity property-tested)
+    and for callers that need Python's full int() lexical tolerance.
     """
     return s.map(hex_to_double)
 
 
-def hex_to_double_col(col: Column) -> Column:
+def hex_to_double_col_arrow(col: Column) -> Column:
+    """The Arrow/pandas-UDF decode path (reference implementation)."""
     return _hex_to_double_udf(col)
+
+
+def hex_to_double_col(col: Column) -> Column:
+    """Arbitrary-precision hex -> double, PURE JVM expressions — no Python
+    in the scan pipeline (measured: the pandas-UDF version roughly doubled
+    the erc20 aggregation's wall time; this keeps the whole decode inside
+    WholeStageCodegen).
+
+    Bit-exact to Python's ``float(int(h, 16))`` (EthereumERC20Utils.java's
+    BigInteger -> double narrowing) by the guard/sticky argument:
+
+    - strip the 2-char prefix, validate ``[0-9a-f]+``, strip leading zeros;
+    - HIGH = first 15 hex digits as BIGINT via ``conv`` (exact: < 2^60);
+      a leading nonzero digit makes HIGH >= 2^56, i.e. 57-60 significant
+      bits, so rounding HIGH to double's 53-bit mantissa drops >= 4 bits —
+      the round-guard bit lives strictly above bit 0;
+    - STICKY: if any remaining digit is nonzero, set bit 0 of HIGH (odd?
+      already set : +1).  Bit 0 is below the guard bit, so this changes
+      only the sticky contribution — exactly what the dropped low digits
+      contribute to correct rounding of the full integer;
+    - scale by ``pow(2, 4k)`` (k = dropped digit count): an exact power of
+      two, so the multiply shifts the exponent without re-rounding the
+      mantissa.  CAST(BIGINT AS DOUBLE) is round-half-even (JLS 5.1.2),
+      matching CPython exactly.
+
+    Values past double range overflow the pow to +inf — same as the
+    reference's BigInteger.doubleValue() and the Python fallback.  Parse
+    failures -> 0.0 (the ERC-721 id-in-data guard).  Deliberate divergence
+    from ``int()``'s lexical quirks (underscore separators, surrounding
+    whitespace, sign prefixes): those parse as 0.0 here — none are valid
+    JSON-RPC hex quantities."""
+    h = F.lower(F.substring(col, 3, 1 << 30))
+    t = F.regexp_replace(h, "^0+", "")
+    n = F.length(t)
+    high = F.conv(F.substring(t, 1, 15), 16, 10).cast("bigint")
+    k = F.greatest(n - 15, F.lit(0))
+    sticky = F.substring(t, 16, 1 << 30).rlike("[1-9a-f]")
+    high_adj = F.when(sticky & (high % 2 == 0), high + 1).otherwise(high)
+    return (
+        F.when(col.isNull() | ~h.rlike("^[0-9a-f]+$"), F.lit(0.0))
+        .when(n == 0, F.lit(0.0))
+        .otherwise(
+            high_adj.cast("double") * F.pow(F.lit(2.0), (k * 4).cast("double"))
+        )
+    )
 
 
 def hex_to_decimal_col(col: Column) -> Column:

@@ -550,3 +550,81 @@ def test_chunk_filter_reconstruction_law(spark, docs, w, t):
         assert r["n_chunks"] == m.ceil(len(d.split(" ")) / w)
         assert r["n_removed"] == len(want_chunks) - len(kept)
         assert r["kept_text"] == " ".join(kept)
+
+
+def test_hex_to_double_jvm_bit_identity_adversarial(spark):
+    """The pure-JVM hex->double decode (decode.hex_to_double_col) must be
+    BIT-identical to Python's float(int(h,16)) (constants.hex_to_double,
+    what the Arrow path ships to executors).  The generator targets the
+    guard/sticky boundary: V = ((m*2+1) << r) + s puts a 1 exactly in the
+    round-guard position with the sticky decided ONLY by the low tail —
+    the one place a naive truncate-to-64-bit conversion mis-rounds."""
+    import random
+    import struct
+
+    from presto_ethereum_spark.constants import hex_to_double
+    from presto_ethereum_spark.sources.decode import (
+        hex_to_double_col,
+        hex_to_double_col_arrow,
+    )
+
+    rng = random.Random(20260814)
+    cases = [
+        "0x", "0x0", "0x00", "0xff", None, "0x" + "f" * 64, "0x" + "0" * 64,
+        "0xdeadbeef", "0xDEADBEEF", "garbage", "0xzz", "", "0",
+        "0x1" + "0" * 63,
+    ]
+    for _ in range(1200):
+        m = rng.getrandbits(53)
+        r = rng.randint(1, 180)
+        s = rng.choice([0, 1, rng.getrandbits(max(r - 1, 1))])
+        cases.append("0x%x" % (((m * 2 + 1) << r) + s))
+    for _ in range(800):
+        nd = rng.randint(1, 68)
+        cases.append("0x" + "".join(rng.choice("0123456789abcdef") for _ in range(nd)))
+
+    df = spark.createDataFrame([(c,) for c in cases], "h string")
+    out = df.select(
+        "h",
+        hex_to_double_col(F.col("h")).alias("jvm"),
+        hex_to_double_col_arrow(F.col("h")).alias("arrow"),
+    ).collect()
+    for r in out:
+        want = struct.pack("d", hex_to_double(r["h"]))
+        assert struct.pack("d", r["jvm"]) == want, r["h"]
+        assert struct.pack("d", r["arrow"]) == want, r["h"]
+
+
+def test_hex_to_double_jvm_matches_arrow_on_fixture(spark):
+    """Fixture-wide: the JVM and Arrow decode paths agree bit-for-bit on
+    every ERC-20 value hex in the golden chain snapshot."""
+    from presto_ethereum_spark.sources.decode import hex_to_double_col_arrow
+    from presto_ethereum_spark.sources.fixture import EthereumFixtureSource
+
+    src = EthereumFixtureSource(spark, "fixtures/eth/chain_blocks.parquet")
+    chain = src.chain
+    logs = chain.select(F.explode("transactions").alias("t")).select(
+        F.explode("t.logs").alias("l")
+    )
+    both = logs.select(
+        F.col("l.data").alias("h")
+    ).select(
+        "h",
+        F.col("h").alias("h2"),
+    )
+    from presto_ethereum_spark.sources.decode import hex_to_double_col
+
+    diff = (
+        both.select(
+            hex_to_double_col(F.col("h")).alias("jvm"),
+            hex_to_double_col_arrow(F.col("h2")).alias("arrow"),
+        )
+        .where(
+            ~(
+                (F.col("jvm") == F.col("arrow"))
+                | (F.isnan("jvm") & F.isnan("arrow"))
+            )
+        )
+        .count()
+    )
+    assert diff == 0
