@@ -1678,6 +1678,26 @@ _DUCK_SHINGLED = """
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
 """
 
+# Inverted-index exact-Jaccard pair counts inside language blocks — the
+# oracle twin of operators/dedup.jaccard_pairs.  Result-identical to the
+# naive `langd a JOIN langd b` all-pairs formulation for any threshold > 0
+# (a pair with no shared shingle has J = 0 and can never pass), but the
+# join work is sum-over-shingles of df², not block-size²: the sf0.1 gate's
+# three pair-based oracles went from ~30 min each (2.5M list_intersect
+# calls) to seconds.  `inter` equals len(list_intersect(..)) exactly
+# (shingle lists are list_distinct'ed), so every downstream jaccard double
+# is bit-identical to the old formulation's.
+_DUCK_JACCARD_IPAIRS = """
+    ex AS (
+      SELECT s.doc_id, d.lang, len(s.shingles) AS sz, unnest(s.shingles) AS sh
+      FROM shingled s JOIN documents d USING (doc_id)),
+    ipairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
+"""
+
 
 @q(
     "doc_minhash_lsh_pairs",
@@ -1796,17 +1816,11 @@ def doc_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     "doc_ngram_jaccard_block",
     f"""
     WITH {_DUCK_SHINGLED},
-    langd AS (SELECT doc_id, lang FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                 / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6)
-               AS jaccard_sim
-    FROM langd a JOIN langd b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    JOIN shingled sa ON sa.doc_id = a.doc_id
-    JOIN shingled sb ON sb.doc_id = b.doc_id
-    WHERE len(sa.shingles) + len(sb.shingles) > 0
-      AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-          / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
+    {_DUCK_JACCARD_IPAIRS}
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sz_a + sz_b - inter), 6) AS jaccard_sim
+    FROM ipairs
+    WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2
     """,
 )
 def doc_ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
@@ -1823,15 +1837,10 @@ def doc_ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
     "doc_dup_clusters",
     f"""
     WITH RECURSIVE {_DUCK_SHINGLED},
-    langd AS (SELECT doc_id, lang FROM documents),
+    {_DUCK_JACCARD_IPAIRS},
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM langd a JOIN langd b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      JOIN shingled sa ON sa.doc_id = a.doc_id
-      JOIN shingled sb ON sb.doc_id = b.doc_id
-      WHERE len(sa.shingles) + len(sb.shingles) > 0
-        AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2),
+      SELECT id_a, id_b FROM ipairs
+      WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach(id, root) AS (
@@ -3861,15 +3870,10 @@ def doc_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     "doc_dedup_keepers",
     f"""
     WITH RECURSIVE {_DUCK_SHINGLED},
-    langd AS (SELECT doc_id, lang FROM documents),
+    {_DUCK_JACCARD_IPAIRS},
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM langd a JOIN langd b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      JOIN shingled sa ON sa.doc_id = a.doc_id
-      JOIN shingled sb ON sb.doc_id = b.doc_id
-      WHERE len(sa.shingles) + len(sb.shingles) > 0
-        AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-            / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2),
+      SELECT id_a, id_b FROM ipairs
+      WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2),
     edges AS (SELECT id_a AS s, id_b AS d FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     reach(id, root) AS (
