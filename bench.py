@@ -68,12 +68,24 @@ HEADLINE = [
     # quality gate
     "doc_chunk_dedup_filter",
     "doc_quality_classifier",
+    # round-5 additions: pigeonhole fuzzy linkage + mergeable HLL rollup
+    "doc_fuzzy_hamming_pairs",
+    "rel_hll_partial_merge",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # local[32] runs every "executor" thread inside the ONE driver JVM; the
+    # 8g default heap that is fine for unit tests turns the 37-query bench
+    # session into a GC storm (measured: repeat-to-repeat spreads of 0.7 s
+    # -> 5.5 s on the same query once the heavy graph/stream entries
+    # joined the headline set).  48g on the 128 GiB box keeps full-session
+    # old-gen occupancy far from the collector's trigger; on a real
+    # cluster driver memory is a submit-time setting and this default is
+    # inert (executors hold the data).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = battery.queries()

@@ -41,6 +41,9 @@ __all__ = [
     "simhash_candidates",
     "simhash_dedup_pairs",
     "jaccard_pairs",
+    "fuzzy_prefix_key",
+    "hamming_fixed",
+    "fuzzy_hamming_pairs",
     "connected_components",
     "dup_clusters",
     "substring_duplicates",
@@ -432,6 +435,114 @@ def winnow_overlap_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+FUZZY_KEY_WIDTH = 24
+FUZZY_SEGMENTS = 4
+
+
+def fuzzy_prefix_key(text: Column, width: int = FUZZY_KEY_WIDTH) -> Column:
+    """Fixed-width normalized key for character-level fuzzy matching:
+    lowercase, collapse runs of [ \\t\\n\\r] to one space (the explicit
+    class — Java's ``\\s`` and RE2's ``\\s`` disagree on \\x0B, and the
+    DuckDB oracle runs RE2), take the first ``width`` characters, pad with
+    ``#`` so every key is exactly ``width`` chars and Hamming distance is
+    defined."""
+    norm = F.regexp_replace(F.lower(text), "[ \t\n\r]+", " ")
+    return F.rpad(F.substring(norm, 1, width), width, "#")
+
+
+def hamming_fixed(a: str, b: str, width: int = FUZZY_KEY_WIDTH) -> Column:
+    """Character Hamming distance between two equal-width string columns
+    (named columns ``a``/``b`` in scope) as a pure-JVM expression — a
+    higher-order filter over positions, no UDF."""
+    return F.expr(
+        f"size(filter(sequence(1, {int(width)}),"
+        f" i -> substring({a}, i, 1) <> substring({b}, i, 1)))"
+    )
+
+
+def fuzzy_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocking_cols: list[str] | None = None,
+    width: int = FUZZY_KEY_WIDTH,
+    segments: int = FUZZY_SEGMENTS,
+) -> DataFrame:
+    """Record-linkage pairs whose normalized fixed-width prefix keys are
+    within ``max_hamming`` character substitutions (id_a < id_b), found by
+    LOSSLESS pigeonhole blocking: split each key into ``segments`` equal
+    chunks — any pair at Hamming distance <= ``segments - 1`` must agree
+    EXACTLY on at least one chunk (pigeonhole over mismatch positions), so
+    an inverted index on (chunk_idx, chunk_value, blocking cols) generates
+    a candidate superset and the cheap JVM Hamming verify keeps exactly the
+    true pairs.  Requires ``max_hamming < segments`` or the blocking would
+    drop pairs.
+
+    Scale: the shuffle carries (chunk, id) — ``segments`` small strings per
+    doc, never text pairs; pair work is sum over chunk-buckets of C(n,2),
+    i.e. proportional to docs that actually collide on a chunk.  The skew
+    risk is a corpus-frequent prefix chunk (every doc starting "the ...");
+    AQE skew-join splitting absorbs moderate cases, and a corpus with a
+    dominant boilerplate prefix should strip it upstream
+    (duplicate_chunk_filter) as a semantic choice — this operator never
+    silently drops a bucket."""
+    if max_hamming >= segments:
+        raise ValueError(
+            f"pigeonhole blocking needs max_hamming < segments "
+            f"(got {max_hamming} >= {segments}): with only {segments} chunks, "
+            f"{max_hamming} substitutions can touch every chunk"
+        )
+    if width % segments:
+        raise ValueError(f"width {width} must divide into {segments} segments")
+    seg_w = width // segments
+    blocks = list(blocking_cols or [])
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        fuzzy_prefix_key(F.col(text_col), width).alias("key"),
+        *[F.col(c) for c in blocks],
+    )
+    segs = keyed.select(
+        "id",
+        "key",
+        *blocks,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg_idx"),
+                        F.substring("key", s * seg_w + 1, seg_w).alias("seg"),
+                    )
+                    for s in range(segments)
+                ]
+            )
+        ).alias("sg"),
+    ).select("id", "key", *blocks, "sg.seg_idx", "sg.seg")
+    a, b = segs.alias("a"), segs.alias("b")
+    cond = (
+        (F.col("a.seg_idx") == F.col("b.seg_idx"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("ham", hamming_fixed("key_a", "key_b", width))
+        .where(F.col("ham") <= max_hamming)
+        .select("id_a", "id_b", "ham")
     )
 
 

@@ -89,6 +89,118 @@ class TestSimhash:
         assert (0, 1) in pairs
 
 
+class TestFuzzyHamming:
+    def _py_key(self, s, width=24):
+        import re
+
+        norm = re.sub(r"[ \t\n\r]+", " ", s.lower())[:width]
+        return norm + "#" * (width - len(norm))
+
+    def test_hand_computed_pairs(self, spark):
+        base = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            Row(doc_id=0, text=base),
+            # same 24-char key after case/whitespace normalization (text
+            # long enough that padding never enters the key)
+            Row(doc_id=1, text="ALPHA  beta\tgamma delta  epsilon"),
+            Row(doc_id=2, text="alphX betY gamma delta epsilon"),  # subs at 5, 10
+            Row(doc_id=3, text="totally different content here"),
+            Row(doc_id=4, text="alpXa beXa gaXma delta epsilon"),  # subs at 4, 9, 14
+        ]
+        d = spark.createDataFrame(rows)
+        got = {
+            (r["id_a"], r["id_b"]): r["ham"]
+            for r in dedup.fuzzy_hamming_pairs(d, max_hamming=3).collect()
+        }
+        assert got[(0, 1)] == 0
+        assert got[(0, 2)] == 2
+        assert got[(0, 4)] == 3
+        assert not any(3 in p for p in got)
+
+    def test_lossless_vs_brute_force(self, spark):
+        """Pigeonhole blocking finds EXACTLY the brute-force pair set on a
+        corpus engineered to stress chunk boundaries (substitutions spread
+        across all four 6-char segments)."""
+        import itertools
+        import random
+
+        rng = random.Random(42)
+        alpha = "abcdef"
+        base = [rng.choice(alpha) for _ in range(24)]
+        texts = []
+        for i in range(60):
+            s = list(base)
+            for _ in range(rng.randint(0, 5)):
+                s[rng.randrange(24)] = rng.choice(alpha)
+            texts.append("".join(s))
+        d = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["ham"]
+            for r in dedup.fuzzy_hamming_pairs(d, max_hamming=3).collect()
+        }
+        keys = [self._py_key(t) for t in texts]
+        want = {}
+        for i, j in itertools.combinations(range(60), 2):
+            h = sum(a != b for a, b in zip(keys[i], keys[j]))
+            if h <= 3:
+                want[(i, j)] = h
+        assert got == want
+
+    def test_short_and_empty_docs_pad_deterministically(self, spark):
+        d = spark.createDataFrame(
+            [Row(doc_id=0, text=""), Row(doc_id=1, text="   "), Row(doc_id=2, text="ab")]
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["ham"]
+            for r in dedup.fuzzy_hamming_pairs(d, max_hamming=3).collect()
+        }
+        # "" -> 24 pads; "   " -> " " + 23 pads (ham 1 vs empty);
+        # "ab" + 22 pads: 2 subs vs empty, and vs " " differs at pos 1
+        # (' '/'a') and pos 2 ('#'/'b') -> 2
+        assert got[(0, 1)] == 1
+        assert got[(0, 2)] == 2
+        assert got[(1, 2)] == 2
+
+    def test_blocking_respects_blocking_cols(self, spark):
+        d = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="same text", lang="en"),
+                Row(doc_id=1, text="same text", lang="de"),
+                Row(doc_id=2, text="same text", lang="en"),
+            ]
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.fuzzy_hamming_pairs(
+                d, max_hamming=3, blocking_cols=["lang"]
+            ).collect()
+        }
+        assert got == {(0, 2)}
+
+    def test_unsound_parameters_rejected(self):
+        # both guards fire before the DataFrame is touched
+        with pytest.raises(ValueError, match="pigeonhole"):
+            dedup.fuzzy_hamming_pairs(None, max_hamming=4, segments=4)
+        with pytest.raises(ValueError, match="divide"):
+            dedup.fuzzy_hamming_pairs(None, max_hamming=3, width=25, segments=4)
+
+
+class TestHllPartialMerge:
+    def test_two_level_rollup_verdict(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        rows = battery.queries()["rel_hll_partial_merge"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows, "empty result"
+        for r in rows:
+            assert r["hll_ok"] == 1, r
+            assert r["n_partials"] >= 1
+            assert r["exact_custs"] >= 1
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
