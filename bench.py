@@ -7,11 +7,17 @@ Each query is forced end-to-end with the noop sink (full computation, no
 driver collect overhead).  The flagship metric is total wall seconds across
 the headline set.
 
-Timing methodology: each query runs REPEATS (default 3) times in-session and
-the reported number is the MEDIAN, with per-query min/max spread recorded
-under "spread".  Single-run sub-second samples on a 32-thread local JVM move
-±30% from scheduler/JIT jitter alone; the median keeps real regressions from
-hiding in (or being invented by) that band.
+Timing methodology: each query runs REPEATS (default 3; 7 for the
+iterative/stateful subset) times in-session and the reported number is the
+MEDIAN, with per-query min/max spread recorded under "spread".  Single-run
+sub-second samples on a 32-thread local JVM move ±30% from scheduler/JIT
+jitter alone; the median keeps real regressions from hiding in (or being
+invented by) that band.
+
+Output contract: the LAST stdout line is the compact parseable record
+(metric/value/unit/queries/repeats/sf, no spread map) sized to survive the
+driver's finite stdout tail capture; the full detail including spreads is
+printed on an earlier line AND written to BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
@@ -122,33 +128,57 @@ def main() -> None:
     battery._IVF_CODEBOOKS[("pq", sf_dir)] = seeds[:4]
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Iterative / stateful / micro-batch entries carry multi-job session
+    # state (shuffle-service reuse, streaming state stores) that makes a
+    # 3-sample median unstable (r5: driver vs idle-box medians disagreed
+    # >2x on pagerank/funnel; stream_trending_topk spread 3.5x in-run).
+    # Give that subset more samples so its median converges.
+    ITERATIVE = {
+        "eth_tx_pagerank",
+        "eth_tx_pagerank_weighted",
+        "eth_tx_hits",
+        "rel_funnel_steps",
+        "stream_trending_topk",
+        "emb_ivf_recall_refined",
+    }
+    iter_repeats = max(repeats, int(os.environ.get("SPARK_GRAFT_BENCH_ITER_REPEATS", "7")))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    import statistics
+
     for name in HEADLINE:
+        n = iter_repeats if name in ITERATIVE else repeats
         samples: list[float] = []
-        for _ in range(repeats):
+        for _ in range(n):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(round(time.perf_counter() - t0, 3))
         samples.sort()
-        import statistics
-
         times[name] = round(statistics.median(samples), 3)
         spread[name] = [samples[0], samples[-1]]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "repeats": repeats,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "repeats": repeats,
+        "iter_repeats": iter_repeats,
+        "sf": sf,
+    }
+    # Full detail (incl. per-query spread) goes to a FILE and an early
+    # stdout line; the driver's stdout tail capture is finite and r5's
+    # 37-query single line outgrew it ("parsed: null" — the round shipped
+    # without its headline number).  The LAST stdout line is therefore the
+    # complete parseable record WITHOUT the spread map (~1.4 KB at 41
+    # queries, well inside the tail window); spreads live in the file.
+    out_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    out_path.write_text(json.dumps(detail, indent=1) + "\n")
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    compact = {k: v for k, v in detail.items() if k != "spread"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

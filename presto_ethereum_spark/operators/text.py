@@ -664,10 +664,18 @@ def bigram_fluency(
     ln() last-bits do not (the same determinism trade as
     ``importance_weights``).
 
-    Returns ``(doc_id, n_bigrams, fluency_score, avg_prob)``;
-    ``avg_prob`` = score / n_bigrams / scale (round 6).  Documents with
-    fewer than two tokens keep ``n_bigrams = 0`` and NULL scores — absence
-    of evidence is not a fluency verdict.
+    Returns ``(doc_id, n_bigrams, fluency_score, avg_prob_e6)``;
+    ``avg_prob_e6`` = round-half-up(score / n_bigrams) as BIGINT — the
+    mean per-position probability in micro-units (divide by ``scale`` to
+    read it as a probability).  Computed entirely in integer space,
+    ``(2*score + n) DIV (2*n)``, because the earlier
+    ``round(score/n/1e6, 6)`` double formulation diverged between engines
+    whenever the quotient landed on a decimal tie (score=442127, n=14 →
+    31580.5: Spark's ``round`` half-ups the shortest decimal repr, DuckDB
+    rounds the true binary value).  Integer half-up has one right answer
+    in every engine — the same determinism trade as ``fluency_score``
+    itself.  Documents with fewer than two tokens keep ``n_bigrams = 0``
+    and NULL scores — absence of evidence is not a fluency verdict.
 
     Plan at scale: bigram build is a narrow codegen transform (no
     shuffle); THREE hash shuffles total — bigram-count aggregation
@@ -715,12 +723,9 @@ def bigram_fluency(
             "doc_id",
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             "fluency_score",
-            F.round(
-                F.col("fluency_score").cast("double")
-                / F.col("n_bigrams")
-                / F.lit(float(scale)),
-                6,
-            ).alias("avg_prob"),
+            F.expr(
+                "(2 * fluency_score + n_bigrams) DIV (2 * n_bigrams)"
+            ).alias("avg_prob_e6"),
         )
     )
 

@@ -6084,8 +6084,8 @@ def doc_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     SELECT d.doc_id,
            CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            sc.fluency_score,
-           round(CAST(sc.fluency_score AS DOUBLE) / sc.n_bigrams / 1000000.0, 6)
-             AS avg_prob
+           (2 * sc.fluency_score + sc.n_bigrams) // (2 * sc.n_bigrams)
+             AS avg_prob_e6
     FROM d LEFT JOIN sc USING (doc_id)
     """,
 )
@@ -6093,7 +6093,10 @@ def doc_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-self-trained bigram-LM quality score (operators/text.
     bigram_fluency) — the CCNet-style fluency filter with integer-exact
     smoothed conditional-frequency sums instead of log-probabilities, so
-    both engines agree bit-for-bit."""
+    both engines agree bit-for-bit.  ``avg_prob_e6`` is the per-position
+    mean in integer micro-units (round-half-up, computed as
+    ``(2*score + n) DIV (2*n)``) — the r5 sf0.1 gate failure was this
+    column as ``round(double, 6)`` landing on a decimal tie."""
     from presto_ethereum_spark.operators.text import bigram_fluency
 
     return bigram_fluency(t_spread(spark, sf, "documents"))

@@ -1939,7 +1939,24 @@ class TestBigramFluency:
         assert out[2]["fluency_score"] == 571428
         assert out[3]["n_bigrams"] == 0 and out[3]["fluency_score"] is None
         assert out[4]["fluency_score"] == 400000
-        assert out[2]["avg_prob"] == 0.571428
+        assert out[2]["avg_prob_e6"] == 571428
+        # 1542856 / 3 = 514285.33… -> half-up 514285
+        assert out[1]["avg_prob_e6"] == 514285
+        assert out[3]["avg_prob_e6"] is None
+
+    def test_avg_prob_half_up_tie(self, spark):
+        # the r5 sf0.1 divergence class: score/n landing exactly on .5
+        # must round half-up identically in Spark and DuckDB. 442127/14
+        # = 31580.5 exactly (the real failing doc's numbers).
+        import duckdb
+
+        expr = spark.sql(
+            "SELECT (2 * 442127 + 14) DIV (2 * 14) AS e6"
+        ).collect()[0]["e6"]
+        oracle = duckdb.sql(
+            "SELECT (2 * 442127 + 14) // (2 * 14) AS e6"
+        ).fetchone()[0]
+        assert expr == oracle == 31581
 
     def test_partitioning_invariance(self, spark):
         from presto_ethereum_spark.operators.text import bigram_fluency
