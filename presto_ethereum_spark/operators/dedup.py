@@ -208,6 +208,38 @@ def minhash_candidates(
     )
 
 
+def round6_ratio(num: Column, den: Column) -> Column:
+    """Engine-portable round-half-up of ``num/den`` at 6 decimals, DOUBLE.
+
+    ``round(double, 6)`` is NOT portable: Spark half-ups the shortest
+    decimal repr while DuckDB rounds the scaled binary value, and an
+    integer ratio whose exact expansion ties at digit 7 (denominator
+    2^7*5^j, e.g. 1/640 = 0.0015625) can go either way depending on how
+    the ``x*1e6`` double multiply rounds — the class that produced the
+    round-5 ``doc_bigram_fluency`` sf0.1 wrong answer.  Computing the
+    micro-unit value in integer space, ``(2*num*1e6 + den) DIV (2*den)``,
+    has one right answer in every engine; dividing the exact BIGINT by
+    1e6 then yields the identical nearest double everywhere.
+
+    DuckDB oracle equivalent:
+    ``CAST((2*num*1000000 + den) // (2*den) AS DOUBLE) / 1000000``.
+    """
+    return roundN_ratio(num, den, 6)
+
+
+def roundN_ratio(num: Column, den: Column, digits: int) -> Column:
+    """``round6_ratio`` at an arbitrary decimal scale.  Keep
+    ``2 * num * 10^digits`` under 2^53 at the call site (ratio numerators
+    here are counts ≤ ~1e6 at digits ≤ 9 — comfortably inside)."""
+    p = 10**digits
+    a = num.cast("long") * F.lit(2 * p).cast("long") + den.cast("long")
+    b = den.cast("long") * F.lit(2).cast("long")
+    # exact integer division via (a - a%b)/b: the numerator is an exact
+    # multiple of b, so the double divide is error-free (values << 2^53)
+    eN = ((a - a % b) / b).cast("long")
+    return eN / F.lit(float(p))
+
+
 def jaccard_from_shingles(sa: Column, sb: Column) -> Column:
     """Exact Jaccard from two pre-staged distinct shingle arrays.  Pair
     pipelines MUST use this over materialized arrays: computing shingles
@@ -245,9 +277,14 @@ def minhash_dedup_pairs(
     return (
         cand.join(shingled.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(shingled.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn("jaccard_sim", jaccard_from_shingles(F.col("sh_a"), F.col("sh_b")))
-        .where(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .where((F.col("inter") / F.col("uni")) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            round6_ratio(F.col("inter"), F.col("uni")).alias("jaccard_sim"),
+        )
     )
 
 
@@ -397,11 +434,15 @@ def jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     # same exact-integer division as jaccard_from_shingles -> same double
-    j = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
-        inter.withColumn("jaccard_sim", j)
-        .where(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+        inter.withColumn("uni", uni)
+        .where((F.col("inter") / F.col("uni")) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            round6_ratio(F.col("inter"), F.col("uni")).alias("jaccard_sim"),
+        )
     )
 
 
@@ -773,9 +814,12 @@ def substring_duplicates(
             "doc_id",
             "n_windows",
             F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
-            F.when(F.col("n_windows") > 0,
-                   F.round(F.coalesce("n_dup_windows", F.lit(0))
-                           / F.col("n_windows"), 6))
+            F.when(
+                F.col("n_windows") > 0,
+                round6_ratio(
+                    F.coalesce("n_dup_windows", F.lit(0)), F.col("n_windows")
+                ),
+            )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
         )
@@ -829,14 +873,15 @@ def delta_dup_pairs(
     return (
         cand.join(_shingles(new, "new"), "id_new")
         .join(_shingles(old, "old"), "id_old")
+        .withColumn("inter", F.size(F.array_intersect("sh_new", "sh_old")))
         .withColumn(
-            "jaccard_sim", jaccard_from_shingles(F.col("sh_new"), F.col("sh_old"))
+            "uni", F.size("sh_new") + F.size("sh_old") - F.col("inter")
         )
-        .where(F.col("jaccard_sim") >= threshold)
+        .where((F.col("inter") / F.col("uni")) >= threshold)
         .select(
             F.col("id_new").alias("new_id"),
             F.col("id_old").alias("old_id"),
-            F.round("jaccard_sim", 6).alias("jaccard_sim"),
+            round6_ratio(F.col("inter"), F.col("uni")).alias("jaccard_sim"),
         )
     )
 

@@ -126,7 +126,15 @@ def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite heuristic in [0, 1]: rewards mid-length documents with low
     punctuation/digit noise, plausible word lengths, and some stopword mass
-    (the classic cheap pre-filters in front of LLM training pipelines)."""
+    (the classic cheap pre-filters in front of LLM training pipelines).
+
+    Returned UNROUNDED: the formula is pure rational arithmetic (integer
+    counts, ratios, fixed weights — no transcendentals), evaluated in the
+    same left-to-right IEEE order the oracle mirrors, so the double is
+    bit-identical across engines as-is.  A ``round(raw, 6)`` here would
+    *introduce* the only possible divergence (the shortest-repr-vs-binary
+    tie class; see ROUNDING_AUDIT.md) — component denominators like
+    n_chars = 640 can make the exact value tie at the 7th decimal."""
     length_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
     word_len = avg_token_len(text)
     word_len_score = F.when((word_len >= 3) & (word_len <= 10), F.lit(1.0)).otherwise(
@@ -140,7 +148,7 @@ def quality_score(text: Column) -> Column:
         + 0.2 * sw_score
         + 0.2 * (1 - F.least(noise_penalty * 3, F.lit(1.0)))
     )
-    return F.round(raw, 6)
+    return raw
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -502,9 +510,15 @@ def rrf_fuse(
     contain d — the standard score-free way to combine retrieval systems
     (BM25 + dense ANN, or several query formulations) for corpus selection.
 
-    Deterministic: only integer ranks enter the arithmetic, so each term is
-    an exact double quotient and the left-to-right sum is reproducible on
-    any engine; final ties break by id.
+    Deterministic: each term is the exact integer ``10^12 DIV (rrf_k +
+    rank)`` (pico-units) and the fused score is their BIGINT sum; the
+    reported ``rrf`` double is that integer divided by 1e12 — identical
+    nearest double on every engine, with no ``round(double)`` anywhere
+    (the portable-rounding rule the jaccard family follows via
+    ``round6_ratio``).  The floor-per-term value differs from the true
+    1/(rrf_k+rank) sum by < 2e-12 while adjacent distinct true scores
+    differ by >= 1/(rrf_k+max_rank)^2 ~ 4e-5, so the fused ORDER is the
+    textbook RRF order exactly; final ties break by id.
 
     Scale: each input is already a top-k list (k*|queries| rows, tiny), so
     the full outer joins and the fused top-k are driver-trivial; the heavy
@@ -522,11 +536,13 @@ def rrf_fuse(
     for i in range(1, len(sides)):
         joined = joined.join(sides[i], idc == F.col(f"_id{i}"), "full")
         idc = F.coalesce(idc, F.col(f"_id{i}"))
+    e12 = F.lit(1_000_000_000_000).cast("long")
     score = None
     for i in range(len(sides)):
-        term = F.coalesce(
-            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"_r{i}")), F.lit(0.0)
-        )
+        den = (F.lit(rrf_k) + F.col(f"_r{i}")).cast("long")
+        # exact 10^12 DIV den: numerator is an exact multiple of den, so
+        # the double divide is error-free (both operands << 2^53)
+        term = F.coalesce(((e12 - e12 % den) / den).cast("long"), F.lit(0))
         score = term if score is None else score + term
     w = Window.orderBy(F.desc("_s"), F.col(id_col))
     return (
@@ -534,7 +550,9 @@ def rrf_fuse(
         .withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= k)
         .select(
-            F.col(id_col), F.round("_s", 6).alias("rrf"), F.col(rank_col)
+            F.col(id_col),
+            (F.col("_s") / F.lit(1.0e12)).alias("rrf"),
+            F.col(rank_col),
         )
     )
 
@@ -598,8 +616,12 @@ def importance_weights(
     reproducible across engines — floor-divided BIGINTs have one right
     answer, log-sums do not.
 
-    Returns ``(doc_id, n_tokens, importance_score, avg_ratio)`` where
-    ``avg_ratio`` = score / n_tokens / scale (round 6).
+    Returns ``(doc_id, n_tokens, importance_score, avg_ratio_e6)`` where
+    ``avg_ratio_e6`` = round-half-up(score / n_tokens) as BIGINT — the
+    mean per-token ratio in micro-units, computed in integer space
+    (``(2*score + n) DIV (2*n)``) for the same reason as
+    ``bigram_fluency``: ``round(score/n/scale, 6)`` on doubles diverges
+    between engines when the quotient lands on a decimal tie.
 
     Plan: two shuffles — token-stats aggregation (map-side partial
     combine over the exploded stream), then the positions-to-stats join
@@ -628,12 +650,9 @@ def importance_weights(
             "doc_id",
             "n_tokens",
             "importance_score",
-            F.round(
-                F.col("importance_score").cast("double")
-                / F.col("n_tokens")
-                / F.lit(float(scale)),
-                6,
-            ).alias("avg_ratio"),
+            F.expr(
+                "(2 * importance_score + n_tokens) DIV (2 * n_tokens)"
+            ).alias("avg_ratio_e6"),
         )
     )
 

@@ -130,8 +130,13 @@ def t_spread(
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
+                AS DOUBLE)                                              AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)
+                AS DOUBLE)                                              AS sum_charge,
            CAST(sum(CAST(l_quantity      AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_price,
            CAST(sum(CAST(l_discount      AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS avg_disc,
@@ -144,17 +149,27 @@ def t_spread(
 def rel_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter + hash agg.  Partial aggregation is
     map-side (6 groups), so the shuffle carries ~#partitions*6 rows — scale
-    invariant.  Filter + 7-column projection push to the parquet scan."""
+    invariant.  Filter + 7-column projection push to the parquet scan.
+
+    sum_disc_price/sum_charge accumulate in DECIMAL and round in DECIMAL
+    before the double cast: their exact values have scale 4/6, so a
+    double-space round(,2) can land on a decimal tie (x.xx50…) where
+    Spark (shortest-repr half-up) and other engines (binary-value round)
+    disagree — the doc_bigram_fluency failure class.  sum_qty (integer
+    quantities) and sum_base_price (scale-2 prices) cannot tie at digit 3
+    and stay on the cheaper double path."""
     li = t(spark, sf, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = price_d * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+    charge_d = disc_d * (F.lit(1) + F.col("l_tax").cast("decimal(12,2)"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(disc_d), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge_d), 2).cast("double").alias("sum_charge"),
             # avgs of decimal-valued data: exact decimal sum / count —
             # order-independent, no rounding-tie risk (money-like values make
             # round(avg) land exactly on rounding boundaries).
@@ -170,7 +185,7 @@ def rel_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "rel_top_customers",
     """
     SELECT c_custkey, c_name,
-           round(sum(o_totalprice), 2) AS total_spent,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent,
            count(*) AS n_orders
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -187,7 +202,9 @@ def rel_top_customers(spark: SparkSession, sf: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_spent"),
             F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("total_spent"), "c_custkey")
@@ -199,7 +216,7 @@ def rel_top_customers(spark: SparkSession, sf: str) -> DataFrame:
     "rel_regional_revenue",
     """
     SELECT r_name,
-           round(sum(o_totalprice), 2) AS revenue,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
            count(DISTINCT c_custkey)   AS n_customers,
            count(*)                    AS n_orders
     FROM region
@@ -221,7 +238,9 @@ def rel_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
         )
@@ -390,9 +409,11 @@ def rel_window_topn(spark: SparkSession, sf: str) -> DataFrame:
     "rel_window_running",
     """
     SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS cum_spend
     FROM orders
     """,
 )
@@ -408,7 +429,9 @@ def rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
+        .cast("double")
+        .alias("cum_spend"),
     )
 
 
@@ -416,7 +439,7 @@ def rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
     "rel_rollup_revenue",
     """
     SELECT r_name, n_name, count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS acctbal_sum
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS acctbal_sum
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -432,7 +455,9 @@ def rel_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("acctbal_sum"),
         )
     )
 
@@ -441,7 +466,7 @@ def rel_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "rel_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -450,7 +475,9 @@ def rel_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 
@@ -1508,10 +1535,10 @@ def _doc_quality_oracle() -> str:
       FROM base),
     final AS (
       SELECT doc_id, n_chars, n_tokens_regex,
-             round(0.35 * least(n_chars / 500.0, 1.0)
+             0.35 * least(n_chars / 500.0, 1.0)
                  + 0.25 * (CASE WHEN atl >= 3 AND atl <= 10 THEN 1.0 ELSE 0.3 END)
                  + 0.2 * least(swr * 4, 1.0)
-                 + 0.2 * (1 - least((pr + dr) * 3, 1.0)), 6) AS quality,
+                 + 0.2 * (1 - least((pr + dr) * 3, 1.0)) AS quality,
              {best} AS best,
              {", ".join("s_" + lang for lang in langs)}
       FROM scored)
@@ -1709,14 +1736,17 @@ _DUCK_JACCARD_IPAIRS = """
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
     SELECT id_a, id_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                 / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 6)
+           CAST((2 * inter * 1000000 + uni) // (2 * uni) AS DOUBLE) / 1000000
                AS jaccard_sim
-    FROM cand
-    JOIN shingled sa ON sa.doc_id = id_a
-    JOIN shingled sb ON sb.doc_id = id_b
-    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-          / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.3
+    FROM (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = id_a
+      JOIN shingled sb ON sb.doc_id = id_b)
+    WHERE inter::DOUBLE / uni >= 0.3
     """,
 )
 def doc_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1851,7 +1881,9 @@ def doc_fuzzy_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     WITH {_DUCK_SHINGLED},
     {_DUCK_JACCARD_IPAIRS}
     SELECT id_a, id_b,
-           round(inter::DOUBLE / (sz_a + sz_b - inter), 6) AS jaccard_sim
+           CAST((2 * inter * 1000000 + (sz_a + sz_b - inter))
+                // (2 * (sz_a + sz_b - inter)) AS DOUBLE) / 1000000
+               AS jaccard_sim
     FROM ipairs
     WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2
     """,
@@ -3349,12 +3381,11 @@ _RRF_TERMS_B = ("table", "scan", "filter")
     b AS ({_duck_bm25_sql(_RRF_TERMS_B, 100)}),
     fused AS (
       SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-             coalesce(CAST(1 AS DOUBLE) / (60 + a.rank), CAST(0 AS DOUBLE))
-               + coalesce(CAST(1 AS DOUBLE) / (60 + b.rank), CAST(0 AS DOUBLE))
-                 AS s_raw
+             coalesce(1000000000000 // (60 + a.rank), 0)
+               + coalesce(1000000000000 // (60 + b.rank), 0) AS s_e12
       FROM a FULL JOIN b ON a.doc_id = b.doc_id)
-    SELECT doc_id, round(s_raw, 6) AS rrf,
-           CAST(row_number() OVER (ORDER BY s_raw DESC, doc_id) AS INT) AS rank
+    SELECT doc_id, CAST(s_e12 AS DOUBLE) / 1000000000000 AS rrf,
+           CAST(row_number() OVER (ORDER BY s_e12 DESC, doc_id) AS INT) AS rank
     FROM fused QUALIFY rank <= 20
     """,
 )
@@ -3441,7 +3472,7 @@ def doc_chunk_windows(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT o.o_orderpriority AS priority,
            count(*) AS n_items,
-           round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38, 4))) AS DOUBLE), 2)
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(38, 4))), 2) AS DOUBLE)
                AS total_price
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -3463,9 +3494,9 @@ def rel_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(38,4)")).cast("double"), 2
-        ).alias("total_price"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -3518,26 +3549,45 @@ def rel_array_agg(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "rel_window_rank_family",
     """
-    SELECT event_id,
-           event_type,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume,
-           CAST(dense_rank() OVER w AS INT) AS drank
-    FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    SELECT event_id, event_type,
+           CASE WHEN n > 1
+                THEN CAST((2 * (rn - 1) * 1000000 + (n - 1))
+                          // (2 * (n - 1)) AS DOUBLE) / 1000000
+                ELSE 0.0 END AS pct_rank,
+           CAST((2 * rn * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000 AS cume,
+           drank
+    FROM (SELECT event_id, event_type,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 CAST(dense_rank() OVER w AS INT) AS drank
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
     """,
 )
 def rel_window_rank_family(spark: SparkSession, sf: str) -> DataFrame:
     """Remaining ranking-window family: percent_rank / cume_dist /
     dense_rank per event type with a total order (value, event_id).  One
     shuffle on the partition key; rank state is O(1) per row in the sorted
-    stream."""
+    stream.
+
+    The graded pct_rank/cume doubles are computed as integer-half-up
+    micro-unit ratios (round6_ratio) from row_number and the partition
+    count — equal to percent_rank()/cume_dist() under this total order —
+    because partition sizes grow with SF and round(double, 6) diverges
+    between engines when (rank-1)/(n-1) ties at the 7th decimal
+    (n-1 = 640-style denominators; the doc_bigram_fluency class)."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    rn, n = F.row_number().over(w), F.count("*").over(wp)
     return t(spark, sf, "events").select(
         "event_id",
         "event_type",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.when(n > 1, round6_ratio(rn - 1, n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        round6_ratio(rn, n).alias("cume"),
         F.dense_rank().over(w).cast("int").alias("drank"),
     )
 
@@ -3784,8 +3834,9 @@ def doc_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     SELECT g.doc_id,
            count(*) AS n_bigrams,
            CAST(sum(CASE WHEN f.n < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-           round(sum(CASE WHEN f.n < 50 THEN 1 ELSE 0 END)
-                 / CAST(count(*) AS DOUBLE), 9) AS rare_rate
+           CAST((2 * sum(CASE WHEN f.n < 50 THEN 1 ELSE 0 END) * 1000000000
+                 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000
+               AS rare_rate
     FROM grams g JOIN freq f ON f.bg = g.bg
     GROUP BY g.doc_id
     """,
@@ -3798,6 +3849,8 @@ def doc_rare_bigram_rate(spark: SparkSession, sf: str) -> DataFrame:
     last ulp between engines' libm).  Scale: one shuffle builds the
     corpus bigram table (~alphabet² rows — broadcastable at any corpus
     size), then the per-doc aggregation is map-side joined."""
+    from presto_ethereum_spark.operators.dedup import roundN_ratio as _roundN_ratio
+
     d = t_spread(spark, sf, "documents")
     # substr with a dynamic start rides expr (F.substring wants literals)
     grams = d.select(
@@ -3817,9 +3870,7 @@ def doc_rare_bigram_rate(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_bigrams"),
             F.sum(rare).cast("bigint").alias("n_rare"),
-            F.round(
-                F.sum(rare) / F.count("*").cast("double"), 9
-            ).alias("rare_rate"),
+            _roundN_ratio(F.sum(rare), F.count("*"), 9).alias("rare_rate"),
         )
     )
 
@@ -3872,7 +3923,8 @@ def doc_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
       FROM s, tot),
     z AS (SELECT sum(p_temp) AS z FROM scaled)
     SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-           round(n_docs / CAST(total AS DOUBLE), 9)      AS actual_frac,
+           CAST((2 * n_docs * 1000000000 + total) // (2 * total) AS DOUBLE)
+             / 1000000000                                AS actual_frac,
            round(p_temp / z, 9)                          AS temp_frac,
            round((p_temp / z) / (n_docs / CAST(total AS DOUBLE)), 9)
              AS upsample_factor
@@ -3887,6 +3939,8 @@ def doc_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     pow keeps both engines bit-aligned; fractions round to 9 places to
     absorb the final 5-double sum's order sensitivity.  Plan: one
     partial-agg shuffle to #sources rows; two 1-row broadcasts."""
+    from presto_ethereum_spark.operators.dedup import roundN_ratio as _roundN
+
     d = t(spark, sf, "documents")
     s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
     tot = s.agg(F.sum("n_docs").alias("total"))
@@ -3901,7 +3955,11 @@ def doc_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.round(actual, 9).alias("actual_frac"),
+            # integer-space half-up: n_docs/total is a small-int ratio and
+            # round(double, 9) can tie at digit 10 (ROUNDING_AUDIT.md);
+            # temp_frac/upsample_factor involve sqrt -> irrational, where a
+            # decimal tie has measure zero and round(double) is safe
+            _roundN(F.col("n_docs"), F.col("total"), 9).alias("actual_frac"),
             F.round(temp, 9).alias("temp_frac"),
             F.round(temp / actual, 9).alias("upsample_factor"),
         )
@@ -6048,8 +6106,7 @@ def doc_domain_budget(spark: SparkSession, sf: str) -> DataFrame:
                AS importance_score
       FROM pos p JOIN stats s USING (tok) GROUP BY p.doc_id)
     SELECT doc_id, n_tokens, importance_score,
-           round(CAST(importance_score AS DOUBLE) / n_tokens / 1000000.0, 6)
-             AS avg_ratio
+           (2 * importance_score + n_tokens) // (2 * n_tokens) AS avg_ratio_e6
     FROM per
     """,
 )
@@ -6203,7 +6260,8 @@ def rel_scd2_build(spark: SparkSession, sf: str) -> DataFrame:
     SELECT n.doc_id, n.n_windows,
            CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
            CASE WHEN n.n_windows > 0
-                THEN round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / n.n_windows, 6)
+                THEN CAST((2 * coalesce(d.n_dup, 0) * 1000000 + n.n_windows)
+                          // (2 * n.n_windows) AS DOUBLE) / 1000000
                 ELSE 0.0 END AS dup_frac
     FROM nw n LEFT JOIN dup d USING (doc_id)
     """,
@@ -6570,16 +6628,17 @@ def eth_token_daily_volume(spark: SparkSession, sf: str) -> DataFrame:
         ON n.band = o.band AND n.key = o.key
       WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0)
     SELECT new_id, old_id,
-           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                 / (len(sa.shingles) + len(sb.shingles)
-                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+           CAST((2 * inter * 1000000 + uni) // (2 * uni) AS DOUBLE) / 1000000
                AS jaccard_sim
-    FROM cand
-    JOIN shingled sa ON sa.doc_id = new_id
-    JOIN shingled sb ON sb.doc_id = old_id
-    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-          / (len(sa.shingles) + len(sb.shingles)
-             - len(list_intersect(sa.shingles, sb.shingles))) >= 0.3
+    FROM (
+      SELECT new_id, old_id,
+             len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+             len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS uni
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = new_id
+      JOIN shingled sb ON sb.doc_id = old_id)
+    WHERE inter::DOUBLE / uni >= 0.3
     """,
 )
 def doc_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -7204,7 +7263,7 @@ def _duck_e2e_pipeline_oracle() -> str:
       FROM documents),
     scored AS (
       SELECT doc_id, text, n_tok,
-             round(0.35 * least(n_chars / 500.0, 1.0)
+             0.35 * least(n_chars / 500.0, 1.0)
                  + 0.25 * (CASE WHEN n_nospace / greatest(n_tok, 1) >= 3
                                  AND n_nospace / greatest(n_tok, 1) <= 10
                             THEN 1.0 ELSE 0.3 END)
@@ -7213,7 +7272,7 @@ def _duck_e2e_pipeline_oracle() -> str:
                        / greatest(n_tok, 1) * 4, 1.0)
                  + 0.2 * (1 - least((n_punct / greatest(n_chars, 1)
                                      + n_digit / greatest(n_chars, 1)) * 3,
-                                    1.0)), 6) AS quality
+                                    1.0)) AS quality
       FROM base),
     kept AS (SELECT * FROM scored WHERE quality >= 0.5),
     dd AS (

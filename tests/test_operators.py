@@ -794,8 +794,11 @@ class TestRrfFuse:
         a = mk([(1, 1), (2, 2), (4, 3)])
         b = mk([(1, 2), (3, 2)])
         out = {r.doc_id: r for r in rrf_fuse([a, b], k=10).collect()}
-        assert out[1].rrf == round(1 / 61 + 1 / 62, 6)
-        assert out[2].rrf == out[3].rrf == round(1 / 62, 6)
+        # scores are BIGINT pico-unit sums of 10^12 DIV (60 + rank),
+        # reported as the exact integer / 1e12 (engine-portable; no
+        # round(double) anywhere)
+        assert out[1].rrf == (10**12 // 61 + 10**12 // 62) / 1e12
+        assert out[2].rrf == out[3].rrf == (10**12 // 62) / 1e12
         assert [out[i].rank for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
 
     def test_empty_rankings_raise(self, spark):

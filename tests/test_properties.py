@@ -628,3 +628,84 @@ def test_hex_to_double_jvm_matches_arrow_on_fixture(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_round_ratio_halfway_adversarial(spark):
+    """Portable-rounding contract (ROUNDING_AUDIT.md): round6_ratio /
+    roundN_ratio must equal the exact Fraction half-up AND DuckDB's
+    integer formulation on tie-adversarial inputs — ratios whose exact
+    decimal expansion terminates at digit scale+1 with a trailing 5, the
+    one place Spark's round(double) (shortest-repr half-up) and DuckDB's
+    (binary-value round) can each go either way.  The generator emits
+    dyadic ties (den = 2^(d+1)), non-dyadic 10-smooth ties (den contains
+    2^(d+1)*5^j), and exact j/10^(d+1) ties in lowest terms; a final
+    assert pins that the legacy round(num/den, 6) formulation DOES
+    diverge between the engines on this set — proving the hazard the
+    integer path removes is real, not hypothetical."""
+    import random
+    from fractions import Fraction
+    from math import gcd
+
+    import duckdb
+
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    rng = random.Random(20260814)
+    cases: list[tuple[int, int]] = [(442127, 14_000_000)]  # the r5 failure shape
+    # dyadic ties: num odd, den = 128 * 2^k -> exact binary value, both
+    # engines must agree on the exact .5
+    for _ in range(400):
+        den = 128 << rng.randint(0, 8)
+        num = rng.randrange(1, den, 2)
+        cases.append((num, den))
+    # non-dyadic 10-smooth ties: den = 2^7 * 5^j * odd-cofactor-free
+    for _ in range(400):
+        den = 128 * 5 ** rng.randint(1, 4)
+        num = rng.randrange(1, den, 2)
+        cases.append((num, den))
+    # exact j/10^7 ties in lowest terms (j ends in 5)
+    for _ in range(400):
+        j = rng.randrange(5, 10_000_000, 10)
+        g = gcd(j, 10**7)
+        cases.append((j // g, 10**7 // g))
+    # generic ratios (no tie targeting) as a control
+    for _ in range(800):
+        den = rng.randint(1, 1_000_000)
+        cases.append((rng.randint(0, den), den))
+
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = (
+        df.select(
+            "num",
+            "den",
+            round6_ratio(F.col("num"), F.col("den")).alias("sim"),
+            F.round(F.col("num") / F.col("den"), 6).alias("legacy"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    duck = {
+        (n, d): (v, lv)
+        for n, d, v, lv in con.execute(
+            "SELECT num, den,"
+            " CAST((2*num*1000000 + den) // (2*den) AS DOUBLE) / 1000000,"
+            " round(CAST(num AS DOUBLE) / den, 6) FROM t"
+        ).fetchall()
+    }
+    legacy_diverged = 0
+    for r in got:
+        n, d = r["num"], r["den"]
+        # exact half-up oracle in rational arithmetic
+        q = Fraction(n, d) * 10**6
+        e6 = q.numerator // q.denominator
+        if Fraction(n, d) * 10**6 - e6 >= Fraction(1, 2):
+            e6 += 1
+        want = e6 / 1e6
+        assert r["sim"] == want == duck[(n, d)][0], (n, d, r["sim"], want)
+        if r["legacy"] != duck[(n, d)][1]:
+            legacy_diverged += 1
+    # the hazard is real: the legacy double formulation disagrees between
+    # engines somewhere in this adversarial set
+    assert legacy_diverged > 0
