@@ -77,6 +77,11 @@ HEADLINE = [
     # round-5 additions: pigeonhole fuzzy linkage + mergeable HLL rollup
     "doc_fuzzy_hamming_pairs",
     "rel_hll_partial_merge",
+    # round-6 additions: asymmetric containment dedup, cosine range query,
+    # cross-media duplicate-frame stats
+    "doc_containment_pairs",
+    "emb_range_search",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -446,6 +446,75 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    blocking_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment pairs (id_a < id_b): keep pairs
+    where either direction's containment ``C(X in Y) = |X ∩ Y| / |X|``
+    reaches ``threshold``.  Jaccard misses subset duplication — a page
+    quoted verbatim inside a 50x larger page has J ≈ 0.02 but
+    C(page in host) = 1.0; containment is the signal CC-style pipelines
+    use to drop embedded copies and wrapper boilerplate around them.
+
+    Same inverted-index plan as :func:`jaccard_pairs` (explode distinct
+    shingles, equi-join on (shingle, blocking keys), count shared per
+    pair): pair work proportional to actually-overlapping pairs, shuffle
+    carries shingle strings + ids, never text.  Output fractions use
+    :func:`round6_ratio` (engine-portable integer half-up) — small-int
+    ratios are exactly the tie class ROUNDING_AUDIT.md bans from
+    ``round(double)``.
+
+    Returns ``(id_a, id_b, inter, cont_a, cont_b)`` where ``cont_a`` is
+    the fraction of A's shingles found in B (how much of A is contained)
+    and vice versa."""
+    if threshold <= 0:
+        raise ValueError(
+            "containment_pairs is inverted-index based and requires "
+            "threshold > 0 (zero-overlap pairs are never materialized)"
+        )
+    blocks = list(blocking_cols or [])
+    d = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("txt"),
+            *[F.col(c) for c in blocks],
+        )
+        .withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n)))
+        .withColumn("sz", F.size("sh"))
+        .drop("txt")
+    )
+    ex = d.select("id", "sz", *blocks, F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    keep = (
+        (F.col("inter") / F.col("sz_a")) >= threshold
+    ) | ((F.col("inter") / F.col("sz_b")) >= threshold)
+    return inter.where(keep).select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        round6_ratio(F.col("inter"), F.col("sz_a")).alias("cont_a"),
+        round6_ratio(F.col("inter"), F.col("sz_b")).alias("cont_b"),
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     min_shared: int = 5,

@@ -41,6 +41,7 @@ __all__ = [
     "decode_image_meta",
     "extract_features",
     "sample_frames",
+    "frame_dedup_stats",
 ]
 
 # media table: one row per asset; bytes + typed metadata
@@ -238,3 +239,59 @@ def resize_media(df: DataFrame, target_len: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def frame_dedup_stats(
+    df: DataFrame, every_n_bytes: int = 64, id_col: str = "media_id"
+) -> DataFrame:
+    """Cross-media duplicate-FRAME statistics — the video/image analogue of
+    the C4 duplicate-chunk filter: a frame (fixed-stride byte window from
+    :func:`sample_frames`) that appears more than once ANYWHERE in the
+    corpus is boilerplate (intro cards, black frames, watermark stills,
+    re-uploads) and its share per asset is the dedup/quality signal.
+
+    Returns ``(media_id, n_frames, n_dup_frames, dup_frac)`` for every
+    asset (zero-frame assets kept with 0 / 0.0 — absence of frames is not
+    a dup verdict); ``dup_frac`` uses the engine-portable integer half-up
+    rounding (``round6_ratio``).
+
+    Scale plan: frames are fingerprinted (md5) IMMEDIATELY after the
+    mapInPandas expansion and the bytes column is dropped, so the
+    corpus-global frequency count — the one real shuffle — carries
+    (16-byte hash) rows, never frame payloads (the same
+    no-payload-in-the-exchange contract duplicate_chunk_filter
+    plan-shape-tests).  The per-media re-aggregation joins hash->count
+    back on the fingerprint and reduces to one row per asset."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    frames = sample_frames(df, every_n_bytes=every_n_bytes).select(
+        F.col("media_id"), F.md5(F.col("frame_bytes")).alias("fp")
+    )
+    freq = frames.groupBy("fp").agg(F.count("*").alias("n_total"))
+    per_media = (
+        frames.join(freq, "fp")
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.count_if(F.col("n_total") >= 2).alias("n_dup_frames"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("media_id"))
+        .join(per_media, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce("n_frames", F.lit(0)).cast("long").alias("n_frames"),
+            F.coalesce("n_dup_frames", F.lit(0))
+            .cast("long")
+            .alias("n_dup_frames"),
+            F.when(
+                F.coalesce("n_frames", F.lit(0)) > 0,
+                round6_ratio(
+                    F.coalesce("n_dup_frames", F.lit(0)), F.col("n_frames")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

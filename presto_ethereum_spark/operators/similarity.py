@@ -121,6 +121,55 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE query: every (query, neighbor) pair with
+    ``sim >= threshold`` — the radius-based retrieval mode next to top-k
+    (near-duplicate harvesting wants "everything this similar", not "the
+    10 most similar"; a fixed k either truncates dense neighborhoods or
+    pads sparse ones).
+
+    Scale: the probe set is broadcast (ANN-baseline shape — probes are
+    small); the corpus streams through ONE scan with the staged-norm
+    cosine fold and the threshold filter applied map-side, so the
+    operator is zero-shuffle: output size is the answer size, and no
+    window/top-k state exists at all.  For corpus-x-corpus range search
+    use :func:`cosine_pairs` (LSH-bucketed) instead — broadcasting only
+    works while probes stay driver-small.
+
+    Reference anchor: complements ``brute_force_topk`` (same staging, same
+    bit-exact cosine) — the pair (sim >= t) vs (rank <= k) mirrors
+    range-vs-knn in any vector store."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("qvd", _d(F.col("qv")))
+        .withColumn("qn", l2_norm(F.col("qvd")))
+        .drop("qv")
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cvd", _d(F.col("cv")))
+        .withColumn("cn", l2_norm(F.col("cvd")))
+        .drop("cv")
+    )
+    sim = _cosine_staged(F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn"))
+    return (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim_raw", sim)
+        .where(F.col("sim_raw") >= threshold)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

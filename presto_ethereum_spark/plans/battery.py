@@ -8219,3 +8219,141 @@ def doc_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import distribution_drift
 
     return distribution_drift(t_spread(spark, sf, "documents"), "source", "src0")
+
+
+@q(
+    "doc_containment_pairs",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_JACCARD_IPAIRS}
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST((2 * inter * 1000000 + sz_a) // (2 * sz_a) AS DOUBLE)
+             / 1000000 AS cont_a,
+           CAST((2 * inter * 1000000 + sz_b) // (2 * sz_b) AS DOUBLE)
+             / 1000000 AS cont_b
+    FROM ipairs
+    WHERE inter::DOUBLE / sz_a >= 0.6 OR inter::DOUBLE / sz_b >= 0.6
+    """,
+)
+def doc_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs at threshold 0.6 within
+    language blocks (operators/dedup.containment_pairs): catches subset
+    duplication — a document quoted verbatim inside a much larger one has
+    near-zero Jaccard but containment ~1.0, the signal CC-style pipelines
+    use to drop embedded copies.  Same inverted-index exchange as the
+    jaccard family (shingle+ids, never text); fractions are
+    round6_ratio integer half-up per ROUNDING_AUDIT.md."""
+    from presto_ethereum_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        t_spread(spark, sf, "documents"), threshold=0.6, blocking_cols=["lang"]
+    )
+
+
+@q(
+    "emb_range_search",
+    f"""
+    WITH p AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 5)
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round({_duck_cos('p.qvec', 'a.embedding')}, 6) AS sim
+    FROM p JOIN embeddings a ON a.vec_id <> p.query_id
+    WHERE {_duck_cos('p.qvec', 'a.embedding')} >= 0.18
+    """,
+)
+def emb_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine RANGE retrieval (operators/similarity.range_search):
+    all corpus vectors with sim >= 0.18 of each probe (vec_id < 5) — the
+    radius mode next to top-k; fixed k either truncates dense
+    neighborhoods or pads sparse ones.  Probes broadcast; the corpus
+    streams through one map-side scan with the staged-norm cosine fold
+    and the threshold filter — ZERO shuffles, no window state.  Cosine is
+    irrational-valued so round(double, 6) is the audited-safe display
+    (ROUNDING_AUDIT.md)."""
+    from presto_ethereum_spark.operators.similarity import range_search
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return range_search(
+        e, e.where(F.col("vec_id") < 5), threshold=0.18
+    )
+
+
+@q(
+    "multimodal_frame_dedup",
+    """
+    WITH media AS (SELECT doc_id AS media_id, text FROM documents),
+    frames AS (
+      SELECT media_id, substr(text, CAST(i AS INT) * 64 + 1, 64) AS frame
+      FROM (SELECT media_id, text,
+                   unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS i
+            FROM media WHERE len(text) > 0)),
+    freq AS (SELECT frame, count(*) AS n_total FROM frames GROUP BY frame),
+    per AS (
+      SELECT f.media_id, count(*) AS n_frames,
+             CAST(sum(CASE WHEN q.n_total >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_frames
+      FROM frames f JOIN freq q USING (frame) GROUP BY f.media_id)
+    SELECT m.media_id,
+           CAST(coalesce(p.n_frames, 0) AS BIGINT) AS n_frames,
+           CAST(coalesce(p.n_dup_frames, 0) AS BIGINT) AS n_dup_frames,
+           CASE WHEN coalesce(p.n_frames, 0) > 0
+                THEN CAST((2 * p.n_dup_frames * 1000000 + p.n_frames)
+                          // (2 * p.n_frames) AS DOUBLE) / 1000000
+                ELSE 0.0 END AS dup_frac
+    FROM media m LEFT JOIN per p USING (media_id)
+    """,
+)
+def multimodal_frame_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-media duplicate-frame statistics (operators/multimodal.
+    frame_dedup_stats) — the video analogue of the C4 duplicate-chunk
+    filter: fixed-stride byte frames are md5-fingerprinted right after
+    the Arrow expansion and ONLY hashes enter the corpus-global frequency
+    shuffle (the no-payload-in-the-exchange contract).  Synthetic media
+    bytes are ASCII document text, so the oracle replays frames
+    closed-form with substr and groups on the frame itself (md5 is
+    injective on distinct frames for grading purposes)."""
+    from presto_ethereum_spark.operators.multimodal import (
+        frame_dedup_stats,
+        media_from_documents,
+    )
+
+    media = media_from_documents(t_spread(spark, sf, "documents"))
+    return frame_dedup_stats(media, every_n_bytes=64)
+
+
+@q(
+    "rel_journey_strings",
+    """
+    SELECT o_custkey AS custkey,
+           count(*) AS n_orders,
+           string_agg(o_orderstatus, '>' ORDER BY o_orderdate, o_orderkey)
+             AS journey
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def rel_journey_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY): the
+    per-entity event-journey string — feature engineering for churn/funnel
+    models and the classic ordered-aggregation gap in naive engines.
+
+    Spark has no ordered string_agg, so the plan collects (date, key,
+    status) structs, sorts WITHIN each group's array (struct ordering =
+    lexicographic on fields, matching the SQL ORDER BY), projects the
+    status field, and joins — the sort is per-group array work after the
+    one hash-agg shuffle, not a global sort, and the aggregation state is
+    each customer's own orders (bounded fan-in at every SF: TPC-H
+    orders/customer is scale-invariant).  A collect_list without the
+    sort would be partition-order-dependent — unfit for a distributed
+    contract (same rule as rel_array_agg)."""
+    o = t(spark, sf, "orders")
+    sorted_structs = F.sort_array(
+        F.collect_list(
+            F.struct("o_orderdate", "o_orderkey", "o_orderstatus")
+        )
+    )
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(
+            F.transform(sorted_structs, lambda s: s["o_orderstatus"]), ">"
+        ).alias("journey"),
+    )

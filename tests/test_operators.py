@@ -2648,3 +2648,111 @@ class TestQualityClassifier:
         df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
         [r] = text.quality_classifier_score(df, weights=[0] * 64).collect()
         assert r["score_e3"] == 0 and r["is_quality"] is False
+
+
+class TestContainmentPairs:
+    def test_subset_duplication_found_despite_low_jaccard(self, spark):
+        from presto_ethereum_spark.operators.dedup import containment_pairs
+
+        host = "a b c d e f g h i j"  # 8 distinct 3-shingles
+        quoted = "a b c d e"  # 3 distinct 3-shingles, all inside host
+        df = spark.createDataFrame(
+            [(1, quoted), (2, host), (3, "x y z w v u t s r q")],
+            "doc_id long, text string",
+        )
+        out = {(r.id_a, r.id_b): r for r in containment_pairs(df, 0.6).collect()}
+        # jaccard(1,2) = 3/8 = 0.375 — a jaccard threshold of 0.6 would
+        # miss it; containment of the quoted doc is 1.0
+        assert set(out) == {(1, 2)}
+        r = out[(1, 2)]
+        assert r.inter == 3 and r.cont_a == 1.0 and r.cont_b == 0.375
+
+    def test_zero_threshold_rejected(self, spark):
+        from presto_ethereum_spark.operators.dedup import containment_pairs
+
+        with pytest.raises(ValueError):
+            containment_pairs(spark.range(1).withColumn("text", F.lit("a")), 0)
+
+    def test_blocking_respected(self, spark):
+        from presto_ethereum_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d", "en"), (2, "a b c d", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        assert containment_pairs(df, 0.5, blocking_cols=["lang"]).count() == 0
+        assert containment_pairs(df, 0.5).count() == 1
+
+
+class TestRangeSearch:
+    def test_matches_bruteforce_sims_and_threshold(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            brute_force_topk,
+            range_search,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        probes = df.where(F.col("vec_id") < 3)
+        full = brute_force_topk(df, probes, k=10_000_000)
+        t = 0.2
+        want = {
+            (r.query_id, r.neighbor_id): r.sim
+            for r in full.collect()
+            if r.sim >= t
+        }
+        got = {
+            (r.query_id, r.neighbor_id): r.sim
+            for r in range_search(df, probes, threshold=t).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_zero_shuffle_plan(self, spark):
+        from presto_ethereum_spark.operators.similarity import range_search
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = range_search(
+            df, df.where(F.col("vec_id") < 3), threshold=0.2
+        )._jdf.queryExecution().executedPlan().toString()
+        # probes broadcast; the corpus side must not exchange
+        assert "Exchange hashpartitioning" not in plan
+
+
+class TestFrameDedup:
+    def test_hand_computed_stats(self, spark):
+        from presto_ethereum_spark.operators.multimodal import frame_dedup_stats
+
+        rows = [
+            (1, b"aaaabbbb"),
+            (2, b"aaaacccc"),
+            (3, b"dddd"),
+            (4, b""),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, data binary")
+        out = {r.media_id: r for r in frame_dedup_stats(df, every_n_bytes=4).collect()}
+        assert (out[1].n_frames, out[1].n_dup_frames, out[1].dup_frac) == (2, 1, 0.5)
+        assert (out[2].n_frames, out[2].n_dup_frames, out[2].dup_frac) == (2, 1, 0.5)
+        assert (out[3].n_frames, out[3].n_dup_frames, out[3].dup_frac) == (1, 0, 0.0)
+        assert (out[4].n_frames, out[4].n_dup_frames, out[4].dup_frac) == (0, 0, 0.0)
+
+    def test_no_frame_bytes_in_exchange(self, spark):
+        from presto_ethereum_spark.operators.multimodal import (
+            frame_dedup_stats,
+            media_from_documents,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            frame_dedup_stats(media_from_documents(docs), every_n_bytes=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # every shuffle must partition on the fingerprint or the media id,
+        # never on (or carrying) frame payload columns
+        import re
+
+        parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert parts, "expected at least one hash exchange"
+        for keys in parts:
+            assert "frame_bytes" not in keys
+            assert ("fp" in keys) or ("media_id" in keys)
