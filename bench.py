@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_containment_pairs",
     "emb_range_search",
     "multimodal_frame_dedup",
+    "emb_knn_join_ivf",
 ]
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "brute_force_topk",
+    "range_search",
     "cosine_pairs",
     "cosine_pairs_gemm",
     "mmr_rerank",
@@ -35,6 +36,7 @@ __all__ = [
     "kmeans_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_knn_join",
     "ivf_topk_from_index",
     "quantize_error",
     "label_centroids",
@@ -1312,6 +1314,83 @@ def ivf_topk_from_index(
             _cosine_staged(
                 F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn")
             ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def ivf_knn_join(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed approximate k-NN JOIN: top-k neighbors for EVERY query
+    vector (default: the corpus itself) — the k-NN-graph primitive behind
+    semantic clustering, graph-based dedup, and kNN-LM retrieval, where
+    the query side is corpus-sized and the broadcast-probes serving path
+    (:func:`ivf_topk`) cannot apply.
+
+    Plan: both sides cell-assign MAP-SIDE via the literal-codebook
+    expression (:func:`ivf_assign` arithmetic — bit-identical cells to
+    every other IVF path); the query side explodes its ``nprobe`` closest
+    cells.  The ONE real exchange pair is the equi-join on ``cell`` —
+    candidate fan-out is sum over cells of |probes into cell| x |cell|,
+    i.e. ~N·nprobe·N/n_cells instead of N² — then the staged-norm cosine
+    scores candidates and WindowGroupLimit keeps k per query before the
+    final rank shuffle.  At 100 TB: materialize the corpus side
+    ``partitionBy(cell)`` once and the join co-locates by reading each
+    cell's partition (storage-pruned); raise ``n_cells`` so cells bound
+    candidate work — recall tunes with ``nprobe`` exactly as in serving.
+
+    With ``nprobe == n_cells`` the result equals an exact all-pairs k-NN
+    (every pair lands in some probed cell)."""
+    if centroids is None:
+        centroids = seed_centroids(corpus, n_cells, id_col, vec_col)
+    if queries is None:
+        queries = corpus
+    c = (
+        ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ),
+            centroids,
+            vec_col="cv",
+        )
+        .withColumn("cvd", _d(F.col("cv")))
+        .withColumn("cn", l2_norm(F.col("cvd")))
+        .drop("cv")
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.reverse(F.array_sort(_centroid_scores(F.col("qv"), centroids))),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cid"],
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(probe_cells))
+        .withColumn("qvd", _d(F.col("qv")))
+        .withColumn("qn", l2_norm(F.col("qvd")))
+        .drop("qv")
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            _cosine_staged(F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")

@@ -8357,3 +8357,67 @@ def rel_journey_strings(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(sorted_structs, lambda s: s["o_orderstatus"]), ">"
         ).alias("journey"),
     )
+
+
+@q(
+    "emb_knn_join_ivf",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_duck_cos('c.cvec', 'e.embedding')} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored WHERE vec_id % 10 = 0) WHERE rnk <= 2
+    )
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round({_duck_cos('p.qvec', 'a.embedding')}, 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY p.query_id
+                                   ORDER BY {_duck_cos('p.qvec', 'a.embedding')} DESC,
+                                            a.vec_id) AS INT) AS rank
+    FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id
+    QUALIFY rank <= 5
+    """,
+)
+def emb_knn_join_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed k-NN JOIN via IVF cells (operators/similarity.
+    ivf_knn_join): top-5 neighbors for every query in a corpus-sized query
+    set — the k-NN-graph primitive behind semantic clustering and
+    graph-based dedup, where queries cannot broadcast.  Both sides
+    cell-assign map-side off the literal codebook; the only exchange pair
+    is the equi-join on cell (candidates ~N·nprobe·N/n_cells, not N²);
+    WindowGroupLimit bounds per-query state.  The graded query set is the
+    deterministic vec_id %% 10 slice purely to keep the closed-form DuckDB
+    replica tractable — the Spark plan is identical for the full corpus
+    (the slice is one map-side filter)."""
+    from presto_ethereum_spark.operators.similarity import (
+        ivf_knn_join,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    return ivf_knn_join(
+        e,
+        queries=e.where(F.col("vec_id") % 10 == 0),
+        centroids=cents,
+        nprobe=2,
+        k=5,
+    )

@@ -2756,3 +2756,44 @@ class TestFrameDedup:
         for keys in parts:
             assert "frame_bytes" not in keys
             assert ("fp" in keys) or ("media_id" in keys)
+
+
+class TestIvfKnnJoin:
+    def test_full_probe_equals_bruteforce(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_knn_join,
+            seed_centroids,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qs = df.where(F.col("vec_id") < 10)
+        cents = seed_centroids(df, n_cells=4)
+        # with nprobe == n_cells every pair lands in a probed cell ->
+        # exact equality with the brute-force baseline (docstring contract)
+        exact = sorted(
+            map(tuple, brute_force_topk(df, qs, k=5).collect())
+        )
+        joined = sorted(
+            map(
+                tuple,
+                ivf_knn_join(
+                    df, queries=qs, centroids=cents, nprobe=4, k=5
+                ).collect(),
+            )
+        )
+        assert joined == exact and len(joined) == 50
+
+    def test_corpus_sized_query_side_no_broadcast_of_queries(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            ivf_knn_join,
+            seed_centroids,
+        )
+
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = seed_centroids(df, n_cells=8)
+        out = ivf_knn_join(df, centroids=cents, nprobe=2, k=3)
+        # one row set per query; every query id present
+        n_queries = df.count()
+        got = out.groupBy("query_id").count().count()
+        assert got == n_queries
