@@ -130,13 +130,15 @@ def t_spread(
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                    AS sum_qty,
            round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                          * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2)
-                AS DOUBLE)                                              AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                          * (1 - CAST(l_discount AS DECIMAL(12,2)))
-                          * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2)
-                AS DOUBLE)                                              AS sum_charge,
+           CAST((2 * sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                              AS HUGEINT)) + 100) // 200 AS DOUBLE) / 100
+                                                                        AS sum_disc_price,
+           CAST((2 * sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                              * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                              AS HUGEINT)) + 10000) // 20000 AS DOUBLE) / 100
+                                                                        AS sum_charge,
            CAST(sum(CAST(l_quantity      AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_price,
            CAST(sum(CAST(l_discount      AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS avg_disc,
@@ -151,25 +153,33 @@ def rel_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     map-side (6 groups), so the shuffle carries ~#partitions*6 rows — scale
     invariant.  Filter + 7-column projection push to the parquet scan.
 
-    sum_disc_price/sum_charge accumulate in DECIMAL and round in DECIMAL
-    before the double cast: their exact values have scale 4/6, so a
-    double-space round(,2) can land on a decimal tie (x.xx50…) where
-    Spark (shortest-repr half-up) and other engines (binary-value round)
-    disagree — the doc_bigram_fluency failure class.  sum_qty (integer
-    quantities) and sum_base_price (scale-2 prices) cannot tie at digit 3
-    and stay on the cheaper double path."""
+    sum_disc_price/sum_charge accumulate EXACTLY: their true values have
+    scale 4/6, so a double-space round(,2) can land on a decimal tie
+    (x.xx50…) where Spark (shortest-repr half-up) and other engines
+    (binary-value round) disagree — the doc_bigram_fluency failure class.
+    The exact path is integer micro-units: per-row LONG multiplies
+    (cents x (100-disc) [x (100+tax)] — codegen'd long arithmetic, ~free
+    vs the 5x-slower DECIMAL-multiply chain that was here first), summed
+    into DECIMAL(38,0) because the e4/e6 unit sums overflow INT64 around
+    TPC-H sf~300/sf~100 and a 100 TB corpus needs the wide accumulator
+    regardless; the half-up round back to scale 2 is a DECIMAL DIV
+    (ROUNDING_AUDIT.md pattern).  sum_qty (integer quantities) and
+    sum_base_price (scale-2 prices) cannot tie at digit 3 and stay on
+    the cheap double path."""
     li = t(spark, sf, "lineitem")
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_d = price_d * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
-    charge_d = disc_d * (F.lit(1) + F.col("l_tax").cast("decimal(12,2)"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    e4 = cents * (100 - d100)
+    e6 = e4 * (100 + t100)
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_d), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(charge_d), 2).cast("double").alias("sum_charge"),
+            F.sum(e4.cast("decimal(38,0)")).alias("_s_e4"),
+            F.sum(e6.cast("decimal(38,0)")).alias("_s_e6"),
             # avgs of decimal-valued data: exact decimal sum / count —
             # order-independent, no rounding-tie risk (money-like values make
             # round(avg) land exactly on rounding boundaries).
@@ -178,6 +188,25 @@ def rel_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
             (F.sum(F.col("l_discount").cast("decimal(18,8)")).cast("double") / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            # half-up back to scale 2 via DECIMAL DIV on the exact sums,
+            # then /100 of the exact quotient — identical nearest double
+            # in every engine
+            (
+                F.expr("(2 * _s_e4 + 100) DIV 200").cast("double") / 100
+            ).alias("sum_disc_price"),
+            (
+                F.expr("(2 * _s_e6 + 10000) DIV 20000").cast("double") / 100
+            ).alias("sum_charge"),
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+        )
     )
 
 
@@ -185,7 +214,7 @@ def rel_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     "rel_top_customers",
     """
     SELECT c_custkey, c_name,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_spent,
            count(*) AS n_orders
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -202,8 +231,7 @@ def rel_top_customers(spark: SparkSession, sf: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
             .alias("total_spent"),
             F.count("*").alias("n_orders"),
         )
@@ -216,7 +244,7 @@ def rel_top_customers(spark: SparkSession, sf: str) -> DataFrame:
     "rel_regional_revenue",
     """
     SELECT r_name,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
            count(DISTINCT c_custkey)   AS n_customers,
            count(*)                    AS n_orders
     FROM region
@@ -238,8 +266,7 @@ def rel_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(o, o.o_custkey == c.c_custkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-            .cast("double")
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
             .alias("revenue"),
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
@@ -409,11 +436,11 @@ def rel_window_topn(spark: SparkSession, sf: str) -> DataFrame:
     "rel_window_running",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                  PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                AS DOUBLE) AS cum_spend
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS cum_spend
     FROM orders
     """,
 )
@@ -429,8 +456,7 @@ def rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2)
-        .cast("double")
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).cast("double") / 100)
         .alias("cum_spend"),
     )
 
@@ -439,7 +465,7 @@ def rel_window_running(spark: SparkSession, sf: str) -> DataFrame:
     "rel_rollup_revenue",
     """
     SELECT r_name, n_name, count(*) AS n_customers,
-           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS acctbal_sum
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS acctbal_sum
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -455,8 +481,7 @@ def rel_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
-            .cast("double")
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double") / 100)
             .alias("acctbal_sum"),
         )
     )
@@ -466,7 +491,7 @@ def rel_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "rel_cube_orders",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -475,8 +500,7 @@ def rel_cube_orders(spark: SparkSession, sf: str) -> DataFrame:
     o = t(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
-        .cast("double")
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100)
         .alias("total"),
     )
 
