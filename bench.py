@@ -83,6 +83,7 @@ HEADLINE = [
     "emb_range_search",
     "multimodal_frame_dedup",
     "emb_knn_join_ivf",
+    "rel_data_quality_report",
 ]
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_stats"]
+__all__ = ["column_stats", "validate_expectations"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -100,3 +100,99 @@ def column_stats(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def validate_expectations(
+    df: DataFrame,
+    rules: list[tuple[str, str, dict]],
+) -> DataFrame:
+    """Data-quality expectation suite — the validation gate a training-data
+    pipeline runs before a corpus (or a TPC-H-style fact feed) is allowed
+    downstream, in the spirit of Great Expectations / dbt tests, but
+    evaluated as ONE Spark plan.
+
+    ``rules`` is a list of ``(rule_name, kind, params)``:
+
+    - ``("r", "not_null", {"col": c})`` — c must not be NULL
+    - ``("r", "range", {"col": c, "lo": x, "hi": y})`` — lo <= c <= hi
+      (NULL counts as a violation: an unknown value fails a range gate)
+    - ``("r", "in_set", {"col": c, "values": [...]})`` — c in values
+    - ``("r", "regex", {"col": c, "pattern": p})`` — c rlike p
+    - ``("r", "unique", {"cols": [c1, c2]})`` — (c1, c2) has no duplicates
+
+    Returns one row per rule: ``(rule, kind, n_rows, n_violations,
+    violation_frac)`` with the fraction in engine-portable integer
+    half-up micro-units (ROUNDING_AUDIT.md).
+
+    Plan at scale: every scalar rule compiles to a conditional count in a
+    SINGLE aggregation over a SINGLE scan (map-side partial, one ~1-row
+    exchange), then unpivots driver-free via ``stack`` — adding a rule
+    adds a column to the agg, not a pass over the data.  Each ``unique``
+    rule costs one count_distinct over its key columns (the one shuffle
+    a uniqueness proof fundamentally needs); violations = n_rows −
+    n_distinct_keys, i.e. every row beyond the first per key."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    scalar_counts = []
+    unique_rules = []
+    for name, kind, p in rules:
+        if kind == "not_null":
+            bad = F.col(p["col"]).isNull()
+        elif kind == "range":
+            c = F.col(p["col"])
+            bad = ~((c >= p["lo"]) & (c <= p["hi"]))
+            bad = F.coalesce(bad, F.lit(True))
+        elif kind == "in_set":
+            bad = ~F.col(p["col"]).isin(*p["values"])
+            bad = F.coalesce(bad, F.lit(True))
+        elif kind == "regex":
+            bad = ~F.col(p["col"]).rlike(p["pattern"])
+            bad = F.coalesce(bad, F.lit(True))
+        elif kind == "unique":
+            unique_rules.append((name, p["cols"]))
+            continue
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+        scalar_counts.append((name, kind, F.count_if(bad)))
+
+    kinds = {name: kind for name, kind, _ in rules}
+    parts = []
+    if scalar_counts:
+        agg = df.agg(
+            F.count("*").alias("_n"),
+            *[c.alias(f"_v{i}") for i, (_, _, c) in enumerate(scalar_counts)],
+        )
+        stack_args = ", ".join(
+            f"'{name}', _v{i}" for i, (name, _, _) in enumerate(scalar_counts)
+        )
+        parts.append(
+            agg.select(
+                F.expr(
+                    f"stack({len(scalar_counts)}, {stack_args}) AS (rule, n_violations)"
+                ),
+                F.col("_n").alias("n_rows"),
+            ).select("rule", "n_rows", "n_violations")
+        )
+    for name, cols in unique_rules:
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
+                .alias("n_violations"),
+            ).select(F.lit(name).alias("rule"), "n_rows", "n_violations")
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    kind_expr = F.create_map(
+        *[x for name in kinds for x in (F.lit(name), F.lit(kinds[name]))]
+    )
+    return out.select(
+        "rule",
+        kind_expr[F.col("rule")].alias("kind"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        round6_ratio(F.col("n_violations"), F.col("n_rows")).alias(
+            "violation_frac"
+        ),
+    )

@@ -8445,3 +8445,62 @@ def emb_knn_join_ivf(spark: SparkSession, sf: str) -> DataFrame:
         nprobe=2,
         k=5,
     )
+
+
+@q(
+    "rel_data_quality_report",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+    checks AS (
+      SELECT 'shipdate_not_null' AS rule, 'not_null' AS kind,
+             count(CASE WHEN l_shipdate IS NULL THEN 1 END) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'quantity_in_1_50', 'range',
+             count(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+                          OR l_quantity IS NULL THEN 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_in_0_01', 'range',
+             count(CASE WHEN NOT (l_discount >= 0.0 AND l_discount <= 0.1)
+                          OR l_discount IS NULL THEN 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_domain', 'in_set',
+             count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                          OR l_returnflag IS NULL THEN 1 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'line_pk_unique', 'unique',
+             count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+      FROM lineitem)
+    SELECT c.rule, c.kind,
+           CAST(n.n_rows AS BIGINT) AS n_rows,
+           CAST(c.n_violations AS BIGINT) AS n_violations,
+           CAST((2 * c.n_violations * 1000000 + n.n_rows) // (2 * n.n_rows)
+                AS DOUBLE) / 1000000 AS violation_frac
+    FROM checks c, n
+    """,
+)
+def rel_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality expectation suite (operators/stats.
+    validate_expectations) — the Great-Expectations-style validation gate
+    before a feed is allowed downstream, as ONE Spark plan: every scalar
+    rule is a conditional count inside a single aggregation over a single
+    scan (adding a rule adds a column, not a pass); the uniqueness rule
+    pays the one count_distinct shuffle a uniqueness proof fundamentally
+    needs.  Fractions are round6_ratio integer half-up."""
+    from presto_ethereum_spark.operators.stats import validate_expectations
+
+    return validate_expectations(
+        t(spark, sf, "lineitem"),
+        [
+            ("shipdate_not_null", "not_null", {"col": "l_shipdate"}),
+            ("quantity_in_1_50", "range", {"col": "l_quantity", "lo": 1, "hi": 50}),
+            ("discount_in_0_01", "range", {"col": "l_discount", "lo": 0.0, "hi": 0.1}),
+            ("returnflag_domain", "in_set",
+             {"col": "l_returnflag", "values": ["A", "N", "R"]}),
+            ("line_pk_unique", "unique",
+             {"cols": ["l_orderkey", "l_linenumber"]}),
+        ],
+    )

@@ -2797,3 +2797,64 @@ class TestIvfKnnJoin:
         n_queries = df.count()
         got = out.groupBy("query_id").count().count()
         assert got == n_queries
+
+
+class TestValidateExpectations:
+    def test_hand_computed_violations(self, spark):
+        from presto_ethereum_spark.operators.stats import validate_expectations
+
+        df = spark.createDataFrame(
+            [
+                (1, 5.0, "A"),
+                (1, 150.0, "A"),   # dup id, out-of-range
+                (2, None, "B"),    # null value, bad flag
+                (3, 50.0, "A"),
+            ],
+            "id long, v double, flag string",
+        )
+        out = {
+            r.rule: r
+            for r in validate_expectations(
+                df,
+                [
+                    ("v_not_null", "not_null", {"col": "v"}),
+                    ("v_range", "range", {"col": "v", "lo": 0, "hi": 100}),
+                    ("flag_domain", "in_set", {"col": "flag", "values": ["A"]}),
+                    ("id_unique", "unique", {"cols": ["id"]}),
+                ],
+            ).collect()
+        }
+        assert out["v_not_null"].n_violations == 1
+        # 150 out of range + NULL counts as violation
+        assert out["v_range"].n_violations == 2
+        assert out["flag_domain"].n_violations == 1
+        assert out["id_unique"].n_violations == 1
+        assert all(r.n_rows == 4 for r in out.values())
+        assert out["v_range"].violation_frac == 0.5
+        assert out["id_unique"].kind == "unique"
+
+    def test_single_scan_for_scalar_rules(self, spark):
+        from presto_ethereum_spark.operators.stats import validate_expectations
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = (
+            validate_expectations(
+                li,
+                [
+                    ("a", "not_null", {"col": "l_shipdate"}),
+                    ("b", "range", {"col": "l_quantity", "lo": 1, "hi": 50}),
+                    ("c", "in_set", {"col": "l_returnflag", "values": ["A", "N", "R"]}),
+                ],
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # all scalar rules ride ONE scan (no unique rule -> exactly one)
+        assert plan.count("FileScan parquet") == 1
+
+    def test_unknown_kind_raises(self, spark):
+        from presto_ethereum_spark.operators.stats import validate_expectations
+
+        with pytest.raises(ValueError):
+            validate_expectations(spark.range(1), [("x", "nope", {})])
