@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_stats", "validate_expectations"]
+__all__ = ["column_stats", "validate_expectations", "mad_outliers"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -195,4 +195,59 @@ def validate_expectations(
         round6_ratio(F.col("n_violations"), F.col("n_rows")).alias(
             "violation_frac"
         ),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group anomaly detection via Median Absolute Deviation:
+    a point is an outlier when ``|x - median| > k * 1.4826 * MAD`` (1.4826
+    scales MAD to the stddev of a normal distribution).  Unlike z-scores,
+    the median/MAD pair doesn't let the outliers themselves inflate the
+    threshold — the robust-statistics gate for sensor feeds and metrics
+    quality monitoring.
+
+    Returns ``(group..., n, med, mad, n_outliers, outlier_frac)`` with
+    med/mad rounded at 4 (interpolated medians of scale-2 inputs have
+    scale <= 3 — audited-safe per ROUNDING_AUDIT.md) and the fraction in
+    integer half-up micro-units.
+
+    Plan: two exact-percentile passes (median of values, then median of
+    deviations) plus the outlier count — three group-aggregations over
+    the (re-read or cached) input, with the tiny per-group median tables
+    broadcast back.  Exact percentile sorts within groups; at unbounded
+    group sizes swap ``percentile`` for ``approx_percentile`` sketch
+    one-for-one (the same trade ``rel_percentiles`` documents)."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    g = [F.col(c) for c in group_cols]
+    med = df.groupBy(*g).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*g).agg(F.expr("percentile(_dev, 0.5)").alias("mad"))
+    scored = dev.join(F.broadcast(mad), group_cols)
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    return (
+        scored.groupBy(*g)
+        .agg(
+            F.count("*").alias("n"),
+            F.first("med").alias("_med"),
+            F.first("mad").alias("_mad"),
+            F.count_if(F.col("_dev") > thresh).alias("n_outliers"),
+        )
+        .select(
+            *group_cols,
+            F.col("n").cast("long").alias("n"),
+            F.round("_med", 4).alias("med"),
+            F.round("_mad", 4).alias("mad"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            round6_ratio(F.col("n_outliers"), F.col("n")).alias("outlier_frac"),
+        )
     )

@@ -8504,3 +8504,42 @@ def rel_data_quality_report(spark: SparkSession, sf: str) -> DataFrame:
              {"cols": ["l_orderkey", "l_linenumber"]}),
         ],
     )
+
+
+@q(
+    "rel_mad_anomalies",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad
+      FROM dev GROUP BY event_type),
+    scored AS (SELECT dev.*, mad.mad FROM dev JOIN mad USING (event_type))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(any_value(med), 4) AS med,
+           round(any_value(mad), 4) AS mad,
+           CAST(count(CASE WHEN d > 3.0 * 1.4826 * mad THEN 1 END) AS BIGINT)
+             AS n_outliers,
+           CAST((2 * count(CASE WHEN d > 3.0 * 1.4826 * mad THEN 1 END)
+                 * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000
+             AS outlier_frac
+    FROM scored GROUP BY event_type
+    """,
+)
+def rel_mad_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust MAD outlier gate per event type (operators/stats.
+    mad_outliers, k=3): |x − median| > 3·1.4826·MAD — median/MAD are
+    immune to the outliers inflating their own threshold, unlike the
+    z-score gate (eth_gas_anomalies) this complements.  Deviations are
+    identical IEEE expressions in both engines, so the exact-percentile
+    medians and the outlier counts match bit-for-bit."""
+    from presto_ethereum_spark.operators.stats import mad_outliers
+
+    return mad_outliers(
+        t(spark, sf, "events"), "value", ["event_type"], k=3.0
+    )

@@ -2858,3 +2858,28 @@ class TestValidateExpectations:
 
         with pytest.raises(ValueError):
             validate_expectations(spark.range(1), [("x", "nope", {})])
+
+
+class TestMadOutliers:
+    def test_hand_computed(self, spark):
+        from presto_ethereum_spark.operators.stats import mad_outliers
+
+        # group g: values 1..9 plus a wild 1000 -> med 5.5, deviations
+        # {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} -> mad 2.5;
+        # threshold 3*1.4826*2.5 = 11.12 -> only 1000 is an outlier
+        rows = [("g", float(v)) for v in range(1, 10)] + [("g", 1000.0)]
+        df = spark.createDataFrame(rows, "grp string, value double")
+        r = mad_outliers(df, "value", ["grp"], k=3.0).collect()[0]
+        assert r.n == 10 and r.med == 5.5 and r.mad == 2.5
+        assert r.n_outliers == 1 and r.outlier_frac == 0.1
+
+    def test_robust_vs_mean(self, spark):
+        from presto_ethereum_spark.operators.stats import mad_outliers
+
+        # the outlier drags the MEAN to ~100 (z-score would miss moderate
+        # anomalies); the median/MAD threshold is untouched by it
+        rows = [("g", 10.0)] * 50 + [("g", 5000.0)]
+        df = spark.createDataFrame(rows, "grp string, value double")
+        r = mad_outliers(df, "value", ["grp"], k=3.0).collect()[0]
+        assert r.med == 10.0 and r.mad == 0.0
+        assert r.n_outliers == 1
