@@ -41,6 +41,7 @@ __all__ = [
     "chunk_documents",
     "bm25_topk",
     "rrf_fuse",
+    "collocations_pmi",
     "mask_pii",
     "k_anonymity",
     "PII_PATTERNS",
@@ -1099,3 +1100,75 @@ def quality_classifier_score(
         score.alias("score_e3"),
     )
     return scored.withColumn("is_quality", F.col("score_e3") > 0)
+
+
+def collocations_pmi(
+    df,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+):
+    """Corpus collocation mining via Pointwise Mutual Information:
+    ``pmi(w1, w2) = ln(c12 * N / (c1 * c2))`` over adjacent word pairs —
+    the classic phrase-extraction signal (Church & Hanks 1990) used to
+    seed tokenizer merge candidates and multi-word vocabulary entries.
+    Returns the top-``k`` pairs with ``c12 >= min_count`` ranked by PMI
+    (ties break on the pair itself).
+
+    All counts are corpus-exact BIGINTs; only the final PMI is a double
+    (ln -> irrational, so ``round(,6)`` is the audited-safe display per
+    ROUNDING_AUDIT.md — and REQUIRED, absorbing last-ulp libm
+    differences).  N is the bigram-position total, and unigram counts
+    c1/c2 count bigram-start/any-position occurrences from the same
+    exploded stream, so the probabilities share one event space.
+
+    Plan: one narrow bigram build (no shuffle), one pair-count
+    aggregation (map-side combined — hot pairs collapse per task), one
+    unigram aggregation from the same stream, two broadcast-sized joins
+    of the count tables (pair table joins unigram table on each side),
+    TakeOrderedAndProject top-k.  The corpus text is scanned once."""
+    toks = df.select(tokens(F.col(text_col)).alias("ts")).where(F.size("ts") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1),"
+                " (t, i) -> struct(t AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = (
+        big.select(F.col("w1").alias("w"))
+        .unionAll(big.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ntab = big.agg(F.count("*").alias("nb"))  # 1-row scalar, broadcast back
+    scored = (
+        pairs.where(F.col("c12") >= min_count)
+        .join(uni.withColumnsRenamed({"w": "w1", "c": "c1"}), "w1")
+        .join(uni.withColumnsRenamed({"w": "w2", "c": "c2"}), "w2")
+        .crossJoin(F.broadcast(ntab))
+        .withColumn(
+            "pmi_raw",
+            F.log(
+                F.col("c12").cast("double")
+                * (F.col("nb") * 2).cast("double")
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_raw"), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.round("pmi_raw", 6).alias("pmi"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

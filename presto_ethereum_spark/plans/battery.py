@@ -8543,3 +8543,47 @@ def rel_mad_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     return mad_outliers(
         t(spark, sf, "events"), "value", ["event_type"], k=3.0
     )
+
+
+@q(
+    "doc_collocations_pmi",
+    """
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS ts FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS s(i)),
+    pairs AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big) GROUP BY w),
+    ntab AS (SELECT count(*) AS nb FROM big),
+    scored AS (
+      SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
+             ln(CAST(p.c12 AS DOUBLE) * CAST(n.nb * 2 AS DOUBLE)
+                / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS pmi_raw
+      FROM pairs p
+      JOIN uni u1 ON u1.w = p.w1
+      JOIN uni u2 ON u2.w = p.w2, ntab n
+      WHERE p.c12 >= 5)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           round(pmi_raw, 6) AS pmi,
+           CAST(row_number() OVER (ORDER BY pmi_raw DESC, w1, w2) AS INT)
+             AS rank
+    FROM scored QUALIFY rank <= 100
+    """,
+)
+def doc_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining via PMI (operators/text.collocations_pmi): the
+    Church & Hanks pointwise-mutual-information signal over adjacent word
+    pairs — the phrase-extraction pass that seeds tokenizer merge
+    candidates and multi-word vocabulary entries.  Counts are
+    corpus-exact BIGINTs; only the final PMI is a double (ln ->
+    round(,6) is the audited-safe AND required display, absorbing libm
+    ulp differences).  One corpus scan; pair and unigram count tables
+    join broadcast-sized; TakeOrderedAndProject top-100."""
+    from presto_ethereum_spark.operators.text import collocations_pmi
+
+    return collocations_pmi(t_spread(spark, sf, "documents"), min_count=5, k=100)

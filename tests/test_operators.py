@@ -2883,3 +2883,23 @@ class TestMadOutliers:
         r = mad_outliers(df, "value", ["grp"], k=3.0).collect()[0]
         assert r.med == 10.0 and r.mad == 0.0
         assert r.n_outliers == 1
+
+
+class TestCollocationsPmi:
+    def test_hand_computed(self, spark):
+        import math
+
+        from presto_ethereum_spark.operators.text import collocations_pmi
+
+        # "a b" occurs 6x; tokens: each "a b" doc adds a,b; filler "c c"
+        rows = [(i, "a b") for i in range(6)] + [(i + 10, "c c") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r.w1, r.w2): r for r in collocations_pmi(df, min_count=5, k=10).collect()}
+        assert set(out) == {("a", "b"), ("c", "c")}
+        r = out[("a", "b")]
+        # N = 12 bigram positions; c12=6; c1 = a appears 6x, b 6x in the
+        # unioned (w1,w2) stream; pmi = ln(6 * 24 / 36)
+        assert r.c12 == 6 and r.c1 == 6 and r.c2 == 6
+        assert r.pmi == round(math.log(6 * 24 / 36.0), 6)
+        assert out[("a", "b")].rank == 1  # higher pmi than (c,c)? equal ->
+        # tie broken by (w1, w2): 'a' < 'c'
