@@ -84,6 +84,8 @@ HEADLINE = [
     "multimodal_frame_dedup",
     "emb_knn_join_ivf",
     "rel_data_quality_report",
+    "rel_mad_anomalies",
+    "doc_collocations_pmi",
 ]
 
 
