@@ -8587,3 +8587,38 @@ def doc_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import collocations_pmi
 
     return collocations_pmi(t_spread(spark, sf, "documents"), min_count=5, k=100)
+
+
+@q(
+    "stream_quality_gate",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM events),
+    checks AS (
+      SELECT 'value_in_range' AS rule,
+             count(CASE WHEN NOT (value >= 0.0 AND value <= 1000.0)
+                          OR value IS NULL THEN 1 END) AS n_violations
+      FROM events
+      UNION ALL
+      SELECT 'type_domain',
+             count(CASE WHEN event_type NOT IN
+                          ('click', 'view', 'signup', 'purchase', 'error')
+                          OR event_type IS NULL THEN 1 END)
+      FROM events
+      UNION ALL
+      SELECT 'user_not_null',
+             count(CASE WHEN user_id IS NULL THEN 1 END)
+      FROM events)
+    SELECT c.rule, CAST(n.n_rows AS BIGINT) AS n_rows,
+           CAST(c.n_violations AS BIGINT) AS n_violations
+    FROM checks c, n
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest-time data-quality gate (streaming/events.
+    quality_gate_stream): the expectation rules run as conditional counts
+    inside the streaming global aggregation, settled via availableNow —
+    counts are additive so the result equals the batch suite under ANY
+    micro-batch split; state is O(rules) counters."""
+    from presto_ethereum_spark.streaming.events import run_quality_gate
+
+    return run_quality_gate(spark, sf)

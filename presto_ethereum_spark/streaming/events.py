@@ -471,3 +471,45 @@ def run_trending_topk(
         .where(F.col("rank") <= k)
         .select("window_start", "event_type", "n", "rank")
     )
+
+
+def quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality gate: the validate_expectations scalar rules
+    evaluated as conditional counts inside the STREAMING global
+    aggregation — the ingest-time monitor that flags a bad upstream batch
+    before it lands in the corpus.  Conditional counts are additive, so
+    the settled complete-mode result equals the batch suite exactly under
+    any micro-batch split (the determinism contract every entry in this
+    module pins).  At scale the state is one row of counters — O(rules),
+    not O(rows)."""
+    stream = _events_source(spark, sf_dir)
+    checks = [
+        ("value_in_range", ~F.col("value").between(0.0, 1000.0)),
+        (
+            "type_domain",
+            ~F.col("event_type").isin("click", "view", "signup", "purchase", "error"),
+        ),
+        ("user_not_null", F.col("user_id").isNull()),
+    ]
+    agg = stream.agg(
+        F.count("*").alias("_n"),
+        *[
+            F.count_if(F.coalesce(bad, F.lit(True))).alias(f"_v{i}")
+            for i, (_, bad) in enumerate(checks)
+        ],
+    )
+    stack_args = ", ".join(f"'{name}', _v{i}" for i, (name, _) in enumerate(checks))
+    return agg.select(
+        F.expr(f"stack({len(checks)}, {stack_args}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+def run_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _settle_to_memory(
+        spark, quality_gate_stream(spark, sf_dir), "stream_quality", "complete"
+    )

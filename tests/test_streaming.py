@@ -971,3 +971,22 @@ class TestRescanReorged:
         assert rescan_reorged(spark, ingested, {"path": CHAIN}, depth=20).count() == 0
         empty = ingested.where("block_number < 0")
         assert rescan_reorged(spark, empty, {"path": CHAIN}).count() == 0
+
+
+class TestStreamQualityGate:
+    def test_matches_batch_counts(self, spark):
+        from presto_ethereum_spark.streaming.events import run_quality_gate
+
+        sfd = "/root/testdata/sf0.001"
+        out = {r.rule: r for r in run_quality_gate(spark, sfd).collect()}
+        ev = spark.read.parquet(f"{sfd}/events.parquet")
+        n = ev.count()
+        assert set(out) == {"value_in_range", "type_domain", "user_not_null"}
+        assert all(r.n_rows == n for r in out.values())
+        # batch replicas of the same rules
+        assert out["user_not_null"].n_violations == ev.where(
+            F.col("user_id").isNull()
+        ).count()
+        assert out["value_in_range"].n_violations == ev.where(
+            ~F.col("value").between(0.0, 1000.0) | F.col("value").isNull()
+        ).count()
