@@ -86,6 +86,7 @@ HEADLINE = [
     "rel_data_quality_report",
     "rel_mad_anomalies",
     "doc_collocations_pmi",
+    "rel_twap",
 ]
 
 

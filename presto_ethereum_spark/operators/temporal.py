@@ -40,6 +40,7 @@ __all__ = [
     "retention_cohorts",
     "scd2_build",
     "snapshot_diff",
+    "time_weighted_avg",
 ]
 
 
@@ -444,5 +445,66 @@ def snapshot_diff(
                 )
                 for c in pair
             ],
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds from its
+    timestamp until the key's next observation, and the average weights
+    values by how long they held — the standard fix for irregularly
+    sampled series, where a plain mean over-counts bursts (a price that
+    flickered for 1 ms counts like one that held for an hour).
+
+    Exactness contract: values quantize to integer cents
+    (``round(v*100)``, digit-0 — cannot diverge between engines) and
+    weights are integer microsecond durations from ``lead``; the
+    numerator accumulates cents·µs products in DECIMAL(38,0) (a row's
+    product fits INT64, a 100 TB key's sum does not), so both engines
+    produce the SAME two integers and the final twap double — the exact
+    rational ``S / (total_dt · 100)`` evaluated with the same two IEEE
+    divisions — is bit-identical with no rounding anywhere.  The last
+    observation per key carries zero duration (nothing follows it);
+    single-observation keys report NULL twap (no time elapsed is not an
+    average).
+
+    Plan: one window shuffle on the key (lead), one hash aggregation —
+    the same two exchanges any per-key ordered rollup pays.
+
+    Returns ``(key, n_obs, total_dt_us, twap)``."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    staged = df.select(
+        F.col(key_col).alias("key"),
+        cents.alias("_c"),
+        F.col(ts_us_col).alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).withColumn("_dt", F.lead("_t").over(
+        Window.partitionBy("key").orderBy("_t", "_tb")
+    ) - F.col("_t"))
+    return (
+        staged.groupBy("key")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("_dt").alias("total_dt_us"),
+            F.sum((F.col("_c") * F.col("_dt")).cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            F.col("key"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.coalesce(F.col("total_dt_us"), F.lit(0))
+            .cast("long")
+            .alias("total_dt_us"),
+            F.when(
+                F.coalesce(F.col("total_dt_us"), F.lit(0)) > 0,
+                F.col("_s").cast("double")
+                / F.col("total_dt_us").cast("double")
+                / 100,
+            ).alias("twap"),
         )
     )

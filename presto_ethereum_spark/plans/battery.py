@@ -8622,3 +8622,42 @@ def stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.streaming.events import run_quality_gate
 
     return run_quality_gate(spark, sf)
+
+
+@q(
+    "rel_twap",
+    """
+    WITH ev AS (
+      SELECT user_id AS key, event_id,
+             epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    d AS (
+      SELECT key, cents,
+             lead(t_us) OVER (PARTITION BY key ORDER BY t_us, event_id)
+               - t_us AS dt
+      FROM ev)
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(coalesce(sum(dt), 0) AS BIGINT) AS total_dt_us,
+           CASE WHEN coalesce(sum(dt), 0) > 0
+                THEN CAST(sum(CAST(cents * dt AS HUGEINT)) AS DOUBLE)
+                     / CAST(sum(dt) AS DOUBLE) / 100
+                END AS twap
+    FROM d GROUP BY key
+    """,
+)
+def rel_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average value per user (operators/temporal.
+    time_weighted_avg): each observation holds until the next one, so
+    bursts don't over-count — the TWAP rollup for irregularly sampled
+    series.  Integer cents x integer microsecond weights accumulate in
+    DECIMAL(38,0)/HUGEINT, and the final double is the same exact-integer
+    ratio in both engines — bit-identical with NO rounding anywhere.
+    One window shuffle (lead) + one aggregation."""
+    from presto_ethereum_spark.operators.temporal import time_weighted_avg
+
+    ev = t_spread(spark, sf, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("t_us"), "value"
+    )
+    return time_weighted_avg(ev, "user_id", "t_us", "value", "event_id")

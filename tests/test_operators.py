@@ -2903,3 +2903,34 @@ class TestCollocationsPmi:
         assert r.pmi == round(math.log(6 * 24 / 36.0), 6)
         assert out[("a", "b")].rank == 1  # higher pmi than (c,c)? equal ->
         # tie broken by (w1, w2): 'a' < 'c'
+
+
+class TestTimeWeightedAvg:
+    def test_hand_computed(self, spark):
+        from presto_ethereum_spark.operators.temporal import time_weighted_avg
+
+        # key 1: 10.0 holds 3us, 20.0 holds 1us, 40.0 trailing (0us)
+        # twap = (1000*3 + 2000*1) / (4 * 100) = 5000/400 = 12.5
+        rows = [
+            (1, 1, 0, 10.0),
+            (1, 2, 3, 20.0),
+            (1, 3, 4, 40.0),
+            (2, 4, 0, 7.0),  # single obs -> NULL twap
+        ]
+        df = spark.createDataFrame(rows, "k long, eid long, t long, value double")
+        out = {r.key: r for r in
+               time_weighted_avg(df, "k", "t", "value", "eid").collect()}
+        assert out[1].n_obs == 3 and out[1].total_dt_us == 4
+        assert out[1].twap == 12.5
+        assert out[2].twap is None and out[2].total_dt_us == 0
+
+    def test_burst_does_not_overcount(self, spark):
+        from presto_ethereum_spark.operators.temporal import time_weighted_avg
+
+        # a 1us flicker to 1000 inside an hour of 10s: plain mean ~ 340,
+        # twap stays ~10
+        rows = [(1, 1, 0, 10.0), (1, 2, 1_800_000_000, 1000.0),
+                (1, 3, 1_800_000_001, 10.0), (1, 4, 3_600_000_000, 10.0)]
+        df = spark.createDataFrame(rows, "k long, eid long, t long, value double")
+        r = time_weighted_avg(df, "k", "t", "value", "eid").collect()[0]
+        assert r.twap < 11.0
