@@ -191,3 +191,51 @@ def test_chunk_dedup_no_text_on_count_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(h#" in line:
             assert "chunk" not in line and "text" not in line
+
+
+def test_pricing_summary_filter_pushed_and_no_decimal_multiply(spark):
+    """Q1: the shipdate filter must reach the parquet scan, and the exact
+    disc/charge path must be LONG multiplies feeding a DECIMAL sum — not
+    a decimal-multiply chain (the 5x-slower formulation round 6 replaced)."""
+    plan = _plan(spark, "rel_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # decimal appears only in the aggregation buffers, not as a per-row
+    # CheckOverflow multiply chain over promoted decimal literals
+    assert "promote_precision" not in plan.lower()
+
+
+def test_twap_two_exchanges(spark):
+    """TWAP = one window shuffle (lead over the key) + one hash agg; both
+    hash exchanges partition on the key."""
+    plan = _plan(spark, "rel_twap")
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert 1 <= len(parts) <= 2
+    assert all("user_id" in p or "key" in p for p in parts)
+
+
+def test_knn_join_exchanges_on_cell_and_query(spark):
+    """IVF k-NN join: hash exchanges only on the cell key (both sides) and
+    the per-query rank — never on raw vectors."""
+    plan = _plan(spark, "emb_knn_join_ivf")
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts
+    for p in parts:
+        assert ("cell" in p) or ("query_id" in p)
+
+
+def test_range_search_zero_exchange(spark):
+    """Cosine range search is a broadcast-probe map-side scan: no hash
+    exchange anywhere in the plan."""
+    plan = _plan(spark, "emb_range_search")
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_journey_strings_single_groupby(spark):
+    """Ordered string_agg: ONE hash exchange (the entity groupBy); the sort
+    is group-local array work, never a global Sort node before the agg."""
+    plan = _plan(spark, "rel_journey_strings")
+    assert plan.count("Exchange hashpartitioning") == 1
