@@ -1137,13 +1137,17 @@ def collocations_pmi(
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # unigram counts and N derive from the PAIR-COUNT table, not the raw
+    # bigram stream: sum(c12) grouped by each side equals the per-word
+    # position count exactly, and the pairs table is vocabulary²-bounded —
+    # so the corpus text is scanned ONCE however large it is
     uni = (
-        big.select(F.col("w1").alias("w"))
-        .unionAll(big.select(F.col("w2").alias("w")))
+        pairs.select(F.col("w1").alias("w"), "c12")
+        .unionAll(pairs.select(F.col("w2").alias("w"), "c12"))
         .groupBy("w")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("c12").alias("c"))
     )
-    ntab = big.agg(F.count("*").alias("nb"))  # 1-row scalar, broadcast back
+    ntab = pairs.agg(F.sum("c12").alias("nb"))  # 1-row scalar, broadcast back
     scored = (
         pairs.where(F.col("c12") >= min_count)
         .join(uni.withColumnsRenamed({"w": "w1", "c": "c1"}), "w1")

@@ -8556,9 +8556,10 @@ def rel_mad_anomalies(spark: SparkSession, sf: str) -> DataFrame:
       FROM toks, unnest(generate_series(1, len(ts) - 1)) AS s(i)),
     pairs AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
     uni AS (
-      SELECT w, count(*) AS c FROM (
-        SELECT w1 AS w FROM big UNION ALL SELECT w2 FROM big) GROUP BY w),
-    ntab AS (SELECT count(*) AS nb FROM big),
+      SELECT w, CAST(sum(c12) AS BIGINT) AS c FROM (
+        SELECT w1 AS w, c12 FROM pairs
+        UNION ALL SELECT w2, c12 FROM pairs) GROUP BY w),
+    ntab AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM pairs),
     scored AS (
       SELECT p.w1, p.w2, p.c12, u1.c AS c1, u2.c AS c2,
              ln(CAST(p.c12 AS DOUBLE) * CAST(n.nb * 2 AS DOUBLE)
