@@ -8662,3 +8662,85 @@ def rel_twap(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "event_id", F.expr("ts DIV 1000").alias("t_us"), "value"
     )
     return time_weighted_avg(ev, "user_id", "t_us", "value", "event_id")
+
+
+@q(
+    "doc_split_leakage",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             {_DUCK_BUCKET.format(salt="leak", key="doc_id", buckets=100)} AS b,
+             md5(text) AS fp,
+             md5(array_to_string((string_split(text, ' '))[1:16], ' ')) AS pfp
+      FROM documents),
+    s AS (
+      SELECT doc_id, fp, pfp,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      FROM d),
+    train_fp AS (SELECT DISTINCT fp FROM s WHERE split = 'train'),
+    train_pfp AS (SELECT DISTINCT pfp FROM s WHERE split = 'train')
+    SELECT split AS eval_split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN fp IN (SELECT fp FROM train_fp) THEN 1 END)
+                AS BIGINT) AS n_exact_leaked,
+           CAST(count(CASE WHEN pfp IN (SELECT pfp FROM train_pfp) THEN 1 END)
+                AS BIGINT) AS n_prefix_leaked
+    FROM s WHERE split <> 'train'
+    GROUP BY split
+    """,
+)
+def doc_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval contamination check: after the deterministic 90/5/5
+    split (operators/sampling.split_assign, the same hash-bucket contract
+    doc_e2e_pipeline grades), count the val/test documents whose exact
+    content fingerprint — or whose 16-token prefix fingerprint, the
+    boilerplate-near-dup signal — also appears in train.  The leakage
+    audit every LLM data pipeline should run before trusting its eval
+    numbers: a random split of a corpus with duplicates ALWAYS leaks.
+
+    Plan: split + both fingerprints are map-side md5s over one scan; the
+    train fingerprint sets ride two LeftSemi hash joins on 16-byte keys
+    (broadcast when small, shuffled-hash at corpus scale) — document
+    bodies never enter an exchange; final agg is 2 rows."""
+    from presto_ethereum_spark.operators.sampling import split_assign
+    from presto_ethereum_spark.operators.text import tokens
+
+    d = t_spread(spark, sf, "documents")
+    s = split_assign(d, "doc_id", salt="leak").select(
+        "doc_id",
+        "split",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 16)).cast("binary")
+        ).alias("pfp"),
+    )
+    train = s.where(F.col("split") == "train")
+    ev = s.where(F.col("split") != "train")
+    tf = train.select("fp").distinct()
+    tp = train.select("pfp").distinct()
+    exact = (
+        ev.join(tf, "fp", "left_semi")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_exact_leaked"))
+    )
+    pref = (
+        ev.join(tp, "pfp", "left_semi")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_prefix_leaked"))
+    )
+    base = ev.groupBy("split").agg(F.count("*").alias("n_docs"))
+    return (
+        base.join(exact, "split", "left")
+        .join(pref, "split", "left")
+        .select(
+            F.col("split").alias("eval_split"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_exact_leaked", F.lit(0))
+            .cast("long")
+            .alias("n_exact_leaked"),
+            F.coalesce("n_prefix_leaked", F.lit(0))
+            .cast("long")
+            .alias("n_prefix_leaked"),
+        )
+    )
