@@ -82,6 +82,11 @@ ROUNDED_DOUBLE_ENTRIES = [
     "rel_ohlc_bars",
     "rel_gap_fill",
     "rel_market_share",
+    # round-6 additions that keep a rounded-double display column
+    "rel_mad_anomalies",
+    "doc_collocations_pmi",
+    "emb_range_search",
+    "emb_knn_join_ivf",
 ]
 SF01_SAMPLE = 3
 
