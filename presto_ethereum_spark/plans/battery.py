@@ -8744,3 +8744,96 @@ def doc_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_prefix_leaked"),
         )
     )
+
+
+@q(
+    "doc_vocab_growth",
+    """
+    WITH tok AS (
+      SELECT doc_id // 100 AS bucket, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    first_seen AS (
+      SELECT w, min(bucket) AS first_bucket FROM tok WHERE w <> '' GROUP BY w),
+    per AS (
+      SELECT first_bucket AS bucket, count(*) AS new_types
+      FROM first_seen GROUP BY first_bucket),
+    toks_per AS (
+      SELECT bucket, count(*) AS n_tokens FROM tok WHERE w <> '' GROUP BY bucket)
+    SELECT t.bucket,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.new_types, 0) AS BIGINT) AS new_types,
+           CAST(sum(coalesce(p.new_types, 0)) OVER (ORDER BY t.bucket)
+                AS BIGINT) AS vocab_size,
+           CAST(sum(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+             AS corpus_tokens
+    FROM toks_per t LEFT JOIN per p ON p.bucket = t.bucket
+    """,
+)
+def doc_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: how many NEW word types each
+    100-document chunk contributes, with running vocabulary and token
+    totals — the corpus-curation diagnostic for "is more data still
+    adding vocabulary, or just repeating it" (informs tokenizer vocab
+    sizing and dedup aggressiveness).
+
+    Plan: first-occurrence via groupBy(word) min(bucket) — the one
+    vocabulary-sized shuffle; per-bucket rollups are map-side combined;
+    the cumulative window runs over #buckets rows (corpus-size /
+    100 docs — thousands of rows at any SF, single-partition window is
+    free).  The curve is integer-exact end to end."""
+    d = t_spread(spark, sf, "documents")
+    tok = d.select(
+        F.expr("doc_id DIV 100").alias("bucket"),
+        F.explode(F.split("text", " ", -1)).alias("w"),
+    ).where(F.col("w") != "")
+    first_seen = tok.groupBy("w").agg(F.min("bucket").alias("first_bucket"))
+    per = first_seen.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count("*").alias("new_types")
+    )
+    toks_per = tok.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    w = Window.orderBy("bucket")
+    return (
+        toks_per.join(per, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+        )
+        .withColumn(
+            "vocab_size", F.sum("new_types").over(w).cast("long")
+        )
+        .withColumn(
+            "corpus_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+    )
+
+
+@q(
+    "rel_topn_with_ties",
+    """
+    SELECT o_custkey AS custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(rank() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC) AS INT) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def rel_topn_with_ties(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-N per group WITH TIES (rank <= N, the SQL FETCH ... WITH TIES
+    semantic): unlike row_number (rel_window_topn), equal-price orders all
+    survive the cut — the dense leaderboard semantic.  Same
+    WindowGroupLimit pushdown applies: rank's group-limit filter prunes
+    per partition before the one window shuffle."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        t(spark, sf, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
