@@ -8837,3 +8837,114 @@ def rel_topn_with_ties(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+def _lsh_recall_oracle(dim: int = 64, bands: int = 4, bits: int = 24, k: int = 10) -> str:
+    """Closed-form recall@k of the LSH index against the brute-force truth
+    for probe queries vec_id < 5 — the same replica machinery as
+    _lsh_oracle plus an exact-knn truth CTE."""
+    from presto_ethereum_spark.operators.similarity import _hyperplane
+
+    width = bits // bands
+    sig_terms = []
+    for p in range(bits):
+        plane = ", ".join(repr(x) for x in _hyperplane(dim, p))
+        sig_terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" [{plane}]) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(sig_terms)
+    cos_t = _duck_cos("q.embedding", "n.embedding")
+    cos_l = _duck_cos("q.embedding", "n.embedding")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id AS id, ({sig}) AS sig FROM embeddings
+    ),
+    banded AS (
+      SELECT id, band, (sig >> (band * {width})) & {(1 << width) - 1} AS key
+      FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sym AS (
+      SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+      UNION ALL
+      SELECT id_b AS query_id, id_a AS neighbor_id FROM cand
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {cos_l} DESC, s.neighbor_id) AS rnk
+        FROM sym s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings n ON n.vec_id = s.neighbor_id
+        WHERE s.query_id < 5)
+      WHERE rnk <= {k}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_t} DESC, n.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rnk <= {k}
+    )
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_hits,
+           CAST((2 * count(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 END)
+                 * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000
+             AS recall
+    FROM truth t
+    LEFT JOIN lsh l ON l.query_id = t.query_id
+                   AND l.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """
+
+
+@q("emb_lsh_recall", _lsh_recall_oracle())
+def emb_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall@10 of the random-hyperplane LSH index against the
+    exact brute-force truth, per probe query — the approximate-index
+    quality report graded EXACTLY (both pipelines replicate closed-form
+    in the oracle), the LSH counterpart of emb_ivf_recall_refined.
+    recall uses round6_ratio integer half-up."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+    from presto_ethereum_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    q5 = F.col("query_id") < 5
+    truth = brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        lsh_topk(e, dim=64, k=10, bands=4, bits=24)
+        .where(q5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        truth.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            round6_ratio(
+                F.coalesce("n_hits", F.lit(0)), F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
