@@ -8948,3 +8948,46 @@ def emb_lsh_recall(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@q(
+    "eth_miner_gas_twap",
+    f"""
+    WITH b AS (
+      SELECT block_miner, block_number,
+             CAST(block_timestamp AS BIGINT) AS t_s,
+             CAST(round(block_gasused * 100) AS BIGINT) AS cents
+      FROM read_parquet('{ETH}/block.parquet')),
+    d AS (
+      SELECT block_miner, cents,
+             lead(t_s) OVER (PARTITION BY block_miner
+                             ORDER BY t_s, block_number) - t_s AS dt
+      FROM b)
+    SELECT block_miner AS key,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(coalesce(sum(dt), 0) AS BIGINT) AS total_dt_us,
+           CASE WHEN coalesce(sum(dt), 0) > 0
+                THEN CAST(sum(CAST(cents * dt AS HUGEINT)) AS DOUBLE)
+                     / CAST(sum(dt) AS DOUBLE) / 100
+                END AS twap
+    FROM d GROUP BY block_miner
+    """,
+)
+def eth_miner_gas_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-weighted average gas-used per miner over the chain timeline —
+    the LLM-pipeline TWAP operator (operators/temporal.time_weighted_avg)
+    composed onto the connector surface unchanged: each block's gas load
+    'holds' until the miner's next block, so sporadic miners don't read
+    like sustained load.  Same exactness contract as rel_twap (integer
+    units x integer durations in DECIMAL/HUGEINT, unrounded final
+    ratio).  The time axis is chain seconds; the column keeps the
+    operator's _us name (units are opaque to the arithmetic)."""
+    from presto_ethereum_spark.operators.temporal import time_weighted_avg
+
+    b = _eth_tables(spark).table("block").select(
+        "block_miner",
+        "block_number",
+        F.col("block_timestamp").cast("long").alias("t_s"),
+        F.col("block_gasused").alias("gas"),
+    )
+    return time_weighted_avg(b, "block_miner", "t_s", "gas", "block_number")
