@@ -8991,3 +8991,142 @@ def eth_miner_gas_twap(spark: SparkSession, sf: str) -> DataFrame:
         F.col("block_gasused").alias("gas"),
     )
     return time_weighted_avg(b, "block_miner", "t_s", "gas", "block_number")
+
+
+@q(
+    "emb_pq_recall",
+    f"""
+    WITH seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {_PQ_CODES})
+    ),
+    subs AS (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1})) AS s),
+    cb AS (
+      SELECT subs.s AS subspace, seeds.code,
+             (seeds.v)[subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS c
+      FROM seeds CROSS JOIN subs
+    ),
+    ev AS (
+      SELECT e.vec_id, subs.s AS subspace,
+             (CAST(e.embedding AS DOUBLE[]))
+               [subs.s * {_PQ_SUBDIM} + 1 : subs.s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS x
+      FROM embeddings e CROSS JOIN subs
+    ),
+    scored AS (
+      SELECT ev.vec_id, ev.subspace, cb.code,
+             list_dot_product(
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2]),
+               list_transform(list_zip(ev.x, cb.c), p -> p[1] - p[2])) AS d2
+      FROM ev JOIN cb ON cb.subspace = ev.subspace
+    ),
+    assign AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT vec_id, subspace, code,
+               row_number() OVER (PARTITION BY vec_id, subspace
+                                  ORDER BY d2 ASC, code) AS rnk
+        FROM scored) WHERE rnk = 1
+    ),
+    qlut AS (
+      SELECT q.vec_id AS query_id, q.subspace, q.code,
+             CAST(floor(q.d2 * 1000000000000000.0) AS BIGINT) AS d2q
+      FROM scored q WHERE q.vec_id < 5
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY l.query_id
+                   ORDER BY CAST(sum(l.d2q) AS BIGINT) ASC, a.vec_id) AS INT)
+                 AS rank
+        FROM assign a
+        JOIN qlut l ON l.subspace = a.subspace AND l.code = a.code
+        WHERE a.vec_id != l.query_id
+        GROUP BY l.query_id, a.vec_id)
+      WHERE rank <= 10
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(
+                   list_transform(list_zip(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(n.embedding AS DOUBLE[])),
+                                  p -> p[1] - p[2]),
+                   list_transform(list_zip(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(n.embedding AS DOUBLE[])),
+                                  p -> p[1] - p[2])) ASC, n.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 5)
+      WHERE rnk <= 10
+    )
+    SELECT t.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_hits,
+           CAST((2 * count(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 END)
+                 * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000
+             AS recall
+    FROM truth t
+    LEFT JOIN adc a ON a.query_id = t.query_id
+                   AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def emb_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall@10 of PQ asymmetric-distance serving against the
+    EXACT squared-L2 truth — completes the graded approximate-index
+    quality trio (IVF: emb_ivf_recall_refined; LSH: emb_lsh_recall; PQ:
+    here).  The quantization loss a 4-code x 8-subspace codebook pays is
+    the report, not a tolerance — both pipelines replicate closed-form
+    in the oracle and recall is round6_ratio integer half-up.
+
+    Scale: the ADC side is the serving plan (codes + broadcast LUT, raw
+    vectors never read); the exact-truth side is the 5-probe broadcast
+    scan — the price of measuring recall, not a serving path."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    adc = emb_pq_adc_topk(spark, sf).select("query_id", "neighbor_id")
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    q = F.broadcast(
+        e.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d2"), "neighbor_id")
+    truth = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_d2", d2)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        truth.join(adc, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            round6_ratio(
+                F.coalesce("n_hits", F.lit(0)), F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
