@@ -9130,3 +9130,53 @@ def emb_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@q(
+    "rel_cumulative_distinct_users",
+    """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    first_day AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id),
+    new_per AS (SELECT d0 AS day, count(*) AS new_users
+                FROM first_day GROUP BY d0),
+    act AS (SELECT day, count(DISTINCT user_id) AS active_users
+            FROM ev GROUP BY day)
+    SELECT a.day,
+           CAST(a.active_users AS BIGINT) AS active_users,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day)
+                AS BIGINT) AS cumulative_users
+    FROM act a LEFT JOIN new_per n ON n.day = a.day
+    """,
+)
+def rel_cumulative_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily active / new / cumulative-distinct users — the growth-curve
+    rollup every product-analytics stack runs.  Cumulative distinct is
+    NOT a windowed count(DISTINCT) (which would re-scan every prefix):
+    each user collapses to a first-seen day (one user-keyed shuffle),
+    daily news roll up map-side, and the running total is a window over
+    #days rows — the same first-occurrence trick as doc_vocab_growth,
+    which is what makes the curve computable at any event volume."""
+    ev = t_spread(spark, sf, "events").select(
+        "user_id", F.expr("(ts DIV 1000) DIV 86400000000").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    new_per = first_day.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    act = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    w = Window.orderBy("day")
+    return (
+        act.join(new_per, "day", "left")
+        .select(
+            "day",
+            F.col("active_users").cast("long").alias("active_users"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+    )
