@@ -2934,3 +2934,47 @@ class TestTimeWeightedAvg:
         df = spark.createDataFrame(rows, "k long, eid long, t long, value double")
         r = time_weighted_avg(df, "k", "t", "value", "eid").collect()[0]
         assert r.twap < 11.0
+
+
+class TestFirstOccurrenceRollups:
+    def test_vocab_growth_hand_computed(self, spark):
+        from presto_ethereum_spark.plans import battery
+        import tempfile, os
+
+        # bucket 0: docs 0..99 -> here docs 0,1; bucket 1: doc 100
+        rows = [(0, "a b"), (1, "b c"), (100, "c d e")]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+                os.path.join(td, "documents.parquet")
+            )
+            out = {r.bucket: r for r in
+                   battery.doc_vocab_growth(spark, td).collect()}
+        # bucket 0: tokens a,b,b,c (4); new types a,b,c (3)
+        assert (out[0].n_tokens, out[0].new_types, out[0].vocab_size) == (4, 3, 3)
+        # bucket 1: tokens c,d,e (3); new d,e (2); vocab 5
+        assert (out[1].n_tokens, out[1].new_types, out[1].vocab_size) == (3, 2, 5)
+        assert out[1].corpus_tokens == 7
+
+    def test_cumulative_users_hand_computed(self, spark):
+        from presto_ethereum_spark.plans import battery
+        import tempfile, os
+        import datetime
+
+        day = 86_400_000_000  # us
+        mk = lambda d: datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d)
+        rows = [
+            (1, mk(0), 10, "click", 1.0, "{}"),
+            (2, mk(0), 11, "click", 1.0, "{}"),
+            (3, mk(1), 10, "view", 1.0, "{}"),   # returning
+            (4, mk(1), 12, "view", 1.0, "{}"),   # new
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp_ntz, user_id long,"
+                " event_type string, value double, props string",
+            ).write.parquet(os.path.join(td, "events.parquet"))
+            out = {r.day: r for r in
+                   battery.rel_cumulative_distinct_users(spark, td).collect()}
+        assert (out[0].active_users, out[0].new_users, out[0].cumulative_users) == (2, 2, 2)
+        assert (out[1].active_users, out[1].new_users, out[1].cumulative_users) == (2, 1, 3)
