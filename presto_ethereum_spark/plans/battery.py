@@ -9180,3 +9180,23 @@ def rel_cumulative_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
             "cumulative_users", F.sum("new_users").over(w).cast("long")
         )
     )
+
+
+@q(
+    "stream_windowed_distinct",
+    """
+    SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1 AS distinct_ok
+    FROM events GROUP BY window_start
+    """,
+)
+def stream_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming per-hour distinct users with an HLL++ sketch referee
+    (streaming/events.windowed_distinct_stream): dropDuplicates state
+    makes the streamed count exact under any micro-batch split, and the
+    graded column is the sketch's tolerance verdict — the
+    rel_approx_sketches contract carried into Structured Streaming."""
+    from presto_ethereum_spark.streaming.events import run_windowed_distinct
+
+    return run_windowed_distinct(spark, sf)
