@@ -2978,3 +2978,40 @@ class TestFirstOccurrenceRollups:
                    battery.rel_cumulative_distinct_users(spark, td).collect()}
         assert (out[0].active_users, out[0].new_users, out[0].cumulative_users) == (2, 2, 2)
         assert (out[1].active_users, out[1].new_users, out[1].cumulative_users) == (2, 1, 3)
+
+
+class TestJourneyStrings:
+    def test_order_and_determinism(self, spark):
+        from presto_ethereum_spark.plans import battery
+        import tempfile, os
+        import datetime
+
+        mk = lambda d: datetime.datetime(1995, 1, d)
+        rows = [
+            # custkey 1: dates out of insertion order; same-date tie on key
+            (5, 1, "P", mk(3)),
+            (2, 1, "O", mk(1)),
+            (3, 1, "F", mk(1)),
+            (9, 2, "F", mk(2)),
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_orderdate timestamp_ntz",
+            ).write.parquet(os.path.join(td, "orders.parquet"))
+            out = {r.custkey: r for r in
+                   battery.rel_journey_strings(spark, td).collect()}
+        # date asc, then orderkey asc within the tie: O(key2) -> F(key3) -> P
+        assert out[1].journey == "O>F>P" and out[1].n_orders == 3
+        assert out[2].journey == "F"
+        # determinism under different partitioning
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string,"
+                " o_orderdate timestamp_ntz",
+            ).repartition(7).write.parquet(os.path.join(td, "orders.parquet"))
+            out2 = {r.custkey: r.journey for r in
+                    battery.rel_journey_strings(spark, td).collect()}
+        assert out2 == {k: v.journey for k, v in out.items()}
