@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_stats", "validate_expectations", "mad_outliers"]
+__all__ = ["column_stats", "validate_expectations", "mad_outliers", "ols_trend"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -195,6 +195,90 @@ def validate_expectations(
         round6_ratio(F.col("n_violations"), F.col("n_rows")).alias(
             "violation_frac"
         ),
+    )
+
+
+def _div_half_away(num, den, scale: int):
+    """``round(scale * num / den)`` half-away-from-zero, entirely in
+    integer/DECIMAL space — the signed generalization of the repo's
+    ``(2a + b) DIV (2b)`` half-up pattern (``round6_ratio``,
+    ``avg_prob_e6``).  ``den`` must be > 0.  Returns BIGINT; one right
+    answer in every engine, no double ever materializes."""
+    mag = F.expr(
+        f"(2 * abs({num}) * {scale} + ({den})) div (2 * ({den}))"
+    )
+    return F.when(F.expr(f"({num}) < 0"), -mag).otherwise(mag)
+
+
+def ols_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line, integer-exact.
+
+    The ``regr_slope``/``regr_intercept``/``regr_r2`` family computed from
+    the five integer power sums (n, Σx, Σy, Σx², Σxy, Σy²) accumulated in
+    DECIMAL(38,0) — the closed forms are pure rational arithmetic, so the
+    reported fixed-point columns are bit-identical in every engine (the
+    builtin ``regr_*`` functions run the same math in doubles, where the
+    sum order flips low bits across engines; this is the portable form).
+    Inputs must be integral (cast y to exact cents/micro-units first —
+    the same contract as ``rel_twap``).
+
+    Returns ``(group..., n, slope_e2, intercept_e2, r2_e6)``:
+    ``slope_e2``/``intercept_e2`` are the OLS line in hundredths of a
+    y-unit (half-away-from-zero), ``r2_e6`` the coefficient of
+    determination in micro-units.  Groups with all-equal x (D = 0) yield
+    NULL slope/intercept; zero y-variance yields NULL r2.
+
+    Scale: one map-side-combined aggregation per group (six mergeable
+    sums — fixed-size state), then O(groups) driver-free arithmetic in
+    the projection.  Headroom: DECIMAL(38,0) holds ``2e6·N²`` for
+    |y| sums up to ~1e15 per group — cents-scale revenue through
+    ~sf100; beyond that, downscale y one decimal (the closed forms are
+    scale-equivariant).
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast(d38)
+    y = F.col(y_col).cast(d38)
+    sums = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count("*").cast(d38).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    )
+    # D = n·Σx² − (Σx)²  (≥ 0), N = n·Σxy − Σx·Σy,
+    # slope = N/D, intercept = (Σy·Σx² − Σx·Σxy)/D,
+    # r² = N² / (D · (n·Σy² − (Σy)²))
+    with_terms = sums.select(
+        *group_cols,
+        F.col("_n"),
+        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias("_d"),
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias("_nm"),
+        (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")).alias(
+            "_im"
+        ),
+        (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).alias(
+            "_syyc"
+        ),
+    )
+    return with_terms.select(
+        *group_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.when(
+            F.col("_d") > 0, _div_half_away("_nm", "_d", 100)
+        ).alias("slope_e2"),
+        F.when(
+            F.col("_d") > 0, _div_half_away("_im", "_d", 100)
+        ).alias("intercept_e2"),
+        F.when(
+            (F.col("_d") > 0) & (F.col("_syyc") > 0),
+            _div_half_away("_nm * _nm", "_d * _syyc", 1000000),
+        ).alias("r2_e6"),
     )
 
 

@@ -9200,3 +9200,86 @@ def stream_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.streaming.events import run_windowed_distinct
 
     return run_windowed_distinct(spark, sf)
+
+
+@q(
+    "rel_revenue_trend",
+    """
+    WITH rev AS (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INT) - 1995 AS x,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))), 2) * 100 AS BIGINT) AS y
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)),
+    s AS (
+      SELECT nation, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM rev GROUP BY nation),
+    terms AS (
+      SELECT nation, n, n * sxx - sx * sx AS d, n * sxy - sx * sy AS nm,
+             sy * sxx - sx * sxy AS im, n * syy - sy * sy AS syyc
+      FROM s)
+    SELECT nation, CAST(n AS BIGINT) AS n,
+           CASE WHEN d > 0 THEN CAST(
+             CASE WHEN nm < 0 THEN -((2 * (-nm) * 100 + d) // (2 * d))
+                  ELSE (2 * nm * 100 + d) // (2 * d) END AS BIGINT)
+           END AS slope_e2,
+           CASE WHEN d > 0 THEN CAST(
+             CASE WHEN im < 0 THEN -((2 * (-im) * 100 + d) // (2 * d))
+                  ELSE (2 * im * 100 + d) // (2 * d) END AS BIGINT)
+           END AS intercept_e2,
+           CASE WHEN d > 0 AND syyc > 0 THEN CAST(
+             (2 * nm * nm * 1000000 + d * syyc) // (2 * d * syyc) AS BIGINT)
+           END AS r2_e6
+    FROM terms
+    """,
+)
+def rel_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation OLS trend of yearly revenue (operators/stats.ols_trend):
+    the regr_slope/regr_intercept/regr_r2 family re-expressed as integer
+    power sums in DECIMAL(38,0) so the fixed-point trend columns are
+    bit-identical in both engines — the builtin double-space ``regr_*``
+    would flip low bits on summation order.  Plan: one fact-fact shuffle
+    (lineitem ⋈ orders), customer/nation broadcast, a (nation, year)
+    partial-agg rollup to ≤ #nations × #years rows, then the six-sum OLS
+    aggregation over that tiny table — the trend math costs nothing; the
+    revenue rollup is the query."""
+    from presto_ethereum_spark.operators.stats import ols_trend
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate").cast("int") - F.lit(1995)).alias("x"),
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(18,6)")
+                    ),
+                    2,
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("y")
+        )
+    )
+    return ols_trend(rev, "x", "y", ["nation"])

@@ -2885,6 +2885,72 @@ class TestMadOutliers:
         assert r.n_outliers == 1
 
 
+class TestOlsTrend:
+    def test_exact_fit(self, spark):
+        from presto_ethereum_spark.operators.stats import ols_trend
+
+        # y = 2x + 1 exactly -> slope 2.00, intercept 1.00, r2 = 1
+        rows = [("g", 0, 1), ("g", 1, 3), ("g", 2, 5)]
+        df = spark.createDataFrame(rows, "grp string, x int, y long")
+        r = ols_trend(df, "x", "y", ["grp"]).collect()[0]
+        assert r.n == 3 and r.slope_e2 == 200 and r.intercept_e2 == 100
+        assert r.r2_e6 == 1_000_000
+
+    def test_fraction_referee(self, spark):
+        from fractions import Fraction
+
+        from presto_ethereum_spark.operators.stats import ols_trend
+
+        def half_away(fr: Fraction, scale: int) -> int:
+            v = fr * scale
+            q, r = divmod(abs(v.numerator), v.denominator)
+            mag = q + (1 if 2 * r >= v.denominator else 0)
+            return -mag if v < 0 else mag
+
+        pts = [(0, 10), (1, 9), (2, 7), (3, 7), (5, 2)]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts); sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        d = n * sxx - sx * sx
+        nm = n * sxy - sx * sy
+        im = sy * sxx - sx * sxy
+        syyc = n * syy - sy * sy
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in pts], "grp string, x int, y long"
+        )
+        r = ols_trend(df, "x", "y", ["grp"]).collect()[0]
+        assert r.slope_e2 == half_away(Fraction(nm, d), 100)
+        assert r.intercept_e2 == half_away(Fraction(im, d), 100)
+        assert r.r2_e6 == half_away(Fraction(nm * nm, d * syyc), 1_000_000)
+
+    def test_degenerate_groups(self, spark):
+        from presto_ethereum_spark.operators.stats import ols_trend
+
+        # all-equal x -> D = 0 -> NULL line; constant y -> NULL r2
+        rows = [("a", 2, 5), ("a", 2, 9), ("b", 0, 4), ("b", 1, 4)]
+        df = spark.createDataFrame(rows, "grp string, x int, y long")
+        out = {r.grp: r for r in ols_trend(df, "x", "y", ["grp"]).collect()}
+        a, b = out["a"], out["b"]
+        assert a.slope_e2 is None and a.intercept_e2 is None and a.r2_e6 is None
+        assert b.slope_e2 == 0 and b.intercept_e2 == 400 and b.r2_e6 is None
+
+    def test_div_half_away_ties(self, spark):
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.operators.stats import _div_half_away
+
+        # 1/8 * 100 = 12.5 -> 13; the negative tie rounds away to -13
+        df = spark.range(1).select(
+            F.lit(1).alias("p"), F.lit(-1).alias("m"), F.lit(8).alias("d")
+        )
+        r = df.select(
+            _div_half_away("p", "d", 100).alias("up"),
+            _div_half_away("m", "d", 100).alias("dn"),
+        ).collect()[0]
+        assert r.up == 13 and r.dn == -13
+
+
 class TestCollocationsPmi:
     def test_hand_computed(self, spark):
         import math
