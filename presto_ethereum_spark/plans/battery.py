@@ -9283,3 +9283,51 @@ def rel_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return ols_trend(rev, "x", "y", ["nation"])
+
+
+@q(
+    "rel_max_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events),
+    edges AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e, -1, event_id FROM iv),
+    run AS (
+      SELECT event_type, t,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS r
+      FROM edges),
+    pk AS (
+      SELECT event_type, t, r, max(r) OVER (PARTITION BY event_type) AS peak
+      FROM run)
+    SELECT event_type,
+           CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+           CAST(max(r) AS BIGINT) AS peak,
+           CAST(min(CASE WHEN r = peak THEN t END) AS BIGINT) AS t_at_peak
+    FROM pk GROUP BY event_type
+    """,
+)
+def rel_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak concurrent activity per event type (operators/temporal.
+    max_concurrency): each event opens a 5-minute activity interval and
+    the sweep-line finds the highest number simultaneously open plus the
+    earliest instant it happens — the capacity-planning question a naive
+    interval self-join answers in O(n²).  Edge list doubles rows
+    map-side; ONE shuffle on event_type feeds both the running-sum
+    window and the final aggregation.  End-before-start tie semantics
+    and an event_id tiebreak make the edge walk engine- and
+    partitioning-invariant."""
+    from presto_ethereum_spark.operators.temporal import max_concurrency
+
+    iv = t(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("ts DIV 1000").alias("s"),
+        (F.expr("ts DIV 1000") + F.lit(300_000_000)).alias("e"),
+    )
+    return max_concurrency(iv, ["event_type"], "s", "e", "event_id")

@@ -3002,6 +3002,34 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestMaxConcurrency:
+    def test_hand_computed(self, spark):
+        from presto_ethereum_spark.operators.temporal import max_concurrency
+
+        # [0,10) [5,15) [10,20): overlap only on [5,10) -> peak 2 at t=5;
+        # the end-at-10 / start-at-10 touch does NOT count as overlap
+        rows = [("g", 1, 0, 10), ("g", 2, 5, 15), ("g", 3, 10, 20),
+                ("h", 4, 0, 1), ("h", 5, 1, 2)]  # disjoint chain -> peak 1
+        df = spark.createDataFrame(rows, "k string, iid long, s long, e long")
+        out = {r.k: r for r in
+               max_concurrency(df, ["k"], "s", "e", "iid").collect()}
+        assert out["g"].n_intervals == 3 and out["g"].peak == 2
+        assert out["g"].t_at_peak == 5
+        assert out["h"].peak == 1 and out["h"].t_at_peak == 0
+
+    def test_partitioning_invariant(self, spark):
+        from presto_ethereum_spark.operators.temporal import max_concurrency
+
+        # nested pyramid: k intervals all covering t=50 -> peak = 5 and the
+        # answer must not depend on input partitioning
+        rows = [("p", i, i * 10, 100 - i * 10) for i in range(5)]
+        df1 = spark.createDataFrame(rows, "k string, iid long, s long, e long")
+        df8 = df1.repartition(8)
+        r1 = max_concurrency(df1, ["k"], "s", "e", "iid").collect()[0]
+        r8 = max_concurrency(df8, ["k"], "s", "e", "iid").collect()[0]
+        assert (r1.peak, r1.t_at_peak) == (r8.peak, r8.t_at_peak) == (5, 40)
+
+
 class TestFirstOccurrenceRollups:
     def test_vocab_growth_hand_computed(self, spark):
         from presto_ethereum_spark.plans import battery
