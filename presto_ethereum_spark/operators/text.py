@@ -42,6 +42,7 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "collocations_pmi",
+    "token_entropy",
     "mask_pii",
     "k_anonymity",
     "PII_PATTERNS",
@@ -1175,4 +1176,80 @@ def collocations_pmi(
             F.round("pmi_raw", 6).alias("pmi"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document token-diversity via Rényi-2 (collision) entropy:
+    ``H2 = ln(n² / Σc²)`` over the whitespace-token counts ``c`` — 0 for a
+    single repeated token, ``ln(n)`` when all tokens are distinct.  The
+    repetition/diversity quality signal in corpus-filter form (low H2 =
+    keyboard-mash / template junk), chosen over Shannon entropy
+    deliberately: the collision statistic ``Σc²`` is an exact integer, so
+    the ONLY double is one final ``ln`` of an exact rational — the same
+    audited-safe transcendental-display class as ``collocations_pmi``
+    (ROUNDING_AUDIT.md), where a Shannon ``Σ c·ln c`` would be an
+    order-dependent double sum no rounding can make portable.
+
+    Returns ``(id, n_tokens, n_distinct, collision_sumsq, renyi2)`` with
+    ``renyi2`` rounded at 6.
+
+    Scale: ZERO shuffle — sort each doc's token array and fold run
+    lengths in ONE JVM higher-order ``aggregate`` (state: previous token,
+    run length, Σc², distinct count); a pure projection over the corpus
+    scan, embarrassingly parallel at any size.  The groupBy(doc, token)
+    formulation the oracle uses would shuffle the full token stream."""
+    toks = F.array_sort(F.split(F.col(text_col), " "))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("ss"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+
+    def step(acc, x):
+        new_run = acc["prev"].isNull() | (x != acc["prev"])
+        return F.when(
+            new_run,
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["ss"] + acc["run"] * acc["run"]).alias("ss"),
+                (acc["nd"] + 1).alias("nd"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["ss"].alias("ss"),
+                acc["nd"].alias("nd"),
+            )
+        )
+
+    folded = F.aggregate(
+        toks,
+        init,
+        step,
+        lambda acc: F.struct(
+            (acc["ss"] + acc["run"] * acc["run"]).alias("ss"),
+            acc["nd"].alias("nd"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        folded["nd"].alias("n_distinct"),
+        folded["ss"].alias("collision_sumsq"),
+    )
+    return out.withColumn(
+        "renyi2",
+        F.round(
+            F.log(
+                F.col("n_tokens").cast("double")
+                * F.col("n_tokens").cast("double")
+                / F.col("collision_sumsq").cast("double")
+            ),
+            6,
+        ),
     )

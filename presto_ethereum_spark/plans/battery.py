@@ -9331,3 +9331,36 @@ def rel_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
         (F.expr("ts DIV 1000") + F.lit(300_000_000)).alias("e"),
     )
     return max_concurrency(iv, ["event_type"], "s", "e", "event_id")
+
+
+@q(
+    "doc_token_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * c) AS BIGINT) AS collision_sumsq
+      FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, collision_sumsq,
+           round(ln(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                    / CAST(collision_sumsq AS DOUBLE)), 6) AS renyi2
+    FROM agg
+    """,
+)
+def doc_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Rényi-2 (collision) entropy (operators/text.
+    token_entropy): the token-diversity quality gate — ln(n²/Σc²) is 0
+    for single-token spam and ln(n) for fully diverse text.  The
+    collision statistic Σc² is an exact integer folded in ONE JVM
+    higher-order aggregate over the sorted token array — ZERO shuffle, a
+    pure projection at corpus-scan speed — while the oracle's
+    groupBy(doc, token) formulation shuffles the whole token stream;
+    the only double is one final ln of an exact rational (the same
+    audited-safe class as collocations_pmi)."""
+    from presto_ethereum_spark.operators.text import token_entropy
+
+    return token_entropy(t_spread(spark, sf, "documents"))

@@ -3002,6 +3002,37 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestTokenEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from presto_ethereum_spark.operators.text import token_entropy
+
+        rows = [
+            (1, "a a a a"),      # n=4, ss=16 -> H2 = ln(1) = 0
+            (2, "a b c d"),      # all distinct -> H2 = ln(4)
+            (3, "a a b b"),      # ss=8 -> H2 = ln(16/8) = ln 2
+            (4, ""),             # split('') -> [''] -> n=1, H2 = 0
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in token_entropy(df).collect()}
+        assert out[1].renyi2 == 0.0 and out[1].collision_sumsq == 16
+        assert out[2].renyi2 == round(math.log(4), 6)
+        assert out[3].renyi2 == round(math.log(2), 6)
+        assert out[3].n_distinct == 2 and out[3].n_tokens == 4
+        assert out[4].n_tokens == 1 and out[4].renyi2 == 0.0
+
+    def test_zero_shuffle_plan(self, spark):
+        from presto_ethereum_spark.operators.text import token_entropy
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            token_entropy(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        # a pure projection: the token stream must never hit an exchange
+        assert "Exchange" not in plan
+
+
 class TestMaxConcurrency:
     def test_hand_computed(self, spark):
         from presto_ethereum_spark.operators.temporal import max_concurrency
