@@ -9364,3 +9364,48 @@ def doc_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import token_entropy
 
     return token_entropy(t_spread(spark, sf, "documents"))
+
+
+@q(
+    "doc_edit_distance_pairs",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    1, 64) AS pfx
+      FROM documents),
+    f AS (SELECT doc_id, pfx FROM p WHERE length(pfx) = 64),
+    achunks AS (
+      SELECT doc_id, i AS ci, substr(pfx, 1 + i * 16, 16) AS key
+      FROM f, unnest(generate_series(0, 3)) AS s(i)),
+    bsubs AS (
+      SELECT doc_id, i AS ci, substr(pfx, 1 + i * 16 + o, 16) AS key
+      FROM f, unnest(generate_series(0, 3)) AS s(i),
+           unnest(generate_series(-3, 3)) AS t(o)
+      WHERE 1 + i * 16 + o >= 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM achunks a JOIN bsubs b ON a.ci = b.ci AND a.key = b.key
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(levenshtein(fa.pfx, fb.pfx) AS BIGINT) AS edit_dist
+    FROM cand JOIN f fa ON id_a = fa.doc_id JOIN f fb ON id_b = fb.doc_id
+    WHERE levenshtein(fa.pfx, fb.pfx) <= 3
+    """,
+)
+def doc_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo-tolerant record linkage (operators/dedup.edit_distance_pairs):
+    ALL pairs whose normalized 64-char prefixes are within 3 Levenshtein
+    edits, found LOSSLESSLY by the PartEnum pigeonhole with an offset
+    window — an untouched chunk of one string appears verbatim in the
+    other within ±k of its position, which Hamming chunk blocking
+    (doc_fuzzy_hamming_pairs) misses the moment an indel shifts the
+    suffix.  The exchange carries (chunk_idx, 16-char key, id) rows —
+    never documents; the O(L·k) DP verify runs JVM-side on candidates
+    only.  The oracle is the same construction, and the test suite's
+    brute-force referee proves the blocking drops nothing."""
+    from presto_ethereum_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        t_spread(spark, sf, "documents"), max_edits=3, prefix_len=64
+    )

@@ -3002,6 +3002,69 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestEditDistancePairs:
+    BASE = "the quick brown fox jumps over the lazy dog while carrying apples"
+
+    def _corpus(self):
+        b = self.BASE[:64]
+        assert len(b) == 64
+        return [
+            (1, b),
+            (2, b[:10] + "X" + b[11:]),          # 1 substitution
+            (3, b[:20] + b[21:] + "z"),          # 1 deletion (+pad keeps 64)
+            (4, "ab" + b[:62]),                  # 2 insertions at the front
+            (5, b[::-1]),                        # far away
+            (6, "completely different text that shares nothing with the base x"),
+        ]
+
+    def test_matches_bruteforce_referee(self, spark):
+        from presto_ethereum_spark.operators.dedup import edit_distance_pairs
+
+        try:
+            import Levenshtein as _  # noqa: F401
+            raise AssertionError("unexpected lib")
+        except ImportError:
+            pass
+        rows = self._corpus()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.edit_dist
+            for r in edit_distance_pairs(df, max_edits=3, prefix_len=64).collect()
+        }
+        # brute-force referee via Spark's own levenshtein on all pairs
+        norm = {i: " ".join(t.lower().split())[:64] for i, t in rows}
+        full = spark.createDataFrame(
+            [(a, b, norm[a], norm[b]) for a in norm for b in norm if a < b
+             and len(norm[a]) == 64 and len(norm[b]) == 64],
+            "id_a long, id_b long, pa string, pb string",
+        ).select("id_a", "id_b", F.levenshtein("pa", "pb").alias("d"))
+        want = {(r.id_a, r.id_b): r.d for r in full.collect() if r.d <= 3}
+        assert got == want
+        # and the hand-planted distances are really in there
+        assert got[(1, 2)] == 1 and got[(1, 3)] == 2
+        # doc 4's 2 front insertions ALSO truncate 2 tail chars -> dist 4
+        assert (1, 4) not in got and (1, 5) not in got
+
+    def test_indel_shift_not_missed_by_hamming(self, spark):
+        from presto_ethereum_spark.operators.dedup import edit_distance_pairs
+
+        # one char inserted at position 0 shifts EVERY chunk; the offset
+        # window still catches it (Hamming chunk blocking cannot)
+        b = self.BASE[:64]
+        df = spark.createDataFrame(
+            [(1, b), (2, "x" + b[:63])], "doc_id long, text string"
+        )
+        got = edit_distance_pairs(df, max_edits=3, prefix_len=64).collect()
+        assert len(got) == 1 and got[0].edit_dist <= 3
+
+    def test_prefix_len_divisibility_guard(self, spark):
+        from presto_ethereum_spark.operators.dedup import edit_distance_pairs
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            edit_distance_pairs(df, max_edits=3, prefix_len=62)
+
+
 class TestTokenEntropy:
     def test_hand_computed(self, spark):
         import math
