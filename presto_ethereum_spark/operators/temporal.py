@@ -42,6 +42,7 @@ __all__ = [
     "snapshot_diff",
     "time_weighted_avg",
     "max_concurrency",
+    "merge_changeset",
 ]
 
 
@@ -572,5 +573,64 @@ def max_concurrency(
             F.min(
                 F.when(F.col("_run") == F.col("_peak"), F.col("_t"))
             ).cast("long").alias("t_at_peak"),
+        )
+    )
+
+
+def merge_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Batch MERGE (Delta/Iceberg ``MERGE INTO`` semantics) as ONE
+    full-outer shuffle: apply a changeset of inserts / updates / deletes
+    to a base table.
+
+    ``changes`` carries the base's columns plus ``op_col`` ∈
+    {'I','U','D'}.  Semantics per key:
+
+    - matched + ``U``  -> row replaced by the change's values (``updated``)
+    - matched + ``D``  -> row removed
+    - matched + ``I``  -> insert conflict: base row wins (``kept``)
+    - unmatched + ``I``-> new row (``inserted``)
+    - unmatched + ``U``/``D`` -> no-op (nothing to update/delete)
+    - base key absent from the changeset -> unchanged (``kept``)
+
+    Returns the post-merge table (base schema + ``action``).
+
+    Scale: the naive 3-pass formulation (update join + kept anti-join +
+    insert anti-join) scans and shuffles the base three times; this is
+    ONE co-partitioned full-outer join — both sides shuffle once on the
+    key and every MERGE branch is a projection over the joined row.  The
+    changeset is usually tiny next to the base, so AQE broadcasts it and
+    the base never shuffles at all; either way no branch re-reads."""
+    val_cols = [c for c in base.columns if c != key]
+    bs = base.select(
+        F.col(key), F.struct(*[F.col(c) for c in val_cols]).alias("_b")
+    )
+    cs = changes.select(
+        F.col(key),
+        F.col(op_col).alias("_op"),
+        F.struct(*[F.col(c) for c in val_cols]).alias("_c"),
+    )
+    j = bs.join(cs, key, "full_outer")
+    action = (
+        F.when(F.col("_b").isNull() & (F.col("_op") == "I"), F.lit("inserted"))
+        .when(F.col("_b").isNotNull() & (F.col("_op") == "U"), F.lit("updated"))
+        .when(F.col("_b").isNotNull() & (F.col("_op") == "D"), F.lit("deleted"))
+        .when(F.col("_b").isNotNull(), F.lit("kept"))  # no/irrelevant change
+    )
+    picked = F.when(F.col("_action") == "updated", F.col("_c")).otherwise(
+        F.coalesce("_b", "_c")
+    )
+    return (
+        j.withColumn("_action", action)
+        .where(F.col("_action").isin("inserted", "updated", "kept"))
+        .withColumn("_row", picked)
+        .select(
+            F.col(key),
+            *[F.col("_row")[c].alias(c) for c in val_cols],
+            F.col("_action").alias("action"),
         )
     )

@@ -9409,3 +9409,72 @@ def doc_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return edit_distance_pairs(
         t_spread(spark, sf, "documents"), max_edits=3, prefix_len=64
     )
+
+
+@q(
+    "rel_merge_upsert",
+    """
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+             c_mktsegment, 'U' AS op
+      FROM customer WHERE c_custkey % 10 IN (1, 2)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, 'NEWSEG', 'I'
+      FROM customer WHERE c_custkey % 10 = 3),
+    merged AS (
+      SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+             CASE WHEN b.c_custkey IS NULL AND c.op = 'I' THEN 'inserted'
+                  WHEN b.c_custkey IS NOT NULL AND c.op = 'U' THEN 'updated'
+                  WHEN b.c_custkey IS NOT NULL AND c.op = 'D' THEN 'deleted'
+                  WHEN b.c_custkey IS NOT NULL THEN 'kept'
+             END AS action,
+             CASE WHEN b.c_custkey IS NOT NULL AND c.op = 'U'
+                  THEN c.c_name ELSE coalesce(b.c_name, c.c_name) END AS c_name,
+             CASE WHEN b.c_custkey IS NOT NULL AND c.op = 'U'
+                  THEN c.c_nationkey ELSE coalesce(b.c_nationkey, c.c_nationkey)
+             END AS c_nationkey,
+             CASE WHEN b.c_custkey IS NOT NULL AND c.op = 'U'
+                  THEN c.c_acctbal ELSE coalesce(b.c_acctbal, c.c_acctbal)
+             END AS c_acctbal,
+             CASE WHEN b.c_custkey IS NOT NULL AND c.op = 'U'
+                  THEN c.c_mktsegment
+                  ELSE coalesce(b.c_mktsegment, c.c_mktsegment)
+             END AS c_mktsegment
+      FROM customer b FULL OUTER JOIN changes c USING (c_custkey))
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, action
+    FROM merged WHERE action IN ('inserted', 'updated', 'kept')
+    """,
+)
+def rel_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch MERGE INTO (operators/temporal.merge_changeset): a derived
+    changeset (updates for custkey%10∈{1,2}: +100 balance; deletes for
+    %10=0; inserts for %10=3 under shifted keys) applied to the customer
+    base in ONE full-outer shuffle — every MERGE branch (update wins,
+    delete drops, insert-conflict keeps base, untouched rows kept) is a
+    projection over the joined row, vs the 3-pass join+anti-join+anti-join
+    decomposition that scans the base three times.  The lakehouse upsert
+    primitive behind SCD feeds and CDC compaction."""
+    from presto_ethereum_spark.operators.temporal import merge_changeset
+
+    c = t(spark, sf, "customer")
+    mod = F.col("c_custkey") % 10
+    upd = c.where(mod.isin(1, 2)).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    ).withColumn("op", F.lit("U"))
+    dele = c.where(mod == 0).withColumn("op", F.lit("D"))
+    ins = c.where(mod == 3).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return merge_changeset(c, changes, "c_custkey")

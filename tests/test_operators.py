@@ -3002,6 +3002,46 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestMergeChangeset:
+    def test_all_branches(self, spark):
+        from presto_ethereum_spark.operators.temporal import merge_changeset
+
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+            "k long, name string, v long",
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "b2", 22, "U"),   # update
+                (3, None, 0, "D"),    # delete
+                (5, "e", 50, "I"),    # insert
+                (1, "a9", 99, "I"),   # insert conflict -> base wins
+                (9, "x", 90, "U"),    # update of absent key -> no-op
+                (8, None, 0, "D"),    # delete of absent key -> no-op
+            ],
+            "k long, name string, v long, op string",
+        )
+        out = {r.k: r for r in merge_changeset(base, changes, "k").collect()}
+        assert set(out) == {1, 2, 4, 5}
+        assert out[2].action == "updated" and out[2].name == "b2" and out[2].v == 22
+        assert out[5].action == "inserted" and out[5].v == 50
+        assert out[1].action == "kept" and out[1].name == "a"  # conflict
+        assert out[4].action == "kept" and out[4].v == 40
+
+    def test_single_shuffle_plan(self, spark):
+        from presto_ethereum_spark.operators.temporal import merge_changeset
+
+        base = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        changes = base.limit(5).withColumn("op", F.lit("U"))
+        plan = (
+            merge_changeset(base, changes, "c_custkey")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # one join, and the base is never scanned more than twice (base +
+        # the changeset derived from it); no 3-pass union-of-joins
+        assert plan.count("FileScan parquet") <= 2
+
+
 class TestEditDistancePairs:
     BASE = "the quick brown fox jumps over the lazy dog while carrying apples"
 
