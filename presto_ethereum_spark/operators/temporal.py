@@ -43,6 +43,7 @@ __all__ = [
     "time_weighted_avg",
     "max_concurrency",
     "merge_changeset",
+    "ewma_last",
 ]
 
 
@@ -633,4 +634,56 @@ def merge_changeset(
             *[F.col("_row")[c].alias(c) for c in val_cols],
             F.col("_action").alias("action"),
         )
+    )
+
+
+def ewma_last(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    cents_col: str,
+    tiebreak: str,
+    window: int = 20,
+) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of the last
+    ``window`` observations per key — the trend/monitoring smoother where
+    each newer observation counts double its predecessor.
+
+    Integer-exact by construction: with dyadic weights the smoothed value
+    is the rational ``Σ cents_i · 2^(m-i) / (2^m - 1)`` (i = 1 the most
+    recent, m = min(#obs, window)); numerator and denominator are exact
+    BIGINTs (cents ≤ ~1e7 · 2^20 ≈ 1e13 « 2^53), so the reported double
+    is the same exact-integer ratio in every engine — the ``rel_twap``
+    contract, no rounding anywhere.  The truncation at ``window`` IS the
+    spec (the dropped tail carries < 2^-window of the mass), not an
+    approximation of some other definition.
+
+    Returns ``(key, n_obs, ewma_num, ewma_den, ewma)`` with ``ewma`` in
+    the cents column's unit / 100.
+
+    Scale: one shuffle on the key shared by the ranking window and the
+    final aggregation; the per-key state is ``window`` rows regardless of
+    history length (older rows are filtered before aggregating)."""
+    if not 1 <= window <= 40:
+        raise ValueError(f"window must be in [1, 40], got {window}")
+    w = Window.partitionBy(key).orderBy(
+        F.col(time_col).desc(), F.col(tiebreak).desc()
+    )
+    ranked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= window)
+        .withColumn("_m", F.count("*").over(Window.partitionBy(key)))
+    )
+    num = F.sum(
+        F.col(cents_col)
+        * F.expr("shiftleft(CAST(1 AS BIGINT), _m - _rn)")
+    )
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), first(_m))") - 1
+    return ranked.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+        (
+            num.cast("double") / (den).cast("double") / F.lit(100.0)
+        ).alias("ewma"),
     )

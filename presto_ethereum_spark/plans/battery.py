@@ -9478,3 +9478,49 @@ def rel_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
     changes = upd.unionByName(dele).unionByName(ins)
     return merge_changeset(c, changes, "c_custkey")
+
+
+@q(
+    "rel_ewma_value",
+    """
+    WITH ev AS (
+      SELECT user_id AS key, event_id, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT key, cents,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY t_us DESC, event_id DESC) AS rn
+      FROM ev),
+    k AS (
+      SELECT key, cents, rn, count(*) OVER (PARTITION BY key) AS m
+      FROM r WHERE rn <= 20)
+    SELECT key, CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (m - rn))) AS BIGINT)
+             AS ewma_num,
+           CAST((CAST(1 AS BIGINT) << any_value(m)) - 1 AS BIGINT)
+             AS ewma_den,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (m - rn))) AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << any_value(m)) - 1 AS DOUBLE) / 100
+             AS ewma
+    FROM k GROUP BY key
+    """,
+)
+def rel_ewma_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EWMA (α = 1/2) of the last 20 observations
+    (operators/temporal.ewma_last): the trend smoother where every newer
+    observation counts double its predecessor.  Dyadic weights make the
+    smoothed value an exact BIGINT rational (num ≤ cents·2^20 « 2^53),
+    so the reported double is the same exact-integer ratio in both
+    engines — the rel_twap contract, NO rounding anywhere.  One shuffle
+    on user_id shared by the ranking window and the aggregation; per-key
+    state is 20 rows regardless of history length."""
+    from presto_ethereum_spark.operators.temporal import ewma_last
+
+    ev = t_spread(spark, sf, "events").select(
+        F.col("user_id").alias("key"),
+        "event_id",
+        F.expr("ts DIV 1000").alias("t_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return ewma_last(ev, "key", "t_us", "cents", "event_id", window=20)

@@ -3002,6 +3002,36 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestEwmaLast:
+    def test_hand_computed(self, spark):
+        from presto_ethereum_spark.operators.temporal import ewma_last
+
+        # key 1, cents by time: 100 (old), 200, 400 (newest), window 20:
+        # num = 400*4 + 200*2 + 100*1 = 2100, den = 2^3 - 1 = 7
+        # ewma = 2100/7/100 = 3.0
+        rows = [(1, 1, 0, 100), (1, 2, 10, 200), (1, 3, 20, 400)]
+        df = spark.createDataFrame(rows, "k long, eid long, t long, cents long")
+        r = ewma_last(df, "k", "t", "cents", "eid", window=20).collect()[0]
+        assert (r.n_obs, r.ewma_num, r.ewma_den, r.ewma) == (3, 2100, 7, 3.0)
+
+    def test_window_truncates(self, spark):
+        from presto_ethereum_spark.operators.temporal import ewma_last
+
+        # window 2 keeps only the two newest: num = 400*2 + 200, den = 3
+        rows = [(1, 1, 0, 100), (1, 2, 10, 200), (1, 3, 20, 400)]
+        df = spark.createDataFrame(rows, "k long, eid long, t long, cents long")
+        r = ewma_last(df, "k", "t", "cents", "eid", window=2).collect()[0]
+        assert (r.n_obs, r.ewma_num, r.ewma_den) == (2, 1000, 3)
+        assert r.ewma == 1000 / 3 / 100
+
+    def test_window_bound_guard(self, spark):
+        from presto_ethereum_spark.operators.temporal import ewma_last
+
+        df = spark.createDataFrame([(1, 1, 0, 1)], "k long, eid long, t long, cents long")
+        with pytest.raises(ValueError):
+            ewma_last(df, "k", "t", "cents", "eid", window=64)
+
+
 class TestMergeChangeset:
     def test_all_branches(self, spark):
         from presto_ethereum_spark.operators.temporal import merge_changeset
