@@ -87,6 +87,15 @@ HEADLINE = [
     "rel_mad_anomalies",
     "doc_collocations_pmi",
     "rel_twap",
+    # round-6 late additions: integer-exact OLS trend, sweep-line peak
+    # concurrency, zero-shuffle collision entropy, lossless edit-distance
+    # linkage, single-shuffle MERGE, dyadic EWMA
+    "rel_revenue_trend",
+    "rel_max_concurrency",
+    "doc_token_entropy",
+    "doc_edit_distance_pairs",
+    "rel_merge_upsert",
+    "rel_ewma_value",
 ]
 
 

@@ -545,19 +545,27 @@ def max_concurrency(
     epoch-boundary offsets (the standard two-level scan), or salt the
     key if only the peak (not its time) is needed per coarse window."""
     ks = [F.col(c) for c in key_cols]
-    starts = df.select(
+    # single-scan edge generation: each interval row explodes into its
+    # +1/-1 edge pair (a two-branch union would read the input twice)
+    edges = df.select(
         *ks,
-        F.col(start_col).alias("_t"),
-        F.lit(1).alias("_delta"),
-        F.col(id_col).alias("_tie"),
-    )
-    ends = df.select(
-        *ks,
-        F.col(end_col).alias("_t"),
-        F.lit(-1).alias("_delta"),
-        F.col(id_col).alias("_tie"),
-    )
-    edges = starts.unionByName(ends)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("_t"),
+                    F.lit(1).alias("_delta"),
+                    F.col(id_col).alias("_tie"),
+                ),
+                F.struct(
+                    F.col(end_col).alias("_t"),
+                    F.lit(-1).alias("_delta"),
+                    F.col(id_col).alias("_tie"),
+                ),
+            )
+        ).alias("_e"),
+    ).select(*ks, F.col("_e._t").alias("_t"),
+             F.col("_e._delta").alias("_delta"),
+             F.col("_e._tie").alias("_tie"))
     w = (
         Window.partitionBy(*key_cols)
         .orderBy("_t", "_delta", "_tie")

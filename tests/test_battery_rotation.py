@@ -87,6 +87,8 @@ ROUNDED_DOUBLE_ENTRIES = [
     "doc_collocations_pmi",
     "emb_range_search",
     "emb_knn_join_ivf",
+    # round-6 late addition: ln of an exact rational, round @6
+    "doc_token_entropy",
 ]
 SF01_SAMPLE = 3
 

@@ -3193,6 +3193,22 @@ class TestMaxConcurrency:
         r8 = max_concurrency(df8, ["k"], "s", "e", "iid").collect()[0]
         assert (r1.peak, r1.t_at_peak) == (r8.peak, r8.t_at_peak) == (5, 40)
 
+    def test_single_scan_plan(self, spark):
+        from presto_ethereum_spark.operators.temporal import max_concurrency
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            "event_type", "event_id",
+            F.col("event_id").alias("s"), (F.col("event_id") + 100).alias("e"),
+        )
+        plan = (
+            max_concurrency(df, ["event_type"], "s", "e", "event_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the edge pair explodes from ONE scan (a union would read twice),
+        # and the window + final agg share one key exchange
+        assert plan.count("FileScan parquet") == 1
+        assert plan.count("Exchange hashpartitioning") == 1
+
 
 class TestFirstOccurrenceRollups:
     def test_vocab_growth_hand_computed(self, spark):
