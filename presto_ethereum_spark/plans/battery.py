@@ -9524,3 +9524,56 @@ def rel_ewma_value(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
     )
     return ewma_last(ev, "key", "t_us", "cents", "event_id", window=20)
+
+
+@q(
+    "rel_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS dst
+      FROM events),
+    pairs AS (
+      SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst),
+    tot AS (SELECT src, sum(n) AS n_src FROM pairs GROUP BY src)
+    SELECT p.src, p.dst, CAST(p.n AS BIGINT) AS n,
+           CAST(t.n_src AS BIGINT) AS n_src,
+           CAST((2 * p.n * 1000000 + t.n_src) // (2 * t.n_src) AS DOUBLE)
+             / 1000000 AS prob
+    FROM pairs p JOIN tot t USING (src)
+    """,
+)
+def rel_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys: for
+    each (src → dst) step-pair, its count and conditional probability —
+    the product-analytics primitive behind next-action prediction and
+    funnel-drop diagnosis, and the journey-strings rollup
+    (rel_journey_strings) in matrix form.  One shuffle on user_id for the
+    lead() window; the pair/row-total aggregation runs over #event_type²
+    rows (broadcast-sized at any corpus scale).  Probabilities are
+    round6_ratio integer half-up — the small-denominator ratio class
+    ROUNDING_AUDIT.md bans from round(double)."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts DIV 1000").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_src").cast("long").alias("n_src"),
+            round6_ratio(F.col("n"), F.col("n_src")).alias("prob"),
+        )
+    )

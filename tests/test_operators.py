@@ -3002,6 +3002,35 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestMarkovTransitions:
+    def test_hand_computed(self, spark):
+        import tempfile
+
+        from presto_ethereum_spark.plans import battery
+
+        # user 1: a->b->a->c ; user 2: a->b
+        # pairs: (a,b)=2, (b,a)=1, (a,c)=1 -> P(b|a)=2/3, P(c|a)=1/3
+        rows = [
+            (1, 1, 0, "a"), (1, 2, 1, "b"), (1, 3, 2, "a"), (1, 4, 3, "c"),
+            (2, 5, 0, "a"), (2, 6, 1, "b"),
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(u, e, t * 1_000_000_000, ty) for u, e, t, ty in rows],
+                "user_id long, event_id long, ts long, event_type string",
+            ).write.parquet(f"{td}/events.parquet")
+            out = {
+                (r.src, r.dst): r
+                for r in battery.queries()["rel_markov_transitions"](
+                    spark, td
+                ).collect()
+            }
+        assert out[("a", "b")].n == 2 and out[("a", "b")].n_src == 3
+        assert out[("a", "b")].prob == 0.666667  # integer half-up micro-units
+        assert out[("a", "c")].prob == 0.333333
+        assert out[("b", "a")].prob == 1.0
+
+
 class TestEwmaLast:
     def test_hand_computed(self, spark):
         from presto_ethereum_spark.operators.temporal import ewma_last
