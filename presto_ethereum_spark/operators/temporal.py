@@ -60,8 +60,10 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_time <= left_time`` for the same key (``direction='backward'``;
-    ``'forward'`` matches the next right row instead).  Left rows with no
-    match keep nulls (LEFT ASOF JOIN semantics).
+    ``'forward'`` matches the next right row instead; ``'nearest'`` picks
+    whichever side is closer in time, ties resolving backward — the
+    pandas ``merge_asof`` direction set).  Left rows with no match keep
+    nulls (LEFT ASOF JOIN semantics).
 
     ``tolerance`` (same NUMERIC units as the time columns) bounds the
     staleness of a match — pandas ``merge_asof(tolerance=...)`` semantics:
@@ -114,18 +116,44 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = F.first("_rrow", ignorenulls=True).over(w)
+    elif direction == "nearest":
+        # both carries share ONE sort order (t asc, right-before-left at
+        # equal t), so Spark plans a single shuffle + sort for the pair of
+        # frames.  A right row at exactly left_time lands in the backward
+        # carry (distance 0); ties in distance resolve backward (the
+        # pandas merge_asof convention).
+        base = Window.partitionBy("_k").orderBy(
+            F.col("_t").asc(), F.col("_side").asc()
+        )
+        carried_b = F.last("_rrow", ignorenulls=True).over(
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried_f = F.first("_rrow", ignorenulls=True).over(
+            base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        dist_b = F.col("_t") - carried_b[right_time]
+        dist_f = carried_f[right_time] - F.col("_t")
+        carried = (
+            F.when(carried_b.isNull(), carried_f)
+            .when(carried_f.isNull(), carried_b)
+            .when(dist_b <= dist_f, carried_b)
+            .otherwise(carried_f)
+        )
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
 
     matched = unioned.withColumn("_match", carried).where(F.col("_side") == 1)
     if tolerance is not None:
         if tolerance < 0:
             raise ValueError(f"tolerance must be >= 0, got {tolerance}")
-        dist = (
-            F.col("_t") - F.col("_match")[right_time]
-            if direction == "backward"
-            else F.col("_match")[right_time] - F.col("_t")
-        )
+        if direction == "backward":
+            dist = F.col("_t") - F.col("_match")[right_time]
+        elif direction == "forward":
+            dist = F.col("_match")[right_time] - F.col("_t")
+        else:  # nearest: staleness is the absolute gap either side
+            dist = F.abs(F.col("_t") - F.col("_match")[right_time])
         matched = matched.withColumn(
             "_match", F.when(dist <= F.lit(tolerance), F.col("_match"))
         )

@@ -9577,3 +9577,71 @@ def rel_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
             round6_ratio(F.col("n"), F.col("n_src")).alias("prob"),
         )
     )
+
+
+@q(
+    "rel_asof_nearest",
+    """
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+    ord AS (
+      SELECT o_custkey, epoch_us(o_orderdate) AS o_us, o_orderkey
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) = 1),
+    b AS (
+      SELECT ev.event_id, ev.user_id, ev.t_us,
+             ord.o_us AS b_us, ord.o_orderkey AS b_key
+      FROM ev ASOF LEFT JOIN ord
+      ON ev.user_id = ord.o_custkey AND ev.t_us >= ord.o_us),
+    f AS (
+      SELECT ev.event_id, ord.o_us AS f_us, ord.o_orderkey AS f_key
+      FROM ev ASOF LEFT JOIN ord
+      ON ev.user_id = ord.o_custkey AND ev.t_us <= ord.o_us)
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b_us IS NULL THEN f_us
+                WHEN f_us IS NULL THEN b_us
+                WHEN (t_us - b_us) <= (f_us - t_us) THEN b_us
+                ELSE f_us END AS asof_o_us,
+           CASE WHEN b_us IS NULL THEN f_key
+                WHEN f_us IS NULL THEN b_key
+                WHEN (t_us - b_us) <= (f_us - t_us) THEN b_key
+                ELSE f_key END AS asof_o_orderkey
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def rel_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/temporal.asof_join,
+    direction='nearest'): each event attaches whichever order is CLOSER
+    in time — before or after — ties resolving backward; the pandas
+    merge_asof direction Spark and most engines lack natively.  Both
+    carries (last-before, first-after) share ONE sort order, so the plan
+    is still a single shuffle + sort — no second exchange for the
+    forward pass; the oracle needs TWO native ASOF joins plus a pick."""
+    from presto_ethereum_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    ord_ = (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "o_custkey",
+            (F.unix_timestamp("o_orderdate") * 1_000_000).alias("o_us"),
+            "o_orderkey",
+        )
+    )
+    return asof_join(
+        ev,
+        ord_,
+        on_left="user_id",
+        on_right="o_custkey",
+        left_time="t_us",
+        right_time="o_us",
+        right_value_cols=["o_orderkey"],
+        direction="nearest",
+    ).select("event_id", "user_id", "asof_o_us", "asof_o_orderkey")

@@ -2207,6 +2207,59 @@ class TestKAnonymity:
             k_anonymity(df, ["lang"], k=0)
 
 
+class TestAsofNearest:
+    def test_hand_computed(self, spark):
+        from presto_ethereum_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "t10"), (1, 95, "t95"), (1, 150, "t150"), (2, 50, "only")],
+            "k long, t long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 0, "r0"), (1, 100, "r100"), (1, 200, "r200")],
+            "k long, rt long, val string",
+        )
+        out = {
+            r.tag: r
+            for r in asof_join(
+                left, right, on_left="k", left_time="t", right_time="rt",
+                right_value_cols=["val"], direction="nearest",
+            ).collect()
+        }
+        assert out["t10"].asof_val == "r0"      # 10 vs 90 away
+        assert out["t95"].asof_val == "r100"    # forward closer (5 < 95)
+        assert out["t150"].asof_val == "r100"   # tie 50/50 -> backward
+        assert out["only"].asof_val is None     # key with no right rows
+
+    def test_exact_hit_distance_zero(self, spark):
+        from presto_ethereum_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([(1, 100)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 100, "exact"), (1, 101, "after")], "k long, rt long, val string"
+        )
+        r = asof_join(
+            left, right, on_left="k", left_time="t", right_time="rt",
+            right_value_cols=["val"], direction="nearest", tolerance=0,
+        ).collect()[0]
+        assert r.asof_val == "exact"
+
+    def test_nearest_single_exchange(self, spark):
+        from presto_ethereum_spark.operators.temporal import asof_join
+
+        left = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+            F.col("user_id").alias("k"), F.col("event_id").alias("t")
+        )
+        right = left.select("k", F.col("t").alias("rt"), F.lit(1).alias("val"))
+        plan = (
+            asof_join(left, right, on_left="k", left_time="t", right_time="rt",
+                      right_value_cols=["val"], direction="nearest")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # both carries ride one sort: no second exchange for the forward pass
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
 class TestAsofTolerance:
     def test_stale_match_nulls_out(self, spark):
         from presto_ethereum_spark.operators.temporal import asof_join
