@@ -9645,3 +9645,102 @@ def rel_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
         right_value_cols=["o_orderkey"],
         direction="nearest",
     ).select("event_id", "user_id", "asof_o_us", "asof_o_orderkey")
+
+
+@q(
+    "doc_minhash_recall",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_SIG},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    ex AS (
+      SELECT s.doc_id, len(s.shingles) AS sz, unnest(s.shingles) AS sh
+      FROM shingled s),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
+    truth AS (
+      SELECT id_a, id_b,
+             CASE WHEN 10 * inter >= 7 * (sz_a + sz_b - inter) THEN '0.7+'
+                  WHEN 10 * inter >= 5 * (sz_a + sz_b - inter) THEN '0.5-0.7'
+                  ELSE '0.3-0.5' END AS bucket
+      FROM tp
+      WHERE 10 * inter >= 3 * (sz_a + sz_b - inter)),
+    hits AS (
+      SELECT t.bucket, count(*) AS n_caught
+      FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+      GROUP BY t.bucket)
+    SELECT t.bucket, CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(any_value(h.n_caught), 0) AS BIGINT) AS n_caught,
+           CAST((2 * coalesce(any_value(h.n_caught), 0) * 1000000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1000000 AS recall
+    FROM truth t LEFT JOIN hits h ON t.bucket = h.bucket
+    GROUP BY t.bucket
+    """,
+)
+def doc_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall of MinHash+LSH banding against the exact-Jaccard
+    truth, per similarity bucket — the LSH S-curve made visible: 4×4
+    banding catches J ≥ 0.7 pairs near-certainly, J ≈ 0.3 pairs rarely.
+    Completes the approximate-index quality-report family (IVF/LSH/PQ
+    recalls on embeddings) for the DEDUP side.  Truth pairs come from
+    the inverted-index exact-Jaccard join (work ∝ overlapping pairs);
+    candidates from the banded bucket join; both sides shuffle shingle
+    hashes and ids, never text.  Buckets compare 10·inter vs k·union in
+    integers — no double ever gates a bucket edge."""
+    from presto_ethereum_spark.operators.dedup import (
+        minhash_candidates,
+        round6_ratio,
+    )
+    from presto_ethereum_spark.operators.text import word_shingles
+
+    d = t_spread(spark, sf, "documents")
+    sh = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    tp = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    truth = tp.where(10 * F.col("inter") >= 3 * uni).select(
+        "id_a",
+        "id_b",
+        F.when(10 * F.col("inter") >= 7 * uni, F.lit("0.7+"))
+        .when(10 * F.col("inter") >= 5 * uni, F.lit("0.5-0.7"))
+        .otherwise(F.lit("0.3-0.5"))
+        .alias("bucket"),
+    )
+    cand = minhash_candidates(d)
+    hits = (
+        truth.join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_caught"))
+    )
+    return (
+        truth.groupBy("bucket")
+        .agg(F.count("*").alias("n_truth"))
+        .join(hits, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            round6_ratio(
+                F.coalesce("n_caught", F.lit(0)), F.col("n_truth")
+            ).alias("recall"),
+        )
+    )

@@ -3055,6 +3055,34 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestMinhashRecall:
+    def test_buckets_and_recall_bounds(self, spark):
+        import tempfile
+
+        from presto_ethereum_spark.plans import battery
+
+        # identical pair (J=1.0 -> 0.7+ bucket, LSH must catch it) plus a
+        # moderately similar pair built by swapping a suffix (lands in a
+        # lower bucket where banding MAY miss it)
+        base = " ".join(f"w{i}" for i in range(40))
+        mid = " ".join(f"w{i}" for i in range(25)) + " " + " ".join(
+            f"x{i}" for i in range(15)
+        )
+        rows = [(1, base), (2, base), (3, mid),
+                (4, "zz yy xx ww vv uu tt ss rr qq")]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+                f"{td}/documents.parquet"
+            )
+            out = {r.bucket: r for r in
+                   battery.queries()["doc_minhash_recall"](spark, td).collect()}
+        top = out["0.7+"]
+        assert top.n_truth >= 1 and top.n_caught == top.n_truth
+        assert top.recall == 1.0
+        for r in out.values():  # recall is a well-formed fraction everywhere
+            assert 0.0 <= r.recall <= 1.0 and r.n_caught <= r.n_truth
+
+
 class TestMarkovTransitions:
     def test_hand_computed(self, spark):
         import tempfile
