@@ -3055,6 +3055,82 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestRandomizedReferees:
+    def test_ols_trend_vs_fraction_200_groups(self, spark):
+        import random
+        from fractions import Fraction
+
+        rng = random.Random(42)
+        rows, expected = [], {}
+        for g in range(200):
+            n = rng.randint(1, 12)
+            pts = [
+                (rng.randint(-50, 50), rng.randint(-10**9, 10**9))
+                for _ in range(n)
+            ]
+            rows += [(g, x, y) for x, y in pts]
+            sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+            sxx = sum(x * x for x, _ in pts)
+            sxy = sum(x * y for x, y in pts)
+            syy = sum(y * y for _, y in pts)
+            d = n * sxx - sx * sx
+            nm = n * sxy - sx * sy
+            im = sy * sxx - sx * sxy
+            syyc = n * syy - sy * sy
+
+            def half_away(fr, scale):
+                v = fr * scale
+                q, r = divmod(abs(v.numerator), v.denominator)
+                mag = q + (1 if 2 * r >= v.denominator else 0)
+                return -mag if v < 0 else mag
+
+            expected[g] = (
+                half_away(Fraction(nm, d), 100) if d > 0 else None,
+                half_away(Fraction(im, d), 100) if d > 0 else None,
+                half_away(Fraction(nm * nm, d * syyc), 10**6)
+                if d > 0 and syyc > 0 else None,
+            )
+        from presto_ethereum_spark.operators.stats import ols_trend
+
+        df = spark.createDataFrame(rows, "grp long, x int, y long")
+        got = {
+            r.grp: (r.slope_e2, r.intercept_e2, r.r2_e6)
+            for r in ols_trend(df, "x", "y", ["grp"]).collect()
+        }
+        assert got == expected
+
+    def test_max_concurrency_vs_bruteforce_50_keys(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows, expected = [], {}
+        iid = 0
+        for k in range(50):
+            n = rng.randint(1, 30)
+            ivs = []
+            for _ in range(n):
+                s = rng.randint(0, 100)
+                e = s + rng.randint(1, 40)
+                iid += 1
+                ivs.append((iid, s, e))
+            rows += [(k, i, s, e) for i, s, e in ivs]
+            # brute force: evaluate concurrency at every start point
+            best, best_t = 0, None
+            for t in sorted({s for _, s, _ in ivs}):
+                c = sum(1 for _, s, e in ivs if s <= t < e)
+                if c > best:
+                    best, best_t = c, t
+            expected[k] = (best, best_t)
+        from presto_ethereum_spark.operators.temporal import max_concurrency
+
+        df = spark.createDataFrame(rows, "k long, iid long, s long, e long")
+        got = {
+            r.k: (r.peak, r.t_at_peak)
+            for r in max_concurrency(df, ["k"], "s", "e", "iid").collect()
+        }
+        assert got == expected
+
+
 class TestMinhashRecall:
     def test_buckets_and_recall_bounds(self, spark):
         import tempfile
