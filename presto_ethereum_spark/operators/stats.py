@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["column_stats", "validate_expectations", "mad_outliers", "ols_trend"]
+__all__ = ["column_stats", "validate_expectations", "mad_outliers",
+           "ols_trend", "agg_state", "merge_agg_states"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -333,5 +334,54 @@ def mad_outliers(
             F.round("_mad", 4).alias("mad"),
             F.col("n_outliers").cast("long").alias("n_outliers"),
             round6_ratio(F.col("n_outliers"), F.col("n")).alias("outlier_frac"),
+        )
+    )
+
+
+def agg_state(df: DataFrame, key_cols: list[str], cents_col: str) -> DataFrame:
+    """Mergeable aggregate state per key over an integer measure:
+    ``(key..., cnt, sum_cents, min_cents, max_cents)``.  All four are
+    algebraic (merge = sum/sum/min/max), so states computed over disjoint
+    slices of the data combine into the exact full-data aggregate —
+    the materialized-view primitive behind incremental refresh."""
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(cents_col).cast("long").alias("sum_cents"),
+        F.min(cents_col).cast("long").alias("min_cents"),
+        F.max(cents_col).cast("long").alias("max_cents"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of :func:`agg_state` tables into the state of
+    their union — the incremental-refresh step: yesterday's persisted
+    state + today's delta state, at delta cost instead of a full
+    recompute.  Appends the derived ``avg`` (exact-integer ratio, the
+    ``rel_twap`` no-rounding contract).
+
+    Scale: ONE shuffle over state rows (#keys-sized, not data-sized);
+    the full input is only ever scanned inside each slice's own
+    ``agg_state`` pass.  min/max merge like sums do because they are
+    algebraic; non-algebraic aggregates (exact distinct, median) need a
+    sketch state instead (``rel_hll_partial_merge``)."""
+    if not states:
+        raise ValueError("need at least one state table")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    key_cols = [c for c in u.columns
+                if c not in ("cnt", "sum_cents", "min_cents", "max_cents")]
+    return (
+        u.groupBy(*key_cols)
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+        .withColumn(
+            "avg",
+            F.col("sum_cents").cast("double") / F.col("cnt").cast("double")
+            / F.lit(100.0),
         )
     )

@@ -9744,3 +9744,42 @@ def doc_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@q(
+    "rel_incremental_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 100 AS avg
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view refresh (operators/stats.agg_state +
+    merge_agg_states): the persisted per-priority state over historical
+    orders (year < 1999) merges with the fresh slice's delta state
+    (year >= 1999) into the EXACT full-table aggregate — the oracle IS
+    that full recompute, so hash equality proves the algebraic merge
+    loses nothing.  At scale the refresh touches only the delta slice
+    plus a #keys-sized state table instead of re-scanning history; the
+    derived avg is an exact-integer ratio (rel_twap contract).  The
+    non-algebraic cousins (exact distinct, medians) need sketch states —
+    that trade is rel_hll_partial_merge's."""
+    from presto_ethereum_spark.operators.stats import agg_state, merge_agg_states
+
+    o = t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    hist = agg_state(o.where(F.col("yr") < 1999), ["priority"], "cents")
+    delta = agg_state(o.where(F.col("yr") >= 1999), ["priority"], "cents")
+    return merge_agg_states(hist, delta).drop("yr")

@@ -3055,6 +3055,37 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestAggStateMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        from presto_ethereum_spark.operators.stats import (
+            agg_state,
+            merge_agg_states,
+        )
+
+        rows = [("a", i, (i * 37) % 500) for i in range(40)] + [
+            ("b", i, 100 + i) for i in range(7)
+        ]
+        df = spark.createDataFrame(rows, "k string, i long, cents long")
+        full = agg_state(df, ["k"], "cents")
+        s1 = agg_state(df.where(F.col("i") % 3 == 0), ["k"], "cents")
+        s2 = agg_state(df.where(F.col("i") % 3 == 1), ["k"], "cents")
+        s3 = agg_state(df.where(F.col("i") % 3 == 2), ["k"], "cents")
+        merged = merge_agg_states(s1, s2, s3)
+        want = {r.k: (r.cnt, r.sum_cents, r.min_cents, r.max_cents)
+                for r in full.collect()}
+        got = {r.k: (r.cnt, r.sum_cents, r.min_cents, r.max_cents)
+               for r in merged.collect()}
+        assert got == want
+        avg = {r.k: r.avg for r in merged.collect()}
+        assert avg["b"] == sum(100 + i for i in range(7)) / 7 / 100
+
+    def test_empty_state_list_raises(self, spark):
+        from presto_ethereum_spark.operators.stats import merge_agg_states
+
+        with pytest.raises(ValueError):
+            merge_agg_states()
+
+
 class TestRandomizedReferees:
     def test_ols_trend_vs_fraction_200_groups(self, spark):
         import random
