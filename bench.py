@@ -96,6 +96,12 @@ HEADLINE = [
     "doc_edit_distance_pairs",
     "rel_merge_upsert",
     "rel_ewma_value",
+    # round-6 continuation: journey transitions, nearest as-of, LSH-recall
+    # report over the exact-Jaccard truth, incremental state merge
+    "rel_markov_transitions",
+    "rel_asof_nearest",
+    "doc_minhash_recall",
+    "rel_incremental_agg",
 ]
 
 
