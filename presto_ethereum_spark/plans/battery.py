@@ -9783,3 +9783,72 @@ def rel_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
     hist = agg_state(o.where(F.col("yr") < 1999), ["priority"], "cents")
     delta = agg_state(o.where(F.col("yr") >= 1999), ["priority"], "cents")
     return merge_agg_states(hist, delta).drop("yr")
+
+
+@q(
+    "emb_ivf_cell_stats",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, c.cid, {_duck_cos('c.cvec', 'e.embedding')} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    sizes AS (SELECT cid, count(*) AS n_vecs FROM assign GROUP BY cid),
+    tot AS (SELECT sum(n_vecs) AS n FROM sizes)
+    SELECT c.cid AS cell,
+           CAST(coalesce(s.n_vecs, 0) AS BIGINT) AS n_vecs,
+           CAST((2 * coalesce(s.n_vecs, 0) * 8 * 1000000 + t.n)
+                // (2 * t.n) AS DOUBLE) / 1000000 AS load_factor
+    FROM cent c LEFT JOIN sizes s ON c.cid = s.cid, tot t
+    """,
+)
+def emb_ivf_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index-health report (operators/similarity.ivf_assign): per-cell
+    population and load factor (n_vecs x n_cells / corpus; 1.0 =
+    perfectly balanced) — the report an ANN operator ships so cell
+    imbalance (hot cells = slow probes, empty cells = wasted codebook)
+    is visible BEFORE serving traffic hits it, and the measured input to
+    the seeds-vs-Lloyd serving-default decision in SCALE.md.  Assignment
+    is the same zero-shuffle literal-codebook expression serving uses;
+    the report adds one 8-row aggregation.  Load factors are round6_ratio
+    integer half-up; empty cells surface as explicit zero rows."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+    from presto_ethereum_spark.operators.similarity import (
+        ivf_assign,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    if (key := sf) not in _IVF_CODEBOOKS:
+        _IVF_CODEBOOKS[key] = seed_centroids(e, n_cells=8)
+    cents = _IVF_CODEBOOKS[key]
+    sizes = (
+        ivf_assign(e, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    cent_ids = spark.createDataFrame(
+        [(int(c),) for c, _ in cents], "cell long"
+    )
+    tot = sizes.agg(F.sum("n_vecs").alias("_n"))
+    return (
+        cent_ids.join(sizes, "cell", "left")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar attach, no collect
+        .select(
+            F.col("cell"),
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            round6_ratio(
+                F.coalesce("n_vecs", F.lit(0)) * 8, F.col("_n")
+            ).alias("load_factor"),
+        )
+    )

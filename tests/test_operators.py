@@ -3055,6 +3055,21 @@ class TestTimeWeightedAvg:
         assert r.twap < 11.0
 
 
+class TestIvfCellStats:
+    def test_loads_sum_to_n_cells(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        out = battery.queries()["emb_ivf_cell_stats"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(out) == 8  # one row per codebook cell, empties included
+        assert sum(r.n_vecs for r in out) > 0
+        # load factors average 1.0 by construction (n_cells * frac sums to 8)
+        total = sum(r.n_vecs for r in out)
+        for r in out:
+            assert abs(r.load_factor - r.n_vecs * 8 / total) < 1e-5
+
+
 class TestAggStateMerge:
     def test_merge_equals_full_recompute(self, spark):
         from presto_ethereum_spark.operators.stats import (
