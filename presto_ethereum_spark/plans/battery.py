@@ -9852,3 +9852,47 @@ def emb_ivf_cell_stats(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("load_factor"),
         )
     )
+
+
+@q(
+    "eth_gas_utilization",
+    f"""
+    WITH b AS (
+      SELECT block_miner,
+             CAST(block_gasused AS BIGINT) AS u,
+             CAST(block_gaslimit AS BIGINT) AS l
+      FROM read_parquet('{ETH}/block.parquet')),
+    per AS (
+      SELECT block_miner, u, l,
+             CAST((2 * u * 1000000 + l) // (2 * l) AS DOUBLE) / 1000000
+               AS util
+      FROM b)
+    SELECT block_miner AS miner,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST((2 * sum(u) * 1000000 + sum(l)) // (2 * sum(l)) AS DOUBLE)
+             / 1000000 AS util_total,
+           max(util) AS util_max
+    FROM per GROUP BY block_miner
+    """,
+)
+def eth_gas_utilization(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-miner block-space utilization: gas-weighted fill ratio
+    (Σ gasused / Σ gaslimit) plus the peak single-block fill — the
+    congestion/production profile the reference's README gas queries
+    circle around, as one group-aggregation over the block scan.  Ratios
+    are round6_ratio integer half-up (gasused/gaslimit are exact block
+    integers); the per-block max is a max over those exact multiples of
+    1e-6, so no double ever decides a comparison."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    b = _eth_tables(spark).table("block").select(
+        "block_miner",
+        F.col("block_gasused").cast("long").alias("u"),
+        F.col("block_gaslimit").cast("long").alias("l"),
+    )
+    per = b.withColumn("util", round6_ratio(F.col("u"), F.col("l")))
+    return per.groupBy(F.col("block_miner").alias("miner")).agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        round6_ratio(F.sum("u"), F.sum("l")).alias("util_total"),
+        F.max("util").alias("util_max"),
+    )
