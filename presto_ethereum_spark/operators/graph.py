@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["pagerank", "pagerank_weighted", "hits", "triangles", "triangle_participation", "k_core"]
+__all__ = ["pagerank", "pagerank_weighted", "hits", "triangles", "triangle_participation", "k_core", "khop_reachability"]
 
 FIXED_POINT_SCALE = 1_000_000_000_000_000.0  # 1e15
 
@@ -601,3 +601,64 @@ def hits(
             F.coalesce(F.col("a"), F.lit(0.0)).alias("auth"),
         )
     )
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BFS levels: every node reachable from the seed set within ``k``
+    directed hops, labeled with its MINIMUM hop distance (seeds = hop 0).
+
+    The taint-tracing primitive ("every address within 3 transfers of this
+    mixer", "every doc within 2 citation hops of a contaminated source") —
+    SQL engines express it as a bounded ``WITH RECURSIVE`` (the DuckDB
+    oracle does exactly that, and Spark 4's native recursive CTE is
+    differential-tested against this operator in test_graph.py); this
+    DataFrame form is the one you run at scale because it dedups the
+    frontier per level, so work is O(sum of frontier sizes), never
+    O(paths).
+
+    ``seeds`` is a 1-column DataFrame (any column name) — computed seeds
+    (e.g. "top sender") stay distributed; nothing is collected.
+
+    Scale: each hop is one equi-join of the CURRENT frontier against the
+    edge list (shuffle on address ids only) plus one anti-join against the
+    visited set; frontiers are ``localCheckpoint``-ed per level so lineage
+    stays flat and the early-exit ``count()`` doesn't replay upstream.
+    The visited set is re-unioned per level from checkpointed frontiers —
+    at most ``k`` unions of already-materialized sets.  Deterministic:
+    min-hop levels are unique regardless of partitioning.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("dst").isNotNull()
+    )
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("addr"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    levels = [frontier.select("addr", F.lit(0).cast("int").alias("hop"))]
+    visited = frontier
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["addr"] == e["src"])
+            .select(F.col("dst").alias("addr"))
+            .distinct()
+            .join(visited, "addr", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt.select("addr", F.lit(h).cast("int").alias("hop")))
+        visited = visited.union(nxt)
+        frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -9896,3 +9896,65 @@ def eth_gas_utilization(spark: SparkSession, sf: str) -> DataFrame:
         round6_ratio(F.sum("u"), F.sum("l")).alias("util_total"),
         F.max("util").alias("util_max"),
     )
+
+
+@q(
+    "eth_khop_reachability",
+    f"""
+    WITH RECURSIVE
+    tx AS (SELECT * FROM read_parquet('{ETH}/transaction.parquet')),
+    edges AS (SELECT DISTINCT tx_from AS src, tx_to AS dst
+              FROM tx WHERE tx_to IS NOT NULL),
+    seed AS (SELECT src AS addr FROM edges
+             GROUP BY src ORDER BY count(*) DESC, src ASC LIMIT 1),
+    r(addr, hop) AS (
+      SELECT addr, CAST(0 AS INTEGER) FROM seed
+      UNION
+      SELECT e.dst, CAST(r.hop + 1 AS INTEGER)
+      FROM r JOIN edges e ON e.src = r.addr
+      WHERE r.hop < 3
+    ),
+    lv AS (SELECT addr, min(hop) AS hop FROM r GROUP BY addr)
+    SELECT CAST(hop AS INTEGER) AS hop,
+           CAST(count(*) AS BIGINT) AS n_addresses,
+           min(addr) AS first_addr,
+           max(addr) AS last_addr
+    FROM lv GROUP BY hop
+    """,
+)
+def eth_khop_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded-depth taint trace: BFS levels within 3 directed transfer
+    hops of the busiest sender (operators/graph.khop_reachability) — the
+    recursive-CTE face of the engine.  The DuckDB oracle IS a
+    ``WITH RECURSIVE`` (min-hop over deduped (addr, hop) pairs, so the
+    recursion is O(levels x nodes), never O(paths)), and Spark 4's
+    native recursive CTE reproduces the same levels (pinned in
+    test_operators.py::TestKhopReachability) — the DataFrame BFS is what you run at 100 TB because
+    each level is one frontier⋈edges shuffle on address ids plus an
+    anti-join against visited, with per-level localCheckpoint keeping
+    lineage flat.  The seed ("address with most distinct outgoing
+    edges", tie = lexicographic min) is computed IN the query as a 1-row
+    DataFrame — no collect; it rides the first hop join as a broadcast.
+    Output is the per-level census (count + lexicographic extremes), all
+    integer/string-exact."""
+    from presto_ethereum_spark.operators.graph import khop_reachability
+
+    tx = _eth_tables(spark).table("transaction")
+    edges = (
+        tx.where(F.col("tx_to").isNotNull())
+        .select(F.col("tx_from").alias("src"), F.col("tx_to").alias("dst"))
+        .distinct()
+    )
+    seed = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("src").asc())
+        .limit(1)
+        .select("src")
+    )
+    levels = khop_reachability(edges, seed, k=3)
+    return levels.groupBy("hop").agg(
+        F.count("*").cast("long").alias("n_addresses"),
+        F.min("addr").alias("first_addr"),
+        F.max("addr").alias("last_addr"),
+    )

@@ -3521,3 +3521,62 @@ class TestJourneyStrings:
             out2 = {r.custkey: r.journey for r in
                     battery.rel_journey_strings(spark, td).collect()}
         assert out2 == {k: v.journey for k, v in out.items()}
+
+
+class TestKhopReachability:
+    def _g(self, spark, edges):
+        return spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in edges], "src long, dst long"
+        )
+
+    def _levels(self, spark, edges, seeds, k):
+        from presto_ethereum_spark.operators import graph
+
+        s = spark.createDataFrame([Row(addr=a) for a in seeds], "addr long")
+        out = graph.khop_reachability(self._g(spark, edges), s, k=k)
+        return {r["addr"]: r["hop"] for r in out.collect()}
+
+    def test_diamond_with_cycle_min_hop(self, spark):
+        # 0->1, 0->2, 1->3, 2->3, 3->0 (cycle back to the seed): min-hop
+        # must win — 3 is at hop 2 (via either branch), 0 stays at 0
+        # despite being re-reachable at hop 3
+        edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0)]
+        assert self._levels(spark, edges, [0], k=3) == {0: 0, 1: 1, 2: 1, 3: 2}
+
+    def test_depth_bound_cuts_chain(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        assert self._levels(spark, edges, [0], k=2) == {0: 0, 1: 1, 2: 2}
+
+    def test_empty_frontier_early_exit_and_multi_seed(self, spark):
+        # two seeds, disconnected sink: BFS drains at hop 1 and k=5 must
+        # not loop; seed set rows dedupe
+        edges = [(0, 1), (7, 8)]
+        got = self._levels(spark, edges, [0, 7, 7], k=5)
+        assert got == {0: 0, 7: 0, 1: 1, 8: 1}
+
+    def test_k_zero_is_seed_census(self, spark):
+        assert self._levels(spark, [(0, 1)], [0], k=0) == {0: 0}
+
+    def test_matches_spark_native_recursive_cte(self, spark):
+        # the operator's contract: identical levels to the engine's own
+        # WITH RECURSIVE on the same edge list (random-ish 30-edge graph).
+        # Spark 4 only supports UNION ALL recursion (rows = paths, safe
+        # here because hop < 3 bounds the depth); min(hop) dedupes after —
+        # exactly why the DataFrame BFS, which dedups per level, is the
+        # scale path
+        edges = [((7 * i) % 13, (5 * i + 3) % 13) for i in range(30)]
+        e = self._g(spark, edges).distinct()
+        e.createOrReplaceTempView("khop_edges")
+        native = spark.sql(
+            """
+            WITH RECURSIVE r(addr, hop) AS (
+              SELECT CAST(0 AS LONG), 0
+              UNION ALL
+              SELECT e.dst, r.hop + 1 FROM r JOIN khop_edges e
+              ON e.src = r.addr WHERE r.hop < 3
+            )
+            SELECT addr, min(hop) AS hop FROM r GROUP BY addr
+            """
+        )
+        want = {r["addr"]: r["hop"] for r in native.collect()}
+        assert self._levels(spark, edges, [0], k=3) == want
