@@ -9958,3 +9958,66 @@ def eth_khop_reachability(spark: SparkSession, sf: str) -> DataFrame:
         F.min("addr").alias("first_addr"),
         F.max("addr").alias("last_addr"),
     )
+
+
+@q(
+    "rel_rising_runs",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN lag(value) OVER w IS NOT NULL
+                       AND value > lag(value) OVER w
+                  THEN 0 ELSE 1 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    g AS (
+      SELECT user_id, event_id, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o)
+    SELECT user_id,
+           CAST(min(event_id) AS BIGINT) AS start_id,
+           CAST(max(event_id) AS BIGINT) AS end_id,
+           CAST(count(*) AS BIGINT) AS run_len,
+           max_by(value, event_id) - min_by(value, event_id) AS gain
+    FROM g GROUP BY user_id, grp
+    HAVING count(*) >= 4
+    """,
+)
+def rel_rising_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-shaped sequence pattern (``A B+`` with
+    ``B.value > PREV(value)``): maximal strictly-rising runs of ``value``
+    per user, reported when the run spans >= 4 events — the momentum /
+    escalation detector engines with row-pattern matching sell, expressed
+    as the gaps-and-islands composition every engine can run: change flag
+    (lag) -> running sum island id -> per-island aggregate, with
+    ``min_by``/``max_by`` recovering the run endpoints without a join
+    back.  All windows partition by user_id (parallel at any user count;
+    never a global ordering).  ``gain`` is one subtraction of two parquet
+    doubles — both engines compute the identical IEEE operation on
+    identical operands, so no rounding is involved (ROUNDING_AUDIT
+    class: raw-double pass-through)."""
+    ev = t(spark, sf, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("value").over(w)
+    marked = ev.withColumn(
+        "brk",
+        F.when(prev.isNotNull() & (F.col("value") > prev), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped = marked.withColumn("grp", F.sum("brk").over(run))
+    return (
+        grouped.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").cast("bigint").alias("start_id"),
+            F.max("event_id").cast("bigint").alias("end_id"),
+            F.count("*").cast("bigint").alias("run_len"),
+            (F.max_by("value", "event_id") - F.min_by("value", "event_id")).alias(
+                "gain"
+            ),
+        )
+        .where(F.col("run_len") >= 4)
+        .drop("grp")
+    )
