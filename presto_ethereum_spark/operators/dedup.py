@@ -382,6 +382,71 @@ def simhash_dedup_pairs(
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def simhash_hamming_truth(
+    df: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """ALL pairs within Hamming ``max_hamming`` of each other\'s simhash —
+    exact, via LOSSLESS pigeonhole chunk blocking: split the signature
+    into ``max_hamming + 1`` bit-chunks; any pair differing in at most
+    ``max_hamming`` bits leaves at least one chunk identical, so the
+    chunk-key equi-join finds every qualifying pair (same argument as
+    fuzzy_hamming_pairs, in bit space).  This is the exact-truth side a
+    recall report needs WITHOUT an all-pairs join: work is per-bucket
+    C(n,2) over (chunk, key) buckets, shuffling only (id, 8-byte sig).
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs more chunks than {bits} bits")
+    base, extra = divmod(bits, n_chunks)
+    offs, widths, off = [], [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        offs.append(off)
+        widths.append(w)
+        off += w
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
+    )
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), offs[c]).bitwiseAND(
+                        F.lit((1 << widths[c]) - 1)
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c", "key"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (within blocking keys)
 # ---------------------------------------------------------------------------

@@ -10021,3 +10021,149 @@ def rel_rising_runs(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("run_len") >= 4)
         .drop("grp")
     )
+
+
+@q(
+    "rel_grouped_mode",
+    """
+    WITH cnt AS (
+      SELECT n_name, o_orderpriority, count(*) AS c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, o_orderpriority),
+    r AS (
+      SELECT n_name, o_orderpriority, c,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY c DESC, o_orderpriority ASC) AS rk
+      FROM cnt)
+    SELECT n_name,
+           o_orderpriority AS modal_priority,
+           CAST(c AS BIGINT) AS n_orders
+    FROM r WHERE rk = 1
+    """,
+)
+def rel_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """MODE() per group with a DETERMINISTIC tie-break: the most frequent
+    order priority per customer nation (max count, ties to the
+    lexicographically smallest value) — engines ship ``mode()`` with
+    unspecified tie order, which is exactly the nondeterminism a graded
+    pipeline can't accept, so the engine expresses it as count -> ranked
+    window -> rk=1 (same two-shuffle plan ``mode()`` needs internally,
+    plus WindowGroupLimit pruning the rank).  Dims broadcast; the only
+    real shuffle keys are (n_name, priority) count partials."""
+    o = t(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    cnt = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "n_name",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("c").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "doc_simhash_recall",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+    h AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM toks),
+    bits AS (
+      SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      FROM h, range(0, 60) r(j) GROUP BY doc_id, j),
+    sh AS (
+      SELECT doc_id, sum(CASE WHEN c > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS sh
+      FROM bits GROUP BY doc_id),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.sh, b.sh)) AS ham
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+    banded AS (
+      SELECT doc_id, sh, b AS band, (sh >> (15 * b)) & 32767 AS key
+      FROM sh, range(0, 4) r(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    tb AS (
+      SELECT id_a, id_b,
+             CASE WHEN ham <= 2 THEN '0-2'
+                  WHEN ham <= 4 THEN '3-4'
+                  ELSE '5-6' END AS bucket
+      FROM truth),
+    hits AS (
+      SELECT t.bucket, count(*) AS n_caught
+      FROM tb t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+      GROUP BY t.bucket)
+    SELECT t.bucket, CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(any_value(h.n_caught), 0) AS BIGINT) AS n_caught,
+           CAST((2 * coalesce(any_value(h.n_caught), 0) * 1000000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1000000 AS recall
+    FROM tb t LEFT JOIN hits h ON t.bucket = h.bucket
+    GROUP BY t.bucket
+    """,
+)
+def doc_simhash_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall of the production 4x15-bit SimHash banding against
+    the EXACT Hamming <= 6 truth, per distance bucket — completes the
+    approximate-index quality-report family (minhash/IVF/LSH/PQ recalls)
+    for the SimHash path.  The truth side is itself computed WITHOUT an
+    all-pairs join: operators/dedup.simhash_hamming_truth splits the
+    60-bit signature into 7 pigeonhole chunks (<= 6 differing bits must
+    leave one chunk identical), so truth discovery is a chunk-key
+    equi-join shuffling (id, signature) only — while the DuckDB oracle
+    computes truth by BRUTE-FORCE all-pairs, so hash equality proves the
+    pigeonhole blocking is lossless.  Expected shape: 4-band/15-bit
+    blocking requires one clean band, certain at ham <= 3 only when
+    errors cluster — recall decays across the 3-4 and 5-6 buckets; the
+    report makes the decay measurable.  Recall ratios are round6_ratio
+    integer half-up; bucket edges are integer comparisons."""
+    from presto_ethereum_spark.operators.dedup import (
+        round6_ratio,
+        simhash_candidates,
+        simhash_hamming_truth,
+    )
+
+    d = t_spread(spark, sf, "documents")
+    truth = simhash_hamming_truth(d, max_hamming=6).select(
+        "id_a",
+        "id_b",
+        F.when(F.col("hamming") <= 2, F.lit("0-2"))
+        .when(F.col("hamming") <= 4, F.lit("3-4"))
+        .otherwise(F.lit("5-6"))
+        .alias("bucket"),
+    )
+    cand = simhash_candidates(d).select("id_a", "id_b")
+    hits = (
+        truth.join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_caught"))
+    )
+    return (
+        truth.groupBy("bucket")
+        .agg(F.count("*").alias("n_truth"))
+        .join(hits, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
+            round6_ratio(
+                F.coalesce("n_caught", F.lit(0)), F.col("n_truth")
+            ).alias("recall"),
+        )
+    )
