@@ -34,6 +34,9 @@ from presto_ethereum_spark.plans import battery  # noqa: E402
 from presto_ethereum_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "eth_khop_reachability",
+    "doc_simhash_recall",
+    "rel_weighted_median",
     "rel_pricing_summary",
     "rel_regional_revenue",
     "rel_top_customers",

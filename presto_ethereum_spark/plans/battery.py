@@ -10167,3 +10167,60 @@ def doc_simhash_recall(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@q(
+    "rel_weighted_median",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS rf, l_extendedprice AS p,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice),
+    c AS (
+      SELECT rf, p, qs,
+             sum(qs) OVER (PARTITION BY rf ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(qs) OVER (PARTITION BY rf) AS tot
+      FROM g)
+    SELECT rf AS l_returnflag,
+           min(p) AS weighted_median,
+           CAST(any_value(tot) AS BIGINT) AS total_qty
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY rf
+    """,
+)
+def rel_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the robust
+    location statistic training-mixture budgeting leans on, computed
+    DETERMINISTICALLY: weights first collapse onto DISTINCT price points
+    (groupBy), the cumulative weight runs over that unique ordering, and
+    the median is the smallest price whose cumulative weight reaches half
+    the total (2·cum >= tot in integers).  Collapsing before the window
+    is what kills the tie hazard — per-row cumulative sums under equal
+    sort keys are engine-order-dependent; per-distinct-value sums are
+    unique.  The returned median is an exact parquet double selected by
+    integer comparison, never computed.  Scale: one (rf, price) partial
+    agg + a per-group window over distinct prices."""
+    li = t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    g = li.groupBy("rf", "p").agg(F.sum("q").cast("bigint").alias("qs"))
+    w = Window.partitionBy("rf").orderBy("p")
+    c = g.select(
+        "rf",
+        "p",
+        F.sum("qs")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("qs").over(Window.partitionBy("rf")).alias("tot"),
+    )
+    return (
+        c.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy(F.col("rf").alias("l_returnflag"))
+        .agg(
+            F.min("p").alias("weighted_median"),
+            F.any_value("tot").cast("bigint").alias("total_qty"),
+        )
+    )
