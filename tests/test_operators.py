@@ -3580,3 +3580,52 @@ class TestKhopReachability:
         )
         want = {r["addr"]: r["hop"] for r in native.collect()}
         assert self._levels(spark, edges, [0], k=3) == want
+
+
+class TestSimhashHammingTruth:
+    def test_bruteforce_referee_and_chunk_layout(self, spark):
+        # 90 word-soup docs with planted near-dup families: the pigeonhole
+        # truth must equal brute-force Hamming<=6 over the SAME signatures
+        import itertools
+        import random
+
+        from presto_ethereum_spark.operators.dedup import (
+            simhash,
+            simhash_hamming_truth,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(400)]
+        docs = []
+        for i in range(30):
+            base = rng.sample(vocab, 40)
+            docs.append((3 * i, " ".join(base)))
+            mut1 = list(base)
+            mut1[rng.randrange(40)] = rng.choice(vocab)  # near dup
+            docs.append((3 * i + 1, " ".join(mut1)))
+            docs.append((3 * i + 2, " ".join(rng.sample(vocab, 40))))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        sigs = {
+            r["doc_id"]: r["sh"]
+            for r in d.select("doc_id", simhash(F.col("text")).alias("sh")).collect()
+        }
+        want = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a, b in itertools.combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 6
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_hamming_truth(d, max_hamming=6).collect()
+        }
+        assert got == want
+        assert len(want) > 0  # the planted families must actually land
+
+    def test_chunks_cover_all_bits(self):
+        # the divmod layout must tile the 60-bit signature exactly for any
+        # max_hamming the pigeonhole argument supports
+        for mh in range(0, 20):
+            n = mh + 1
+            base, extra = divmod(60, n)
+            widths = [base + (1 if c < extra else 0) for c in range(n)]
+            assert sum(widths) == 60 and all(w >= 1 for w in widths)
