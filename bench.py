@@ -34,6 +34,7 @@ from presto_ethereum_spark.plans import battery  # noqa: E402
 from presto_ethereum_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "doc_zipf_slope",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",

@@ -43,6 +43,7 @@ __all__ = [
     "rrf_fuse",
     "collocations_pmi",
     "token_entropy",
+    "zipf_slope",
     "mask_pii",
     "k_anonymity",
     "PII_PATTERNS",
@@ -1252,4 +1253,78 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
             ),
             6,
         ),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 256,
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf rank-frequency fit per corpus slice: OLS slope/intercept of
+    ``ln(count)`` against ``ln(rank)`` over the ``top_k`` most frequent
+    tokens — the corpus-health diagnostic (natural text sits near slope
+    -1; template spam and shuffled junk flatten or steepen it, Zipf 1949
+    / Piantadosi 2014).  Returns one row per group:
+    ``(group, n_types, top_count, slope, intercept)``.
+
+    Determinism: ranks come from ``row_number`` ordered by
+    ``(count DESC, token ASC)`` — a total order, so both engines assign
+    identical (rank, count) pairs and the fitted line is a function of
+    exact integers.  ``slope``/``intercept`` pass through ``ln`` ->
+    irrational, the audited-safe ``round(,6)`` display class
+    (ROUNDING_AUDIT.md); the sums are top_k-bounded (<= 256 terms) so
+    cross-engine last-ulp drift stays ~1e-13, far from digit 7.
+
+    Plan: ONE token-stream shuffle — groupBy(group, token) with map-side
+    partial combine collapses the corpus to a vocabulary-sized count
+    table; the rank window's ``row_number <= top_k`` filter triggers
+    Spark's WindowGroupLimit pushdown, so each shuffle partition keeps
+    only its local top-k candidates before the per-group sort; the final
+    per-group OLS aggregates <= top_k rows.  ``min_count`` prunes the
+    hapax tail BEFORE the window exchange when a 100 TB vocabulary's
+    singleton mass (typos, hashes) would dominate the count table."""
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("g", "tok").agg(F.count("*").alias("c"))
+    if min_count > 1:
+        counts = counts.where(F.col("c") >= min_count)
+    w = Window.partitionBy("g").orderBy(F.desc("c"), "tok")
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= top_k)
+        .select(
+            "g",
+            "c",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("c").cast("long").alias("top_count"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        agg.withColumn("slope_raw", slope)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_types"),
+            "top_count",
+            F.round("slope_raw", 6).alias("slope"),
+            F.round((F.col("sy") - F.col("slope_raw") * F.col("sx")) / nd, 6).alias(
+                "intercept"
+            ),
+        )
     )

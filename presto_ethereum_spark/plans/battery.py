@@ -10224,3 +10224,52 @@ def rel_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
             F.any_value("tot").cast("bigint").alias("total_qty"),
         )
     )
+
+
+@q(
+    "doc_zipf_slope",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (
+      SELECT lang, tok, count(*) AS c FROM toks WHERE tok <> ''
+      GROUP BY lang, tok),
+    r AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, tok) AS r
+      FROM c),
+    xy AS (
+      SELECT lang, c, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM r WHERE r <= 256),
+    agg AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(max(c) AS BIGINT) AS top_count,
+             sum(x * y) AS sxy, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx
+      FROM xy GROUP BY lang)
+    SELECT lang, n AS n_types, top_count,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM agg
+    """,
+)
+def doc_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency fit per language (operators/text.zipf_slope):
+    OLS slope of ln(count) vs ln(rank) over each language's 256 most
+    frequent tokens — the distribution-health diagnostic a corpus
+    curation pipeline runs per source/language slice (natural text sits
+    near slope -1; template/boilerplate slices flatten it).  Ranks are a
+    total order (count DESC, token ASC) so both engines fit the same
+    exact integer sequence; slope/intercept pass through ln ->
+    irrational, the audited-safe round(,6) class, and the OLS sums are
+    256-bounded so cross-engine ulp drift never reaches digit 7.  Plan:
+    one map-side-combined (lang, token) count shuffle collapses the
+    corpus to a vocabulary-sized table; the row_number <= k filter
+    triggers WindowGroupLimit pushdown ahead of the per-lang sort."""
+    from presto_ethereum_spark.operators.text import zipf_slope
+
+    return zipf_slope(t_spread(spark, sf, "documents"), top_k=256)

@@ -3629,3 +3629,54 @@ class TestSimhashHammingTruth:
             base, extra = divmod(60, n)
             widths = [base + (1 if c < extra else 0) for c in range(n)]
             assert sum(widths) == 60 and all(w >= 1 for w in widths)
+
+
+class TestZipfSlope:
+    def test_matches_numpy_polyfit(self, spark):
+        # planted corpus with known frequency structure; the operator's
+        # explicit-sum OLS must match numpy's lstsq fit on the same
+        # (rank, count) points to float tolerance
+        import math
+
+        import numpy as np
+
+        from presto_ethereum_spark.operators.text import zipf_slope
+
+        docs = []
+        did = 0
+        for g, scale in (("en", 1), ("de", 3)):
+            toks = []
+            for i in range(1, 60):
+                toks += [f"t{i:03d}"] * max(1, (600 * scale) // (i + scale))
+            for s in range(0, len(toks), 40):
+                docs.append((did, " ".join(toks[s : s + 40]), g))
+                did += 1
+        d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+        got = {r["lang"]: r for r in zipf_slope(d, top_k=50).collect()}
+        rows = d.toPandas()
+        for g in ("en", "de"):
+            from collections import Counter
+
+            cnt = Counter(
+                tok
+                for t in rows[rows.lang == g].text
+                for tok in t.split(" ")
+                if tok
+            )
+            pts = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+            x = np.log(np.arange(1, len(pts) + 1, dtype=float))
+            y = np.log(np.array([c for _, c in pts], dtype=float))
+            slope, intercept = np.polyfit(x, y, 1)
+            assert got[g]["n_types"] == len(pts)
+            assert got[g]["top_count"] == pts[0][1]
+            assert math.isclose(got[g]["slope"], slope, abs_tol=5e-6)
+            assert math.isclose(got[g]["intercept"], intercept, abs_tol=5e-6)
+
+    def test_min_count_prunes_before_rank(self, spark):
+        from presto_ethereum_spark.operators.text import zipf_slope
+
+        d = spark.createDataFrame(
+            [(0, "a a a b b c", "en")], "doc_id long, text string, lang string"
+        )
+        out = zipf_slope(d, top_k=10, min_count=2).collect()
+        assert out[0]["n_types"] == 2  # c (count 1) pruned
