@@ -49,6 +49,8 @@ __all__ = [
     "hamming_fixed",
     "fuzzy_hamming_pairs",
     "edit_distance_pairs",
+    "global_sorted_index",
+    "sorted_neighborhood_pairs",
     "connected_components",
     "dup_clusters",
     "substring_duplicates",
@@ -1213,5 +1215,144 @@ def edit_distance_pairs(
             "id_a",
             "id_b",
             F.levenshtein("_pa", "_pb").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+def global_sorted_index(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rn",
+    parts: int | None = None,
+) -> DataFrame:
+    """Dense global rank 1..n under a total order, WITHOUT the
+    single-partition window a naive ``row_number() OVER (ORDER BY ...)``
+    degenerates to: range-partition on the order columns, count rows per
+    partition (a partition-count-sized table), broadcast the cumulative
+    offsets back, and add each partition's LOCAL row_number to its
+    offset.  Every stage is parallel; the only serial object is the
+    offsets table (one row per partition).
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreaker) —
+    equal keys land in one range partition, so the local row_number
+    completes the global rank exactly.
+
+    The range-partitioned frame is ``localCheckpoint``-ed (eager) because
+    the counts pass and the rank pass MUST observe the same sampled
+    range boundaries — recomputing the exchange in two jobs may sample
+    differently, silently misaligning offsets.  Call with a narrow
+    (key, id) projection: the checkpoint then stores two thin columns,
+    not documents, and candidates re-join content by id downstream."""
+    spark = df.sparkSession
+    p = parts or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    d = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w), F.lit(0)).alias("_off")
+    )
+    lw = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        d.withColumn("_lrn", F.row_number().over(lw))
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_off", "_lrn")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 8,
+    key_len: int = 40,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (the merge/purge method,
+    Hernández & Stolfo 1995): sort the corpus by a normalized prefix
+    key, slide a ``window``-row neighborhood over the global order, and
+    verify every in-window pair by exact token-set Jaccard — the classic
+    blocking family member LSH does not subsume (it catches pairs whose
+    SORT KEYS are close even when no hash band collides, e.g. shared
+    boilerplate openings with divergent tails).
+
+    Returns ``(id_a, id_b, gap, jaccard)`` for in-window pairs with
+    Jaccard >= ``min_jaccard``; (id_a, id_b) follow sort-rank order and
+    ``gap`` is their rank distance (1..window-1).
+
+    Determinism/portability: the sort key ``(key, id)`` is a total
+    order, so both engines rank identically; the threshold filter
+    compares INTEGERS (``inter * 1e6 >= min_e6 * union``) and the
+    reported Jaccard is :func:`round6_ratio` — no double ever decides
+    membership.
+
+    Scale: the global rank comes from :func:`global_sorted_index` over a
+    THIN (key, id) projection — the only corpus-wide data motion is a
+    range exchange of 40-char keys.  Neighborhood pairing is an
+    EQUI-join: rank r emits band r DIV (window-1) on one side and bands
+    {b, b+1} on the other, which covers every gap <= window-1 exactly
+    once; document token arrays join back by id for candidates only.
+    Window adjacency is rank math, never a self cross-join."""
+    d = window - 1
+    if d < 1:
+        raise ValueError("window must be >= 2")
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm")
+    )
+    keyed = base.select("id", F.substring("norm", 1, key_len).alias("key"))
+    idx = global_sorted_index(keyed, ["key", "id"], rank_col="rn").select("id", "rn")
+    a = idx.select(
+        F.col("id").alias("id_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(F.expr(f"rn DIV {d}"), F.expr(f"rn DIV {d} + 1"))
+        ).alias("band"),
+    )
+    b = idx.select(
+        F.col("id").alias("id_b"),
+        F.col("rn").alias("rn_b"),
+        F.expr(f"rn DIV {d}").alias("band"),
+    )
+    cand = (
+        a.join(b, "band")
+        .where(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= d)
+        )
+        .select(
+            "id_a", "id_b", (F.col("rn_b") - F.col("rn_a")).cast("long").alias("gap")
+        )
+    )
+    # empty-token filter: normalize_text leaves no interior empties, but a
+    # fully-empty norm splits to [''] in Spark and [] in DuckDB — filtering
+    # makes both engines see [] and the union>0 guard drops such pairs
+    toks = base.select(
+        "id",
+        F.array_distinct(
+            F.filter(F.split("norm", " "), lambda x: x != "")
+        ).alias("ts"),
+    )
+    min_e6 = int(round(min_jaccard * 1_000_000))
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    return (
+        cand.join(toks.withColumnsRenamed({"id": "id_a", "ts": "ta"}), "id_a")
+        .join(toks.withColumnsRenamed({"id": "id_b", "ts": "tb"}), "id_b")
+        .withColumn("_i", inter.cast("long"))
+        .withColumn("_u", union.cast("long"))
+        .where(
+            (F.col("_u") > 0)
+            & (F.col("_i") * 1_000_000 >= F.lit(min_e6) * F.col("_u"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "gap",
+            round6_ratio(F.col("_i"), F.col("_u")).alias("jaccard"),
         )
     )

@@ -10273,3 +10273,54 @@ def doc_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import zipf_slope
 
     return zipf_slope(t_spread(spark, sf, "documents"), top_k=256)
+
+
+@q(
+    "doc_sorted_neighborhood",
+    """
+    WITH p AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents),
+    r AS (
+      SELECT id,
+             row_number() OVER (ORDER BY substr(norm, 1, 40), id) AS rn
+      FROM p),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(b.rn - a.rn AS BIGINT) AS gap
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 7),
+    toks AS (
+      SELECT id,
+             list_distinct(list_filter(string_split(norm, ' '),
+                                       x -> x <> '')) AS ts
+      FROM p),
+    j AS (
+      SELECT id_a, id_b, gap,
+             CAST(len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS i,
+             CAST(len(ta.ts) + len(tb.ts)
+                  - len(list_intersect(ta.ts, tb.ts)) AS BIGINT) AS u
+      FROM cand JOIN toks ta ON id_a = ta.id JOIN toks tb ON id_b = tb.id)
+    SELECT id_a, id_b, gap,
+           CAST((2 * i * 1000000 + u) // (2 * u) AS DOUBLE) / 1000000
+             AS jaccard
+    FROM j WHERE u > 0 AND i * 1000000 >= 500000 * u
+    """,
+)
+def doc_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (operators/dedup.
+    sorted_neighborhood_pairs; merge/purge, Hernández & Stolfo 1995):
+    rank the corpus by a 40-char normalized-prefix key, pair every two
+    docs within 7 ranks, keep pairs with token-set Jaccard >= 0.5 — the
+    blocking family member LSH does not subsume (shared openings with
+    divergent tails sort adjacent without any band collision).  The
+    global rank is the scalable two-pass form (range exchange of thin
+    keys + per-partition row_number + broadcast offsets — never a
+    single-partition window); neighborhood pairing is an equi-join on
+    rank bands; the Jaccard threshold compares integers and the report
+    is round6_ratio, so no double decides membership."""
+    from presto_ethereum_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        t_spread(spark, sf, "documents"), window=8, key_len=40, min_jaccard=0.5
+    )

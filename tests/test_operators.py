@@ -3680,3 +3680,62 @@ class TestZipfSlope:
         )
         out = zipf_slope(d, top_k=10, min_count=2).collect()
         assert out[0]["n_types"] == 2  # c (count 1) pruned
+
+
+class TestSortedNeighborhood:
+    def test_global_sorted_index_dense_and_ordered(self, spark):
+        import random
+
+        from presto_ethereum_spark.operators.dedup import global_sorted_index
+
+        rng = random.Random(11)
+        rows = [(i, f"k{rng.randrange(50):03d}") for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, key string").repartition(13)
+        got = {
+            r["id"]: r["rn"]
+            for r in global_sorted_index(df, ["key", "id"], parts=8).collect()
+        }
+        want = {
+            i: rn
+            for rn, (k, i) in enumerate(
+                sorted((k, i) for i, k in rows), start=1
+            )
+        }
+        assert got == want  # dense 1..n, exactly the total-order rank
+
+    def test_pairs_match_bruteforce_window(self, spark):
+        from presto_ethereum_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        # doc family: shared 40+-char openings, tails diverge -> sort-adjacent
+        docs = []
+        for fam in range(6):
+            head = f"family {fam:02d} common boilerplate opening text block"
+            for v in range(4):
+                tail = " ".join(f"tok{fam}{v}{j}" for j in range(v + 1))
+                docs.append((fam * 10 + v, f"{head} shared body words {tail}"))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        w, min_j = 5, 0.4
+        got = {
+            (r["id_a"], r["id_b"]): (r["gap"], r["jaccard"])
+            for r in sorted_neighborhood_pairs(
+                d, window=w, key_len=40, min_jaccard=min_j
+            ).collect()
+        }
+        # brute force: rank by (40-char normalized prefix, id), all pairs
+        # within w-1 ranks, token-set jaccard with integer threshold
+        norm = {i: " ".join(t.lower().split()) for i, t in docs}
+        order = sorted((n[:40], i) for i, n in norm.items())
+        want = {}
+        for x in range(len(order)):
+            for y in range(x + 1, min(x + w, len(order))):
+                ia, ib = order[x][1], order[y][1]
+                ta, tb = set(norm[ia].split()), set(norm[ib].split())
+                i_, u_ = len(ta & tb), len(ta | tb)
+                if u_ > 0 and i_ * 1_000_000 >= int(min_j * 1_000_000) * u_:
+                    want[(ia, ib)] = (
+                        y - x,
+                        (2 * i_ * 10**6 + u_) // (2 * u_) / 1e6,
+                    )
+        assert got == want and len(want) >= 6
