@@ -36,6 +36,8 @@ from presto_ethereum_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "doc_zipf_slope",
     "doc_sorted_neighborhood",
+    "rel_audience_overlap",
+    "doc_ks_drift",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain"]
+__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap"]
 
 
 def _mg_candidates_kernel(k: int):
@@ -246,4 +246,72 @@ def bloom_might_contain(
         addr.join(F.broadcast(hit), "bit", "left")
         .groupBy("key")
         .agg((F.count("_hit") == F.count("*")).alias("might_contain"))
+    )
+
+
+def cooccurrence_overlap(
+    df: DataFrame,
+    entity_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Exact item co-occurrence / audience-overlap matrix: for every item
+    pair (a < b), how many entities touch BOTH, each item's distinct
+    entity reach, and the Jaccard overlap — the audience/segment-overlap
+    report (and the co-click / co-purchase matrix) that drives mixture
+    and dedup decisions between corpus sources.
+
+    Returns ``(item_a, item_b, n_both, n_a, n_b, jaccard)`` with jaccard
+    = round6_ratio(n_both, n_a + n_b - n_both).
+
+    Scale: ONE corpus shuffle — groupBy(entity) collapses the event
+    stream to per-entity distinct item arrays (bounded by the item
+    vocabulary, not event volume); pairs explode JVM-side from the
+    sorted array (t² terms where t <= |items| per entity) into a
+    map-side-combined pair count; per-item reach aggregates from the
+    same arrays and joins back as a broadcast (item-vocabulary-sized).
+    The classic self-join-on-entity formulation the oracle uses shuffles
+    the distinct (entity, item) table twice and fans out in the join."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    ent = df.groupBy(F.col(entity_col).alias("ent")).agg(
+        F.array_sort(F.collect_set(F.col(item_col))).alias("items")
+    )
+    pairs = ent.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("items"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"), i + 2, F.size("items") - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    both = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("n_both"))
+    reach = (
+        ent.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        both.join(
+            F.broadcast(reach.withColumnsRenamed({"item": "a", "n": "n_a"})), "a"
+        )
+        .join(
+            F.broadcast(reach.withColumnsRenamed({"item": "b", "n": "n_b"})), "b"
+        )
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            "n_both",
+            "n_a",
+            "n_b",
+            round6_ratio(
+                F.col("n_both"), F.col("n_a") + F.col("n_b") - F.col("n_both")
+            ).alias("jaccard"),
+        )
     )

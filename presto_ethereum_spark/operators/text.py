@@ -44,6 +44,7 @@ __all__ = [
     "collocations_pmi",
     "token_entropy",
     "zipf_slope",
+    "ks_drift",
     "mask_pii",
     "k_anonymity",
     "PII_PATTERNS",
@@ -1326,5 +1327,96 @@ def zipf_slope(
             F.round((F.col("sy") - F.col("slope_raw") * F.col("sx")) / nd, 6).alias(
                 "intercept"
             ),
+        )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    slice_col: str = "source",
+    value_col: str = "n_chars",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between EVERY pair of
+    corpus slices over an integer-valued column — the
+    distribution-shift monitor for ordered quantities (doc length,
+    token count, quality score) that total-variation drift
+    (:func:`distribution_drift`) cannot rank, because TV ignores the
+    ordering of the value axis.
+
+    D = sup_v |F_a(v) - F_b(v)| computes EXACTLY from integer counts:
+    the ECDFs step only at observed values, so with per-slice
+    cumulative counts ``cum`` and totals ``n``,
+    ``ks_num = max_v |cum_a(v) * n_b - cum_b(v) * n_a|`` is an exact
+    integer over the exact ``n_a * n_b`` denominator.  No double exists
+    anywhere; the report is ``ks_e6 = (ks_num * 1e6) DIV (n_a * n_b)``
+    with DECIMAL(38,0) products, the ``tv_e6`` discipline — web-scale
+    slice counts (1e12 docs) cannot overflow and both engines floor the
+    same rational.
+
+    Returns ``(slice_a, slice_b, n_a, n_b, ks_num, ks_e6)`` for
+    slice_a < slice_b.
+
+    Shuffles: ONE corpus aggregation groupBy(slice, value) — the table
+    after it is (slices x distinct values)-bounded; the slice-pair grid
+    is broadcast (S² tiny); the per-pair cumulative window partitions by
+    (slice_a, slice_b), so pairs scan in parallel and each partition
+    holds one pair's distinct-value rows (domain-bounded — for an
+    unbounded value domain, bucket values or rank them with
+    dedup.global_sorted_index first)."""
+    c = df.groupBy(
+        F.col(slice_col).alias("sl"), F.col(value_col).alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    slices = c.select("sl").distinct()
+    pr = (
+        slices.withColumnRenamed("sl", "sa")
+        .join(slices.withColumnRenamed("sl", "sb"))
+        .where(F.col("sa") < F.col("sb"))
+    )
+    ma = F.broadcast(pr).join(c, F.col("sl") == F.col("sa")).select(
+        "sa", "sb", "v", F.col("cnt").alias("ca"), F.lit(0).alias("cb")
+    )
+    mb = F.broadcast(pr).join(c, F.col("sl") == F.col("sb")).select(
+        "sa", "sb", "v", F.lit(0).alias("ca"), F.col("cnt").alias("cb")
+    )
+    g = (
+        ma.unionByName(mb)
+        .groupBy("sa", "sb", "v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    wp = Window.partitionBy("sa", "sb")
+    w = wp.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = "decimal(38,0)"
+    stepped = g.select(
+        "sa",
+        "sb",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wp).alias("na"),
+        F.sum("cb").over(wp).alias("nb"),
+    )
+    num = F.abs(
+        F.col("cum_a").cast(dec) * F.col("nb").cast(dec)
+        - F.col("cum_b").cast(dec) * F.col("na").cast(dec)
+    )
+    return (
+        stepped.groupBy(
+            F.col("sa").alias("slice_a"), F.col("sb").alias("slice_b")
+        )
+        .agg(
+            F.any_value("na").cast("long").alias("n_a"),
+            F.any_value("nb").cast("long").alias("n_b"),
+            F.max(num).alias("ks_dec"),
+        )
+        .select(
+            "slice_a",
+            "slice_b",
+            "n_a",
+            "n_b",
+            F.col("ks_dec").cast("long").alias("ks_num"),
+            F.expr(
+                f"(CAST(ks_dec AS {dec}) * CAST({int(scale)} AS {dec}))"
+                f" DIV (CAST(n_a AS {dec}) * CAST(n_b AS {dec}))"
+            ).alias("ks_e6"),
         )
     )

@@ -10324,3 +10324,90 @@ def doc_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         t_spread(spark, sf, "documents"), window=8, key_len=40, min_jaccard=0.5
     )
+
+
+@q(
+    "rel_audience_overlap",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    o AS (
+      SELECT a.event_type AS item_a, b.event_type AS item_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+    c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut
+          GROUP BY 1)
+    SELECT item_a, item_b, n_both, ca.n AS n_a, cb.n AS n_b,
+           CAST((2 * n_both * 1000000 + (ca.n + cb.n - n_both))
+                // (2 * (ca.n + cb.n - n_both)) AS DOUBLE) / 1000000
+             AS jaccard
+    FROM o JOIN c ca ON item_a = ca.event_type
+           JOIN c cb ON item_b = cb.event_type
+    """,
+)
+def rel_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact audience-overlap matrix over event types
+    (operators/frequency.cooccurrence_overlap): distinct users reached
+    by each event-type pair jointly and separately, with Jaccard
+    overlap — the segment-overlap report behind source-mixture and
+    dedup-budget decisions.  ONE corpus shuffle (groupBy user) collapses
+    events to per-user sorted item arrays; pairs explode JVM-side into a
+    map-side-combined count; per-item reach joins back broadcast.  The
+    oracle's classic formulation self-joins the distinct (user, type)
+    table — two shuffles plus join fan-out the array plan avoids."""
+    from presto_ethereum_spark.operators.frequency import cooccurrence_overlap
+
+    return cooccurrence_overlap(t(spark, sf, "events"), "user_id", "event_type")
+
+
+@q(
+    "doc_ks_drift",
+    """
+    WITH c AS (
+      SELECT source AS sl, n_chars AS v, count(*) AS cnt
+      FROM documents GROUP BY 1, 2),
+    s AS (SELECT DISTINCT sl FROM c),
+    pr AS (SELECT a.sl AS sa, b.sl AS sb FROM s a JOIN s b ON a.sl < b.sl),
+    m AS (
+      SELECT pr.sa, pr.sb, c.v, c.cnt AS ca, 0 AS cb
+      FROM pr JOIN c ON c.sl = pr.sa
+      UNION ALL
+      SELECT pr.sa, pr.sb, c.v, 0, c.cnt
+      FROM pr JOIN c ON c.sl = pr.sb),
+    g AS (SELECT sa, sb, v, sum(ca) AS ca, sum(cb) AS cb
+          FROM m GROUP BY 1, 2, 3),
+    w AS (
+      SELECT sa, sb,
+             sum(ca) OVER (PARTITION BY sa, sb ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (PARTITION BY sa, sb ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cum_b,
+             sum(ca) OVER (PARTITION BY sa, sb) AS na,
+             sum(cb) OVER (PARTITION BY sa, sb) AS nb
+      FROM g)
+    SELECT sa AS slice_a, sb AS slice_b,
+           CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b,
+           CAST(max(abs(CAST(cum_a AS HUGEINT) * nb
+                        - CAST(cum_b AS HUGEINT) * na)) AS BIGINT) AS ks_num,
+           CAST((max(abs(CAST(cum_a AS HUGEINT) * nb
+                         - CAST(cum_b AS HUGEINT) * na)) * 1000000)
+                // (CAST(any_value(na) AS HUGEINT) * any_value(nb))
+             AS BIGINT) AS ks_e6
+    FROM w GROUP BY sa, sb
+    """,
+)
+def doc_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs two-sample Kolmogorov–Smirnov drift over document
+    lengths per source (operators/text.ks_drift): the ordered-axis
+    shift monitor TV drift cannot provide.  Exact integers end-to-end —
+    ``ks_num = max_v |cum_a·n_b − cum_b·n_a|`` over the merged distinct
+    value axis, reported as the floored ``ks_e6`` via DECIMAL(38,0)
+    products and integral DIV (the ``tv_e6`` discipline, mirrored by
+    HUGEINT in the oracle).  One corpus shuffle to (source, length)
+    counts; the S² pair grid is broadcast; per-pair cumulative windows
+    run in parallel over domain-bounded partitions."""
+    from presto_ethereum_spark.operators.text import ks_drift
+
+    return ks_drift(t(spark, sf, "documents"), "source", "n_chars")

@@ -3739,3 +3739,101 @@ class TestSortedNeighborhood:
                         (2 * i_ * 10**6 + u_) // (2 * u_) / 1e6,
                     )
         assert got == want and len(want) >= 6
+
+
+class TestCooccurrenceOverlap:
+    def test_matches_bruteforce_sets(self, spark):
+        import itertools
+        import random
+
+        from presto_ethereum_spark.operators.frequency import (
+            cooccurrence_overlap,
+        )
+
+        rng = random.Random(3)
+        items = [f"it{i}" for i in range(6)]
+        rows = []
+        member: dict[str, set[int]] = {it: set() for it in items}
+        for u in range(120):
+            for it in rng.sample(items, rng.randrange(1, 5)):
+                # duplicate events must not inflate counts
+                for _ in range(rng.randrange(1, 3)):
+                    rows.append((u, it))
+                member[it].add(u)
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        got = {
+            (r["item_a"], r["item_b"]): (
+                r["n_both"],
+                r["n_a"],
+                r["n_b"],
+                r["jaccard"],
+            )
+            for r in cooccurrence_overlap(df, "user_id", "event_type").collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(items), 2):
+            both = len(member[a] & member[b])
+            if both == 0:
+                continue  # pair never co-occurs -> absent from the matrix
+            un = len(member[a] | member[b])
+            want[(a, b)] = (
+                both,
+                len(member[a]),
+                len(member[b]),
+                (2 * both * 10**6 + un) // (2 * un) / 1e6,
+            )
+        assert got == want and len(want) == 15
+
+
+class TestKsDrift:
+    def test_matches_bruteforce_ecdf(self, spark):
+        import random
+        from fractions import Fraction
+
+        from presto_ethereum_spark.operators.text import ks_drift
+
+        rng = random.Random(5)
+        data = {
+            "s0": [rng.randrange(0, 40) for _ in range(300)],
+            "s1": [rng.randrange(10, 60) for _ in range(211)],  # shifted
+            "s2": [rng.randrange(0, 40) for _ in range(97)],  # same law as s0
+        }
+        rows = [
+            (i, s, v)
+            for i, (s, v) in enumerate(
+                (s, v) for s, vs in data.items() for v in vs
+            )
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+        got = {
+            (r["slice_a"], r["slice_b"]): (
+                r["n_a"],
+                r["n_b"],
+                r["ks_num"],
+                r["ks_e6"],
+            )
+            for r in ks_drift(df, "source", "n_chars").collect()
+        }
+        names = sorted(data)
+        want = {}
+        for x in range(len(names)):
+            for y in range(x + 1, len(names)):
+                a, b = sorted(data[names[x]]), sorted(data[names[y]])
+                na, nb = len(a), len(b)
+                vals = sorted(set(a) | set(b))
+                ks_num = max(
+                    abs(
+                        sum(1 for t in a if t <= v) * nb
+                        - sum(1 for t in b if t <= v) * na
+                    )
+                    for v in vals
+                )
+                want[(names[x], names[y])] = (
+                    na,
+                    nb,
+                    ks_num,
+                    int(Fraction(ks_num * 10**6, na * nb)),
+                )
+        assert got == want
+        # the shifted slice must register more drift than the same-law pair
+        assert got[("s0", "s1")][3] > got[("s0", "s2")][3]
