@@ -38,6 +38,7 @@ HEADLINE = [
     "doc_sorted_neighborhood",
     "rel_audience_overlap",
     "doc_ks_drift",
+    "emb_hard_negatives",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",

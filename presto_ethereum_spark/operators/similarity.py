@@ -25,6 +25,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "brute_force_topk",
+    "hard_negatives",
     "range_search",
     "cosine_pairs",
     "cosine_pairs_gemm",
@@ -1398,4 +1399,70 @@ def ivf_knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    query (anchor), the ``k`` most cosine-similar corpus vectors whose
+    LABEL DIFFERS — the near-the-margin negatives that make a triplet /
+    InfoNCE batch informative, where random negatives are trivially easy
+    (Schroff et al. FaceNet 2015 semi-hard mining, in corpus-batch
+    form).
+
+    Returns ``(query_id, neighbor_id, neighbor_label, sim, rank)``.
+
+    Scale: identical shape to :func:`brute_force_topk` — the anchor set
+    is broadcast, the corpus streams one map-side scan with the staged
+    bit-stable cosine, and the label-mismatch predicate filters BEFORE
+    the per-query WindowGroupLimit top-k, so positives never enter the
+    rank state.  For web-scale anchor sets, feed candidates from
+    :func:`ivf_topk` (over-fetched) through the same mismatch filter
+    instead of broadcasting."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("qlabel"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("qvd", _d(F.col("qv")))
+        .withColumn("qn", l2_norm(F.col("qvd")))
+        .drop("qv")
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.col(vec_col).alias("cv"),
+        )
+        .withColumn("cvd", _d(F.col("cv")))
+        .withColumn("cn", l2_norm(F.col("cvd")))
+        .drop("cv")
+    )
+    scored = c.join(
+        q,
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("qlabel")),
+    ).withColumn(
+        "sim",
+        _cosine_staged(F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("sim", 6).alias("sim"),
+            "rank",
+        )
     )

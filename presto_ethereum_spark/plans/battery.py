@@ -10411,3 +10411,31 @@ def doc_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import ks_drift
 
     return ks_drift(t(spark, sf, "documents"), "source", "n_chars")
+
+
+@q(
+    "emb_hard_negatives",
+    f"""
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           b.label AS neighbor_label,
+           round({_DUCK_COSINE}, 6) AS sim,
+           CAST(row_number() OVER (PARTITION BY a.vec_id
+                                   ORDER BY {_DUCK_COSINE} DESC, b.vec_id)
+             AS INT) AS rank
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id != b.vec_id AND a.label != b.label
+    WHERE a.vec_id < 5
+    QUALIFY rank <= 5
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for 5 anchors (operators/similarity.
+    hard_negatives): top-5 cosine neighbors with a DIFFERENT label —
+    the contrastive-batch construction step (FaceNet-style mining).
+    Broadcast anchors, one map-side corpus scan with the bit-stable
+    staged cosine, label-mismatch filter ahead of the WindowGroupLimit
+    top-k."""
+    from presto_ethereum_spark.operators.similarity import hard_negatives
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return hard_negatives(e, e.where(F.col("vec_id") < 5), k=5)

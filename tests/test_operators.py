@@ -3837,3 +3837,48 @@ class TestKsDrift:
         assert got == want
         # the shifted slice must register more drift than the same-law pair
         assert got[("s0", "s1")][3] > got[("s0", "s2")][3]
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_matches_bruteforce(self, spark):
+        import math
+        import random
+
+        from presto_ethereum_spark.operators.similarity import hard_negatives
+
+        rng = random.Random(9)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = {}
+        for r in hard_negatives(df, df.where("vec_id < 4"), k=3).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["neighbor_label"], r["sim"])
+            )
+        # float32 storage: replicate the cast the operator sees
+        import struct
+
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+        vecs = {i: [f32(x) for x in v] for i, v, _ in rows}
+        lab = {i: l for i, _, l in rows}
+        for qid in range(4):
+            cands = []
+            for nid in vecs:
+                if nid == qid or lab[nid] == lab[qid]:
+                    continue
+                d = sum(a * b for a, b in zip(vecs[qid], vecs[nid]))
+                na = math.sqrt(sum(a * a for a in vecs[qid]))
+                nb = math.sqrt(sum(b * b for b in vecs[nid]))
+                cands.append((-(d / na / nb), nid))
+            cands.sort()
+            want = [
+                (rk + 1, nid, lab[nid])
+                for rk, (_, nid) in enumerate(cands[:3])
+            ]
+            have = sorted(got[qid])
+            assert [(r, n, l) for r, n, l, _ in have] == want
+            for (_, _, nl, s), (negsim, _) in zip(have, cands[:3]):
+                assert nl != lab[qid]
+                assert math.isclose(s, -negsim, abs_tol=2e-6)
