@@ -10439,3 +10439,91 @@ def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t_spread(spark, sf, "embeddings", parts=8)
     return hard_negatives(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+def _duck_langid_kappa_oracle() -> str:
+    sub = _duck_langid_confusion_oracle()
+    return f"""
+    WITH conf AS ({sub}),
+    tot AS (
+      SELECT sum(n) AS nd,
+             sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS agree
+      FROM conf),
+    r AS (SELECT true_lang AS cls, sum(n) AS rn FROM conf GROUP BY 1),
+    c AS (SELECT pred_lang AS cls, sum(n) AS cn FROM conf GROUP BY 1),
+    ch AS (
+      SELECT sum(coalesce(rn, 0) * coalesce(cn, 0)) AS chance
+      FROM r FULL JOIN c USING (cls))
+    SELECT CAST(nd AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+           CAST(chance AS BIGINT) AS chance_num,
+           CAST(CASE WHEN nd * agree - chance >= 0
+                THEN (CAST(nd * agree - chance AS HUGEINT) * 1000000)
+                     // (CAST(nd AS HUGEINT) * nd - chance)
+                ELSE -((CAST(chance - nd * agree AS HUGEINT) * 1000000)
+                       // (CAST(nd AS HUGEINT) * nd - chance))
+           END AS BIGINT) AS kappa_e6
+    FROM tot, ch
+    """
+
+
+@q("doc_langid_kappa", _duck_langid_kappa_oracle())
+def doc_langid_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa of the language-ID classifier against ground truth —
+    chance-corrected agreement, the single-number companion to the
+    confusion matrix (doc_langid_confusion): kappa = (N·trace − Σ rᵢcᵢ)
+    / (N² − Σ rᵢcᵢ) is a RATIONAL of exact integers, so the report is
+    ``kappa_e6`` with sign-decomposed DECIMAL DIV (both engines floor
+    the same non-negative magnitude; a raw signed floor would differ —
+    Spark DIV truncates toward zero, DuckDB // floors).  Plan: one
+    map-side corpus aggregation to the class-pair confusion (|classes|²
+    rows); row/column marginals and the chance term are class-count-
+    sized; scalars cross-join broadcast."""
+    from presto_ethereum_spark.operators.text import lang_id
+
+    d = t(spark, sf, "documents")
+    conf = (
+        d.select(
+            F.col("lang").alias("t"), lang_id(F.col("text")).alias("p")
+        )
+        .groupBy("t", "p")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").alias("nd"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    r = conf.groupBy(F.col("t").alias("cls")).agg(F.sum("n").alias("rn"))
+    c = conf.groupBy(F.col("p").alias("cls")).agg(F.sum("n").alias("cn"))
+    ch = (
+        r.join(c, "cls", "full")
+        .select(
+            (
+                F.coalesce(F.col("rn"), F.lit(0))
+                * F.coalesce(F.col("cn"), F.lit(0))
+            ).alias("x")
+        )
+        .agg(F.sum("x").alias("chance"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        tot.crossJoin(F.broadcast(ch))
+        .select(
+            F.col("nd").cast("long").alias("n_docs"),
+            F.col("agree").cast("long").alias("n_agree"),
+            F.col("chance").cast("long").alias("chance_num"),
+            F.expr(
+                f"CAST(CASE WHEN nd * agree - chance >= 0"
+                f" THEN (CAST(nd * agree - chance AS {dec})"
+                f"       * CAST(1000000 AS {dec}))"
+                f"      DIV (CAST(nd AS {dec}) * CAST(nd AS {dec})"
+                f"           - CAST(chance AS {dec}))"
+                f" ELSE -((CAST(chance - nd * agree AS {dec})"
+                f"         * CAST(1000000 AS {dec}))"
+                f"        DIV (CAST(nd AS {dec}) * CAST(nd AS {dec})"
+                f"             - CAST(chance AS {dec})))"
+                f" END AS BIGINT)"
+            ).alias("kappa_e6"),
+        )
+    )

@@ -3882,3 +3882,37 @@ class TestHardNegatives:
             for (_, _, nl, s), (negsim, _) in zip(have, cands[:3]):
                 assert nl != lab[qid]
                 assert math.isclose(s, -negsim, abs_tol=2e-6)
+
+
+class TestLangidKappa:
+    def test_consistent_with_confusion_matrix(self, spark):
+        from collections import Counter
+
+        from presto_ethereum_spark.plans.battery import queries
+
+        sf = "/root/testdata/sf0.001"
+        conf = {
+            (r["true_lang"], r["pred_lang"]): r["n"]
+            for r in queries()["doc_langid_confusion"](spark, sf).collect()
+        }
+        got = queries()["doc_langid_kappa"](spark, sf).collect()[0]
+        n = sum(conf.values())
+        agree = sum(v for (t, p), v in conf.items() if t == p)
+        rows, cols = Counter(), Counter()
+        for (t, p), v in conf.items():
+            rows[t] += v
+            cols[p] += v
+        chance = sum(rows[c] * cols.get(c, 0) for c in rows | cols.keys())
+        num, den = n * agree - chance, n * n - chance
+        want_e6 = (
+            num * 10**6 // den if num >= 0 else -((-num) * 10**6 // den)
+        )
+        assert (got["n_docs"], got["n_agree"], got["chance_num"]) == (
+            n,
+            agree,
+            chance,
+        )
+        assert got["kappa_e6"] == want_e6
+        # sf0.001's tiny corpus lands slightly BELOW chance — which makes
+        # this referee hit the negative sign-decomposition branch for real
+        assert -(10**6) <= got["kappa_e6"] <= 10**6
