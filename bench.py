@@ -39,6 +39,7 @@ HEADLINE = [
     "rel_audience_overlap",
     "doc_ks_drift",
     "emb_hard_negatives",
+    "eth_fee_oracle",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",

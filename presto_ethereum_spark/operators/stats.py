@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["column_stats", "validate_expectations", "mad_outliers",
-           "ols_trend", "agg_state", "merge_agg_states"]
+           "ols_trend", "agg_state", "merge_agg_states",
+           "grouped_percentile_disc"]
 
 _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -385,3 +386,51 @@ def merge_agg_states(*states: DataFrame) -> DataFrame:
             / F.lit(100.0),
         )
     )
+
+
+def grouped_percentile_disc(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Deterministic PERCENTILE_DISC per group for a set of RATIONAL
+    quantiles ``(name, num, den)``: the smallest value whose cumulative
+    frequency reaches ``num/den`` — the SQL-standard discrete quantile,
+    selected from the data by INTEGER comparison (``cum * den >= num *
+    tot``), never computed, so the result is an exact input value and
+    both engines agree bit-for-bit (the weighted-median discipline,
+    generalized).
+
+    Returns group_cols + ``(n, <name...>)``.
+
+    Scale: one map-side-combined (group, value) partial aggregation
+    collapses the stream to distinct values; a per-group cumulative
+    window over that collapsed table (distinct-value-bounded partitions)
+    serves EVERY requested quantile in the same pass via conditional
+    mins — k quantiles cost one window, not k."""
+    from pyspark.sql import Window
+
+    g = df.groupBy(
+        *[F.col(c) for c in group_cols], F.col(value_col).alias("_v")
+    ).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(*group_cols).orderBy("_v")
+    c = g.select(
+        *group_cols,
+        "_v",
+        F.sum("_c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_cum"),
+        F.sum("_c").over(Window.partitionBy(*group_cols)).alias("_tot"),
+    )
+    aggs = [F.any_value("_tot").cast("long").alias("n")]
+    for name, num, den in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") * F.lit(den) >= F.lit(num) * F.col("_tot"),
+                    F.col("_v"),
+                )
+            ).alias(name)
+        )
+    return c.groupBy(*group_cols).agg(*aggs)

@@ -10527,3 +10527,42 @@ def doc_langid_kappa(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("kappa_e6"),
         )
     )
+
+
+@q(
+    "eth_fee_oracle",
+    f"""
+    WITH g AS (
+      SELECT tx_blocknumber // 100 AS bucket, tx_gasprice AS v,
+             count(*) AS c
+      FROM read_parquet('{ETH}/transaction.parquet')
+      GROUP BY 1, 2),
+    w AS (
+      SELECT bucket, v,
+             sum(c) OVER (PARTITION BY bucket ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY bucket) AS tot
+      FROM g)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(any_value(tot) AS BIGINT) AS n,
+           min(CASE WHEN cum * 5 >= 3 * tot THEN v END) AS p60,
+           min(CASE WHEN cum * 20 >= 19 * tot THEN v END) AS p95
+    FROM w GROUP BY bucket
+    """,
+)
+def eth_fee_oracle(spark: SparkSession, sf: str) -> DataFrame:
+    """Gas-price fee oracle per 100-block bucket (operators/stats.
+    grouped_percentile_disc): the p60 "suggested" and p95 "priority"
+    gas price, the SuggestPrice-style quantile report every wallet/node
+    derives from recent chain history.  PERCENTILE_DISC selected by
+    integer comparison over distinct-value cumulative counts — the
+    result is an exact chain value, never an interpolation, so both
+    engines agree bit-for-bit; both quantiles ride ONE window pass."""
+    from presto_ethereum_spark.operators.stats import grouped_percentile_disc
+
+    tx = _eth_tables(spark).table("transaction").select(
+        F.expr("tx_blocknumber DIV 100").alias("bucket"), "tx_gasprice"
+    )
+    return grouped_percentile_disc(
+        tx, ["bucket"], "tx_gasprice", [("p60", 3, 5), ("p95", 19, 20)]
+    )

@@ -3916,3 +3916,48 @@ class TestLangidKappa:
         # sf0.001's tiny corpus lands slightly BELOW chance — which makes
         # this referee hit the negative sign-decomposition branch for real
         assert -(10**6) <= got["kappa_e6"] <= 10**6
+
+
+class TestGroupedPercentileDisc:
+    def test_matches_sorted_scan_reference(self, spark):
+        import random
+
+        from presto_ethereum_spark.operators.stats import (
+            grouped_percentile_disc,
+        )
+
+        rng = random.Random(13)
+        rows = [
+            (f"g{i % 4}", rng.choice([1, 2, 2, 3, 5, 8, 8, 8, 13, 21]))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v int")
+        qs = [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p100", 1, 1)]
+        got = {
+            r["grp"]: (r["n"], r["p25"], r["p50"], r["p90"], r["p100"])
+            for r in grouped_percentile_disc(df, ["grp"], "v", qs).collect()
+        }
+        by_g: dict[str, list[int]] = {}
+        for g_, v in rows:
+            by_g.setdefault(g_, []).append(v)
+        for g_, vs in by_g.items():
+            vs.sort()
+            n = len(vs)
+
+            def disc(num, den):
+                # smallest value whose cumulative frequency >= num/den
+                for i, v in enumerate(vs, start=1):
+                    if i * den >= num * n:
+                        return v
+                raise AssertionError
+
+            assert got[g_] == (
+                n,
+                disc(1, 4),
+                disc(1, 2),
+                disc(9, 10),
+                disc(1, 1),
+            )
+        # p100 must be the max; each quantile is an actual input value
+        for g_, (_, _, _, _, p100) in got.items():
+            assert p100 == max(by_g[g_])
