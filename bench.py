@@ -40,6 +40,7 @@ HEADLINE = [
     "doc_ks_drift",
     "emb_hard_negatives",
     "eth_fee_oracle",
+    "doc_ppjoin_pairs",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",

@@ -51,6 +51,7 @@ __all__ = [
     "edit_distance_pairs",
     "global_sorted_index",
     "sorted_neighborhood_pairs",
+    "ppjoin_pairs",
     "connected_components",
     "dup_clusters",
     "substring_duplicates",
@@ -1353,6 +1354,93 @@ def sorted_neighborhood_pairs(
             "id_a",
             "id_b",
             "gap",
+            round6_ratio(F.col("_i"), F.col("_u")).alias("jaccard"),
+        )
+    )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity self-join via prefix filtering
+    (All-Pairs / PPJoin, Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    every pair with token-set Jaccard >= ``threshold_num/threshold_den``,
+    found LOSSLESSLY while indexing only each document's RAREST tokens.
+
+    The prefix-filtering lemma: under any global token order, two sets
+    with overlap >= a must share a token among the first ``|x| - a + 1``
+    of each; J >= t implies overlap >= ceil(t*|x|) (for both sides), so
+    indexing the first ``|x| - ceil(t*|x|) + 1`` tokens of each doc —
+    sorted RAREST-FIRST so prefixes carry the least-frequent tokens —
+    captures every qualifying pair.  Unlike MinHash/LSH this is exact
+    (no recall loss), and unlike the full inverted index
+    (:func:`jaccard_pairs`) the posting lists carry only prefix tokens,
+    whose rare-first choice is precisely what caps the join fan-out:
+    stopword-sized posting lists never form.
+
+    Returns ``(id_a, id_b, jaccard)``; the threshold is enforced in
+    integer space (``inter * den >= num * union``) and the report is
+    :func:`round6_ratio`.
+
+    Scale: one (id, token) explode + a vocabulary-sized document-
+    frequency join establish the global rarity order; per-doc sorted
+    arrays build in one groupBy; the candidate exchange carries prefix
+    (token, id) pairs only; verification joins the two token arrays by
+    id and folds the exact intersection JVM-side."""
+    t_num, t_den = int(threshold_num), int(threshold_den)
+    base = df.select(
+        F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm")
+    )
+    toks = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(F.filter(F.split("norm", " "), lambda x: x != ""))
+        ).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("dfq"))
+    arr = (
+        toks.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dfq"), F.col("tok")))
+            ).alias("sorted_toks")
+        )
+    )
+    s = F.size("sorted_toks")
+    # prefix length |x| - ceil(t*|x|) + 1, ceil in integer space
+    p = s - ((s * t_num + t_den - 1) / t_den).cast("int") + 1
+    staged = arr.select(
+        "id",
+        F.transform("sorted_toks", lambda st: st["tok"]).alias("ts"),
+        F.slice("sorted_toks", 1, p).alias("pfx"),
+    )
+    posting = staged.select(
+        "id", F.explode(F.col("pfx")).alias("pt")
+    ).select("id", F.col("pt.tok").alias("tok"))
+    cand = (
+        posting.withColumnRenamed("id", "id_a")
+        .join(posting.withColumnRenamed("id", "id_b"), "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = staged.select("id", "ts")
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    return (
+        cand.join(sets.withColumnsRenamed({"id": "id_a", "ts": "ta"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "ts": "tb"}), "id_b")
+        .withColumn("_i", inter.cast("long"))
+        .withColumn("_u", union.cast("long"))
+        .where(F.col("_i") * t_den >= F.lit(t_num) * F.col("_u"))
+        .select(
+            "id_a",
+            "id_b",
             round6_ratio(F.col("_i"), F.col("_u")).alias("jaccard"),
         )
     )

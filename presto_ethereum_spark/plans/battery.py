@@ -10566,3 +10566,43 @@ def eth_fee_oracle(spark: SparkSession, sf: str) -> DataFrame:
     return grouped_percentile_disc(
         tx, ["bucket"], "tx_gasprice", [("p60", 3, 5), ("p95", 19, 20)]
     )
+
+
+@q(
+    "doc_ppjoin_pairs",
+    """
+    WITH p AS (
+      SELECT doc_id AS id,
+             list_distinct(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                'g')), ' '),
+               x -> x <> '')) AS ts
+      FROM documents),
+    t AS (SELECT id, unnest(ts) AS tok FROM p),
+    sz AS (SELECT id, len(ts) AS s FROM p),
+    ip AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           CAST((2 * i * 1000000 + (sa.s + sb.s - i))
+                // (2 * (sa.s + sb.s - i)) AS DOUBLE) / 1000000 AS jaccard
+    FROM ip JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id
+    WHERE i * 5 >= 3 * (sa.s + sb.s - i)
+    """,
+)
+def doc_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT Jaccard >= 0.6 similarity self-join via prefix filtering
+    (operators/dedup.ppjoin_pairs; All-Pairs/PPJoin): only each doc's
+    rarest ``|x| - ceil(0.6|x|) + 1`` tokens enter the inverted index,
+    yet the prefix-filtering lemma guarantees zero recall loss — the
+    oracle is the FULL inverted-index join over every token, so gate
+    equality at two scale factors is a standing losslessness proof.
+    Rare-first prefixes are what survives 100 TB: stopword posting
+    lists never form, and candidate fan-out tracks the rare-token tail
+    rather than the corpus size."""
+    from presto_ethereum_spark.operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(
+        t_spread(spark, sf, "documents"), threshold_num=3, threshold_den=5
+    )

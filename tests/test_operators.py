@@ -3961,3 +3961,37 @@ class TestGroupedPercentileDisc:
         # p100 must be the max; each quantile is an actual input value
         for g_, (_, _, _, _, p100) in got.items():
             assert p100 == max(by_g[g_])
+
+
+class TestPPJoinPairs:
+    def test_lossless_vs_bruteforce(self, spark):
+        import itertools
+        import random
+
+        from presto_ethereum_spark.operators.dedup import ppjoin_pairs
+
+        rng = random.Random(17)
+        vocab = [f"w{i}" for i in range(120)]
+        docs = []
+        for i in range(40):
+            base = rng.sample(vocab, rng.randrange(6, 14))
+            docs.append((2 * i, " ".join(base)))
+            # mutate a couple tokens -> a mix of above/below threshold
+            mut = list(base)
+            for _ in range(rng.randrange(0, 4)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((2 * i + 1, " ".join(mut)))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ppjoin_pairs(d, 3, 5).collect()
+        }
+        sets = {i: set(t.lower().split()) for i, t in docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i_ = len(sets[a] & sets[b])
+            u_ = len(sets[a] | sets[b])
+            if i_ * 5 >= 3 * u_:
+                want[(a, b)] = (2 * i_ * 10**6 + u_) // (2 * u_) / 1e6
+        assert got == want  # prefix filtering dropped NOTHING
+        assert len(want) >= 10
