@@ -10606,3 +10606,91 @@ def doc_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return ppjoin_pairs(
         t_spread(spark, sf, "documents"), threshold_num=3, threshold_den=5
     )
+
+
+@q(
+    "rel_chisq_independence",
+    """
+    WITH f AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             CAST(l.l_returnflag = 'R' AS INT) AS is_r,
+             CAST(l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS INT)
+               AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    g AS (
+      SELECT yr,
+             sum(is_r * is_late) AS a, sum(is_r * (1 - is_late)) AS b,
+             sum((1 - is_r) * is_late) AS c,
+             sum((1 - is_r) * (1 - is_late)) AS d
+      FROM f GROUP BY yr)
+    SELECT CAST(yr AS BIGINT) AS yr,
+           CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+           CAST((CAST(a + b + c + d AS HUGEINT)
+                 * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                 * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+                 * 1000000)
+                // (CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d))
+             AS BIGINT) AS chisq_e6
+    FROM g
+    WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+    """,
+)
+def rel_chisq_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square independence test per order-year: is RETURNED
+    status associated with late shipment (>60 days after order)?  For a
+    2x2 contingency the statistic is the exact RATIONAL
+    N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) — no expected-count doubles, no
+    sums of squares — so ``chisq_e6`` is one DECIMAL(38,0) integral DIV
+    both engines floor identically (HUGEINT in the oracle).  The whole
+    test is ONE map-side conditional aggregation after the
+    lineitem-orders join: four additive counters per group, the
+    mergeable-state shape that survives any scale.  Precision bound:
+    the widest product is N*(ad-bc)^2*1e6 <= N^3*1e6, inside
+    DECIMAL(38,0)/HUGEINT up to ~1e7 rows per group; beyond that drop
+    the e6 scale (chi-square is O(N), the quotient still fits) or
+    accept a double statistic."""
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    f = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.year("o_orderdate").alias("yr"),
+        (F.col("l_returnflag") == "R").cast("int").alias("is_r"),
+        (
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        ).cast("int").alias("is_late"),
+    )
+    g = f.groupBy("yr").agg(
+        F.sum(F.col("is_r") * F.col("is_late")).alias("a"),
+        F.sum(F.col("is_r") * (1 - F.col("is_late"))).alias("b"),
+        F.sum((1 - F.col("is_r")) * F.col("is_late")).alias("c"),
+        F.sum((1 - F.col("is_r")) * (1 - F.col("is_late"))).alias("d"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        g.where(
+            ((F.col("a") + F.col("b")) > 0)
+            & ((F.col("c") + F.col("d")) > 0)
+            & ((F.col("a") + F.col("c")) > 0)
+            & ((F.col("b") + F.col("d")) > 0)
+        )
+        .select(
+            F.col("yr").cast("long").alias("yr"),
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("c").cast("long").alias("c"),
+            F.col("d").cast("long").alias("d"),
+            F.expr(
+                f"CAST((CAST(a + b + c + d AS {dec})"
+                f" * (CAST(a AS {dec}) * CAST(d AS {dec})"
+                f"    - CAST(b AS {dec}) * CAST(c AS {dec}))"
+                f" * (CAST(a AS {dec}) * CAST(d AS {dec})"
+                f"    - CAST(b AS {dec}) * CAST(c AS {dec}))"
+                f" * CAST(1000000 AS {dec}))"
+                f" DIV (CAST(a + b AS {dec}) * CAST(c + d AS {dec})"
+                f"      * CAST(a + c AS {dec}) * CAST(b + d AS {dec}))"
+                f" AS BIGINT)"
+            ).alias("chisq_e6"),
+        )
+    )

@@ -3995,3 +3995,34 @@ class TestPPJoinPairs:
                 want[(a, b)] = (2 * i_ * 10**6 + u_) // (2 * u_) / 1e6
         assert got == want  # prefix filtering dropped NOTHING
         assert len(want) >= 10
+
+
+class TestChisqIndependence:
+    def test_matches_textbook_formula(self, spark):
+        from fractions import Fraction
+
+        from presto_ethereum_spark.plans.battery import queries
+
+        sf = "/root/testdata/sf0.001"
+        rows = queries()["rel_chisq_independence"](spark, sf).collect()
+        assert rows
+        for r in rows:
+            a, b, c, d = r["a"], r["b"], r["c"], r["d"]
+            n = a + b + c + d
+            chisq = Fraction(
+                n * (a * d - b * c) ** 2,
+                (a + b) * (c + d) * (a + c) * (b + d),
+            )
+            assert r["chisq_e6"] == int(chisq * 10**6)  # exact floor
+            # cross-check against the expected-counts formulation
+            exp = [
+                Fraction((a + b) * (a + c), n),
+                Fraction((a + b) * (b + d), n),
+                Fraction((c + d) * (a + c), n),
+                Fraction((c + d) * (b + d), n),
+            ]
+            obs = [a, b, c, d]
+            alt = sum(
+                (o - e) ** 2 / e for o, e in zip(obs, exp) if e != 0
+            )
+            assert alt == chisq
