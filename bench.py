@@ -41,6 +41,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "eth_fee_oracle",
     "doc_ppjoin_pairs",
+    "doc_count_cosine_pairs",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",

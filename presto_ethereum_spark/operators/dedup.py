@@ -52,6 +52,7 @@ __all__ = [
     "global_sorted_index",
     "sorted_neighborhood_pairs",
     "ppjoin_pairs",
+    "count_cosine_pairs",
     "connected_components",
     "dup_clusters",
     "substring_duplicates",
@@ -1442,5 +1443,75 @@ def ppjoin_pairs(
             "id_a",
             "id_b",
             round6_ratio(F.col("_i"), F.col("_u")).alias("jaccard"),
+        )
+    )
+
+
+def count_cosine_pairs(
+    df: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted near-dup pairs under SHINGLE-COUNT COSINE >= t: the
+    repetition-sensitive companion to set-Jaccard — a doc that repeats
+    another's content 5x has the same shingle SET (Jaccard-invisible)
+    but a count vector pointing elsewhere.  Cosine over exact integer
+    count vectors admits an ALL-INTEGER threshold: with dot >= 0,
+    ``cos >= num/den  <=>  dot^2 * den^2 >= num^2 * |a|^2 * |b|^2`` —
+    squared integers compared in DECIMAL(38,0), so membership never
+    touches a double; the reported cosine is the audited-safe round@6
+    of an irrational (sqrt norms).
+
+    Shingles are 60-bit md5-hashed (:func:`hash60`) before the exchange:
+    the inverted index and the pair aggregation move (long, id, count)
+    rows, never shingle text.  A hash collision merges two components
+    identically in BOTH engines (deterministic md5), perturbing the
+    metric by ~2^-60 — the gate still proves engine equality.
+
+    Scale: one (id, hash) count aggregation; norms fold from it; the
+    dot product is the inverted-index join summed per pair — work is
+    sum-over-shingles of df^2, and shingle document frequencies are
+    rare by construction (the jaccard_pairs observation), so no
+    stopword-sized posting list exists."""
+    t_num, t_den = int(threshold_num), int(threshold_den)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    c = sh.select("id", hash60(F.col("s")).alias("hs")).groupBy(
+        "id", "hs"
+    ).agg(F.count("*").alias("c"))
+    n2 = c.groupBy("id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    dots = (
+        c.withColumnsRenamed({"id": "id_a", "c": "ca"})
+        .join(c.withColumnsRenamed({"id": "id_b", "c": "cb"}), "hs")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        dots.join(n2.withColumnsRenamed({"id": "id_a", "n2": "na2"}), "id_a")
+        .join(n2.withColumnsRenamed({"id": "id_b", "n2": "nb2"}), "id_b")
+        .where(
+            F.expr(
+                f"CAST(dot AS {dec}) * CAST(dot AS {dec})"
+                f" * CAST({t_den * t_den} AS {dec})"
+                f" >= CAST({t_num * t_num} AS {dec})"
+                f" * CAST(na2 AS {dec}) * CAST(nb2 AS {dec})"
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                6,
+            ).alias("cosine"),
         )
     )

@@ -10694,3 +10694,44 @@ def rel_chisq_independence(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chisq_e6"),
         )
     )
+
+
+@q(
+    "doc_count_cosine_pairs",
+    """
+    WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ')
+                     FOR i IN range(1, len(t) - 1)]) AS s
+      FROM tt),
+    c AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS hs,
+             count(*) AS c
+      FROM sh GROUP BY 1, 2),
+    n2 AS (SELECT doc_id, sum(c * c) AS n2 FROM c GROUP BY 1),
+    d AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.c * b.c) AS dot
+      FROM c a JOIN c b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+           round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+    FROM d JOIN n2 na ON id_a = na.doc_id JOIN n2 nb ON id_b = nb.doc_id
+    WHERE CAST(dot AS HUGEINT) * dot * 25
+          >= CAST(9 AS HUGEINT) * na.n2 * nb.n2
+    """,
+)
+def doc_count_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shingle-COUNT cosine near-dup pairs at >= 0.6 (operators/dedup.
+    count_cosine_pairs): the repetition-sensitive weighted companion to
+    set-Jaccard.  Membership is decided by the all-integer squared
+    comparison dot^2*den^2 >= num^2*|a|^2*|b|^2 in DECIMAL/HUGEINT; the
+    reported cosine is round@6 of an irrational (audited-safe).  The
+    inverted index and pair sums move 60-bit hashed shingles, never
+    text."""
+    from presto_ethereum_spark.operators.dedup import count_cosine_pairs
+
+    return count_cosine_pairs(
+        t_spread(spark, sf, "documents"), threshold_num=3, threshold_den=5
+    )

@@ -4026,3 +4026,50 @@ class TestChisqIndependence:
                 (o - e) ** 2 / e for o, e in zip(obs, exp) if e != 0
             )
             assert alt == chisq
+
+
+class TestCountCosinePairs:
+    def test_matches_bruteforce_and_sees_repetition(self, spark):
+        import itertools
+        import math
+        from collections import Counter
+
+        from presto_ethereum_spark.operators.dedup import count_cosine_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = [
+            (0, base),
+            (1, base),  # identical -> cosine 1
+            (2, " ".join([base] * 5)),  # 5x repetition: same shingle SET
+            (3, "alpha beta gamma delta nine ten eleven twelve"),
+            (4, "one two three four five six seven eight"),
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): (r["dot"], r["cosine"])
+            for r in count_cosine_pairs(d, 3, 5).collect()
+        }
+
+        def shingle_counts(t):
+            toks = t.split(" ")
+            return Counter(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+
+        cnt = {i: shingle_counts(t) for i, t in docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(cnt), 2):
+            dot = sum(cnt[a][s] * cnt[b][s] for s in cnt[a])
+            na2 = sum(v * v for v in cnt[a].values())
+            nb2 = sum(v * v for v in cnt[b].values())
+            if dot * dot * 25 >= 9 * na2 * nb2:
+                want[(a, b)] = (dot, dot / (math.sqrt(na2) * math.sqrt(nb2)))
+        assert set(got) == set(want)
+        for k, (dot, cos) in want.items():
+            assert got[k][0] == dot
+            assert math.isclose(got[k][1], cos, abs_tol=1e-6)
+        assert got[(0, 1)][1] == 1.0
+        # 5x repetition: the repeated doc leans toward the wrap-around
+        # shingles it repeats, so cosine(0, 2) < 1 even though the pair is
+        # set-identical on 0's shingles — the signal Jaccard cannot see
+        assert (0, 2) in got and got[(0, 2)][1] < 1.0
