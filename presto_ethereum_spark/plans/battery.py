@@ -10735,3 +10735,79 @@ def doc_count_cosine_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return count_cosine_pairs(
         t_spread(spark, sf, "documents"), threshold_num=3, threshold_den=5
     )
+
+
+@q(
+    "rel_gini_revenue",
+    """
+    WITH x AS (
+      SELECT n.n_name, c.c_custkey,
+             coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS cents
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_name, c.c_custkey),
+    r AS (
+      SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY cents, c_custkey) AS i
+      FROM x),
+    g AS (
+      SELECT n_name, count(*) AS n, sum(cents) AS tot,
+             sum(CAST(i AS HUGEINT) * cents) AS ranked
+      FROM r GROUP BY n_name)
+    SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST(((2 * ranked - (n + 1) * CAST(tot AS HUGEINT)) * 1000000)
+                // (CAST(n AS HUGEINT) * tot) AS BIGINT) AS gini_e6
+    FROM g WHERE tot > 0
+    """,
+)
+def rel_gini_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of customer revenue per nation — the
+    inequality index behind "is this source dominated by a few heavy
+    accounts" decisions (and the full-distribution complement to
+    eth_token_concentration's top-1 share).  The rank formula
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending-sorted LONG
+    cents is an exact rational: equal values commute in Σ i·x_(i), so
+    ANY tiebreak yields the same sum and the statistic is partition- and
+    engine-invariant; ``gini_e6`` floors via DECIMAL(38,0) / HUGEINT.
+    Zero-order customers enter at x=0 through the left join — inequality
+    that dropping them would hide.  Plan: one join + per-nation sum,
+    one per-nation rank window, one final aggregation."""
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf, "orders").select("o_custkey", cents.alias("cents"))
+    x = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("n_name", "c_custkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    r = x.withColumn("i", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    return (
+        r.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("tot"),
+            F.sum(F.col("i").cast(dec) * F.col("cents").cast(dec)).alias(
+                "ranked"
+            ),
+        )
+        .where(F.col("tot") > 0)
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("tot").cast("long").alias("total_cents"),
+            F.expr(
+                f"CAST(((CAST(2 AS {dec}) * ranked"
+                f" - CAST(n + 1 AS {dec}) * CAST(tot AS {dec}))"
+                f" * CAST(1000000 AS {dec}))"
+                f" DIV (CAST(n AS {dec}) * CAST(tot AS {dec})) AS BIGINT)"
+            ).alias("gini_e6"),
+        )
+    )

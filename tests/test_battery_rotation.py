@@ -89,6 +89,11 @@ ROUNDED_DOUBLE_ENTRIES = [
     "emb_knn_join_ivf",
     # round-6 late addition: ln of an exact rational, round @6
     "doc_token_entropy",
+    # round-6 continuation: ln-based OLS fit, sqrt-based cosines — all in
+    # the audited-safe irrational class, rotated at sf0.1 regardless
+    "doc_zipf_slope",
+    "emb_hard_negatives",
+    "doc_count_cosine_pairs",
 ]
 SF01_SAMPLE = 3
 

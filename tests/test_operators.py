@@ -4073,3 +4073,40 @@ class TestCountCosinePairs:
         # shingles it repeats, so cosine(0, 2) < 1 even though the pair is
         # set-identical on 0's shingles — the signal Jaccard cannot see
         assert (0, 2) in got and got[(0, 2)][1] < 1.0
+
+
+class TestGiniRevenue:
+    def test_matches_fraction_reference_and_bounds(self, spark):
+        from fractions import Fraction
+
+        from presto_ethereum_spark.plans.battery import queries
+
+        sf = "/root/testdata/sf0.001"
+        rows = queries()["rel_gini_revenue"](spark, sf).collect()
+        assert rows
+        import duckdb
+
+        con = duckdb.connect()
+        per_cust = con.sql(
+            f"""
+            SELECT n.n_name, c.c_custkey,
+                   coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)), 0) AS cents
+            FROM read_parquet('{sf}/customer.parquet') c
+            JOIN read_parquet('{sf}/nation.parquet') n
+              ON c.c_nationkey = n.n_nationkey
+            LEFT JOIN read_parquet('{sf}/orders.parquet') o
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+        by_nation: dict[str, list[int]] = {}
+        for name, _, cents in per_cust:
+            by_nation.setdefault(name, []).append(int(cents))
+        for r in rows:
+            xs = sorted(by_nation[r["n_name"]])
+            n, tot = len(xs), sum(xs)
+            ranked = sum(i * x for i, x in enumerate(xs, start=1))
+            gini = Fraction(2 * ranked - (n + 1) * tot, n * tot)
+            assert r["n_customers"] == n and r["total_cents"] == tot
+            assert r["gini_e6"] == int(gini * 10**6)
+            assert 0 <= r["gini_e6"] < 10**6  # Gini lives in [0, 1)
