@@ -10811,3 +10811,123 @@ def rel_gini_revenue(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("gini_e6"),
         )
     )
+
+
+@q(
+    "rel_abc_classification",
+    """
+    WITH x AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    r AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER () AS tot
+      FROM x),
+    cl AS (
+      SELECT l_partkey, cents,
+             CASE WHEN cum * 100 <= 80 * tot THEN 'A'
+                  WHEN cum * 100 <= 95 * tot THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM r)
+    SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM cl GROUP BY cls
+    """,
+)
+def rel_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: A = parts whose
+    cumulative share stays within 80%, B to 95%, C the tail — the
+    classic inventory-analytics operator.  Class boundaries compare
+    INTEGERS (``cum*100 <= 80*tot`` over LONG cents), so membership is
+    engine-exact; the (revenue DESC, partkey) order is total, making
+    the cumulative sum deterministic.  Plan note: the global cumulative
+    window runs over the PART-level aggregate (|parts| rows, not
+    |lineitem|) — at 100 TB that is still a bounded dimension table;
+    for an unbounded key, rank it with dedup.global_sorted_index and
+    window per range partition + broadcast offsets instead."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    x = li.groupBy("l_partkey").agg(F.sum("cents").alias("cents"))
+    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = x.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(
+            Window.partitionBy()
+        ).alias("tot"),
+    )
+    cl = r.withColumn(
+        "cls",
+        F.when(F.col("cum") * 100 <= 80 * F.col("tot"), F.lit("A"))
+        .when(F.col("cum") * 100 <= 95 * F.col("tot"), F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return cl.groupBy("cls").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@q(
+    "eth_graph_reciprocity",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT tx_from AS s, tx_to AS d
+      FROM read_parquet('{ETH}/transaction.parquet')
+      WHERE tx_to IS NOT NULL AND tx_from <> tx_to),
+    m AS (
+      SELECT count(*) AS n_recip
+      FROM e a JOIN e b ON a.s = b.d AND a.d = b.s),
+    t AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_recip AS BIGINT) AS n_reciprocal,
+           CAST(n_recip / 2 AS BIGINT) AS n_mutual_pairs,
+           CAST((2 * n_recip * 1000000 + n_edges) // (2 * n_edges)
+             AS DOUBLE) / 1000000 AS reciprocity
+    FROM t, m
+    """,
+)
+def eth_graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Transfer-graph reciprocity: the fraction of distinct directed
+    payment edges whose REVERSE edge also exists — the
+    money-flows-back-and-forth signal (exchange hot wallets and
+    wash-trading loops score high; one-way distribution trees score 0).
+    One distinct-edge aggregation, one self equi-join on the reversed
+    key pair — never an all-pairs product; counts are exact integers
+    and the ratio is the round6 integer form.  Complements the
+    PageRank/HITS/triangle family with the simplest digraph-symmetry
+    statistic."""
+    tx = _eth_tables(spark).table("transaction")
+    e = (
+        tx.where(
+            F.col("tx_to").isNotNull() & (F.col("tx_from") != F.col("tx_to"))
+        )
+        .select(F.col("tx_from").alias("s"), F.col("tx_to").alias("d"))
+        .distinct()
+    )
+    m = e.alias("a").join(
+        e.alias("b"),
+        (F.col("a.s") == F.col("b.d")) & (F.col("a.d") == F.col("b.s")),
+    ).agg(F.count("*").alias("n_recip"))
+    t_ = e.agg(F.count("*").alias("n_edges"))
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    return (
+        t_.crossJoin(F.broadcast(m))
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_recip").cast("long").alias("n_reciprocal"),
+            F.expr("CAST(n_recip DIV 2 AS BIGINT)").alias("n_mutual_pairs"),
+            round6_ratio(F.col("n_recip"), F.col("n_edges")).alias(
+                "reciprocity"
+            ),
+        )
+    )

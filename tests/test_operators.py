@@ -4110,3 +4110,46 @@ class TestGiniRevenue:
             assert r["n_customers"] == n and r["total_cents"] == tot
             assert r["gini_e6"] == int(gini * 10**6)
             assert 0 <= r["gini_e6"] < 10**6  # Gini lives in [0, 1)
+
+
+class TestAbcAndReciprocity:
+    def test_abc_partition_is_exhaustive_and_exclusive(self, spark):
+        from presto_ethereum_spark.plans.battery import queries
+
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r["cls"]: (r["n_parts"], r["revenue_cents"])
+            for r in queries()["rel_abc_classification"](spark, sf).collect()
+        }
+        import duckdb
+
+        total = duckdb.sql(
+            f"""SELECT count(DISTINCT l_partkey),
+                       sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                FROM read_parquet('{sf}/lineitem.parquet')"""
+        ).fetchone()
+        assert sum(n for n, _ in rows.values()) == total[0]
+        assert sum(c for _, c in rows.values()) == total[1]
+        # Pareto shape: A holds <= 80% of revenue in far fewer parts than C
+        if "A" in rows and "C" in rows:
+            assert rows["A"][1] * rows["C"][0] > rows["C"][1] * rows["A"][0]
+
+    def test_reciprocity_bruteforce(self, spark):
+        from presto_ethereum_spark.plans.battery import queries
+
+        got = queries()["eth_graph_reciprocity"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()[0]
+        import duckdb
+
+        edges = set(
+            duckdb.sql(
+                """SELECT DISTINCT tx_from, tx_to
+                   FROM read_parquet('fixtures/eth/transaction.parquet')
+                   WHERE tx_to IS NOT NULL AND tx_from <> tx_to"""
+            ).fetchall()
+        )
+        recip = sum(1 for s, d in edges if (d, s) in edges)
+        assert got["n_edges"] == len(edges)
+        assert got["n_reciprocal"] == recip
+        assert got["n_mutual_pairs"] == recip // 2
