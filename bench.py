@@ -42,6 +42,7 @@ HEADLINE = [
     "eth_fee_oracle",
     "doc_ppjoin_pairs",
     "doc_count_cosine_pairs",
+    "rel_bucketed_join",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",

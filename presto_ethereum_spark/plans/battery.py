@@ -10931,3 +10931,46 @@ def eth_graph_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "rel_bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-free co-located join via STORAGE BUCKETING
+    (sources/sink.write_bucketed_table): both fact tables land bucketed
+    (8 buckets) and sorted on the join key, so the SortMergeJoin reads
+    bucket i against bucket i with NO exchange on either side — the
+    Exchange under the join is absent from the executed plan (pinned in
+    tests/test_sink.py and test_plan_shapes).  This is the pattern that
+    replaces a 100 TB fact-fact shuffle with a one-time layout decision;
+    the MERGE hint keeps AQE from broadcasting the small-SF orders side
+    so the graded plan is the at-scale plan.  The oracle computes the
+    same join from raw parquet — round-trip equality also re-verifies
+    the bucketed WRITE path on every gate run."""
+    from presto_ethereum_spark.sources.sink import write_bucketed_table
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    write_bucketed_table(o, "pes_bkt_orders", "o_orderkey", 8,
+                         sort_col="o_orderkey")
+    write_bucketed_table(li, "pes_bkt_lineitem", "l_orderkey", 8,
+                         sort_col="l_orderkey")
+    bo = spark.table("pes_bkt_orders")
+    bl = spark.table("pes_bkt_lineitem")
+    j = bl.hint("MERGE").join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

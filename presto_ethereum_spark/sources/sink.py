@@ -44,7 +44,24 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed + optionally sorted managed table.  Joins between tables
     bucketed identically on the join key skip the shuffle entirely (verified
-    in tests/test_sink.py by asserting no Exchange in the plan)."""
+    in tests/test_sink.py by asserting no Exchange in the plan).
+
+    Re-run robustness: with the default in-memory catalog a PREVIOUS
+    session's managed-table location survives on disk while the catalog
+    entry does not, so ``mode=overwrite`` alone raises
+    LOCATION_ALREADY_EXISTS.  The write therefore drops the catalog entry
+    and clears an orphaned location first (via the Hadoop FS API, so any
+    warehouse scheme works).  Against a persistent metastore the drop is
+    a no-op and overwrite behaves normally."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        jvm = spark._jvm
+        wdir = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(wdir + "/" + table.lower())
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
