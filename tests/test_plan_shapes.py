@@ -239,3 +239,37 @@ def test_journey_strings_single_groupby(spark):
     is group-local array work, never a global Sort node before the agg."""
     plan = _plan(spark, "rel_journey_strings")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_no_exchange_under_join(spark):
+    """Storage-bucketed fact-fact join: the SortMergeJoin consumes bucket i
+    vs bucket i directly — the ONLY hash exchange in the plan is the final
+    groupBy(o_orderpriority), never the join keys."""
+    import re
+
+    plan = _plan(spark, "rel_bucketed_join")
+    assert "SortMergeJoin" in plan
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for p in parts:
+        assert "orderkey" not in p, f"join key shuffled: {p}"
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_zipf_windowgrouplimit_partial(spark):
+    """Zipf top-k rank: WindowGroupLimit must run in Partial mode BEFORE the
+    per-lang exchange so each map task forwards at most k candidate rows."""
+    plan = _plan(spark, "doc_zipf_slope")
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_ppjoin_prefix_posting_only(spark):
+    """PPJoin candidate exchange carries prefix postings (tok, id) — the
+    full token arrays join back by id, so no exchange partitions on an
+    array column."""
+    import re
+
+    plan = _plan(spark, "doc_ppjoin_pairs")
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts
+    for p in parts:
+        assert "ts#" not in p and "sorted_toks" not in p
