@@ -10974,3 +10974,74 @@ def rel_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n_items"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@q(
+    "rel_conversion_latency",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+    v AS (SELECT user_id, min(t_us) AS v_us FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    pu AS (
+      SELECT e.user_id, v.v_us, min(e.t_us) AS p_us
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.t_us > v.v_us
+      GROUP BY 1, 2),
+    l AS (SELECT v_us // 604800000000 AS week_bucket,
+                 p_us - v_us AS lat_us
+          FROM pu),
+    g AS (SELECT week_bucket, lat_us AS v, count(*) AS c
+          FROM l GROUP BY 1, 2),
+    w AS (
+      SELECT week_bucket, v,
+             sum(c) OVER (PARTITION BY week_bucket ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY week_bucket) AS tot
+      FROM g)
+    SELECT CAST(week_bucket AS BIGINT) AS week_bucket,
+           CAST(any_value(tot) AS BIGINT) AS n,
+           min(CASE WHEN cum * 2 >= tot THEN v END) AS p50,
+           min(CASE WHEN cum * 10 >= 9 * tot THEN v END) AS p90,
+           min(CASE WHEN cum * 100 >= 99 * tot THEN v END) AS p99
+    FROM w GROUP BY week_bucket
+    """,
+)
+def rel_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """First-view -> first-subsequent-purchase conversion latency,
+    quantiled per epoch-week cohort (operators/stats.
+    grouped_percentile_disc): the product-analytics companion to
+    rel_funnel_steps — not HOW MANY convert but HOW FAST, as exact
+    PERCENTILE_DISC microsecond values selected by integer comparison.
+    Cohorts bucket on integer epoch-weeks (``v_us DIV 604800000000``) —
+    calendar-free, so the statistic is timezone-immune by construction
+    (the tz robustness audit covers it for free).  Plan: two
+    event-slice groupBy-min passes and one user equi-join build the
+    per-user latency table; the quantile scaffold is the shared
+    one-window form."""
+    from presto_ethereum_spark.operators.stats import grouped_percentile_disc
+
+    ev = t(spark, sf, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("t_us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("v_us"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("t_us") > F.col("v_us"))
+        .groupBy("user_id", "v_us")
+        .agg(F.min("t_us").alias("p_us"))
+    )
+    lat = pu.select(
+        F.expr("v_us DIV 604800000000").alias("week_bucket"),
+        (F.col("p_us") - F.col("v_us")).alias("lat_us"),
+    )
+    return grouped_percentile_disc(
+        lat,
+        ["week_bucket"],
+        "lat_us",
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+    )
