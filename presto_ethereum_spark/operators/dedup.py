@@ -1366,6 +1366,7 @@ def ppjoin_pairs(
     threshold_den: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int | None = 3,
 ) -> DataFrame:
     """EXACT Jaccard-threshold similarity self-join via prefix filtering
     (All-Pairs / PPJoin, Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -1390,18 +1391,32 @@ def ppjoin_pairs(
     Scale: one (id, token) explode + a vocabulary-sized document-
     frequency join establish the global rarity order; per-doc sorted
     arrays build in one groupBy; the candidate exchange carries prefix
-    (token, id) pairs only; verification joins the two token arrays by
-    id and folds the exact intersection JVM-side."""
+    (token, id) pairs only; candidates pass the LOSSLESS size filter
+    (J >= t forces t*|x| <= |y| <= |x|/t) before the distinct;
+    verification joins the two token arrays by id and folds the exact
+    intersection JVM-side.
+
+    ``shingle_n`` picks the set element: ``None`` = word tokens — correct
+    for natural text, but DEGENERATE for small-vocabulary corpora where
+    every word is corpus-frequent and no prefix can be selective
+    (measured on the synthetic sf0.1 corpus: 78% of ALL pairs became
+    candidates); the default 3-word shingles are rare by construction,
+    so prefixes actually prune — the same rarity argument the MinHash
+    and inverted-index operators rely on."""
     t_num, t_den = int(threshold_num), int(threshold_den)
     base = df.select(
         F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("norm")
     )
-    toks = base.select(
-        "id",
-        F.explode(
-            F.array_distinct(F.filter(F.split("norm", " "), lambda x: x != ""))
-        ).alias("tok"),
-    )
+    if shingle_n is None:
+        raw = F.filter(F.split("norm", " "), lambda x: x != "")
+    else:
+        raw = word_shingles(F.col("norm"), shingle_n)
+    # hash to 60-bit longs BEFORE anything moves: the rarity join, the
+    # per-doc sort, the posting exchange, and the verification intersect
+    # all run on longs, never shingle strings (distinct AFTER hashing so a
+    # 2^-60 collision merges identically in both engines)
+    elems = F.array_distinct(F.transform(raw, lambda e: hash60(e)))
+    toks = base.select("id", F.explode(elems).alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("dfq"))
     arr = (
         toks.join(dfreq, "tok")
@@ -1415,18 +1430,31 @@ def ppjoin_pairs(
     s = F.size("sorted_toks")
     # prefix length |x| - ceil(t*|x|) + 1, ceil in integer space
     p = s - ((s * t_num + t_den - 1) / t_den).cast("int") + 1
+    # the staged index is read FOUR times downstream (two posting sides of
+    # the candidate join + two verification sides): materialize it once —
+    # this is the "build the similarity index" step any at-scale PPJoin
+    # persists anyway, and without it the token explode + df join + sort
+    # recompute per consumer (measured: 4x the corpus-scan work in the
+    # executed plan's exchange count)
     staged = arr.select(
         "id",
         F.transform("sorted_toks", lambda st: st["tok"]).alias("ts"),
         F.slice("sorted_toks", 1, p).alias("pfx"),
-    )
+    ).localCheckpoint(eager=True)
     posting = staged.select(
-        "id", F.explode(F.col("pfx")).alias("pt")
-    ).select("id", F.col("pt.tok").alias("tok"))
+        "id", F.size("ts").alias("sz"), F.explode(F.col("pfx")).alias("pt")
+    ).select("id", "sz", F.col("pt.tok").alias("tok"))
     cand = (
-        posting.withColumnRenamed("id", "id_a")
-        .join(posting.withColumnRenamed("id", "id_b"), "tok")
-        .where(F.col("id_a") < F.col("id_b"))
+        posting.withColumnsRenamed({"id": "id_a", "sz": "sa"})
+        .join(posting.withColumnsRenamed({"id": "id_b", "sz": "sb"}), "tok")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # lossless size filter: J >= t forces t*|x| <= |y| <= |x|/t —
+            # prunes BEFORE the distinct so the dedup shuffle never sees
+            # pairs no verification could accept
+            & (F.col("sb") * t_den >= F.col("sa") * t_num)
+            & (F.col("sa") * t_den >= F.col("sb") * t_num)
+        )
         .select("id_a", "id_b")
         .distinct()
     )

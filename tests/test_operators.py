@@ -3984,7 +3984,7 @@ class TestPPJoinPairs:
         d = spark.createDataFrame(docs, "doc_id long, text string")
         got = {
             (r["id_a"], r["id_b"]): r["jaccard"]
-            for r in ppjoin_pairs(d, 3, 5).collect()
+            for r in ppjoin_pairs(d, 3, 5, shingle_n=None).collect()
         }
         sets = {i: set(t.lower().split()) for i, t in docs}
         want = {}
@@ -3995,6 +3995,43 @@ class TestPPJoinPairs:
                 want[(a, b)] = (2 * i_ * 10**6 + u_) // (2 * u_) / 1e6
         assert got == want  # prefix filtering dropped NOTHING
         assert len(want) >= 10
+
+    def test_shingle_mode_lossless(self, spark):
+        import itertools
+        import random
+
+        from presto_ethereum_spark.operators.dedup import ppjoin_pairs
+
+        rng = random.Random(23)
+        vocab = [f"w{i}" for i in range(60)]
+        docs = []
+        for i in range(25):
+            base = [rng.choice(vocab) for _ in range(20)]
+            docs.append((2 * i, " ".join(base)))
+            mut = list(base)
+            for _ in range(rng.randrange(0, 3)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((2 * i + 1, " ".join(mut)))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ppjoin_pairs(d, 3, 5, shingle_n=3).collect()
+        }
+
+        def shingles(t):
+            toks = t.lower().split()
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        sets = {i: shingles(t) for i, t in docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            i_ = len(sets[a] & sets[b])
+            u_ = len(sets[a] | sets[b])
+            if u_ > 0 and i_ * 5 >= 3 * u_:
+                want[(a, b)] = (2 * i_ * 10**6 + u_) // (2 * u_) / 1e6
+        assert got == want and len(want) >= 5
 
 
 class TestChisqIndependence:
