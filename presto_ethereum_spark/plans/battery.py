@@ -11054,3 +11054,61 @@ def rel_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
         "lat_us",
         [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
     )
+
+
+@q(
+    "eth_miner_hhi",
+    f"""
+    WITH c AS (
+      SELECT block_number // 1000 AS epoch, block_miner AS miner,
+             count(*) AS c
+      FROM read_parquet('{ETH}/block.parquet')
+      GROUP BY 1, 2),
+    g AS (
+      SELECT epoch, sum(c) AS n, sum(c * c) AS ss,
+             count(*) AS n_miners, max(c) AS top_blocks
+      FROM c GROUP BY epoch)
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(n AS BIGINT) AS n_blocks,
+           CAST(n_miners AS BIGINT) AS n_miners,
+           CAST(top_blocks AS BIGINT) AS top_blocks,
+           CAST((CAST(ss AS HUGEINT) * 1000000) // (CAST(n AS HUGEINT) * n)
+             AS BIGINT) AS hhi_e6
+    FROM g
+    """,
+)
+def eth_miner_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Miner-concentration Herfindahl–Hirschman index per 1000-block
+    epoch: HHI = sum(share_i^2) = sum(c_i^2)/N^2 — the standard
+    market-concentration statistic (1e6 = single-miner monopoly,
+    1e6/k = k equal miners), completing the concentration triple next
+    to the Gini index (rel_gini_revenue) and the top-1 share
+    (eth_token_concentration).  Exact integers end-to-end: sum(c^2) and
+    N^2 are BIGINTs, ``hhi_e6`` floors one DECIMAL(38,0)/HUGEINT DIV.
+    Plan: two map-side-combined aggregations (epoch x miner, then
+    epoch); nothing else moves."""
+    b = _eth_tables(spark).table("block")
+    c = b.groupBy(
+        F.expr("block_number DIV 1000").alias("epoch"),
+        F.col("block_miner").alias("miner"),
+    ).agg(F.count("*").alias("c"))
+    dec = "decimal(38,0)"
+    return (
+        c.groupBy("epoch")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+            F.count("*").alias("n_miners"),
+            F.max("c").alias("top_blocks"),
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("n").cast("long").alias("n_blocks"),
+            F.col("n_miners").cast("long").alias("n_miners"),
+            F.col("top_blocks").cast("long").alias("top_blocks"),
+            F.expr(
+                f"CAST((CAST(ss AS {dec}) * CAST(1000000 AS {dec}))"
+                f" DIV (CAST(n AS {dec}) * CAST(n AS {dec})) AS BIGINT)"
+            ).alias("hhi_e6"),
+        )
+    )

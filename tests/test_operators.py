@@ -4190,3 +4190,40 @@ class TestAbcAndReciprocity:
         assert got["n_edges"] == len(edges)
         assert got["n_reciprocal"] == recip
         assert got["n_mutual_pairs"] == recip // 2
+
+
+class TestMinerHhi:
+    def test_matches_fraction_reference(self, spark):
+        from collections import Counter
+        from fractions import Fraction
+
+        import duckdb
+
+        from presto_ethereum_spark.plans.battery import queries
+
+        got = {
+            r["epoch"]: r
+            for r in queries()["eth_miner_hhi"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        rows = duckdb.sql(
+            "SELECT block_number // 1000, block_miner"
+            " FROM read_parquet('fixtures/eth/block.parquet')"
+        ).fetchall()
+        per_epoch: dict[int, Counter] = {}
+        for ep, m in rows:
+            per_epoch.setdefault(int(ep), Counter())[m] += 1
+        assert set(got) == set(per_epoch)
+        for ep, cnt in per_epoch.items():
+            n = sum(cnt.values())
+            ss = sum(v * v for v in cnt.values())
+            r = got[ep]
+            assert (r["n_blocks"], r["n_miners"], r["top_blocks"]) == (
+                n,
+                len(cnt),
+                max(cnt.values()),
+            )
+            assert r["hhi_e6"] == int(Fraction(ss * 10**6, n * n))
+            # HHI lives in [1e6/k, 1e6]
+            assert 10**6 // len(cnt) <= r["hhi_e6"] <= 10**6
