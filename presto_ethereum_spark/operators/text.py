@@ -45,6 +45,7 @@ __all__ = [
     "token_entropy",
     "zipf_slope",
     "ks_drift",
+    "token_burstiness",
     "mask_pii",
     "k_anonymity",
     "PII_PATTERNS",
@@ -1418,5 +1419,65 @@ def ks_drift(
                 f"(CAST(ks_dec AS {dec}) * CAST({int(scale)} AS {dec}))"
                 f" DIV (CAST(n_a AS {dec}) * CAST(n_b AS {dec}))"
             ).alias("ks_e6"),
+        )
+    )
+
+
+def token_burstiness(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Burstiness (variance-to-mean ratio / Fano factor) of the ``k``
+    highest-mass corpus tokens: content words are BURSTY (a doc that
+    mentions them once mentions them again; VMR >> 1) while function
+    words arrive near-Poisson (VMR ~ 1) — the Church & Gale (1995)
+    signal behind stopword discovery, keyword weighting, and
+    boilerplate detection, where raw frequency alone cannot separate
+    the two.
+
+    With per-document counts c over ALL n docs (absent = 0),
+    VMR = var/mean = (n·Σc² − (Σc)²) / ((n−1)·Σc) — an exact rational
+    of three integer power sums, reported as the floored ``vmr_e6``
+    via DECIMAL(38,0) integral DIV.  Zero-count docs contribute
+    nothing to Σc/Σc², so the sums aggregate over PRESENT rows only
+    while n rides in as a broadcast scalar: the absent mass is handled
+    algebraically, never materialized.
+
+    Returns ``(tok, df, total_c, vmr_e6)`` for the top-``k`` tokens by
+    total count (ties to token order).
+
+    Scale: one map-side-combined (token) aggregation of the exploded
+    stream (vocabulary-sized output), a global top-k
+    (TakeOrderedAndProject — never a full sort), one 1-row broadcast
+    for n."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_doc = toks.groupBy("id", "tok").agg(F.count("*").alias("c"))
+    per_tok = per_doc.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    top = per_tok.orderBy(F.desc("s1"), "tok").limit(k)
+    n_docs = df.agg(F.count("*").alias("n"))
+    dec = "decimal(38,0)"
+    return (
+        top.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.col("df").cast("long").alias("df"),
+            F.col("s1").cast("long").alias("total_c"),
+            F.expr(
+                f"CAST(((CAST(n AS {dec}) * CAST(s2 AS {dec})"
+                f" - CAST(s1 AS {dec}) * CAST(s1 AS {dec}))"
+                f" * CAST({int(scale)} AS {dec}))"
+                f" DIV (CAST(n - 1 AS {dec}) * CAST(s1 AS {dec}))"
+                f" AS BIGINT)"
+            ).alias("vmr_e6"),
         )
     )

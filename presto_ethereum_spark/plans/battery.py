@@ -11112,3 +11112,36 @@ def eth_miner_hhi(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("hhi_e6"),
         )
     )
+
+
+@q(
+    "doc_token_burstiness",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    pd AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks WHERE tok <> ''
+      GROUP BY 1, 2),
+    pt AS (
+      SELECT tok, count(*) AS df, sum(c) AS s1, sum(c * c) AS s2
+      FROM pd GROUP BY tok),
+    top AS (SELECT * FROM pt ORDER BY s1 DESC, tok LIMIT 100),
+    nd AS (SELECT count(*) AS n FROM documents)
+    SELECT tok, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS total_c,
+           CAST(((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                 * 1000000)
+                // (CAST(n - 1 AS HUGEINT) * s1) AS BIGINT) AS vmr_e6
+    FROM top, nd
+    """,
+)
+def doc_token_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Burstiness / Fano factor of the 100 highest-mass tokens
+    (operators/text.token_burstiness): VMR = (n·Σc² − (Σc)²)/((n−1)·Σc)
+    over per-document counts with absent docs as algebraic zeros — the
+    Church & Gale content-vs-function-word separator raw frequency
+    can't provide.  Exact integer power sums, DECIMAL/HUGEINT vmr_e6,
+    one vocabulary aggregation + global top-k + broadcast n."""
+    from presto_ethereum_spark.operators.text import token_burstiness
+
+    return token_burstiness(t_spread(spark, sf, "documents"), k=100)

@@ -4227,3 +4227,37 @@ class TestMinerHhi:
             assert r["hhi_e6"] == int(Fraction(ss * 10**6, n * n))
             # HHI lives in [1e6/k, 1e6]
             assert 10**6 // len(cnt) <= r["hhi_e6"] <= 10**6
+
+
+class TestTokenBurstiness:
+    def test_matches_fraction_reference(self, spark):
+        from collections import Counter
+        from fractions import Fraction
+
+        from presto_ethereum_spark.operators.text import token_burstiness
+
+        # planted: 'bursty' appears 5x in few docs; 'flat' 1x in many docs
+        docs = []
+        for i in range(40):
+            parts = ["flat"]
+            if i % 8 == 0:
+                parts += ["bursty"] * 5
+            parts += [f"filler{i % 7}"]
+            docs.append((i, " ".join(parts)))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["tok"]: (r["df"], r["total_c"], r["vmr_e6"])
+            for r in token_burstiness(d, k=20).collect()
+        }
+        n = len(docs)
+        by_tok: dict[str, Counter] = {}
+        for i, t in docs:
+            for tok, c in Counter(t.split()).items():
+                by_tok.setdefault(tok, Counter())[i] = c
+        for tok, cnt in by_tok.items():
+            s1 = sum(cnt.values())
+            s2 = sum(v * v for v in cnt.values())
+            want = int(Fraction((n * s2 - s1 * s1) * 10**6, (n - 1) * s1))
+            assert got[tok] == (len(cnt), s1, want)
+        # the planted signal: bursty token far exceeds the Poisson-ish one
+        assert got["bursty"][2] > 3 * got["flat"][2]
