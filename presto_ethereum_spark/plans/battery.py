@@ -11145,3 +11145,70 @@ def doc_token_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import token_burstiness
 
     return token_burstiness(t_spread(spark, sf, "documents"), k=100)
+
+
+@q(
+    "rel_interarrival_burstiness",
+    """
+    WITH e AS (
+      SELECT event_type, user_id, epoch_us(ts) AS t_us, event_id
+      FROM events),
+    g AS (
+      SELECT event_type,
+             t_us - lag(t_us) OVER (PARTITION BY event_type, user_id
+                                    ORDER BY t_us, event_id) AS gap
+      FROM e),
+    f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+    a AS (
+      SELECT event_type, count(*) AS n, sum(gap) AS s1,
+             sum(CAST(gap AS HUGEINT) * gap) AS s2
+      FROM f GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(s1 AS BIGINT) AS total_gap_us,
+           CAST((CAST(n AS HUGEINT) * s2 * 1000000)
+                // (CAST(s1 AS HUGEINT) * s1) - 1000000 AS BIGINT)
+             AS cv2_minus1_e6
+    FROM a WHERE n >= 2
+    """,
+)
+def rel_interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: CV² − 1 of the per-user
+    gap distribution (0 for a Poisson process, > 0 for bursty sessions,
+    < 0 for pacemaker-regular traffic) — the temporal twin of
+    doc_token_burstiness, used to pick sessionization gaps and detect
+    bot-regular streams.  CV² = n·Σg²/(Σg)² is an exact rational of
+    integer microsecond gaps; the report subtracts 1e6 AFTER the
+    non-negative DECIMAL/HUGEINT floor so both engines shift the same
+    integer.  One window pass ordered by the total (t_us, event_id)
+    order builds gaps; one map-side aggregation folds the power sums."""
+    ev = t(spark, sf, "events").select(
+        "event_type",
+        "user_id",
+        F.expr("ts DIV 1000").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("t_us", "event_id")
+    g = ev.select(
+        "event_type", (F.col("t_us") - F.lag("t_us").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    dec = "decimal(38,0)"
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap").alias("s1"),
+            F.sum(F.col("gap").cast(dec) * F.col("gap").cast(dec)).alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.col("s1").cast("long").alias("total_gap_us"),
+            F.expr(
+                f"CAST((CAST(n AS {dec}) * CAST(s2 AS {dec})"
+                f" * CAST(1000000 AS {dec}))"
+                f" DIV (CAST(s1 AS {dec}) * CAST(s1 AS {dec}))"
+                f" - 1000000 AS BIGINT)"
+            ).alias("cv2_minus1_e6"),
+        )
+    )

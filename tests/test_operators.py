@@ -4261,3 +4261,57 @@ class TestTokenBurstiness:
             assert got[tok] == (len(cnt), s1, want)
         # the planted signal: bursty token far exceeds the Poisson-ish one
         assert got["bursty"][2] > 3 * got["flat"][2]
+
+
+class TestInterarrivalBurstiness:
+    def test_regular_zero_bursty_positive(self, spark, tmp_path):
+        from fractions import Fraction
+
+        rows, eid = [], 0
+        # regular: constant 1000us gaps -> CV2 - 1 == 0 exactly
+        # bursty: alternating 1us / 10000us gaps -> CV2 - 1 >> 0
+        for u in range(10):
+            t = 0
+            for _ in range(50):
+                t += 1000
+                rows.append((eid, t * 1000, u, "regular", 0.0, "{}"))
+                eid += 1
+            t = 0
+            for j in range(50):
+                t += 1 if j % 2 else 10_000
+                rows.append((eid, t * 1000, u, "bursty", 0.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+        import presto_ethereum_spark.plans.battery as b
+
+        got = {
+            r["event_type"]: r
+            for r in b.queries()["rel_interarrival_burstiness"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # referee: exact Fraction over the same gaps
+        gaps = {"regular": [], "bursty": []}
+        last: dict[tuple, int] = {}
+        for eid_, ts, u, et, _, _ in sorted(rows, key=lambda r: (r[1], r[0])):
+            k = (et, u)
+            if k in last:
+                g = (ts - last[k]) // 1000
+                if g > 0:
+                    gaps[et].append(g)
+            last[k] = ts
+        for et, gs in gaps.items():
+            n, s1, s2 = len(gs), sum(gs), sum(g * g for g in gs)
+            want = int(Fraction(n * s2 * 10**6, s1 * s1)) - 10**6
+            assert got[et]["n_gaps"] == n
+            assert got[et]["total_gap_us"] == s1
+            assert got[et]["cv2_minus1_e6"] == want
+        assert got["regular"]["cv2_minus1_e6"] == 0
+        assert got["bursty"]["cv2_minus1_e6"] > 500_000
