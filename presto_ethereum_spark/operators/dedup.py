@@ -776,8 +776,16 @@ def connected_components(
             else df.localCheckpoint(eager=True)
         )
 
+    # ids stay in their native orderable type: numeric ids narrow to long
+    # (the dedup doc_id path), anything else (e.g. hex addresses) keeps its
+    # type — min-label propagation only needs a total order, and casting a
+    # string id to long would throw under ANSI mode
+    a_t = dict(edges.dtypes)[id_a]
+    ident = (lambda c: c.cast("long")) if a_t in (
+        "tinyint", "smallint", "int", "bigint"
+    ) else (lambda c: c)
     sym = edges.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        ident(F.col(id_a)).alias("src"), ident(F.col(id_b)).alias("dst")
     )
     sym = sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # materialize the edge list ONCE: it is read by every round's join AND

@@ -11212,3 +11212,52 @@ def rel_interarrival_burstiness(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cv2_minus1_e6"),
         )
     )
+
+
+@q(
+    "eth_whale_clusters",
+    f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT tx_from AS s, tx_to AS d
+      FROM read_parquet('{ETH}/transaction.parquet')
+      WHERE tx_to IS NOT NULL AND tx_from <> tx_to
+        AND tx_value > 9000000000000000000),
+    edges AS (SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0),
+    reach(id, root) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id),
+    comp AS (SELECT id AS address, min(root) AS cluster_id
+             FROM reach GROUP BY id)
+    SELECT address, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """,
+)
+def eth_whale_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Wallet clustering over HIGH-VALUE transfers (> 9 ETH in wei):
+    weakly-connected components of the whale-transfer graph — the
+    chain-analytics grouping step ("which addresses move large funds
+    among themselves") — reusing the SAME pointer-jumping min-label
+    machinery as document dup-clusters (operators/dedup.
+    connected_components: O(log n) rounds, two long/string-keyed hash
+    joins per round, localCheckpoint-bounded lineage; addresses compare
+    lexicographically, which both engines share).  The value threshold
+    is what keeps this analytically meaningful AND keeps components
+    small — the full transfer graph collapses into one giant component
+    where per-cluster semantics (and the recursive-CTE oracle) are
+    useless.  cluster_id = lexicographic min address of the component."""
+    from presto_ethereum_spark.operators.dedup import dup_clusters
+
+    tx = _eth_tables(spark).table("transaction")
+    e = (
+        tx.where(
+            F.col("tx_to").isNotNull()
+            & (F.col("tx_from") != F.col("tx_to"))
+            & (F.col("tx_value") > 9e18)
+        )
+        .select(F.col("tx_from").alias("id_a"), F.col("tx_to").alias("id_b"))
+        .distinct()
+    )
+    return dup_clusters(e).withColumnsRenamed({"doc_id": "address"})

@@ -4315,3 +4315,26 @@ class TestInterarrivalBurstiness:
             assert got[et]["cv2_minus1_e6"] == want
         assert got["regular"]["cv2_minus1_e6"] == 0
         assert got["bursty"]["cv2_minus1_e6"] > 500_000
+
+
+class TestWhaleClusters:
+    def test_string_id_components_match_bruteforce(self, spark):
+        from presto_ethereum_spark.operators.dedup import dup_clusters
+
+        # hex-address-style STRING ids through the generalized closure
+        edges = [
+            ("0xaa", "0xbb"), ("0xbb", "0xcc"),  # chain of 3
+            ("0xdd", "0xee"),                      # pair
+            ("0x01", "0xff"), ("0x01", "0x02"),   # star, min = 0x01
+        ]
+        e = spark.createDataFrame(edges, "id_a string, id_b string")
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dup_clusters(e).collect()
+        }
+        want = {
+            "0xaa": ("0xaa", 3), "0xbb": ("0xaa", 3), "0xcc": ("0xaa", 3),
+            "0xdd": ("0xdd", 2), "0xee": ("0xdd", 2),
+            "0x01": ("0x01", 3), "0xff": ("0x01", 3), "0x02": ("0x01", 3),
+        }
+        assert got == want
