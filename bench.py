@@ -43,6 +43,12 @@ HEADLINE = [
     "doc_ppjoin_pairs",
     "doc_count_cosine_pairs",
     "rel_bucketed_join",
+    # session-3 statistics + clustering family
+    "rel_gini_revenue",
+    "rel_chisq_independence",
+    "doc_token_burstiness",
+    "rel_conversion_latency",
+    "eth_whale_clusters",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",
