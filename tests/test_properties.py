@@ -709,3 +709,67 @@ def test_round_ratio_halfway_adversarial(spark):
     # the hazard is real: the legacy double formulation disagrees between
     # engines somewhere in this adversarial set
     assert legacy_diverged > 0
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.tuples(
+        st.integers(min_value=1, max_value=99),
+        st.just(100),
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_percentile_disc_matches_sorted_scan(spark, data, q):
+    """grouped_percentile_disc == the definitional sorted scan (smallest
+    value whose cumulative frequency reaches num/den) for random multisets
+    and a random rational quantile."""
+    from presto_ethereum_spark.operators.stats import grouped_percentile_disc
+
+    num, den = q
+    df = spark.createDataFrame(data, "grp string, v int")
+    got = {
+        r["grp"]: (r["n"], r["p"])
+        for r in grouped_percentile_disc(
+            df, ["grp"], "v", [("p", num, den)]
+        ).collect()
+    }
+    by_g = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        vs.sort()
+        n = len(vs)
+        want = next(v for i, v in enumerate(vs, 1) if i * den >= num * n)
+        assert got[g] == (n, want)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=40),
+    shift=st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ks_drift_identity_and_shift(spark, vals, shift):
+    """KS axioms on the exact integer statistic: identical slices have
+    ks_num == 0; a strictly shifted copy has ks_num > 0."""
+    from presto_ethereum_spark.operators.text import ks_drift
+
+    rows = (
+        [("a", v) for v in vals]
+        + [("b", v) for v in vals]
+        + [("c", v + shift) for v in vals]
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars int")
+    got = {
+        (r["slice_a"], r["slice_b"]): r["ks_num"]
+        for r in ks_drift(df, "source", "n_chars").collect()
+    }
+    assert got[("a", "b")] == 0
+    assert got[("a", "c")] > 0
+    assert got[("b", "c")] == got[("a", "c")]  # symmetry in the copy
