@@ -42,6 +42,9 @@ __all__ = [
     "extract_features",
     "sample_frames",
     "frame_dedup_stats",
+    "PHASH_SCHEMA",
+    "perceptual_hash",
+    "phash_near_dup_pairs",
 ]
 
 # media table: one row per asset; bytes + typed metadata
@@ -293,5 +296,128 @@ def frame_dedup_stats(
             )
             .otherwise(F.lit(0.0))
             .alias("dup_frac"),
+        )
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(df: DataFrame, bits: int = 60) -> DataFrame:
+    """Average-hash (aHash) perceptual signature over raw media bytes:
+    split each asset into ``bits`` equal byte spans, set bit i when span
+    i's mean byte value exceeds the asset mean — the classic cheap
+    perceptual fingerprint (identical assets hash identically; small
+    local edits flip few bits), here over the stubbed byte-domain
+    "decode" the multimodal family uses throughout (real codecs would
+    feed pixel rows into the SAME kernel shape).
+
+    The bit decision is an exact INTEGER comparison
+    (``span_sum * n_bytes > total_sum * span_len``) — no float mean, so
+    any engine reproduces the signature bit-for-bit.  Assets shorter
+    than ``bits`` bytes are emitted with a null phash (no span exists
+    for every bit; filter or handle downstream).
+
+    Runs as an Arrow-batched ``mapInPandas`` numpy kernel: one
+    ``cumsum`` per asset serves all ``bits`` span sums — the
+    embarrassingly-parallel map-only stage of a real feature-extraction
+    pipeline."""
+    nbits = int(bits)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, sizes, hashes = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(blob) if blob is not None else b""
+                n = len(b)
+                ids.append(mid)
+                sizes.append(n)
+                if n < nbits:
+                    hashes.append(None)
+                    continue
+                a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(a)))
+                total = int(csum[-1])
+                h = 0
+                for i in range(nbits):
+                    lo = i * n // nbits
+                    hi = (i + 1) * n // nbits
+                    span = int(csum[hi] - csum[lo])
+                    if span * n > total * (hi - lo):
+                        h |= 1 << i
+                hashes.append(h)
+            # build the hash column as nullable Int64 DIRECTLY: a plain list
+            # holding both ints and None floatifies in the DataFrame
+            # constructor, silently rounding 60-bit hashes to float64's 53
+            # bits (caught by the sf0.1 oracle gate: low bits zeroed)
+            out = pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": sizes,
+                    "phash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: banded blocking on the aHash
+    (agree on >= 1 of ``bands`` sub-keys -> candidate; the simhash
+    blocking discipline, dedup.py) verified by exact Hamming distance
+    <= ``max_hamming`` via xor/bit_count.  Deterministic end-to-end —
+    blocking is bit arithmetic, not sampling — so an oracle reproduces
+    the exact pair set.  Exchanges carry (band, 15-bit key, id, hash)
+    longs; payload bytes never move past the signature kernel."""
+    width = bits // bands
+    sigs = perceptual_hash(df, bits=bits).where(
+        F.col("phash").isNotNull()
+    ).select(F.col("media_id").alias("id"), "phash")
+    banded = sigs.select(
+        "id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("phash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("sh_a"),
+            F.col("b.phash").alias("sh_b"),
+        )
+        .distinct()
+        .where(ham <= max_hamming)
+        .select(
+            "id_a", "id_b", ham.cast("int").alias("hamming")
         )
     )

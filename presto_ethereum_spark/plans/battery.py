@@ -11261,3 +11261,57 @@ def eth_whale_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return dup_clusters(e).withColumnsRenamed({"doc_id": "address"})
+
+
+@q(
+    "multimodal_phash_pairs",
+    """
+    WITH d AS (SELECT doc_id AS id, text, length(text) AS L
+               FROM documents WHERE length(text) >= 60),
+    c AS (SELECT id, L,
+                 [ascii(substring(text, j, 1))
+                  FOR j IN range(1, L + 1)] AS codes
+          FROM d),
+    t2 AS (SELECT id, L, codes, list_sum(codes) AS total FROM c),
+    b AS (
+      SELECT id, L, total, i,
+             list_sum(codes[(i * L) // 60 + 1 : ((i + 1) * L) // 60])
+               AS span,
+             ((i + 1) * L) // 60 - (i * L) // 60 AS slen
+      FROM t2, unnest(range(0, 60)) AS r(i)),
+    ph AS (
+      SELECT id,
+             CAST(sum(CASE WHEN span * L > total * slen
+                      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS phash
+      FROM b GROUP BY id),
+    bd AS (
+      SELECT id, phash, i AS band,
+             (phash >> (i * 15)) & 32767 AS key
+      FROM ph, unnest(range(0, 4)) AS q(i)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.phash AS ha, b.phash AS hb
+      FROM bd a JOIN bd b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-duplicate pairs over the media byte column
+    (operators/multimodal.perceptual_hash + phash_near_dup_pairs):
+    60-bit average-hash signatures from an Arrow mapInPandas numpy
+    kernel (one cumsum serves all spans; bit decisions are exact
+    integer compares), banded 15-bit blocking, Hamming <= 6 verify via
+    xor/bit_count — the perceptual companion to multimodal_dedup's
+    exact sha256, catching assets that byte-level dedup misses.  The
+    oracle replicates the signature closed-form over the ASCII fixture
+    bytes, so the gate checks the full kernel -> blocking -> verify
+    chain bit-for-bit."""
+    from presto_ethereum_spark.operators.multimodal import (
+        media_from_documents,
+        phash_near_dup_pairs,
+    )
+
+    media = media_from_documents(t_spread(spark, sf, "documents", parts=8))
+    return phash_near_dup_pairs(media, max_hamming=6)

@@ -82,3 +82,85 @@ def test_resize_stride_semantics(spark):
     assert out[1]["orig_len"] == 130 and out[1]["out_len"] == 44
     assert bytes(out[2]["out_bytes"]) == b"abc" and out[2]["out_len"] == 3
     assert out[3]["out_len"] == 0 and bytes(out[3]["out_bytes"]) == b""
+
+
+class TestPerceptualHash:
+    def test_exact_60bit_hashes_with_nulls_in_batch(self, spark):
+        # regression: a batch mixing short (null-hash) and long assets must
+        # not floatify the Int64 column — 60-bit hashes lose their low bits
+        # at float64's 53-bit precision (caught by the sf0.1 oracle gate)
+        from presto_ethereum_spark.operators.multimodal import perceptual_hash
+
+        import random
+
+        long_bytes = random.Random(1).randbytes(512)
+        rows = [
+            (0, "application/octet-stream", bytearray(long_bytes), "m://0"),
+            (1, "application/octet-stream", bytearray(b"tiny"), "m://1"),
+            (2, "application/octet-stream", bytearray(long_bytes), "m://2"),
+        ]
+        df = spark.createDataFrame(
+            rows, "media_id long, mime string, data binary, source_uri string"
+        )
+        got = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+        assert got[1] is None  # < 60 bytes
+        assert got[0] == got[2] and got[0] is not None
+
+        # python referee: exact integer-compare aHash
+        n = len(long_bytes)
+        total = sum(long_bytes)
+        want = 0
+        for i in range(60):
+            lo, hi = i * n // 60, (i + 1) * n // 60
+            if sum(long_bytes[lo:hi]) * n > total * (hi - lo):
+                want |= 1 << i
+        assert got[0] == want
+        assert want % 128 != 0  # the referee value exercises low bits
+
+    def test_near_dup_pairs_hamming(self, spark):
+        import itertools
+        import random
+
+        from presto_ethereum_spark.operators.multimodal import (
+            phash_near_dup_pairs,
+        )
+
+        rng = random.Random(2)
+        base = rng.randbytes(600)
+        flip = bytearray(base)
+        flip[100:110], flip[300:310] = flip[300:310], flip[100:110]
+        blobs = {
+            0: bytes(base),
+            1: bytes(base),          # exact dup -> hamming 0
+            2: bytes(flip),          # mean-preserving local swap
+            3: rng.randbytes(600),   # unrelated
+        }
+        df = spark.createDataFrame(
+            [(k, "m", bytearray(v), f"u{k}") for k, v in blobs.items()],
+            "media_id long, mime string, data binary, source_uri string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in phash_near_dup_pairs(df, max_hamming=6).collect()
+        }
+
+        def ahash(b):
+            n, total, h = len(b), sum(b), 0
+            for i_ in range(60):
+                lo, hi = i_ * n // 60, (i_ + 1) * n // 60
+                if sum(b[lo:hi]) * n > total * (hi - lo):
+                    h |= 1 << i_
+            return h
+
+        hs = {k: ahash(v) for k, v in blobs.items()}
+        want = {}
+        for a, b in itertools.combinations(sorted(hs), 2):
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            shares_band = any(
+                (hs[a] >> (j * 15)) & 32767 == (hs[b] >> (j * 15)) & 32767
+                for j in range(4)
+            )
+            if shares_band and ham <= 6:
+                want[(a, b)] = ham
+        assert got == want
+        assert got[(0, 1)] == 0  # the exact dup is always caught
