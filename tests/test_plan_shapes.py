@@ -273,3 +273,45 @@ def test_ppjoin_prefix_posting_only(spark):
     assert parts
     for p in parts:
         assert "ts#" not in p and "sorted_toks" not in p
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling is the engine-level complement to the
+    manual salting entries (rel_salted_join): with a planted hot key and
+    thresholds scaled to the test data, the post-execution SortMergeJoin
+    must carry the skew=true marker — evidence the hot partition was
+    split at runtime rather than serialized onto one task."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 1 carries 300k rows; 200 cold keys carry ~100 each
+        left = spark.range(0, 320_000).select(
+            F.when(F.col("id") < 300_000, F.lit(1))
+            .otherwise((F.col("id") % 200) + 2)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1, 202).select(F.col("id").alias("k"))
+        j = left.hint("MERGE").join(right, "k")
+        # the action must run on THIS DataFrame's own queryExecution —
+        # wrapping it (count/groupBy/write) plans a separate execution and
+        # the inspected AdaptiveSparkPlan stays isFinalPlan=false
+        assert len(j.collect()) == 320_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
