@@ -189,6 +189,10 @@ def main() -> None:
         # honest
         "doc_containment_pairs",
         "doc_chunk_dedup_filter",
+        # same GC-sensitive inverted-index pair-join class (r6 session 3:
+        # ppjoin spread [7.2, 22.0] on 3 samples)
+        "doc_ppjoin_pairs",
+        "doc_count_cosine_pairs",
     }
     iter_repeats = max(repeats, int(os.environ.get("SPARK_GRAFT_BENCH_ITER_REPEATS", "7")))
     times: dict[str, float] = {}
