@@ -26,6 +26,8 @@ __all__ = [
     "cosine",
     "brute_force_topk",
     "hard_negatives",
+    "jl_project_quantized",
+    "jl_recall_report",
     "range_search",
     "cosine_pairs",
     "cosine_pairs_gemm",
@@ -1464,5 +1466,142 @@ def hard_negatives(
             "neighbor_label",
             F.round("sim", 6).alias("sim"),
             "rank",
+        )
+    )
+
+
+def _jl_matrix(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic Achlioptas-sparse JL matrix: entry (j, d) derives from
+    md5("jl:j:d") mod 6 -> {+1 (0), -1 (1), 0 (2..5)} — density 1/3, the
+    Achlioptas (2003) database-friendly construction, regenerable by ANY
+    engine from the same public hash (the minhash/_affine_params
+    discipline)."""
+    import hashlib
+
+    mat: list[list[int]] = []
+    for d in range(out_dim):
+        row = []
+        for j in range(in_dim):
+            h = int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[:15], 16)
+            m = h % 6
+            row.append(1 if m == 0 else (-1 if m == 1 else 0))
+        mat.append(row)
+    return mat
+
+
+def jl_project_quantized(
+    df: DataFrame,
+    out_dim: int = 16,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dims, made
+    ENGINE-EXACT: float32 components quantize to integers first
+    (``floor(x * 2^20)`` — the multiply is a pure exponent shift on a
+    24-bit mantissa, so it is exact and both engines floor the same
+    value), and each projected coordinate is an INTEGER dot with the
+    deterministic ±1/0 Achlioptas matrix — an order-independent BIGINT
+    sum, immune to the float-accumulation-order trap that makes naive
+    random projections engine- and partition-dependent.
+
+    Distance work downstream stays integer: squared L2 in projected
+    space is an exact BIGINT, so top-k ranking is total-order
+    deterministic (dist², id) — the property the recall report's oracle
+    equality depends on.
+
+    Returns ``(id, jl)`` with ``jl`` an ``array<long>`` of length
+    ``out_dim``.  Scale: a pure map-side projection (out_dim in-order
+    JVM folds per row); the matrix rides the plan as literals."""
+    in_dim = len(df.select(vec_col).first()[0])
+    mat = _jl_matrix(in_dim, out_dim)
+    vq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    staged = df.select(F.col(id_col).alias("id"), vq.alias("vq"))
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("vq"),
+                F.array(*[F.lit(w) for w in mat[d]]),
+                lambda x, r: x * r.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{d}")
+        for d in range(out_dim)
+    ]
+    return staged.select("id", F.array(*projs).alias("jl"))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def jl_recall_report(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fidelity report for the JL projection: per probe, the overlap
+    between the top-``k`` neighbors under projected squared-L2 and under
+    FULL-dimension squared-L2 (both integer-exact over the quantized
+    vectors, both ranked by the total order (dist², id)) — the
+    measure-before-you-trust step for any dimensionality-reduced
+    retrieval path.  Returns ``(query_id, n_overlap, recall)``.
+
+    Scale: both rank passes are the broadcast-probe + WindowGroupLimit
+    brute-force shape; the projected pass reads 16 longs per row
+    instead of 64 floats — the bandwidth saving IS the point of JL."""
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    vq_full = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(1 << 20))
+            ).cast("long"),
+        ).alias("v"),
+    )
+    jl = jl_project_quantized(df, out_dim=out_dim, id_col=id_col,
+                              vec_col=vec_col).withColumnRenamed("jl", "v")
+
+    def topk(space: DataFrame) -> DataFrame:
+        q = F.broadcast(
+            space.where(F.col("id") < n_queries).select(
+                F.col("id").alias("query_id"), F.col("v").alias("qv")
+            )
+        )
+        scored = space.join(q, F.col("id") != F.col("query_id")).select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _l2sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+        w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k)
+            .groupBy("query_id")
+            .agg(F.sort_array(F.collect_list("neighbor_id")).alias("ids"))
+        )
+
+    exact = topk(vq_full).withColumnRenamed("ids", "exact_ids")
+    proj = topk(jl).withColumnRenamed("ids", "jl_ids")
+    inter = F.size(F.array_intersect(F.col("exact_ids"), F.col("jl_ids")))
+    return (
+        exact.join(proj, "query_id")
+        .select(
+            "query_id",
+            inter.cast("long").alias("n_overlap"),
+            round6_ratio(inter, F.lit(k)).alias("recall"),
         )
     )

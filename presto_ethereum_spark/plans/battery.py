@@ -11315,3 +11315,69 @@ def multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
     media = media_from_documents(t_spread(spark, sf, "documents", parts=8))
     return phash_near_dup_pairs(media, max_hamming=6)
+
+
+@q(
+    "emb_jl_recall",
+    """
+    WITH r AS (
+      SELECT j, d,
+             CASE (CAST(('0x' || substring(md5('jl:' || j || ':' || d),
+                                           1, 15)) AS BIGINT) % 6)
+               WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+      FROM (SELECT unnest(range(0, 64)) AS j),
+           (SELECT unnest(range(0, 16)) AS d)),
+    vq AS (
+      SELECT vec_id AS id,
+             [CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576) AS BIGINT)
+              FOR j IN range(1, 65)] AS v
+      FROM embeddings),
+    jl AS (
+      SELECT id, d, sum(v[j + 1] * w) AS p
+      FROM vq, r GROUP BY id, d),
+    jlv AS (SELECT id, list(p ORDER BY d) AS v FROM jl GROUP BY id),
+    pe AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                       FOR i IN range(1, 65)]) AS d2
+      FROM vq a, vq b WHERE a.id < 5 AND a.id <> b.id),
+    te AS (
+      SELECT query_id, list_sort(list(neighbor_id)) AS exact_ids
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, neighbor_id) AS rk
+            FROM pe) WHERE rk <= 10 GROUP BY query_id),
+    pj AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                       FOR i IN range(1, 17)]) AS d2
+      FROM jlv a, jlv b WHERE a.id < 5 AND a.id <> b.id),
+    tj AS (
+      SELECT query_id, list_sort(list(neighbor_id)) AS jl_ids
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, neighbor_id) AS rk
+            FROM pj) WHERE rk <= 10 GROUP BY query_id)
+    SELECT query_id,
+           CAST(len(list_intersect(exact_ids, jl_ids)) AS BIGINT)
+             AS n_overlap,
+           CAST((2 * len(list_intersect(exact_ids, jl_ids)) * 1000000 + 10)
+                // 20 AS DOUBLE) / 1000000 AS recall
+    FROM te JOIN tj USING (query_id)
+    """,
+)
+def emb_jl_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection fidelity (operators/similarity.
+    jl_project_quantized + jl_recall_report): recall@10 of projected
+    (64 -> 16 dims, deterministic Achlioptas ±1/0 matrix from md5)
+    squared-L2 retrieval against full-dimension truth — ENGINE-EXACT
+    end-to-end because vectors quantize to integers before projection
+    (float32 * 2^20 is an exact exponent shift) and every distance and
+    rank is then a BIGINT total order.  The scale story: serving reads
+    16 longs instead of 64 floats per row; the projection itself is a
+    map-side fold with the matrix as plan literals."""
+    from presto_ethereum_spark.operators.similarity import jl_recall_report
+
+    return jl_recall_report(
+        t_spread(spark, sf, "embeddings", parts=8), n_queries=5, k=10
+    )
