@@ -28,6 +28,7 @@ __all__ = [
     "hard_negatives",
     "jl_project_quantized",
     "jl_recall_report",
+    "jl_rerank_topk",
     "range_search",
     "cosine_pairs",
     "cosine_pairs_gemm",
@@ -1603,5 +1604,108 @@ def jl_recall_report(
             "query_id",
             inter.cast("long").alias("n_overlap"),
             round6_ratio(inter, F.lit(k)).alias("recall"),
+        )
+    )
+
+
+def jl_rerank_topk(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    prefilter_k: int = 50,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: a cheap JL-projected squared-L2 PREFILTER
+    keeps ``prefilter_k`` candidates per probe, then the exact
+    full-dimension metric reranks just those to the final top-``k`` —
+    the coarse-filter/exact-rerank serving pattern (the third ANN
+    family next to IVF's partition pruning and PQ's compressed
+    distances): stage 1 reads 16 longs/row over the corpus, stage 2
+    reads full vectors for prefilter_k rows per probe only.
+
+    Everything is integer-exact (quantized vectors, BIGINT distances,
+    (d2, id) total orders), so the output is engine-deterministic; the
+    ``in_exact_topk`` flag self-reports whether each returned neighbor
+    is also in the true full-scan top-k — the per-row recall evidence
+    that the prefilter width is (or is not) wide enough.
+
+    Returns ``(query_id, neighbor_id, d2, rank, in_exact_topk)``."""
+    vq_full = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(1 << 20))
+            ).cast("long"),
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+    jl = jl_project_quantized(df, out_dim=out_dim, id_col=id_col,
+                              vec_col=vec_col)
+    qjl = F.broadcast(
+        jl.where(F.col("id") < n_queries).select(
+            F.col("id").alias("query_id"), F.col("jl").alias("qv")
+        )
+    )
+    stage1 = (
+        jl.join(qjl, F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _l2sq(F.col("qv"), F.col("jl")).alias("pd2"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy("pd2", "neighbor_id")
+    cand = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= prefilter_k)
+        .select("query_id", "neighbor_id")
+    )
+    qfull = F.broadcast(
+        vq_full.where(F.col("id") < n_queries).select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    rerank = (
+        cand.join(vq_full, cand["neighbor_id"] == vq_full["id"])
+        .join(qfull, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _l2sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    top = rerank.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+    # exact truth for the self-report flag
+    exact = (
+        vq_full.join(qfull, F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _l2sq(F.col("qv"), F.col("v")).alias("ed2"),
+        )
+        .withColumn(
+            "er",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("ed2", "neighbor_id")
+            ),
+        )
+        .where(F.col("er") <= k)
+        .select("query_id", "neighbor_id", F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        top.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("d2").cast("long").alias("d2"),
+            F.col("rank").cast("int").alias("rank"),
+            F.coalesce(F.col("in_exact_topk"), F.lit(False)).alias(
+                "in_exact_topk"
+            ),
         )
     )

@@ -11381,3 +11381,76 @@ def emb_jl_recall(spark: SparkSession, sf: str) -> DataFrame:
     return jl_recall_report(
         t_spread(spark, sf, "embeddings", parts=8), n_queries=5, k=10
     )
+
+
+@q(
+    "emb_jl_rerank_topk",
+    """
+    WITH r AS (
+      SELECT j, d,
+             CASE (CAST(('0x' || substring(md5('jl:' || j || ':' || d),
+                                           1, 15)) AS BIGINT) % 6)
+               WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS w
+      FROM (SELECT unnest(range(0, 64)) AS j),
+           (SELECT unnest(range(0, 16)) AS d)),
+    vq AS (
+      SELECT vec_id AS id,
+             [CAST(floor(CAST(embedding[j] AS DOUBLE) * 1048576) AS BIGINT)
+              FOR j IN range(1, 65)] AS v
+      FROM embeddings),
+    jl AS (SELECT id, d, sum(v[j + 1] * w) AS p FROM vq, r GROUP BY id, d),
+    jlv AS (SELECT id, list(p ORDER BY d) AS v FROM jl GROUP BY id),
+    s1 AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                       FOR i IN range(1, 17)]) AS pd2
+      FROM jlv a, jlv b WHERE a.id < 5 AND a.id <> b.id),
+    cand AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pd2, neighbor_id) AS r1
+            FROM s1) WHERE r1 <= 50),
+    rr AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum([(qa.v[i] - nb.v[i]) * (qa.v[i] - nb.v[i])
+                       FOR i IN range(1, 65)]) AS d2
+      FROM cand c JOIN vq qa ON qa.id = c.query_id
+                  JOIN vq nb ON nb.id = c.neighbor_id),
+    top AS (
+      SELECT query_id, neighbor_id, d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbor_id) AS rank
+      FROM rr QUALIFY rank <= 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.id AS query_id, b.id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.id
+                 ORDER BY list_sum([(a.v[i] - b.v[i]) * (a.v[i] - b.v[i])
+                                    FOR i IN range(1, 65)]), b.id) AS er
+        FROM vq a, vq b WHERE a.id < 5 AND a.id <> b.id)
+      WHERE er <= 10)
+    SELECT t.query_id, t.neighbor_id, CAST(t.d2 AS BIGINT) AS d2,
+           CAST(t.rank AS INT) AS rank,
+           (e.neighbor_id IS NOT NULL) AS in_exact_topk
+    FROM top t LEFT JOIN exact e
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    """,
+)
+def emb_jl_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Coarse-filter/exact-rerank serving (operators/similarity.
+    jl_rerank_topk): stage 1 scans 16-long JL projections for a
+    50-candidate prefilter per probe, stage 2 reranks only those with
+    the exact full-dimension metric — the third ANN family next to
+    IVF's partition pruning and PQ's compressed distances, graded
+    engine-exactly because every distance and rank is a BIGINT total
+    order over quantized vectors.  ``in_exact_topk`` self-reports
+    per-neighbor whether the two-stage answer agrees with the full
+    scan — the prefilter-width evidence."""
+    from presto_ethereum_spark.operators.similarity import jl_rerank_topk
+
+    return jl_rerank_topk(
+        t_spread(spark, sf, "embeddings", parts=8),
+        n_queries=5, k=10, prefilter_k=50,
+    )

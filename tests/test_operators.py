@@ -4378,3 +4378,36 @@ class TestJlRecall:
         assert set(rep) == set(range(5))
         assert all(0 <= v <= 10 for v in rep.values())
         assert sum(rep.values()) >= 15  # >= 30% mean recall on 80 docs
+
+
+class TestJlRerank:
+    def test_wide_prefilter_equals_bruteforce(self, spark):
+        import numpy as np
+
+        from presto_ethereum_spark.operators.similarity import jl_rerank_topk
+
+        rng = np.random.default_rng(43)
+        vecs = rng.standard_normal((60, 64)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+            "vec_id long, embedding array<float>",
+        )
+        # prefilter wider than the corpus -> stage 1 keeps everyone ->
+        # result MUST equal the exact brute-force top-k, flag all-true
+        out = jl_rerank_topk(df, n_queries=3, k=5, prefilter_k=100).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["d2"], r["in_exact_topk"])
+            )
+        vq = np.floor(vecs.astype(np.float64) * (1 << 20)).astype(np.int64)
+        for q in range(3):
+            d2 = ((vq - vq[q]) ** 2).sum(axis=1)
+            order = sorted(
+                (int(d2[i]), i) for i in range(60) if i != q
+            )[:5]
+            want = [
+                (rk + 1, nid, dd, True)
+                for rk, (dd, nid) in enumerate(order)
+            ]
+            assert sorted(got[q]) == want
