@@ -49,6 +49,7 @@ HEADLINE = [
     "doc_token_burstiness",
     "rel_conversion_latency",
     "eth_whale_clusters",
+    "emb_jl_rerank_topk",
     "eth_khop_reachability",
     "doc_simhash_recall",
     "rel_weighted_median",
