@@ -11454,3 +11454,42 @@ def emb_jl_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         t_spread(spark, sf, "embeddings", parts=8),
         n_queries=5, k=10, prefilter_k=50,
     )
+
+
+@q(
+    "rel_compaction_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction on the oracle gate (sources/sink.
+    compact_parquet): orders land deliberately FRAGMENTED (64 writer
+    tasks), the compactor bin-packs them toward the target size
+    verifying row equality, and the aggregate over the compacted
+    directory must equal direct SQL over the source — the OPTIMIZE
+    maintenance job's correctness contract, gate-checked.  The
+    fragmentation/size effect itself is pinned in test_sink.py (file
+    counts are environment-sized, so they are not gate columns)."""
+    import tempfile
+
+    from presto_ethereum_spark.sources.sink import compact_parquet
+
+    base = tempfile.mkdtemp(prefix="pes_compact_")
+    frag, packed = base + "/frag", base + "/packed"
+    t(spark, sf, "orders").repartition(64).write.mode("overwrite").parquet(
+        frag
+    )
+    report = compact_parquet(spark, frag, packed, target_bytes=32 * 1024 * 1024)
+    assert report["files_after"] <= report["files_before"]
+    back = spark.read.parquet(packed)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )

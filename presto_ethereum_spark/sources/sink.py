@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, DataFrameWriter
 
-__all__ = ["write_partitioned", "write_bucketed_table"]
+__all__ = ["write_partitioned", "write_bucketed_table", "compact_parquet"]
 
 
 def write_partitioned(
@@ -66,3 +66,61 @@ def write_bucketed_table(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE/bin-pack maintenance job):
+    rewrite a fragmented parquet directory into ceil(total_bytes /
+    target_bytes) files at ``dst_path`` and return a report dict
+    (files/bytes before, files after, rows verified equal).
+
+    Streaming sinks and over-parallel writes leave thousands of tiny
+    files; at 100 TB the scan cost is then dominated by open/footer
+    overhead and the NameNode/listing metadata, not data bytes — the
+    classic fix is this periodic rewrite toward the scan-optimal
+    ~128 MB.  The rewrite is ONE round-robin repartition (no key
+    shuffle semantics to preserve — parquet directories carry no
+    ordering contract); row-count equality before/after is verified
+    here, and callers publish ``dst_path`` atomically (manifest or
+    directory swap) exactly like the streaming sink's compaction."""
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = src.getFileSystem(conf)
+    files = [
+        f
+        for f in fs.listStatus(src)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    ]
+    n_before = len(files)
+    bytes_before = sum(f.getLen() for f in files)
+    n_out = max(1, math.ceil(bytes_before / target_bytes))
+    df = spark.read.parquet(src_path)
+    rows_before = df.count()
+    df.repartition(n_out).write.mode("overwrite").parquet(dst_path)
+    back = spark.read.parquet(dst_path)
+    rows_after = back.count()
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    n_after = sum(
+        1
+        for f in fs.listStatus(dst)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    if rows_after != rows_before:
+        raise RuntimeError(
+            f"compaction lost rows: {rows_before} -> {rows_after}"
+        )
+    return {
+        "files_before": n_before,
+        "bytes_before": int(bytes_before),
+        "files_after": n_after,
+        "target_files": n_out,
+        "rows": int(rows_before),
+    }

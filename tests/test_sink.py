@@ -54,3 +54,21 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS c_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_compact_parquet_binpacks_and_preserves_rows(spark, tmp_path):
+    from presto_ethereum_spark.sources.sink import compact_parquet
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "packed")
+    df = spark.range(0, 50_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(src)
+    report = compact_parquet(spark, src, dst, target_bytes=1 << 40)
+    # one enormous target -> exactly one output file, rows preserved
+    assert report["files_before"] == 40
+    assert report["files_after"] == 1 and report["target_files"] == 1
+    assert report["rows"] == 50_000
+    back = spark.read.parquet(dst)
+    assert back.count() == 50_000
+    assert back.selectExpr("sum(v)").first()[0] == df.selectExpr(
+        "sum(v)"
+    ).first()[0]
