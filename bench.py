@@ -1,37 +1,43 @@
 #!/usr/bin/env python3
 """Headline benchmark: runs representative engine queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect overhead).  The flagship metric is total wall seconds across
 the headline set.
 
-Timing methodology: each query runs REPEATS (default 3; 7 for the
-iterative/stateful subset) times in-session and the reported number is the
-MEDIAN, with per-query min/max spread recorded under "spread".  Single-run
-sub-second samples on a 32-thread local JVM move ±30% from scheduler/JIT
-jitter alone; the median keeps real regressions from hiding in (or being
-invented by) that band.
+Timing methodology (r7, session-isolated): the headline set is split into
+chunks of <= SPARK_GRAFT_BENCH_CHUNK_SIZE (default 25) queries and EACH
+CHUNK RUNS IN ITS OWN FRESH SUBPROCESS/JVM.  r5/r6 measured that a single
+73-query session accumulates JVM/GC state that moves unchanged-code medians
+2-6x (same-query medians 3.5 s -> 9.7 s across sessions; in-run spreads up
+to 3.5x on the GC-sensitive pair joins).  Fresh-JVM chunks bound that
+accumulation so round-over-round deltas reflect code, not session history.
+Within a chunk, each query runs REPEATS (default 3; 7 for the
+iterative/GC-sensitive subset) times and the reported number is the MEDIAN,
+with per-query min/max spread recorded in BENCH_DETAIL.json.
 
-Output contract: the LAST stdout line is the compact parseable record
-(metric/value/unit/queries/repeats/sf, no spread map) sized to survive the
-driver's finite stdout tail capture; the full detail including spreads is
-printed on an earlier line AND written to BENCH_DETAIL.json.
+Output contract (r7): the LAST stdout line is a <=200-byte summary —
+{"metric","value","unit","sf","n_queries","repeats","iter_repeats",
+"n_sessions"} — with NO per-query map, guarded by a hard length assert.
+Two rounds running (r5, r6) the per-query map outgrew the driver's
+2,000-char stdout tail window and the flagship number shipped
+machine-unreadable ("parsed: null").  The full per-query map + spreads are
+printed on an EARLIER stdout line and written to BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-
-from presto_ethereum_spark.plans import battery  # noqa: E402
-from presto_ethereum_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "doc_zipf_slope",
@@ -123,19 +129,31 @@ HEADLINE = [
     "rel_incremental_agg",
 ]
 
+# Iterative / stateful / micro-batch entries carry multi-job session state
+# (shuffle-service reuse, streaming state stores) that makes a 3-sample
+# median unstable (r5: driver vs idle-box medians disagreed >2x on
+# pagerank/funnel; stream_trending_topk spread 3.5x in-run).  The inverted-
+# index pair joins are the most GC-sensitive entries (r6: same-query medians
+# moved 3.5s -> 9.7s across sessions).  Extra samples keep medians honest.
+ITERATIVE = {
+    "eth_tx_pagerank",
+    "eth_tx_pagerank_weighted",
+    "eth_tx_hits",
+    "rel_funnel_steps",
+    "stream_trending_topk",
+    "emb_ivf_recall_refined",
+    "doc_containment_pairs",
+    "doc_chunk_dedup_filter",
+    "doc_ppjoin_pairs",
+    "doc_count_cosine_pairs",
+}
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
-    # local[32] runs every "executor" thread inside the ONE driver JVM; the
-    # 8g default heap that is fine for unit tests turns the 37-query bench
-    # session into a GC storm (measured: repeat-to-repeat spreads of 0.7 s
-    # -> 5.5 s on the same query once the heavy graph/stream entries
-    # joined the headline set).  48g on the 128 GiB box keeps full-session
-    # old-gen occupancy far from the collector's trigger; on a real
-    # cluster driver memory is a submit-time setting and this default is
-    # inert (executors hold the data).
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
+def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) -> dict:
+    """Child-process entry: time ``names`` in THIS fresh JVM, return maps."""
+    from presto_ethereum_spark.plans import battery
+    from presto_ethereum_spark.session import get_spark
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = battery.queries()
@@ -171,36 +189,9 @@ def main() -> None:
     battery._IVF_CODEBOOKS[sf_dir] = seeds
     battery._IVF_CODEBOOKS[("pq", sf_dir)] = seeds[:4]
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    # Iterative / stateful / micro-batch entries carry multi-job session
-    # state (shuffle-service reuse, streaming state stores) that makes a
-    # 3-sample median unstable (r5: driver vs idle-box medians disagreed
-    # >2x on pagerank/funnel; stream_trending_topk spread 3.5x in-run).
-    # Give that subset more samples so its median converges.
-    ITERATIVE = {
-        "eth_tx_pagerank",
-        "eth_tx_pagerank_weighted",
-        "eth_tx_hits",
-        "rel_funnel_steps",
-        "stream_trending_topk",
-        "emb_ivf_recall_refined",
-        # not iterative, but the inverted-index pair joins are the most
-        # GC-sensitive entries in the set (r6: same-query medians moved
-        # 3.5s -> 9.7s across sessions); extra samples keep their medians
-        # honest
-        "doc_containment_pairs",
-        "doc_chunk_dedup_filter",
-        # same GC-sensitive inverted-index pair-join class (r6 session 3:
-        # ppjoin spread [7.2, 22.0] on 3 samples)
-        "doc_ppjoin_pairs",
-        "doc_count_cosine_pairs",
-    }
-    iter_repeats = max(repeats, int(os.environ.get("SPARK_GRAFT_BENCH_ITER_REPEATS", "7")))
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    import statistics
-
-    for name in HEADLINE:
+    for name in names:
         n = iter_repeats if name in ITERATIVE else repeats
         samples: list[float] = []
         for _ in range(n):
@@ -210,6 +201,68 @@ def main() -> None:
         samples.sort()
         times[name] = round(statistics.median(samples), 3)
         spread[name] = [samples[0], samples[-1]]
+    return {"queries": times, "spread": spread}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    # local[32] runs every "executor" thread inside the ONE driver JVM; the
+    # 8g default heap that is fine for unit tests turns a bench session into
+    # a GC storm (measured: repeat-to-repeat spreads of 0.7 s -> 5.5 s on
+    # the same query once the heavy graph/stream entries joined the headline
+    # set).  48g on the 128 GiB box keeps per-session old-gen occupancy far
+    # from the collector's trigger; on a real cluster driver memory is a
+    # submit-time setting and this default is inert (executors hold data).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    iter_repeats = max(
+        repeats, int(os.environ.get("SPARK_GRAFT_BENCH_ITER_REPEATS", "7"))
+    )
+
+    chunk_env = os.environ.get("SPARK_GRAFT_BENCH_CHUNK")
+    if chunk_env is not None:
+        # ---- child mode: one fresh JVM per chunk -------------------------
+        names = json.loads(chunk_env)
+        result = run_chunk(names, sf_dir, repeats, iter_repeats)
+        Path(os.environ["SPARK_GRAFT_BENCH_OUT"]).write_text(json.dumps(result))
+        return
+
+    # ---- parent mode: orchestrate fresh-JVM chunks, aggregate ------------
+    chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_SIZE", "25"))
+    chunks = [HEADLINE[i : i + chunk_size] for i in range(0, len(HEADLINE), chunk_size)]
+    times: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    here = Path(__file__).resolve().parent
+    for i, chunk in enumerate(chunks):
+        out = here / f".bench_chunk_{i}.json"
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_CHUNK"] = json.dumps(chunk)
+        env["SPARK_GRAFT_BENCH_OUT"] = str(out)
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve())],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        if proc.returncode != 0 or not out.exists():
+            print(
+                json.dumps(
+                    {"metric": "headline_total_wall", "value": None, "unit": "sec",
+                     "sf": sf, "error": f"chunk {i} rc={proc.returncode}"}
+                ),
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        part = json.loads(out.read_text())
+        times.update(part["queries"])
+        spread.update(part["spread"])
+        out.unlink()
+        print(
+            f'# chunk {i + 1}/{len(chunks)}: {len(chunk)} queries, '
+            f'{round(sum(part["queries"].values()), 3)} s',
+            flush=True,
+        )
 
     detail = {
         "metric": "headline_total_wall",
@@ -219,20 +272,31 @@ def main() -> None:
         "spread": spread,
         "repeats": repeats,
         "iter_repeats": iter_repeats,
+        "n_sessions": len(chunks),
         "sf": sf,
     }
-    # Full detail (incl. per-query spread) goes to a FILE and an early
-    # stdout line; the driver's stdout tail capture is finite and r5's
-    # 37-query single line outgrew it ("parsed: null" — the round shipped
-    # without its headline number).  The LAST stdout line is therefore the
-    # complete parseable record WITHOUT the spread map (~1.4 KB at 41
-    # queries, well inside the tail window); spreads live in the file.
-    out_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    out_path = here / "BENCH_DETAIL.json"
     out_path.write_text(json.dumps(detail, indent=1) + "\n")
+    # Full per-query map on an EARLIER line for humans/logs ...
     print(json.dumps(detail))
     sys.stdout.flush()
-    compact = {k: v for k, v in detail.items() if k != "spread"}
-    print(json.dumps(compact))
+    # ... and the LAST line is the tiny machine-readable summary.  The
+    # driver captures only a 2,000-char stdout tail; r5 and r6 both shipped
+    # "parsed: null" because the per-query map pushed the front of the final
+    # line out of the window.  Hard assert keeps this contract honest.
+    summary = {
+        "metric": "headline_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "repeats": repeats,
+        "iter_repeats": iter_repeats,
+        "n_sessions": len(chunks),
+    }
+    line = json.dumps(summary)
+    assert len(line) <= 200, f"final bench line {len(line)}B > 200B contract"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -456,32 +456,31 @@ def simhash_hamming_truth(
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(
+def _shingle_postings(
     df: DataFrame,
-    threshold: float,
-    blocking_cols: list[str] | None = None,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    blocks: list[str],
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact pairwise Jaccard within blocking groups (id_a < id_b),
-    computed by INVERTED INDEX: explode distinct shingles, equi-join on
-    (shingle, blocking keys), count shared shingles per pair, derive
-    ``J = inter / (|A| + |B| - inter)``.
+    """Inverted-index posting table ``(id, sz, *blocks, s)``: one row per
+    (document, distinct shingle).  ``sz`` is the FULL distinct-shingle
+    count of the document (denominators never shrink under the cap).
 
-    Identical output to the naive all-pairs join for any ``threshold > 0``
-    (a pair with no shared shingle has J = 0), but pair work is
-    proportional to *actually-overlapping* pairs — sum over shingles of
-    df², not block-size² — which is what survives at 100 TB.  Hot
-    boilerplate shingles are the skew risk: AQE skew-join splitting
-    handles moderate cases; truly pathological stop-shingles should be
-    filtered upstream as a semantic choice, not silently dropped here."""
-    if threshold <= 0:
-        raise ValueError(
-            "jaccard_pairs is inverted-index based and requires threshold > 0 "
-            "(zero-overlap pairs are never materialized)"
-        )
-    blocks = list(blocking_cols or [])
+    ``max_df`` caps posting-list length: shingles whose document frequency
+    within a block exceeds it are dropped from the INDEX before the pair
+    join.  This is the CCNet/Gopher df-cap trade — self-join work goes from
+    unbounded Sum_s df(s)^2 to <= max_df * Sum_s df(s) (LINEAR in corpus
+    size), at the documented cost that corpus-frequent (boilerplate)
+    shingles no longer count toward pair intersections.  A true pair is
+    missed only when its rare-shingle overlap alone falls below the
+    caller's threshold — overlap made of boilerplate is exactly what dedup
+    pipelines choose to ignore.  One hot key ("all rights reserved", df
+    1e6 on a crawl) would otherwise put 1e12 candidate rows on a single
+    unsplittable join key.  The df aggregation itself is safe on hot keys:
+    groupBy partial-aggregates map-side, so no task ever sees more than
+    its input split of a hot shingle."""
     d = (
         df.select(
             F.col(id_col).alias("id"),
@@ -493,6 +492,46 @@ def jaccard_pairs(
         .drop("txt")
     )
     ex = d.select("id", "sz", *blocks, F.explode("sh").alias("s"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("s", *blocks)
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= F.lit(int(max_df)))
+            .select("s", *blocks)
+        )
+        ex = ex.join(keep, ["s", *blocks])
+    return ex
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    blocking_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard within blocking groups (id_a < id_b),
+    computed by INVERTED INDEX: explode distinct shingles, equi-join on
+    (shingle, blocking keys), count shared shingles per pair, derive
+    ``J = inter / (|A| + |B| - inter)``.
+
+    Identical output to the naive all-pairs join for any ``threshold > 0``
+    (a pair with no shared shingle has J = 0), but pair work is
+    proportional to *actually-overlapping* pairs — sum over shingles of
+    df², not block-size² — which is what survives at 100 TB.  Hot
+    boilerplate shingles are the skew risk: pass ``max_df`` to cap posting
+    lists (see :func:`_shingle_postings` for the bound and the documented
+    loss: capped shingles stop counting toward ``inter`` while sizes stay
+    full, so reported similarity is a lower bound on true Jaccard)."""
+    if threshold <= 0:
+        raise ValueError(
+            "jaccard_pairs is inverted-index based and requires threshold > 0 "
+            "(zero-overlap pairs are never materialized)"
+        )
+    blocks = list(blocking_cols or [])
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
     for c in blocks:
@@ -527,6 +566,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC shingle containment pairs (id_a < id_b): keep pairs
     where either direction's containment ``C(X in Y) = |X ∩ Y| / |X|``
@@ -538,10 +578,16 @@ def containment_pairs(
     Same inverted-index plan as :func:`jaccard_pairs` (explode distinct
     shingles, equi-join on (shingle, blocking keys), count shared per
     pair): pair work proportional to actually-overlapping pairs, shuffle
-    carries shingle strings + ids, never text.  Output fractions use
-    :func:`round6_ratio` (engine-portable integer half-up) — small-int
-    ratios are exactly the tie class ROUNDING_AUDIT.md bans from
-    ``round(double)``.
+    carries shingle strings + ids, never text.  ``max_df`` caps posting
+    lists (see :func:`_shingle_postings`) — join work becomes linear in
+    corpus size; containment denominators stay the FULL shingle counts, so
+    reported containment is a lower bound and overlap made purely of
+    corpus-frequent boilerplate no longer triggers a pair (the CCNet
+    trade, and at containment semantics the desired one: "every page
+    contains the same footer" is not subset duplication).  Output
+    fractions use :func:`round6_ratio` (engine-portable integer half-up)
+    — small-int ratios are exactly the tie class ROUNDING_AUDIT.md bans
+    from ``round(double)``.
 
     Returns ``(id_a, id_b, inter, cont_a, cont_b)`` where ``cont_a`` is
     the fraction of A's shingles found in B (how much of A is contained)
@@ -552,17 +598,7 @@ def containment_pairs(
             "threshold > 0 (zero-overlap pairs are never materialized)"
         )
     blocks = list(blocking_cols or [])
-    d = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("txt"),
-            *[F.col(c) for c in blocks],
-        )
-        .withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n)))
-        .withColumn("sz", F.size("sh"))
-        .drop("txt")
-    )
-    ex = d.select("id", "sz", *blocks, F.explode("sh").alias("s"))
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
     for c in blocks:

@@ -8249,7 +8249,19 @@ def doc_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     "doc_containment_pairs",
     f"""
     WITH {_DUCK_SHINGLED},
-    {_DUCK_JACCARD_IPAIRS}
+    ex0 AS (
+      SELECT s.doc_id, d.lang, len(s.shingles) AS sz, unnest(s.shingles) AS sh
+      FROM shingled s JOIN documents d USING (doc_id)),
+    dfc AS (
+      SELECT sh, lang FROM (
+        SELECT sh, lang, count(*) AS df FROM ex0 GROUP BY sh, lang)
+      WHERE df <= 8),
+    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh, lang)),
+    ipairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
     SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
            CAST((2 * inter * 1000000 + sz_a) // (2 * sz_a) AS DOUBLE)
              / 1000000 AS cont_a,
@@ -8265,12 +8277,21 @@ def doc_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     duplication — a document quoted verbatim inside a much larger one has
     near-zero Jaccard but containment ~1.0, the signal CC-style pipelines
     use to drop embedded copies.  Same inverted-index exchange as the
-    jaccard family (shingle+ids, never text); fractions are
-    round6_ratio integer half-up per ROUNDING_AUDIT.md."""
+    jaccard family (shingle+ids, never text), but posting lists are
+    df-capped at max_df=8 (CCNet trade, SCALE.md §dedup): join work is
+    bounded by max_df x total postings — LINEAR in corpus size — instead
+    of the unbounded Sum df² a boilerplate shingle explodes at crawl
+    scale.  The cap actually FIRES at the sf0.1 gate (max df there is 14),
+    so the lossy path itself is oracle-verified — the DuckDB twin applies
+    the identical cap.  Fractions are round6_ratio integer half-up per
+    ROUNDING_AUDIT.md."""
     from presto_ethereum_spark.operators.dedup import containment_pairs
 
     return containment_pairs(
-        t_spread(spark, sf, "documents"), threshold=0.6, blocking_cols=["lang"]
+        t_spread(spark, sf, "documents"),
+        threshold=0.6,
+        blocking_cols=["lang"],
+        max_df=8,
     )
 
 
@@ -9656,9 +9677,13 @@ def rel_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-    ex AS (
+    ex0 AS (
       SELECT s.doc_id, len(s.shingles) AS sz, unnest(s.shingles) AS sh
       FROM shingled s),
+    dfc AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM ex0 GROUP BY sh)
+      WHERE df <= 8),
+    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh)),
     tp AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
              count(*) AS inter
@@ -9689,22 +9714,25 @@ def doc_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     banding catches J ≥ 0.7 pairs near-certainly, J ≈ 0.3 pairs rarely.
     Completes the approximate-index quality-report family (IVF/LSH/PQ
     recalls on embeddings) for the DEDUP side.  Truth pairs come from
-    the inverted-index exact-Jaccard join (work ∝ overlapping pairs);
-    candidates from the banded bucket join; both sides shuffle shingle
-    hashes and ids, never text.  Buckets compare 10·inter vs k·union in
-    integers — no double ever gates a bucket edge."""
+    the inverted-index exact-Jaccard join with posting lists DF-CAPPED at
+    max_df=8 (operators/dedup._shingle_postings; the cap fires at sf0.1
+    where max df is 14, so the lossy path is oracle-verified): truth-join
+    work is bounded by max_df x total postings — linear in corpus size —
+    instead of the unbounded Sum df² a boilerplate shingle would explode
+    at crawl scale.  Truth Jaccard is therefore a lower bound (capped
+    shingles don't count toward inter; sizes stay full) — the standard
+    CCNet measurement trade, documented in SCALE.md.  Candidates come
+    from the banded bucket join; both sides shuffle shingle hashes and
+    ids, never text.  Buckets compare 10·inter vs k·union in integers —
+    no double ever gates a bucket edge."""
     from presto_ethereum_spark.operators.dedup import (
+        _shingle_postings,
         minhash_candidates,
         round6_ratio,
     )
-    from presto_ethereum_spark.operators.text import word_shingles
 
     d = t_spread(spark, sf, "documents")
-    sh = d.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(word_shingles(F.col("text"), 3)).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    ex = sh.select("id", "sz", F.explode("sh").alias("s"))
+    ex = _shingle_postings(d, "text", "doc_id", 3, [], max_df=8)
     a, b = ex.alias("a"), ex.alias("b")
     tp = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

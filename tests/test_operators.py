@@ -2737,6 +2737,81 @@ class TestContainmentPairs:
         assert containment_pairs(df, 0.5).count() == 1
 
 
+class TestPostingListCap:
+    """Skew guard for the inverted-index pair-join family: a corpus-frequent
+    (boilerplate) shingle must not create Sum df² join work.  The fixture
+    plants one shingle in ~10% of a 60-doc corpus — the shape sf0.001..0.1
+    never exhibits (their max df is 5..14 organic) — and pins the df-cap
+    semantics: capped shingles leave the INDEX, sizes stay FULL."""
+
+    N_DOCS = 60
+
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        boiler = "all rights reserved worldwide"  # 2 distinct 3-shingles
+        rows = []
+        for i in range(self.N_DOCS):
+            if i < 6:  # ~10% of docs carry the boilerplate phrase
+                rows.append((i, f"{boiler} unique{i}a unique{i}b unique{i}c"))
+            else:
+                rows.append((i, f"unique{i}a unique{i}b unique{i}c unique{i}d"))
+        # one true near-dup pair sharing RARE content only
+        rows.append((100, "rare content duplicated verbatim across two docs"))
+        rows.append((101, "rare content duplicated verbatim across two docs"))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_drops_hot_postings_bounding_join_work(self, skewed):
+        from presto_ethereum_spark.operators.dedup import _shingle_postings
+
+        capped = _shingle_postings(skewed, "text", "doc_id", 3, [], max_df=5)
+        dfs = [
+            r["df"]
+            for r in capped.groupBy("s").agg(F.count("*").alias("df")).collect()
+        ]
+        total_postings = sum(dfs)
+        assert max(dfs) <= 5  # hot shingle (df=6) evicted from the index
+        # candidate-pair work bound: Sum df^2 <= max_df * total postings
+        assert sum(d * d for d in dfs) <= 5 * total_postings
+
+    def test_boilerplate_only_overlap_yields_no_pair(self, skewed):
+        from presto_ethereum_spark.operators.dedup import containment_pairs
+
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in containment_pairs(skewed, 0.3, max_df=5).collect()
+        }
+        # the 6 boilerplate docs overlap ONLY on capped shingles -> no pair;
+        # the rare-content duplicate survives with full-denominator fractions
+        assert pairs == {(100, 101)}
+
+    def test_capped_containment_keeps_full_denominators(self, skewed):
+        from presto_ethereum_spark.operators.dedup import containment_pairs
+
+        [r] = containment_pairs(skewed, 0.3, max_df=5).collect()
+        # both docs have 5 distinct shingles (7 words), all shared, all rare
+        assert r.inter == 5 and r.cont_a == 1.0 and r.cont_b == 1.0
+
+    def test_jaccard_pairs_honors_cap(self, skewed):
+        from presto_ethereum_spark.operators.dedup import jaccard_pairs
+
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in jaccard_pairs(skewed, 0.3, max_df=5).collect()
+        }
+        assert pairs == {(100, 101)}
+
+    def test_uncapped_matches_capped_when_cap_above_max_df(self, skewed):
+        from presto_ethereum_spark.operators.dedup import containment_pairs
+
+        base = sorted(
+            map(tuple, containment_pairs(skewed, 0.3).collect())
+        )
+        hi = sorted(
+            map(tuple, containment_pairs(skewed, 0.3, max_df=1000).collect())
+        )
+        assert base == hi  # cap above every df is a no-op, bit-identical
+
+
 class TestRangeSearch:
     def test_matches_bruteforce_sims_and_threshold(self, spark):
         from presto_ethereum_spark.operators.similarity import (
