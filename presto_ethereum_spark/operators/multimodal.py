@@ -373,16 +373,29 @@ def perceptual_hash(df: DataFrame, bits: int = 60) -> DataFrame:
 def phash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 6,
-    bands: int = 4,
+    bands: int | None = None,
     bits: int = 60,
 ) -> DataFrame:
     """Perceptual near-duplicate pairs: banded blocking on the aHash
     (agree on >= 1 of ``bands`` sub-keys -> candidate; the simhash
     blocking discipline, dedup.py) verified by exact Hamming distance
-    <= ``max_hamming`` via xor/bit_count.  Deterministic end-to-end —
-    blocking is bit arithmetic, not sampling — so an oracle reproduces
-    the exact pair set.  Exchanges carry (band, 15-bit key, id, hash)
-    longs; payload bytes never move past the signature kernel."""
+    <= ``max_hamming`` via xor/bit_count.
+
+    ``bands`` defaults to ``max_hamming + 1``, which makes capture
+    LOSSLESS by pigeonhole: <= max_hamming differing bits can disturb at
+    most max_hamming of the bands' keys, so at least one band agrees
+    (bits past ``bands * (bits // bands)`` are uncovered by any key —
+    they can only create extra candidates, never hide a pair).  Pass a
+    SMALLER ``bands`` for cheaper-but-banding-limited recall: with b
+    bands only pairs with <= b - 1 differing bits are guaranteed; e.g.
+    bands=4 at max_hamming=6 deterministically captures Hamming <= 3 and
+    finds 4..6-bit pairs only when their flips cluster into <= 3 bands.
+    Deterministic either way — blocking is bit arithmetic, not sampling
+    — so an oracle replicating the banding reproduces the exact output.
+    Exchanges carry (band, sub-key, id, hash) longs; payload bytes never
+    move past the signature kernel."""
+    if bands is None:
+        bands = max_hamming + 1
     width = bits // bands
     sigs = perceptual_hash(df, bits=bits).where(
         F.col("phash").isNotNull()

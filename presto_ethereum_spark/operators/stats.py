@@ -131,10 +131,17 @@ def validate_expectations(
     exchange), then unpivots driver-free via ``stack`` — adding a rule
     adds a column to the agg, not a pass over the data.  Each ``unique``
     rule costs one count_distinct over its key columns (the one shuffle
-    a uniqueness proof fundamentally needs); violations = n_rows −
-    n_distinct_keys, i.e. every row beyond the first per key."""
+    a uniqueness proof fundamentally needs); violations = (# rows with a
+    NULL in any key column) + (non-null-key rows − distinct non-null
+    keys).  NULL keys are counted as violations EXPLICITLY — an unknown
+    key cannot prove uniqueness, the same stance the range rule takes on
+    NULL values — rather than falling out of count_distinct's NULL-drop
+    semantics (which would otherwise brand every NULL-key row a
+    duplicate of nothing)."""
     from presto_ethereum_spark.operators.dedup import round6_ratio
 
+    if not rules:
+        raise ValueError("validate_expectations requires at least one rule")
     scalar_counts = []
     unique_rules = []
     for name, kind, p in rules:
@@ -176,11 +183,22 @@ def validate_expectations(
             ).select("rule", "n_rows", "n_violations")
         )
     for name, cols in unique_rules:
+        null_key = F.lit(False)
+        for c in cols:
+            null_key = null_key | F.col(c).isNull()
+        # count_distinct drops rows with a NULL in any key column, so pair
+        # it with an explicit NULL-key count: violations = NULL-key rows
+        # (can't prove uniqueness) + duplicate non-null-key rows.
         parts.append(
             df.agg(
                 F.count("*").alias("n_rows"),
-                (F.count("*") - F.count_distinct(*[F.col(c) for c in cols]))
-                .alias("n_violations"),
+                (
+                    F.count_if(null_key)
+                    + (
+                        F.count_if(~null_key)
+                        - F.count_distinct(*[F.col(c) for c in cols])
+                    )
+                ).alias("n_violations"),
             ).select(F.lit(name).alias("rule"), "n_rows", "n_violations")
         )
     out = parts[0]

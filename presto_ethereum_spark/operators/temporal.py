@@ -496,8 +496,9 @@ def time_weighted_avg(
     Exactness contract: values quantize to integer cents
     (``round(v*100)``, digit-0 — cannot diverge between engines) and
     weights are integer microsecond durations from ``lead``; the
-    numerator accumulates cents·µs products in DECIMAL(38,0) (a row's
-    product fits INT64, a 100 TB key's sum does not), so both engines
+    numerator multiplies AND accumulates cents·µs in DECIMAL(38,0) (one
+    operand is cast before the multiply, so even a single row's product —
+    cents ~1e7 × µs ~1e12 brushes 2^63 — can never wrap), so both engines
     produce the SAME two integers and the final twap double — the exact
     rational ``S / (total_dt · 100)`` evaluated with the same two IEEE
     divisions — is bit-identical with no rounding anywhere.  The last
@@ -523,7 +524,11 @@ def time_weighted_avg(
         .agg(
             F.count("*").alias("n_obs"),
             F.sum("_dt").alias("total_dt_us"),
-            F.sum((F.col("_c") * F.col("_dt")).cast("decimal(38,0)")).alias("_s"),
+            # cast an OPERAND to decimal(38,0) so the per-row product is
+            # itself decimal — cents ~1e7 x dt_us ~1e12 already brushes
+            # 2^63, and a LONG product would wrap silently (non-ANSI)
+            # before the decimal sum ever saw it
+            F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_dt")).alias("_s"),
         )
         .select(
             F.col("key"),
@@ -619,6 +624,7 @@ def merge_changeset(
     changes: DataFrame,
     key: str,
     op_col: str = "op",
+    validate_unique: bool = True,
 ) -> DataFrame:
     """Batch MERGE (Delta/Iceberg ``MERGE INTO`` semantics) as ONE
     full-outer shuffle: apply a changeset of inserts / updates / deletes
@@ -641,7 +647,17 @@ def merge_changeset(
     ONE co-partitioned full-outer join — both sides shuffle once on the
     key and every MERGE branch is a projection over the joined row.  The
     changeset is usually tiny next to the base, so AQE broadcasts it and
-    the base never shuffles at all; either way no branch re-reads."""
+    the base never shuffles at all; either way no branch re-reads.
+
+    CONTRACT: the changeset carries at most ONE row per key — the same
+    precondition Delta/Iceberg ``MERGE INTO`` enforces with a
+    multiple-matches error (a second change for a key would otherwise fan
+    the base row out once per change).  With ``validate_unique`` (default)
+    a duplicate key raises at execution time via ``raise_error``,
+    distributed — no driver-side count; the check costs one window count
+    over the (by-contract tiny) changeset.  Disable only when the
+    changeset is produced by an upstream that already guarantees it (e.g.
+    the CDC compactor's last-op-per-key output)."""
     val_cols = [c for c in base.columns if c != key]
     bs = base.select(
         F.col(key), F.struct(*[F.col(c) for c in val_cols]).alias("_b")
@@ -651,6 +667,22 @@ def merge_changeset(
         F.col(op_col).alias("_op"),
         F.struct(*[F.col(c) for c in val_cols]).alias("_c"),
     )
+    if validate_unique:
+        n_ops = F.count("*").over(Window.partitionBy(key))
+        cs = cs.withColumn(
+            "_op",
+            F.when(
+                n_ops > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "merge_changeset: multiple changeset rows for key "
+                        ),
+                        F.col(key).cast("string"),
+                    )
+                ),
+            ).otherwise(F.col("_op")),
+        )
     j = bs.join(cs, key, "full_outer")
     action = (
         F.when(F.col("_b").isNull() & (F.col("_op") == "I"), F.lit("inserted"))

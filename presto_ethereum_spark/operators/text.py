@@ -1315,8 +1315,12 @@ def zipf_slope(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     nd = F.col("n").cast("double")
-    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    denom = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    # a group with a single ranked token has x = ln(1) = 0 for its only
+    # point -> denominator 0 -> 0/0 NaN; gate on D > 0 like ols_trend and
+    # report NULL (a one-point "fit" has no slope)
+    slope = F.when(
+        denom > 0, (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     )
     return (
         agg.withColumn("slope_raw", slope)

@@ -10277,11 +10277,13 @@ def rel_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
              sum(x * x) AS sxx
       FROM xy GROUP BY lang)
     SELECT lang, n AS n_types, top_count,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS slope,
-           round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+           round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+                 (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) END, 6) AS slope,
+           round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+                 (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
                        / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
-                 / CAST(n AS DOUBLE), 6) AS intercept
+                 / CAST(n AS DOUBLE) END, 6) AS intercept
     FROM agg
     """,
 )
@@ -11314,8 +11316,8 @@ def eth_whale_clusters(spark: SparkSession, sf: str) -> DataFrame:
       FROM b GROUP BY id),
     bd AS (
       SELECT id, phash, i AS band,
-             (phash >> (i * 15)) & 32767 AS key
-      FROM ph, unnest(range(0, 4)) AS q(i)),
+             (phash >> (i * 8)) & 255 AS key
+      FROM ph, unnest(range(0, 7)) AS q(i)),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
              a.phash AS ha, b.phash AS hb
@@ -11330,8 +11332,9 @@ def multimodal_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     (operators/multimodal.perceptual_hash + phash_near_dup_pairs):
     60-bit average-hash signatures from an Arrow mapInPandas numpy
     kernel (one cumsum serves all spans; bit decisions are exact
-    integer compares), banded 15-bit blocking, Hamming <= 6 verify via
-    xor/bit_count — the perceptual companion to multimodal_dedup's
+    integer compares), banded 7x8-bit blocking — max_hamming + 1 bands,
+    so capture is LOSSLESS by pigeonhole — Hamming <= 6 verify via
+    xor/bit_count: the perceptual companion to multimodal_dedup's
     exact sha256, catching assets that byte-level dedup misses.  The
     oracle replicates the signature closed-form over the ASCII fixture
     bytes, so the gate checks the full kernel -> blocking -> verify

@@ -2987,6 +2987,39 @@ class TestValidateExpectations:
         with pytest.raises(ValueError):
             validate_expectations(spark.range(1), [("x", "nope", {})])
 
+    def test_empty_rules_raises(self, spark):
+        from presto_ethereum_spark.operators.stats import validate_expectations
+
+        with pytest.raises(ValueError):
+            validate_expectations(spark.range(1), [])
+
+    def test_unique_rule_counts_null_keys_explicitly(self, spark):
+        from presto_ethereum_spark.operators.stats import validate_expectations
+
+        # count_distinct drops NULL-containing keys; the old n_rows -
+        # n_distinct formula branded every NULL-key row a duplicate AND
+        # miscounted (3 NULL rows -> 3 "violations" even with no dups).
+        # Contract now: NULL key = 1 violation each (can't prove unique),
+        # plus every non-null row beyond the first per key.
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b"), (None, "c"), (None, "d")],
+            "id long, x string",
+        )
+        [r] = validate_expectations(
+            df, [("u", "unique", {"cols": ["id"]})]
+        ).collect()
+        # 2 NULL-key rows + 1 duplicate of key 1 = 3
+        assert r.n_violations == 3 and r.n_rows == 5
+
+    def test_unique_rule_all_nulls(self, spark):
+        from presto_ethereum_spark.operators.stats import validate_expectations
+
+        df = spark.createDataFrame([(None,), (None,)], "id string")
+        [r] = validate_expectations(
+            df, [("u", "unique", {"cols": ["id"]})]
+        ).collect()
+        assert r.n_violations == 2
+
 
 class TestMadOutliers:
     def test_hand_computed(self, spark):
@@ -3128,6 +3161,18 @@ class TestTimeWeightedAvg:
         df = spark.createDataFrame(rows, "k long, eid long, t long, value double")
         r = time_weighted_avg(df, "k", "t", "value", "eid").collect()[0]
         assert r.twap < 11.0
+
+    def test_single_row_product_beyond_int64_is_exact(self, spark):
+        from presto_ethereum_spark.operators.temporal import time_weighted_avg
+
+        # cents (1e10) x dt_us (1e12) = 1e22 > 2^63: a LONG product would
+        # wrap silently (non-ANSI); the operand is cast to decimal(38,0)
+        # before the multiply so even one row's product is overflow-safe
+        rows = [(1, 1, 0, 1e8), (1, 2, 10**12, 1e8)]
+        df = spark.createDataFrame(rows, "k long, eid long, t long, value double")
+        r = time_weighted_avg(df, "k", "t", "value", "eid").collect()[0]
+        assert r.total_dt_us == 10**12
+        assert r.twap == 1e8  # exact: constant series' twap is the constant
 
 
 class TestIvfCellStats:
@@ -3377,6 +3422,30 @@ class TestMergeChangeset:
         # one join, and the base is never scanned more than twice (base +
         # the changeset derived from it); no 3-pass union-of-joins
         assert plan.count("FileScan parquet") <= 2
+
+    def test_duplicate_changeset_key_raises(self, spark):
+        from presto_ethereum_spark.operators.temporal import merge_changeset
+
+        base = spark.createDataFrame([(1, 10)], "k long, v long")
+        changes = spark.createDataFrame(
+            [(1, 11, "U"), (1, 12, "U")], "k long, v long, op string"
+        )
+        # Delta/Iceberg MERGE INTO multiple-matches contract: two ops for
+        # one key is an error, not a silent fan-out
+        with pytest.raises(Exception, match="multiple changeset rows"):
+            merge_changeset(base, changes, "k").collect()
+
+    def test_duplicate_key_fanout_when_validation_off(self, spark):
+        from presto_ethereum_spark.operators.temporal import merge_changeset
+
+        base = spark.createDataFrame([(1, 10)], "k long, v long")
+        changes = spark.createDataFrame(
+            [(1, 11, "U"), (1, 12, "U")], "k long, v long, op string"
+        )
+        out = merge_changeset(
+            base, changes, "k", validate_unique=False
+        ).collect()
+        assert len(out) == 2  # documented hazard the default guards against
 
 
 class TestEditDistancePairs:
@@ -3755,6 +3824,20 @@ class TestZipfSlope:
         )
         out = zipf_slope(d, top_k=10, min_count=2).collect()
         assert out[0]["n_types"] == 2  # c (count 1) pruned
+
+    def test_single_token_group_yields_null_not_nan(self, spark):
+        from presto_ethereum_spark.operators.text import zipf_slope
+
+        # one ranked token -> x = ln(1) = 0 for the only point -> OLS
+        # denominator 0; must gate like ols_trend and report NULL, never
+        # a 0/0 NaN smuggled through round()
+        d = spark.createDataFrame(
+            [(0, "solo solo solo", "xx"), (1, "a a b c d e f g", "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = {r["lang"]: r for r in zipf_slope(d, top_k=10).collect()}
+        assert got["xx"]["slope"] is None and got["xx"]["intercept"] is None
+        assert got["en"]["slope"] is not None
 
 
 class TestSortedNeighborhood:
