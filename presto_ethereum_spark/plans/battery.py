@@ -5071,16 +5071,28 @@ def emb_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: truth on a sampled query set (recall estimation never needs
     every query); one small join of two top-k lists."""
-    from presto_ethereum_spark.operators.similarity import (
-        brute_force_topk,
-        ivf_topk,
-        seed_centroids,
-    )
-
     e = t_spread(spark, sf, "embeddings", parts=8)
     cents = _IVF_CODEBOOKS.get(sf)
     if cents is None:
-        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids_of(e)
+    return _ivf_recall_report(e, cents)
+
+
+def seed_centroids_of(e: DataFrame):
+    from presto_ethereum_spark.operators.similarity import seed_centroids
+
+    return seed_centroids(e, n_cells=8)
+
+
+def _ivf_recall_report(e: DataFrame, cents) -> DataFrame:
+    """Shared body of emb_ivf_recall and its hash-sampled variant:
+    recall@10 of the nprobe=2 IVF serve path vs brute-force truth over
+    the fixed probe set (vec_id < 5)."""
+    from presto_ethereum_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
     q5 = e.where(F.col("vec_id") < 5)
     truth = brute_force_topk(e, q5, k=10).select("query_id", "neighbor_id")
     approx = ivf_topk(e, q5, centroids=cents, nprobe=2, k=10).select(
@@ -9725,13 +9737,19 @@ def doc_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     from the banded bucket join; both sides shuffle shingle hashes and
     ids, never text.  Buckets compare 10·inter vs k·union in integers —
     no double ever gates a bucket edge."""
+    return _minhash_recall_report(t_spread(spark, sf, "documents"))
+
+
+def _minhash_recall_report(d: DataFrame) -> DataFrame:
+    """Shared body of doc_minhash_recall and its hash-sampled variant:
+    df-capped exact-Jaccard truth vs banded MinHash candidates, recall
+    per similarity bucket."""
     from presto_ethereum_spark.operators.dedup import (
         _shingle_postings,
         minhash_candidates,
         round6_ratio,
     )
 
-    d = t_spread(spark, sf, "documents")
     ex = _shingle_postings(d, "text", "doc_id", 3, [], max_df=8)
     a, b = ex.alias("a"), ex.alias("b")
     tp = (
@@ -10161,13 +10179,19 @@ def doc_simhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     errors cluster — recall decays across the 3-4 and 5-6 buckets; the
     report makes the decay measurable.  Recall ratios are round6_ratio
     integer half-up; bucket edges are integer comparisons."""
+    return _simhash_recall_report(t_spread(spark, sf, "documents"))
+
+
+def _simhash_recall_report(d: DataFrame) -> DataFrame:
+    """Shared body of doc_simhash_recall and its hash-sampled variant:
+    pigeonhole-blocked exact Hamming truth vs 4x15-bit banded
+    candidates, recall per distance bucket."""
     from presto_ethereum_spark.operators.dedup import (
         round6_ratio,
         simhash_candidates,
         simhash_hamming_truth,
     )
 
-    d = t_spread(spark, sf, "documents")
     truth = simhash_hamming_truth(d, max_hamming=6).select(
         "id_a",
         "id_b",
@@ -11524,3 +11548,98 @@ def rel_compaction_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sampled health-check variants of the three most expensive
+# measurement reports.  The full reports stay graded for the gate; these
+# run the IDENTICAL pipeline on a deterministic md5 hash-sample of the
+# corpus, the mode a 100 TB deployment runs as a routine index/dedup
+# health check (truth-side work scales with the sample, ~4x cheaper at
+# 50%, quadratically cheaper at lower fractions).  The sample is a pure
+# function of the id — no RNG, no seed state — so the DuckDB oracle
+# reproduces it exactly by shadowing the table with the same predicate.
+# ---------------------------------------------------------------------------
+
+_DOC_SAMPLE_COND = (
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'"
+)
+# probes (vec_id < 5) are pinned into the sample: a recall health check
+# keeps its fixed query set and samples only the corpus being searched
+_EMB_SAMPLE_COND = (
+    "vec_id < 5 OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'"
+)
+
+
+def _sampled_oracle(name: str, table: str, cond: str) -> str:
+    """Oracle of the full report with ``table`` shadowed by a
+    deterministic hash-sample CTE (the CTE body reads ``main.<table>``,
+    DuckDB's explicit-schema escape from CTE self-reference) — the
+    sampled variant grades the EXACT same report SQL over the sampled
+    corpus, so sampled-vs-full divergence can only come from the sample
+    itself, never from a second implementation."""
+    sql = _REGISTRY[name][1]
+    assert sql is not None
+    shadow = f"{table} AS (SELECT * FROM main.{table} WHERE {cond})"
+    return sql.replace("WITH ", f"WITH {shadow},\n    ", 1)
+
+
+def _doc_sample(d: DataFrame) -> DataFrame:
+    """~50% deterministic doc sample: first md5 hex digit of the id in
+    0..7.  Engine-portable (md5 of the decimal id string), uniform, and
+    stable across runs/partitionings."""
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        )
+    )
+
+
+@q(
+    "doc_minhash_recall_sampled",
+    _sampled_oracle("doc_minhash_recall", "documents", _DOC_SAMPLE_COND),
+)
+def doc_minhash_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_minhash_recall on the ~50% md5 hash-sample of documents — the
+    routine-health-check mode: exact-Jaccard truth work shrinks
+    quadratically with the sample while the per-bucket recall estimate
+    stays unbiased (pairs are sampled by membership of both endpoints).
+    Pipeline and oracle are shared verbatim with the full report."""
+    return _minhash_recall_report(_doc_sample(t_spread(spark, sf, "documents")))
+
+
+@q(
+    "doc_simhash_recall_sampled",
+    _sampled_oracle("doc_simhash_recall", "documents", _DOC_SAMPLE_COND),
+)
+def doc_simhash_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_simhash_recall on the ~50% md5 hash-sample of documents — the
+    pigeonhole truth join runs over half the signatures (quarter the
+    pair work); banding recall per Hamming bucket estimated on sampled
+    pairs.  Pipeline and oracle shared verbatim with the full report."""
+    return _simhash_recall_report(_doc_sample(t_spread(spark, sf, "documents")))
+
+
+@q(
+    "emb_ivf_recall_sampled",
+    _sampled_oracle("emb_ivf_recall", "embeddings", _EMB_SAMPLE_COND),
+)
+def emb_ivf_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """emb_ivf_recall with the searched corpus hash-sampled to ~50% and
+    the probe set (vec_id < 5) pinned — the fixed-query-set index health
+    check: brute-force truth cost halves with the corpus while recall@10
+    is measured against the sampled corpus's own true top-10 (an
+    apples-to-apples comparison; both index and truth see the same
+    vectors).  The sampled corpus gets its own seed codebook (lowest 8
+    sampled ids), exactly as a health-check index build would."""
+    e = t_spread(spark, sf, "embeddings", parts=8).where(
+        (F.col("vec_id") < 5)
+        | F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        )
+    )
+    key = ("sampled", sf)
+    cents = _IVF_CODEBOOKS.get(key)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[key] = seed_centroids_of(e)
+    return _ivf_recall_report(e, cents)
