@@ -26,10 +26,10 @@ the operator is oracle-gradeable against plain SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap"]
+__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap", "kmv_distinct"]
 
 
 def _mg_candidates_kernel(k: int):
@@ -106,6 +106,82 @@ def heavy_hitters(
         .crossJoin(F.broadcast(tot))
         .where(F.col("n") > thresh)
         .select("value", "n")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    n_partials: int = 16,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group, computed the
+    MERGEABLE way: ``n_partials`` deterministic salt shards each keep
+    their k smallest distinct 60-bit key hashes (the per-executor
+    combiner at scale), then the shard survivors merge to the global k
+    smallest — provably identical to a single-pass KMV (the k smallest
+    of a union are among each part's k smallest), so the merge is
+    lossless by construction.
+
+    The estimator is the classic ``D-hat = (k-1) * 2^60 / h_(k)`` over
+    the k-th smallest hash, evaluated as an exact DECIMAL(38,0) integer
+    floor-division — unlike HLL there is NO float anywhere: the sketch
+    content (hash values) and the estimate are both integers a second
+    engine reproduces bit-for-bit (``hash60`` md5 prefixes).  Groups
+    with fewer than k distinct hashes report their exact hash count
+    (the standard small-cardinality KMV fallback).
+
+    Scale: one map-side-combined distinct on (group, salt, hash) — 8-byte
+    hashes on the wire, never keys — two WindowGroupLimit top-k passes
+    (per-shard, then per-group over <= n_partials*k survivors), and one
+    exact count_distinct per group carried alongside for the accuracy
+    report.  Returns ``(group, exact_distinct, n_hashes, kth_min,
+    est_distinct)``."""
+    from presto_ethereum_spark.operators.dedup import hash60
+
+    hv = (
+        df.select(
+            F.col(group_col).alias("g"),
+            hash60(F.col(key_col).cast("string")).alias("hv"),
+        )
+        .withColumn("salt", F.pmod(F.col("hv"), F.lit(n_partials)))
+        .distinct()
+    )
+    w_shard = Window.partitionBy("g", "salt").orderBy("hv")
+    shard_topk = (
+        hv.withColumn("rn", F.row_number().over(w_shard))
+        .where(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w_g = Window.partitionBy("g").orderBy("hv")
+    merged = shard_topk.withColumn("rn", F.row_number().over(w_g)).where(
+        F.col("rn") <= k
+    )
+    kth = merged.where(F.col("rn") == k).select(
+        "g", F.col("hv").alias("kth_min")
+    )
+    n_hashes = hv.groupBy("g").agg(F.count_distinct("hv").alias("n_hashes"))
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count_distinct(key_col).alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("kth_min").isNotNull(),
+        F.expr(
+            f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * 1152921504606846976 "
+            "div CAST(kth_min AS DECIMAL(38,0)) AS BIGINT)"
+        ),
+    ).otherwise(F.col("n_hashes"))
+    return (
+        exact.join(n_hashes, "g")
+        .join(kth, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.col("n_hashes").cast("long").alias("n_hashes"),
+            F.col("kth_min").cast("long").alias("kth_min"),
+            est.cast("long").alias("est_distinct"),
+        )
     )
 
 

@@ -176,6 +176,122 @@ def range_search(
     )
 
 
+SQ8_SCALE = 1_000_000  # 1e-6 fixed-point grid for the pre-quantization ints
+
+
+def sq8_codes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (int8) quantization codes: per-dimension min/max over the
+    corpus defines 256 uniform buckets per dim; each coordinate stores
+    only its bucket ``q`` in 0..255 — the classic SQ8 index layout that
+    shrinks a float32 vector 4x (and is the simplest member of the
+    quantization family next to PQ: per-dim scalar grid vs per-subspace
+    codebook).
+
+    Exactness: coordinates are first snapped to a 1e-6 fixed-point grid
+    (``floor(x * SQ8_SCALE)`` — the repo's established portable double->
+    int idiom, same as the k-means fixed-point discipline), so min/max,
+    bucket assignment, and the reconstruction numerator
+    ``num = mn*255 + q*(mx - mn)`` (denominator ``255*SQ8_SCALE``) are
+    ALL integers — no double participates until display, and an
+    independent engine reproduces every code bit-for-bit.
+
+    Plan at scale: one map-side explode + a 64-row (dim) aggregation for
+    the stats, broadcast back; codes are (vec_id, dim, q, num) ints — the
+    table that ships to serving instead of raw vectors.  Constant dims
+    (mx == mn) reconstruct exactly to mn with q = 0.
+
+    Returns ``(vec_id, dim, q, num)``."""
+    ex = corpus.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("dim", "x")
+    ).withColumn(
+        "xs", F.floor(F.col("x").cast("double") * F.lit(float(SQ8_SCALE))).cast("long")
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("xs").alias("mn"), F.max("xs").alias("mx")
+    )
+    return (
+        ex.join(F.broadcast(stats), "dim")
+        .withColumn(
+            "q",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.expr("((xs - mn) * 255) div (mx - mn)")
+            ).cast("long"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            "q",
+            (F.col("mn") * 255 + F.col("q") * (F.col("mx") - F.col("mn")))
+            .cast("long")
+            .alias("num"),
+        )
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k over the SQ8 index: full-precision(-grid) queries
+    scored against int8-reconstructed corpus vectors (ADC — queries lose
+    nothing, only the stored corpus is compressed).
+
+    The cosine is computed ENTIRELY from integers: dot and both squared
+    norms accumulate integer products in DECIMAL(38,0) — orderless sums,
+    so partition order can never flip a low bit — and only the final
+    ``dot / (sqrt(qn2) * sqrt(cn2))`` evaluates in doubles (of exact
+    integer inputs: bit-identical in any engine).  The fixed-point
+    denominators cancel, so this IS the exact cosine of the dequantized
+    pair.
+
+    Plan: probe table explodes to (query, dim) and broadcasts; one
+    equi-join on dim against the codes, one (query, neighbor) integer
+    aggregation, one WindowGroupLimit top-k.  The corpus-side exchange
+    carries 8-bit codes (as the ``num`` ints), never float vectors.
+
+    Returns ``(query_id, neighbor_id, sim, rank)`` with round(sim, 6)
+    display (irrational — the audited-safe class)."""
+    codes = sq8_codes(corpus, id_col=id_col, vec_col=vec_col)
+    qx = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(vec_col).alias("qdim", "x"),
+        ).withColumn(
+            "xs", F.floor(F.col("x").cast("double") * F.lit(float(SQ8_SCALE))).cast("long")
+        )
+    )
+    sc = (
+        codes.join(
+            qx,
+            (F.col("dim") == F.col("qdim"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("xs").cast("decimal(38,0)") * F.col("num")).alias("dot"),
+            F.sum(F.col("xs").cast("decimal(38,0)") * F.col("xs")).alias("qn2"),
+            F.sum(F.col("num").cast("decimal(38,0)") * F.col("num")).alias("cn2"),
+        )
+    )
+    sim = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), "neighbor_id")
+    return (
+        sc.withColumn("sim_raw", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"), "rank")
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -662,6 +662,96 @@ def importance_weights(
     )
 
 
+def rake_keywords(
+    df,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+):
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level:
+    candidate phrases are maximal runs of non-stopword tokens; each
+    word's score is deg/freq (deg = summed length of every phrase the
+    word occurs in — its co-occurrence degree; freq = occurrence count);
+    a phrase scores the sum of its words' scores, and the corpus top-k
+    phrases are reported.  The keyword/phrase-mining member of the text
+    family next to top_terms (unigram df) and collocations_pmi (bigram
+    association).
+
+    Exactness: word scores quantize to half-up micro-units
+    ``(2*deg*1e6 + freq) div (2*freq)`` — deg multiplied in
+    DECIMAL(38,0) since a web-scale corpus puts 2e6*deg past int64 —
+    and phrase scores are integer sums of those, so ranking ties break
+    on integers + phrase text: one right answer in any engine.
+
+    Plan: phrase segmentation is one per-doc window (cumulative stopword
+    count = phrase id — a linear scan, no self-join); word stats are one
+    map-side-combined aggregation over (word); phrase scoring explodes
+    the DISTINCT phrase strings only; top-k is a rank-<=-k global window
+    (WindowGroupLimit — the same bounded pattern as collocations_pmi).
+
+    Returns ``(phrase, n_words, score_e6, rank)``."""
+    sw = list(stopwords or EN_STOPWORDS)
+    swarr = F.array(*[F.lit(w) for w in sw])
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    m = toks.withColumn(
+        "is_stop", F.array_contains(swarr, F.col("word")).cast("int")
+    )
+    w_doc = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ph = m.withColumn("pid", F.sum("is_stop").over(w_doc)).where(
+        F.col("is_stop") == 0
+    )
+    plen = ph.groupBy("doc", "pid").agg(F.count("*").alias("len"))
+    nw = ph.join(plen, ["doc", "pid"])
+    wscore = (
+        nw.groupBy("word")
+        .agg(F.count("*").alias("freq"), F.sum("len").alias("deg"))
+        .select(
+            "word",
+            F.expr(
+                "(2 * CAST(deg AS DECIMAL(38,0)) * 1000000 + freq) "
+                "div (2 * freq)"
+            ).alias("ws"),
+        )
+    )
+    pstr = ph.groupBy("doc", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    cand = pstr.select("phrase").distinct()
+    pw = cand.select(
+        "phrase", F.explode(F.split("phrase", " ", -1)).alias("word")
+    )
+    score = (
+        pw.join(wscore, "word")
+        .groupBy("phrase")
+        .agg(F.count("*").alias("n_words"), F.sum("ws").alias("score_e6"))
+    )
+    w_rank = Window.orderBy(F.desc("score_e6"), "phrase")
+    return (
+        score.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("score_e6").cast("long").alias("score_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def bigram_fluency(
     df,
     text_col: str = "text",

@@ -11643,3 +11643,294 @@ def emb_ivf_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
     if cents is None:
         cents = _IVF_CODEBOOKS[key] = seed_centroids_of(e)
     return _ivf_recall_report(e, cents)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the missing member of the quantization family
+# (IVF / PQ / JL / SQ8): per-dimension uniform int8 grid, asymmetric
+# (full-precision-query) serving, and a recall report against exact truth.
+# ---------------------------------------------------------------------------
+
+_DUCK_SQ8 = """
+    sq8ex AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+             CAST(floor(CAST(v[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xs
+      FROM (SELECT vec_id, embedding AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    sq8stats AS (
+      SELECT dim, min(xs) AS mn, max(xs) AS mx FROM sq8ex GROUP BY dim),
+    sq8codes AS (
+      SELECT e.vec_id, e.dim,
+             s.mn * 255 + (CASE WHEN s.mx = s.mn THEN 0
+                           ELSE ((e.xs - s.mn) * 255) // (s.mx - s.mn) END)
+                          * (s.mx - s.mn) AS num
+      FROM sq8ex e JOIN sq8stats s ON s.dim = e.dim),
+    sq8q AS (SELECT vec_id AS query_id, dim, xs FROM sq8ex WHERE vec_id < 5),
+    sq8sc AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             sum(CAST(q.xs AS DECIMAL(38,0)) * c.num) AS dot,
+             sum(CAST(q.xs AS DECIMAL(38,0)) * q.xs) AS qn2,
+             sum(CAST(c.num AS DECIMAL(38,0)) * c.num) AS cn2
+      FROM sq8q q JOIN sq8codes c
+        ON c.dim = q.dim AND c.vec_id <> q.query_id
+      GROUP BY q.query_id, c.vec_id),
+    sq8ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+               AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE)))
+                 DESC, neighbor_id) AS rank
+      FROM sq8sc)
+"""
+
+
+@q(
+    "emb_sq8_topk",
+    f"""
+    WITH {_DUCK_SQ8}
+    SELECT query_id, neighbor_id, round(sim, 6) AS sim,
+           CAST(rank AS INT) AS rank
+    FROM sq8ranked WHERE rank <= 10
+    """,
+)
+def emb_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric SQ8 top-10 serving (operators/similarity.sq8_topk):
+    int8-per-dimension quantized corpus, full-precision-grid probes
+    (vec_id < 5) — the 4x-compression member of the quantization family
+    next to IVF/PQ/JL.  Every code, dot, and norm is an integer
+    (fixed-point snap -> per-dim min/max buckets -> reconstruction
+    numerators; DECIMAL(38,0) orderless sums), so the oracle replicates
+    the full quantize -> ADC-score -> rank chain bit-for-bit; only the
+    final cosine divides in doubles (of exact ints — identical in any
+    engine).  At scale the corpus-side exchange carries 8-bit codes,
+    never float vectors."""
+    from presto_ethereum_spark.operators.similarity import sq8_topk
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return sq8_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+@q(
+    "emb_sq8_recall",
+    f"""
+    WITH {_DUCK_SQ8},
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_duck_cos('a.embedding', 'b.embedding')} DESC,
+                                  b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 5)
+      WHERE rank <= 10
+    ),
+    approx AS (SELECT query_id, neighbor_id FROM sq8ranked WHERE rank <= 10)
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n, 0) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN (SELECT a.query_id, count(*) AS n
+               FROM approx a JOIN truth t
+                 ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+               GROUP BY a.query_id) h
+      ON h.query_id = q.query_id
+    """,
+)
+def emb_sq8_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality report for SQ8: recall@10 of the quantized search
+    against exact brute-force truth, per probe — completes the recall
+    family (IVF/LSH/PQ/JL/minhash/simhash now each measure their own
+    loss).  SQ8's loss comes only from int8 rounding of the corpus side,
+    so recall is expected near 1.0 at 64 dims — the report is the
+    evidence, graded."""
+    from presto_ethereum_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_topk,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    q5 = e.where(F.col("vec_id") < 5)
+    truth = brute_force_topk(e, q5, k=10).select("query_id", "neighbor_id")
+    approx = sq8_topk(e, q5, k=10).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n", F.lit(0)).cast("double") / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+@q(
+    "rel_kmv_distinct",
+    """
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS pri,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM orders),
+    r AS (
+      SELECT pri, hv,
+             row_number() OVER (PARTITION BY pri ORDER BY hv) AS rn
+      FROM h),
+    kth AS (SELECT pri, hv AS kth_min FROM r WHERE rn = 64),
+    nh AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_hashes FROM h GROUP BY pri),
+    ex AS (SELECT o_orderpriority AS pri,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+           FROM orders GROUP BY 1)
+    SELECT ex.pri AS o_orderpriority, ex.exact_distinct, nh.n_hashes,
+           CAST(k.kth_min AS BIGINT) AS kth_min,
+           CAST(CASE WHEN k.kth_min IS NOT NULL
+                THEN (CAST(63 AS HUGEINT) * 1152921504606846976) // k.kth_min
+                ELSE nh.n_hashes END AS BIGINT) AS est_distinct
+    FROM ex JOIN nh ON nh.pri = ex.pri
+    LEFT JOIN kth k ON k.pri = ex.pri
+    """,
+)
+def rel_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """K-minimum-values distinct-customer sketch per order priority
+    (operators/frequency.kmv_distinct, k=64): the deterministic,
+    integer-exact member of the approx-distinct family next to HLL —
+    the sketch content (k smallest 60-bit md5 hashes) and the
+    (k-1)*2^60 div h_(k) estimate are bit-reproducible in any engine,
+    so the gate hashes the ESTIMATOR itself, not a tolerance band.
+    Computed shard-partial -> lossless merge (the mergeability HLL's
+    partial-merge entry demonstrates, here with exact equality to the
+    single-pass sketch by construction)."""
+    from presto_ethereum_spark.operators.frequency import kmv_distinct
+
+    return kmv_distinct(
+        t_spread(spark, sf, "orders"), "o_orderpriority", "o_custkey", k=64
+    )
+
+
+@q(
+    "rel_benford_deviation",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders),
+    c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+    t AS (SELECT count(*) AS n_total FROM d)
+    SELECT s.digit,
+           CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST((2 * coalesce(c.n_obs, 0) * 1000000 + t.n_total)
+                // (2 * t.n_total) AS BIGINT) AS obs_e6,
+           CAST(round(log10(1.0 + 1.0 / s.digit) * 1000000) AS BIGINT)
+             AS exp_e6,
+           CAST((2 * coalesce(c.n_obs, 0) * 1000000 + t.n_total)
+                // (2 * t.n_total)
+                - round(log10(1.0 + 1.0 / s.digit) * 1000000) AS BIGINT)
+             AS dev_e6
+    FROM (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) s
+    LEFT JOIN c ON c.digit = s.digit, t
+    """,
+)
+def rel_benford_deviation(spark: SparkSession, sf: str) -> DataFrame:
+    """First-significant-digit (Benford) audit over order amounts — the
+    forensic data-quality screen for fabricated/duplicated numeric feeds
+    (a synthetic or copy-pasted amount column drifts from the log10
+    curve).  Digits from exact integer cents via string head; observed
+    frequencies in half-up micro-units ((2a*1e6+b) div (2b), the
+    round6_ratio discipline); the Benford expectation is the ONE
+    irrational here — round(log10(1+1/d)*1e6) is the audited-safe class
+    (no rational tie can exist) — and the deviation is integer
+    subtraction after both sides are pinned.  Plan: one map-side-combined
+    9-key aggregation + a broadcast 9-row digit spine (zero-count digits
+    still report their expectation)."""
+    o = t_spread(spark, sf, "orders")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    d = o.select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    counts = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = d.agg(F.count("*").alias("n_total"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_e6 = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * 1000000
+    ).cast("long")
+    obs_e6 = F.expr(
+        "(2 * coalesce(n_obs, 0) * 1000000 + n_total) div (2 * n_total)"
+    )
+    return (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            obs_e6.cast("long").alias("obs_e6"),
+            exp_e6.alias("exp_e6"),
+            (obs_e6 - exp_e6).cast("long").alias("dev_e6"),
+        )
+    )
+
+
+def _duck_rake_oracle() -> str:
+    from presto_ethereum_spark.operators.text import EN_STOPWORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+    WITH tokx AS (
+      SELECT doc_id, i AS pos, t[i] AS word
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents))
+      WHERE t[i] <> ''),
+    m AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN word IN ({stoplist}) THEN 1 ELSE 0 END AS is_stop
+      FROM tokx),
+    ph AS (
+      SELECT doc_id, pos, word, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM m),
+    nw AS (SELECT doc_id, pid, pos, word FROM ph WHERE is_stop = 0),
+    plen AS (SELECT doc_id, pid, count(*) AS len FROM nw GROUP BY 1, 2),
+    wscore AS (
+      SELECT word,
+             (2 * CAST(sum(len) AS HUGEINT) * 1000000 + count(*))
+               // (2 * count(*)) AS ws
+      FROM nw JOIN plen USING (doc_id, pid) GROUP BY word),
+    pstr AS (
+      SELECT doc_id, pid, string_agg(word, ' ' ORDER BY pos) AS phrase
+      FROM nw GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT phrase FROM pstr),
+    pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+           FROM cand),
+    score AS (
+      SELECT phrase, count(*) AS n_words, sum(ws) AS score_e6
+      FROM pw JOIN wscore USING (word) GROUP BY phrase),
+    ranked AS (
+      SELECT phrase, n_words, score_e6,
+             row_number() OVER (ORDER BY score_e6 DESC, phrase) AS rnk
+      FROM score)
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(score_e6 AS BIGINT) AS score_e6, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 20
+    """
+
+
+@q("doc_rake_keywords", _duck_rake_oracle())
+def doc_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus top-20 RAKE keyphrases (operators/text.rake_keywords):
+    stopword-delimited candidate phrases scored by summed word
+    deg/freq ratios in exact micro-units — the keyword-mining member of
+    the text-analysis family (see the operator docstring for the
+    integer-exactness and WindowGroupLimit plan argument)."""
+    from presto_ethereum_spark.operators.text import rake_keywords
+
+    return rake_keywords(t_spread(spark, sf, "documents"), top_k=20)

@@ -1,6 +1,8 @@
 """Unit/property tests for the training-data operators: dedup invariants,
 LSH recall vs brute force, text metrics on edge-case inputs."""
 
+import math
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -4569,3 +4571,145 @@ class TestJlRerank:
                 for rk, (dd, nid) in enumerate(order)
             ]
             assert sorted(got[q]) == want
+
+
+class TestSq8:
+    def test_codes_in_range_and_reconstruction_bounded(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            SQ8_SCALE,
+            sq8_codes,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = sq8_codes(e).collect()
+        assert all(0 <= r.q <= 255 for r in rows)
+        # reconstruction error bounded by one bucket width per dim
+        import collections
+
+        mn = collections.defaultdict(lambda: 2**63)
+        mx = collections.defaultdict(lambda: -(2**63))
+        for x in e.collect():
+            for d, v in enumerate(x.embedding):
+                xs = math.floor(float(v) * SQ8_SCALE)
+                mn[d] = min(mn[d], xs)
+                mx[d] = max(mx[d], xs)
+        for r in rows[:200]:
+            width = (mx[r.dim] - mn[r.dim]) / 255.0
+            # num/255 lies within one bucket of the true snapped value
+            lo = mn[r.dim] + r.q * (mx[r.dim] - mn[r.dim]) / 255.0
+            assert lo - 1e-9 <= r.num / 255.0 <= lo + width + 1e-9
+
+    def test_topk_matches_numpy_referee(self, spark):
+        import numpy as np
+
+        from presto_ethereum_spark.operators.similarity import (
+            SQ8_SCALE,
+            sq8_topk,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sq8_topk(
+                e, e.where("vec_id < 3"), k=5
+            ).collect()
+        }
+        data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+        xs = {
+            i: np.floor(v * SQ8_SCALE).astype(np.int64) for i, v in data.items()
+        }
+        dims = len(next(iter(xs.values())))
+        mn = np.min(np.stack(list(xs.values())), axis=0)
+        mx = np.max(np.stack(list(xs.values())), axis=0)
+        rng = np.where(mx > mn, mx - mn, 1)
+        num = {
+            i: mn * 255 + np.where(mx > mn, (v - mn) * 255 // rng, 0) * (mx - mn)
+            for i, v in xs.items()
+        }
+        for qid in range(3):
+            sims = []
+            for nid, cv in num.items():
+                if nid == qid:
+                    continue
+                dot = float(np.dot(xs[qid].astype(object), cv.astype(object)))
+                qn2 = float(np.dot(xs[qid].astype(object), xs[qid].astype(object)))
+                cn2 = float(np.dot(cv.astype(object), cv.astype(object)))
+                sims.append((-dot / (math.sqrt(qn2) * math.sqrt(cn2)), nid))
+            sims.sort()
+            for rank, (_, nid) in enumerate(sims[:5], start=1):
+                assert got[(qid, rank)] == nid
+
+
+class TestKmvDistinct:
+    def test_matches_pure_python_sketch(self, spark):
+        import hashlib
+
+        from presto_ethereum_spark.operators.frequency import kmv_distinct
+
+        rows = [(f"g{i % 3}", i % 200) for i in range(5000)]
+        df = spark.createDataFrame(rows, "g string, key long")
+        got = {r.g: r for r in kmv_distinct(df, "g", "key", k=16).collect()}
+        for gi in range(3):
+            g = f"g{gi}"
+            keys = {k for gg, k in rows if gg == g}
+            hvs = sorted(
+                {
+                    int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+                    for k in keys
+                }
+            )
+            kth = hvs[15]
+            est = (15 * (2**60)) // kth
+            r = got[g]
+            assert r.exact_distinct == len(keys)
+            assert r.kth_min == kth and r.est_distinct == est
+
+    def test_small_group_falls_back_to_exact(self, spark):
+        from presto_ethereum_spark.operators.frequency import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(5)], "g string, key long"
+        )
+        [r] = kmv_distinct(df, "g", "key", k=64).collect()
+        assert r.kth_min is None and r.est_distinct == 5 == r.exact_distinct
+
+    def test_estimate_within_expected_error(self, spark):
+        from presto_ethereum_spark.operators.frequency import kmv_distinct
+
+        df = spark.createDataFrame(
+            [("g", i) for i in range(10000)], "g string, key long"
+        )
+        [r] = kmv_distinct(df, "g", "key", k=256).collect()
+        # KMV std err ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+        assert abs(r.est_distinct - 10000) < 10000 * 0.25
+
+
+class TestRakeKeywords:
+    def test_hand_computed_scores(self, spark):
+        from presto_ethereum_spark.operators.text import rake_keywords
+
+        # phrases: "deep learning", "systems"; "deep learning" again
+        df = spark.createDataFrame(
+            [
+                (0, "deep learning of systems"),
+                (1, "the deep learning"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.phrase: r for r in rake_keywords(df, top_k=10).collect()}
+        # word stats: deep: freq 2, deg 2+2=4 -> 2.0; learning: same;
+        # systems: freq 1, deg 1 -> 1.0
+        assert out["deep learning"].score_e6 == 4_000_000
+        assert out["deep learning"].n_words == 2
+        assert out["systems"].score_e6 == 1_000_000
+        assert out["deep learning"].rank == 1
+
+    def test_stopwords_never_in_phrases(self, spark):
+        from presto_ethereum_spark.operators.text import (
+            EN_STOPWORDS,
+            rake_keywords,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for r in rake_keywords(docs, top_k=50).collect():
+            assert not set(r.phrase.split(" ")) & set(EN_STOPWORDS)
