@@ -45,6 +45,7 @@ __all__ = [
     "simhash_candidates",
     "simhash_dedup_pairs",
     "jaccard_pairs",
+    "shingle_df_profile",
     "fuzzy_prefix_key",
     "hamming_fixed",
     "fuzzy_hamming_pairs",
@@ -556,6 +557,67 @@ def jaccard_pairs(
             "id_b",
             round6_ratio(F.col("inter"), F.col("uni")).alias("jaccard_sim"),
         )
+    )
+
+
+def shingle_df_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    blocking_cols: list[str] | None = None,
+) -> DataFrame:
+    """Posting-list skew profile of the shingle inverted index: for each
+    blocking group, the histogram of shingle document frequencies with
+    the JOIN-WORK each df stratum would contribute to an inverted-index
+    pair join — the operational health check behind the ``max_df`` cap
+    (SCALE.md §dedup).  On a fresh crawl you run THIS first: the
+    ``pair_work`` column is the Sum_s df(s)·(df(s)-1)/2 candidate-pair
+    count per stratum, so the report shows directly where the df² blowup
+    lives and what cap bounds it (everything above the cap line is work
+    the capped join never does).
+
+    Exactness: every column is an exact integer count except
+    ``postings_share_e6`` (half-up integer micro-units of this stratum's
+    share of the block's postings).  ``pair_work`` multiplies in
+    DECIMAL(38,0) — a crawl-scale hot shingle has df² past int64 — and
+    casts to long for display (exact up to ~9e18 pairs).
+
+    Plan: one shingle explode, one (block, shingle) map-side-combined
+    count, one (block, df) rollup of the DISTINCT-shingle table (already
+    corpus-distinct-sized), one broadcast per-block total.  Nothing here
+    is pairwise — the profile of the dangerous join costs only the cheap
+    side of it.
+
+    Returns ``(*blocks, df, n_shingles, n_postings, pair_work,
+    postings_share_e6)``."""
+    blocks = list(blocking_cols or [])
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df=None)
+    dfc = ex.groupBy(*blocks, "s").agg(F.count("*").alias("df"))
+    hist = dfc.groupBy(*blocks, "df").agg(F.count("*").alias("n_shingles"))
+    tot = hist.groupBy(*blocks).agg(
+        F.sum(F.col("df") * F.col("n_shingles")).alias("tot")
+    )
+    joined = hist.join(F.broadcast(tot), blocks) if blocks else hist.crossJoin(
+        F.broadcast(tot)
+    )
+    return joined.select(
+        *blocks,
+        F.col("df").cast("long").alias("df"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        (F.col("df") * F.col("n_shingles")).cast("long").alias("n_postings"),
+        F.expr(
+            "CAST(n_shingles AS DECIMAL(38,0))"
+            " * (CAST(df AS DECIMAL(38,0)) * (df - 1) div 2)"
+        )
+        .cast("long")
+        .alias("pair_work"),
+        F.expr(
+            "(2 * CAST(df AS DECIMAL(38,0)) * n_shingles * 1000000 + tot)"
+            " div (2 * CAST(tot AS DECIMAL(38,0)))"
+        )
+        .cast("long")
+        .alias("postings_share_e6"),
     )
 
 

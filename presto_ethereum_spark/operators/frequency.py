@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap", "kmv_distinct"]
+__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap", "kmv_distinct", "kmv_set_ops"]
 
 
 def _mg_candidates_kernel(k: int):
@@ -182,6 +182,117 @@ def kmv_distinct(
             F.col("kth_min").cast("long").alias("kth_min"),
             est.cast("long").alias("est_distinct"),
         )
+    )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch-style set operations from two KMV sketches: estimate
+    |A ∪ B|, |A ∩ B|, and Jaccard(A, B) of two groups' key sets from
+    their k-minimum-values summaries alone — the sketch-algebra
+    counterpart of :func:`kmv_distinct` (union/intersection over sketches
+    is what lets a 100-TB pipeline answer audience-overlap questions from
+    per-partition summaries without ever co-shuffling the raw keys).
+
+    Estimator (Dasgupta et al.'s theta-sketch framing of Beyer et al.'s
+    KMV): theta = k-th smallest hash of the UNION of the two sketches'
+    contents.  theta <= each sketch's own k-th min, so every hash below
+    theta was necessarily retained by BOTH sketches when it belongs to
+    both sets — the intersection sample below theta is unbiased.  With
+    c = |{h < theta : h in sketch_A AND h in sketch_B}|:
+
+        est_union = (k-1) * 2^60 div theta
+        est_inter =   c   * 2^60 div theta
+        est_jaccard_e6 = half-up(c / (k-1))   [c of the k-1 union survivors]
+
+    all INTEGER arithmetic over 60-bit md5-prefix hashes — the sketch,
+    the threshold, and every estimate are bit-reproducible in a second
+    engine, so the gate hashes the estimators themselves.  When the union
+    of sketch contents has fewer than k distinct hashes the sketches ARE
+    the sets and all three estimates fall back to the exact values (the
+    standard small-cardinality KMV degeneration).
+
+    Exact |A|, |B|, |A ∩ B|, |A ∪ B| and exact Jaccard are carried
+    alongside (computed on the raw keys) so the output doubles as the
+    sketch-accuracy report.  Plan: one distinct on (group, hash) — 8-byte
+    hashes on the wire — two WindowGroupLimit top-k passes, and 1-row
+    broadcast scalar attaches; the exact side is one additional
+    two-group aggregation.  Returns one row."""
+    from presto_ethereum_spark.operators.dedup import hash60
+
+    sel = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.when(F.col(group_col) == group_a, F.lit("a")).otherwise(F.lit("b")).alias("g"),
+        F.col(key_col).alias("key"),
+    )
+    # --- exact side (raw keys; hash collisions cannot touch it) ---
+    per_key = sel.groupBy("key").agg(
+        F.max(F.when(F.col("g") == "a", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("g") == "b", 1).otherwise(0)).alias("in_b"),
+    )
+    exact = per_key.agg(
+        F.sum("in_a").alias("exact_a"),
+        F.sum("in_b").alias("exact_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_inter"),
+        F.count("*").alias("exact_union"),
+    )
+    # --- sketch side ---
+    hv = sel.select("g", hash60(F.col("key").cast("string")).alias("hv")).distinct()
+    w_g = Window.partitionBy("g").orderBy("hv")
+    sk = hv.withColumn("rn", F.row_number().over(w_g)).where(F.col("rn") <= k)
+    uni = sk.select("hv").distinct()
+    w_u = Window.orderBy("hv")
+    ranked = uni.withColumn("urn", F.row_number().over(w_u))
+    theta = ranked.where(F.col("urn") == k).select(F.col("hv").alias("theta"))
+    both = sk.groupBy("hv").agg(F.count("*").alias("n_g")).where(F.col("n_g") == 2)
+    common = (
+        both.crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("theta"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    # exact common count among sketches (for the theta-null fallback,
+    # where sketches are whole sets): n_both over ALL sketch hashes
+    all_both = both.agg(F.count("*").alias("n_both_all"))
+    row = (
+        exact.crossJoin(F.broadcast(theta.agg(F.max("theta").alias("theta"))))
+        .crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(all_both))
+    )
+    two60 = 1152921504606846976  # 2^60
+    est_union = F.when(
+        F.col("theta").isNotNull(),
+        F.expr(f"CAST({k - 1} AS DECIMAL(38,0)) * {two60} div CAST(theta AS DECIMAL(38,0))"),
+    ).otherwise(F.col("exact_union"))
+    est_inter = F.when(
+        F.col("theta").isNotNull(),
+        F.expr(f"CAST(n_common AS DECIMAL(38,0)) * {two60} div CAST(theta AS DECIMAL(38,0))"),
+    ).otherwise(F.col("n_both_all"))
+    est_jac = F.when(
+        F.col("theta").isNotNull(),
+        F.expr(f"(2 * CAST(n_common AS BIGINT) * 1000000 + {k - 1}) div {2 * (k - 1)}"),
+    ).otherwise(
+        F.expr("(2 * n_both_all * 1000000 + exact_union) div (2 * exact_union)")
+    )
+    exact_jac = F.expr("(2 * exact_inter * 1000000 + exact_union) div (2 * exact_union)")
+    return row.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.lit(k).cast("int").alias("k"),
+        F.col("theta").cast("long").alias("theta"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        est_union.cast("long").alias("est_union"),
+        est_inter.cast("long").alias("est_inter"),
+        est_jac.cast("long").alias("est_jaccard_e6"),
+        exact_jac.cast("long").alias("exact_jaccard_e6"),
     )
 
 

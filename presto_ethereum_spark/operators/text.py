@@ -752,6 +752,61 @@ def rake_keywords(
     )
 
 
+def lexical_diversity(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document lexical-diversity profile: type-token ratio and hapax
+    rate — the vocabulary-richness member of the quality family next to
+    repetition (which catches the opposite failure: low diversity from
+    copy-looping) and char_diversity.  Low TTR flags template/boilerplate
+    pages; an anomalously HIGH hapax rate flags gibberish and
+    OCR-shredded text — both standard pretraining-corpus screens.
+
+    Exactness: counts are exact integers from one (doc, word) aggregation;
+    ``ttr_e6 = half-up(n_types / n_tokens)`` and
+    ``hapax_e6 = half-up(n_hapax / n_types)`` use the repo's
+    ``(2a*1e6 + b) div (2b)`` integer discipline — small-int ratios are
+    precisely the tie class ROUNDING_AUDIT.md bans from round(double).
+
+    Plan: explode -> one map-side-combined (doc, word) count -> one (doc)
+    rollup.  Tokens shuffle as md5-bounded words only once; no window, no
+    join.  Empty documents report zero counts with NULL ratios.
+
+    Returns ``(doc_id, n_tokens, n_types, n_hapax, ttr_e6, hapax_e6)``."""
+    base = df.select(F.col(id_col).alias("doc"))
+    wf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("doc", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    stats = wf.groupBy("doc").agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.count_if(F.col("freq") == 1).alias("n_hapax"),
+    )
+    return (
+        base.join(stats, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+            F.expr("(2 * n_types * 1000000 + n_tokens) div (2 * n_tokens)")
+            .cast("long")
+            .alias("ttr_e6"),
+            F.expr("(2 * n_hapax * 1000000 + n_types) div (2 * n_types)")
+            .cast("long")
+            .alias("hapax_e6"),
+        )
+    )
+
+
 def bigram_fluency(
     df,
     text_col: str = "text",

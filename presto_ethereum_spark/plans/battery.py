@@ -11934,3 +11934,155 @@ def doc_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import rake_keywords
 
     return rake_keywords(t_spread(spark, sf, "documents"), top_k=20)
+
+
+@q(
+    "rel_kmv_set_ops",
+    """
+    WITH sel AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS g,
+             o_custkey AS key
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    per_key AS (
+      SELECT key,
+             max(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS in_b
+      FROM sel GROUP BY key),
+    exact AS (
+      SELECT sum(in_a) AS exact_a, sum(in_b) AS exact_b,
+             sum(in_a * in_b) AS exact_inter, count(*) AS exact_union
+      FROM per_key),
+    hv AS (
+      SELECT DISTINCT g,
+             CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM sel),
+    sk AS (
+      SELECT g, hv FROM (
+        SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+        FROM hv)
+      WHERE rn <= 64),
+    uni AS (SELECT DISTINCT hv FROM sk),
+    th AS (
+      SELECT max(theta) AS theta FROM (
+        SELECT hv AS theta FROM (
+          SELECT hv, row_number() OVER (ORDER BY hv) AS urn FROM uni)
+        WHERE urn = 64)),
+    bth AS (SELECT hv FROM sk GROUP BY hv HAVING count(*) = 2),
+    common AS (SELECT count(*) AS n_common FROM bth, th WHERE hv < th.theta),
+    allboth AS (SELECT count(*) AS n_both_all FROM bth)
+    SELECT '1-URGENT' AS group_a, '2-HIGH' AS group_b, CAST(64 AS INT) AS k,
+           CAST(th.theta AS BIGINT) AS theta,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(e.exact_a AS BIGINT) AS exact_a,
+           CAST(e.exact_b AS BIGINT) AS exact_b,
+           CAST(e.exact_inter AS BIGINT) AS exact_inter,
+           CAST(e.exact_union AS BIGINT) AS exact_union,
+           CAST(CASE WHEN th.theta IS NOT NULL
+                THEN (CAST(63 AS HUGEINT) * 1152921504606846976) // th.theta
+                ELSE e.exact_union END AS BIGINT) AS est_union,
+           CAST(CASE WHEN th.theta IS NOT NULL
+                THEN (CAST(c.n_common AS HUGEINT) * 1152921504606846976)
+                     // th.theta
+                ELSE ab.n_both_all END AS BIGINT) AS est_inter,
+           CAST(CASE WHEN th.theta IS NOT NULL
+                THEN (2 * c.n_common * 1000000 + 63) // 126
+                ELSE (2 * ab.n_both_all * 1000000 + e.exact_union)
+                     // (2 * e.exact_union) END AS BIGINT) AS est_jaccard_e6,
+           CAST((2 * e.exact_inter * 1000000 + e.exact_union)
+                // (2 * e.exact_union) AS BIGINT) AS exact_jaccard_e6
+    FROM exact e, th, common c, allboth ab
+    """,
+)
+def rel_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch set operations over two KMV sketches
+    (operators/frequency.kmv_set_ops, k=64): estimate the union,
+    intersection, and Jaccard of URGENT-vs-HIGH order customer sets from
+    the sketches ALONE — the audience-overlap question a 100-TB pipeline
+    answers from per-partition summaries without co-shuffling raw keys.
+    All estimators are integer arithmetic over 60-bit md5 hashes
+    (est = c * 2^60 div theta), so the gate hashes the estimates
+    themselves, and the exact values ride alongside as the accuracy
+    report."""
+    from presto_ethereum_spark.operators.frequency import kmv_set_ops
+
+    return kmv_set_ops(
+        t_spread(spark, sf, "orders"),
+        "o_orderpriority",
+        "o_custkey",
+        "1-URGENT",
+        "2-HIGH",
+        k=64,
+    )
+
+
+@q(
+    "doc_lexical_diversity",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    wf AS (
+      SELECT doc_id, word, count(*) AS freq
+      FROM tok WHERE word <> '' GROUP BY doc_id, word),
+    stats AS (
+      SELECT doc_id, sum(freq) AS n_tokens, count(*) AS n_types,
+             count(*) FILTER (WHERE freq = 1) AS n_hapax
+      FROM wf GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.n_types, 0) AS BIGINT) AS n_types,
+           CAST(coalesce(s.n_hapax, 0) AS BIGINT) AS n_hapax,
+           CAST((2 * s.n_types * 1000000 + s.n_tokens)
+                // (2 * s.n_tokens) AS BIGINT) AS ttr_e6,
+           CAST((2 * s.n_hapax * 1000000 + s.n_types)
+                // (2 * s.n_types) AS BIGINT) AS hapax_e6
+    FROM documents d LEFT JOIN stats s USING (doc_id)
+    """,
+)
+def doc_lexical_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document type-token ratio and hapax rate
+    (operators/text.lexical_diversity): the vocabulary-richness screen —
+    low TTR flags template/boilerplate, anomalously high hapax rate flags
+    gibberish/OCR shred.  Exact integer counts from one (doc, word)
+    aggregation; ratios in half-up micro-units per ROUNDING_AUDIT.md."""
+    from presto_ethereum_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(t_spread(spark, sf, "documents"))
+
+
+@q(
+    "doc_shingle_df_profile",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    ex AS (
+      SELECT s.doc_id, d.lang, unnest(s.shingles) AS sh
+      FROM shingled s JOIN documents d USING (doc_id)),
+    dfc AS (SELECT lang, sh, count(*) AS df FROM ex GROUP BY lang, sh),
+    hist AS (SELECT lang, df, count(*) AS n_shingles FROM dfc GROUP BY lang, df),
+    tot AS (SELECT lang, sum(df * n_shingles) AS tot FROM hist GROUP BY lang)
+    SELECT h.lang, CAST(h.df AS BIGINT) AS df,
+           CAST(h.n_shingles AS BIGINT) AS n_shingles,
+           CAST(h.df * h.n_shingles AS BIGINT) AS n_postings,
+           CAST(CAST(h.n_shingles AS HUGEINT)
+                * ((CAST(h.df AS HUGEINT) * (h.df - 1)) // 2)
+                AS BIGINT) AS pair_work,
+           CAST((2 * CAST(h.df AS HUGEINT) * h.n_shingles * 1000000 + t.tot)
+                // (2 * CAST(t.tot AS HUGEINT)) AS BIGINT)
+             AS postings_share_e6
+    FROM hist h JOIN tot t USING (lang)
+    """,
+)
+def doc_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Posting-list skew profile of the 3-gram shingle inverted index per
+    language block (operators/dedup.shingle_df_profile): the health check
+    you run on a fresh crawl BEFORE the pair joins — ``pair_work`` is the
+    exact Sum df(df-1)/2 candidate count each df stratum would feed an
+    uncapped inverted-index join, so the report shows where the df²
+    blowup lives and what ``max_df`` bounds it (SCALE.md §dedup).  Costs
+    only the cheap side of the dangerous join: one explode + two
+    map-side-combined aggregations, nothing pairwise."""
+    from presto_ethereum_spark.operators.dedup import shingle_df_profile
+
+    return shingle_df_profile(
+        t_spread(spark, sf, "documents"), blocking_cols=["lang"]
+    )

@@ -4713,3 +4713,122 @@ class TestRakeKeywords:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         for r in rake_keywords(docs, top_k=50).collect():
             assert not set(r.phrase.split(" ")) & set(EN_STOPWORDS)
+
+
+class TestKmvSetOps:
+    def test_matches_pure_python_theta_sketch(self, spark):
+        import hashlib
+
+        from presto_ethereum_spark.operators.frequency import kmv_set_ops
+
+        rows = [("A", i) for i in range(0, 300)] + [
+            ("B", i) for i in range(150, 450)
+        ]
+        df = spark.createDataFrame(rows, "g string, key long")
+        [r] = kmv_set_ops(df, "g", "key", "A", "B", k=32).collect()
+
+        def h(x):
+            return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+        sk_a = sorted(h(i) for i in range(0, 300))[:32]
+        sk_b = sorted(h(i) for i in range(150, 450))[:32]
+        uni = sorted(set(sk_a) | set(sk_b))
+        theta = uni[31]
+        common = sum(
+            1 for v in set(sk_a) & set(sk_b) if v < theta
+        )
+        assert r.theta == theta and r.n_common == common
+        assert r.est_union == (31 * 2**60) // theta
+        assert r.est_inter == (common * 2**60) // theta
+        assert r.est_jaccard_e6 == (2 * common * 1000000 + 31) // 62
+        assert (r.exact_a, r.exact_b) == (300, 300)
+        assert (r.exact_inter, r.exact_union) == (150, 450)
+        assert r.exact_jaccard_e6 == (2 * 150 * 1000000 + 450) // 900
+
+    def test_small_groups_fall_back_to_exact(self, spark):
+        from presto_ethereum_spark.operators.frequency import kmv_set_ops
+
+        rows = [("A", i) for i in range(5)] + [("B", i) for i in range(3, 8)]
+        df = spark.createDataFrame(rows, "g string, key long")
+        [r] = kmv_set_ops(df, "g", "key", "A", "B", k=64).collect()
+        assert r.theta is None
+        assert r.est_union == r.exact_union == 8
+        assert r.est_inter == r.exact_inter == 2
+        assert r.est_jaccard_e6 == r.exact_jaccard_e6
+
+    def test_estimates_within_sketch_error(self, spark):
+        from presto_ethereum_spark.operators.frequency import kmv_set_ops
+
+        rows = [("A", i) for i in range(0, 6000)] + [
+            ("B", i) for i in range(2000, 8000)
+        ]
+        df = spark.createDataFrame(rows, "g string, key long")
+        [r] = kmv_set_ops(df, "g", "key", "A", "B", k=256).collect()
+        # union RSE ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+        assert abs(r.est_union - 8000) < 8000 * 0.25
+        assert abs(r.est_inter - 4000) < 8000 * 0.25
+
+
+class TestLexicalDiversity:
+    def test_hand_computed(self, spark):
+        from presto_ethereum_spark.operators.text import lexical_diversity
+
+        df = spark.createDataFrame(
+            [(0, "a b a c"), (1, ""), (2, "x x x")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in lexical_diversity(df).collect()}
+        # doc 0: 4 tokens, 3 types (a,b,c), 2 hapax (b,c)
+        assert (got[0].n_tokens, got[0].n_types, got[0].n_hapax) == (4, 3, 2)
+        assert got[0].ttr_e6 == (2 * 3 * 1000000 + 4) // 8
+        assert got[0].hapax_e6 == (2 * 2 * 1000000 + 3) // 6
+        # empty doc: zero counts, NULL ratios
+        assert (got[1].n_tokens, got[1].ttr_e6, got[1].hapax_e6) == (0, None, None)
+        # doc 2: no hapax
+        assert (got[2].n_types, got[2].n_hapax, got[2].hapax_e6) == (1, 0, 0)
+
+
+class TestShingleDfProfile:
+    def test_hand_computed_histogram_and_pair_work(self, spark):
+        from presto_ethereum_spark.operators.dedup import shingle_df_profile
+
+        df = spark.createDataFrame(
+            [
+                (0, "a b c d"),      # shingles: "a b c", "b c d"
+                (1, "a b c d"),      # same two
+                (2, "a b c x"),      # "a b c", "b c x"
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.df: r for r in shingle_df_profile(df).collect()}
+        # df=1: "b c x" only; df=2: "b c d"; df=3: "a b c"
+        assert rows[1].n_shingles == 1 and rows[1].pair_work == 0
+        assert rows[2].n_shingles == 1 and rows[2].pair_work == 1
+        assert rows[3].n_shingles == 1 and rows[3].pair_work == 3
+        tot = sum(r.n_postings for r in rows.values())
+        assert tot == 1 + 2 + 3
+        for r in rows.values():
+            assert r.postings_share_e6 == (
+                2 * r.n_postings * 1000000 + tot
+            ) // (2 * tot)
+
+    def test_pair_work_equals_uncapped_join_candidates(self, spark):
+        from presto_ethereum_spark.operators.dedup import (
+            _shingle_postings,
+            shingle_df_profile,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(80)
+        prof = shingle_df_profile(docs, blocking_cols=["lang"])
+        total_work = sum(r.pair_work for r in prof.collect())
+        ex = _shingle_postings(docs, "text", "doc_id", 3, ["lang"])
+        a, b = ex.alias("a"), ex.alias("b")
+        n_cand = a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).count()
+        assert total_work == n_cand
