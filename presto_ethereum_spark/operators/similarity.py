@@ -292,6 +292,134 @@ def sq8_topk(
     )
 
 
+def _centroid_best_two(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector best and second-best centroid cosine, MAP-ONLY: the
+    codebook is a literal array of (cid, cvec) structs, each row scores
+    all cells with the same in-order double fold as :func:`cosine` and
+    sorts the (neg-sim, cid) structs — argmax ties break on cid exactly
+    like the serving paths' ``ORDER BY csim DESC, cid``.  Zero shuffle;
+    the whole assignment stays inside whole-stage codegen.
+
+    Returns ``(id, cell, sim_own, sim_2nd)``."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    scored = F.array_sort(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                (-cosine(F.col("_v"), c["cvec"])).alias("ns"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .withColumn("_sc", scored)
+        .select(
+            "id",
+            F.col("_sc")[0]["cid"].alias("cell"),
+            (-F.col("_sc")[0]["ns"]).alias("sim_own"),
+            (-F.col("_sc")[1]["ns"]).alias("sim_2nd"),
+        )
+    )
+
+
+def silhouette_by_cell(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell simplified (centroid) silhouette over the IVF codebook —
+    the PARTITION-quality report next to the recall family's SERVING
+    quality: with cosine distance d = 1 - sim and a = d(own centroid),
+    b = d(second-best centroid), a vector's silhouette is
+    ``s = (b - a) / max(a, b) = (sim_own - sim_2nd) / (1 - sim_2nd)``
+    (a <= b always, since own is the argmax).  s near 1 = compact,
+    well-separated cell; s < 0 = the vector sits closer to another
+    centroid than its own — per-cell ``n_negative`` is the count of such
+    misfit members, the direct signal to re-run a k-means round.
+
+    Exactness: per-vector s is a double of deterministic in-order folds
+    (bit-identical in DuckDB), snapped once to micro-units with
+    ``round(s * 1e6)`` (irrational inputs — the audited-safe class);
+    everything per-cell is then INTEGER: sums not means are reported, so
+    no floor-direction question arises on negative values.
+
+    Plan: the scoring is map-only (:func:`_centroid_best_two`); the only
+    shuffle is the n_cells-key aggregation of integer partials.
+
+    Returns ``(cell, n_members, sum_sil_e6, min_sil_e6, max_sil_e6,
+    n_negative)``."""
+    bt = _centroid_best_two(df, cents, id_col, vec_col)
+    sil = F.round(
+        (F.col("sim_own") - F.col("sim_2nd"))
+        / (F.lit(1.0) - F.col("sim_2nd"))
+        * 1000000
+    ).cast("long")
+    return (
+        bt.withColumn("sil_e6", sil)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("sil_e6").alias("sum_sil_e6"),
+            F.min("sil_e6").alias("min_sil_e6"),
+            F.max("sil_e6").alias("max_sil_e6"),
+            F.count_if(F.col("sil_e6") < 0).alias("n_negative"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("sum_sil_e6").cast("long").alias("sum_sil_e6"),
+            F.col("min_sil_e6").cast("long").alias("min_sil_e6"),
+            F.col("max_sil_e6").cast("long").alias("max_sil_e6"),
+            F.col("n_negative").cast("long").alias("n_negative"),
+        )
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k out-of-distribution vectors: the embeddings farthest from
+    EVERY centroid (lowest best-centroid cosine) — the OOD/noise screen a
+    training pipeline runs before contrastive sampling (mislabeled or
+    corrupted embeddings surface here first).  Scoring is the same
+    map-only pass as the silhouette; the global rank-<=-k window plans as
+    WindowGroupLimit (per-partition top-k before the single-partition
+    rank — the repo's audited bounded-global-window pattern).
+
+    Returns ``(vec_id, cell, sim, rank)``, sim in round-6 display."""
+    bt = _centroid_best_two(df, cents, id_col, vec_col)
+    w = Window.orderBy(F.asc("sim_own"), "id")
+    return (
+        bt.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.round("sim_own", 6).alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float,

@@ -12086,3 +12086,92 @@ def doc_shingle_df_profile(spark: SparkSession, sf: str) -> DataFrame:
     return shingle_df_profile(
         t_spread(spark, sf, "documents"), blocking_cols=["lang"]
     )
+
+
+_DUCK_CENT_BEST2 = f"""
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    cscored AS (
+      SELECT e.vec_id, c.cid, {_duck_cos('e.embedding', 'c.cvec')} AS csim
+      FROM embeddings e CROSS JOIN cent c),
+    rankedc AS (
+      SELECT vec_id, cid, csim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cid) AS rnk
+      FROM cscored),
+    bt AS (
+      SELECT a.vec_id, a.cid AS cell, a.csim AS sim_own, b.csim AS sim_2nd
+      FROM rankedc a JOIN rankedc b ON b.vec_id = a.vec_id AND b.rnk = 2
+      WHERE a.rnk = 1)
+"""
+
+
+@q(
+    "emb_silhouette",
+    f"""
+    WITH {_DUCK_CENT_BEST2},
+    sil AS (
+      SELECT vec_id, cell,
+             CAST(round((sim_own - sim_2nd) / (1 - sim_2nd) * 1000000)
+                  AS BIGINT) AS sil_e6
+      FROM bt)
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(sil_e6) AS BIGINT) AS sum_sil_e6,
+           CAST(min(sil_e6) AS BIGINT) AS min_sil_e6,
+           CAST(max(sil_e6) AS BIGINT) AS max_sil_e6,
+           CAST(count(*) FILTER (WHERE sil_e6 < 0) AS BIGINT) AS n_negative
+    FROM sil GROUP BY cell
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell simplified silhouette of the IVF codebook
+    (operators/similarity.silhouette_by_cell): partition quality next to
+    the recall family's serving quality — n_negative counts members
+    sitting closer to another centroid than their own, the direct
+    re-cluster signal.  Scoring is map-only (literal codebook, in-order
+    double folds, argmax ties on cid); the only shuffle is an
+    8-key integer aggregation; per-vector silhouettes snap once to
+    micro-units so the cell report is pure integers (sums, not means —
+    no floor-direction question on negatives)."""
+    from presto_ethereum_spark.operators.similarity import (
+        seed_centroids,
+        silhouette_by_cell,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    return silhouette_by_cell(e, cents)
+
+
+@q(
+    "emb_outlier_scores",
+    f"""
+    WITH {_DUCK_CENT_BEST2},
+    ranked AS (
+      SELECT vec_id, cell, sim_own,
+             row_number() OVER (ORDER BY sim_own ASC, vec_id) AS rank
+      FROM bt)
+    SELECT vec_id, CAST(cell AS INT) AS cell,
+           round(sim_own, 6) AS sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def emb_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 out-of-distribution embeddings — lowest best-centroid
+    cosine (operators/similarity.centroid_outliers): the OOD/noise screen
+    before contrastive sampling; corrupted or mislabeled vectors surface
+    here first.  Map-only scoring + one WindowGroupLimit global rank."""
+    from presto_ethereum_spark.operators.similarity import (
+        centroid_outliers,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    return centroid_outliers(e, cents, k=20)

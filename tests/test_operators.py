@@ -4832,3 +4832,65 @@ class TestShingleDfProfile:
             & (F.col("a.id") < F.col("b.id")),
         ).count()
         assert total_work == n_cand
+
+
+class TestCentroidQuality:
+    def _referee(self, spark, n_cells=4):
+        import numpy as np
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        rows = sorted(e.collect(), key=lambda r: r.vec_id)
+        cents = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows[:n_cells]]
+        data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+        best = {}
+        for vid, v in data.items():
+            sims = sorted(
+                (
+                    (
+                        -float(
+                            np.dot(v, np.array(cv))
+                            / (np.linalg.norm(v) * np.linalg.norm(np.array(cv)))
+                        ),
+                        cid,
+                    )
+                    for cid, cv in cents
+                ),
+            )
+            best[vid] = (sims[0][1], -sims[0][0], -sims[1][0])
+        return e, cents, best
+
+    def test_silhouette_matches_numpy(self, spark):
+        from presto_ethereum_spark.operators.similarity import silhouette_by_cell
+
+        e, cents, best = self._referee(spark)
+        got = {r.cell: r for r in silhouette_by_cell(e, cents).collect()}
+        import collections
+
+        agg = collections.defaultdict(list)
+        for cell, a, b in best.values():
+            # float64 fold vs Spark in-order fold can differ in the last
+            # ulp; sil_e6 rounds to integer micro-units so they agree
+            agg[cell].append(round((a - b) / (1.0 - b) * 1e6))
+        for cell, sils in agg.items():
+            r = got[cell]
+            assert r.n_members == len(sils)
+            assert r.sum_sil_e6 == sum(sils)
+            assert r.min_sil_e6 == min(sils) and r.max_sil_e6 == max(sils)
+            assert r.n_negative == sum(1 for s in sils if s < 0)
+
+    def test_outliers_are_lowest_best_sims(self, spark):
+        from presto_ethereum_spark.operators.similarity import centroid_outliers
+
+        e, cents, best = self._referee(spark)
+        got = [(r.rank, r.vec_id, r.cell) for r in centroid_outliers(e, cents, k=5).collect()]
+        want = sorted(((a, vid) for vid, (cell, a, b) in best.items()))[:5]
+        assert [(v, best[v][0]) for _, v in want] == [(v, c) for _, v, c in sorted(got)]
+
+    def test_seed_vectors_have_unit_own_sim(self, spark):
+        from presto_ethereum_spark.operators.similarity import _centroid_best_two
+
+        e, cents, _ = self._referee(spark)
+        rows = {r.id: r for r in _centroid_best_two(e, cents).collect()}
+        for cid, _v in cents:
+            assert rows[cid].cell == cid
+            assert abs(rows[cid].sim_own - 1.0) < 1e-9
