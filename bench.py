@@ -127,6 +127,18 @@ HEADLINE = [
     "rel_asof_nearest",
     "doc_minhash_recall",
     "rel_incremental_agg",
+    # round-7 additions: SQ8 quantized serving, KMV sketch + set algebra,
+    # RAKE keyphrases, Benford audit, posting-list skew profile, lexical
+    # diversity, IVF silhouette + OOD screen
+    "emb_sq8_topk",
+    "rel_kmv_distinct",
+    "rel_kmv_set_ops",
+    "doc_rake_keywords",
+    "rel_benford_deviation",
+    "doc_shingle_df_profile",
+    "doc_lexical_diversity",
+    "emb_silhouette",
+    "emb_outlier_scores",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
