@@ -479,9 +479,18 @@ def _shingle_postings(
     caller's threshold — overlap made of boilerplate is exactly what dedup
     pipelines choose to ignore.  One hot key ("all rights reserved", df
     1e6 on a crawl) would otherwise put 1e12 candidate rows on a single
-    unsplittable join key.  The df aggregation itself is safe on hot keys:
-    groupBy partial-aggregates map-side, so no task ever sees more than
-    its input split of a hot shingle."""
+    unsplittable join key.
+
+    The cap is a WINDOW count over (shingle, blocks) — not the r7
+    groupBy-df + eligibility-join formulation, which recomputed the
+    postings subtree for the df table and paid an extra join per
+    self-join alias (doc_containment_pairs median doubled at sf0.1).
+    The window shuffles the postings on exactly the keys the downstream
+    pair self-join partitions by, so EnsureRequirements reuses the
+    exchange and the CAPPED plan costs the same shuffles as the uncapped
+    one.  A hot shingle lands in one window partition, but counting it
+    is a single linear pass (and it is then dropped) — linear, never
+    df²."""
     d = (
         df.select(
             F.col(id_col).alias("id"),
@@ -494,13 +503,12 @@ def _shingle_postings(
     )
     ex = d.select("id", "sz", *blocks, F.explode("sh").alias("s"))
     if max_df is not None:
-        keep = (
-            ex.groupBy("s", *blocks)
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= F.lit(int(max_df)))
-            .select("s", *blocks)
+        w = Window.partitionBy("s", *blocks)
+        ex = (
+            ex.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= F.lit(int(max_df)))
+            .drop("_df")
         )
-        ex = ex.join(keep, ["s", *blocks])
     return ex
 
 
@@ -532,8 +540,21 @@ def jaccard_pairs(
             "(zero-overlap pairs are never materialized)"
         )
     blocks = list(blocking_cols or [])
-    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
-    a, b = ex.alias("a"), ex.alias("b")
+    # Cap ONE side only — result-identical to capping both: the equi-join
+    # on the shingle means a posting evicted from side a produces zero
+    # rows for that shingle regardless of side b, and a KEPT shingle
+    # (df <= max_df globally per block) is complete on both sides, so
+    # `inter` is unchanged.  The join-work bound is also unchanged
+    # (per kept shingle the b side has the same df <= max_df postings),
+    # and the b alias skips the window pass entirely — the capped plan
+    # pays exactly ONE extra window over the uncapped plan's shuffles.
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, None)
+    exa = (
+        _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
+        if max_df is not None
+        else ex
+    )
+    a, b = exa.alias("a"), ex.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
     for c in blocks:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -660,8 +681,15 @@ def containment_pairs(
             "threshold > 0 (zero-overlap pairs are never materialized)"
         )
     blocks = list(blocking_cols or [])
-    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
-    a, b = ex.alias("a"), ex.alias("b")
+    # one-side cap: identical results + bound at half the cap's cost
+    # (see jaccard_pairs for the equivalence argument)
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, None)
+    exa = (
+        _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
+        if max_df is not None
+        else ex
+    )
+    a, b = exa.alias("a"), ex.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
     for c in blocks:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))

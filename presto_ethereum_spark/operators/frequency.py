@@ -255,30 +255,37 @@ def kmv_set_ops(
         .where(F.col("hv") < F.col("theta"))
         .agg(F.count("*").alias("n_common"))
     )
-    # exact common count among sketches (for the theta-null fallback,
-    # where sketches are whole sets): n_both over ALL sketch hashes
-    all_both = both.agg(F.count("*").alias("n_both_all"))
-    row = (
-        exact.crossJoin(F.broadcast(theta.agg(F.max("theta").alias("theta"))))
-        .crossJoin(F.broadcast(common))
-        .crossJoin(F.broadcast(all_both))
-    )
+    row = exact.crossJoin(
+        F.broadcast(theta.agg(F.max("theta").alias("theta")))
+    ).crossJoin(F.broadcast(common))
     two60 = 1152921504606846976  # 2^60
     est_union = F.when(
         F.col("theta").isNotNull(),
         F.expr(f"CAST({k - 1} AS DECIMAL(38,0)) * {two60} div CAST(theta AS DECIMAL(38,0))"),
     ).otherwise(F.col("exact_union"))
+    # Small-cardinality fallback (theta NULL: the union of sketch contents
+    # has < k hashes, so the sketches ARE the sets): fall back to the EXACT
+    # raw-key values on every estimator — n_both_all (distinct 60-bit
+    # hashes in both sketches) would equal exact_inter only absent hash
+    # collisions, so mixing it with the raw-key exact_union denominator
+    # made "falls back to the exact values" only collision-probably true.
+    # exact_union = 0 (both groups empty) guards to explicit NULL rather
+    # than a silent NULL-by-division.
     est_inter = F.when(
         F.col("theta").isNotNull(),
         F.expr(f"CAST(n_common AS DECIMAL(38,0)) * {two60} div CAST(theta AS DECIMAL(38,0))"),
-    ).otherwise(F.col("n_both_all"))
+    ).otherwise(F.col("exact_inter"))
     est_jac = F.when(
         F.col("theta").isNotNull(),
         F.expr(f"(2 * CAST(n_common AS BIGINT) * 1000000 + {k - 1}) div {2 * (k - 1)}"),
-    ).otherwise(
-        F.expr("(2 * n_both_all * 1000000 + exact_union) div (2 * exact_union)")
+    ).when(
+        F.col("exact_union") > 0,
+        F.expr("(2 * exact_inter * 1000000 + exact_union) div (2 * exact_union)"),
     )
-    exact_jac = F.expr("(2 * exact_inter * 1000000 + exact_union) div (2 * exact_union)")
+    exact_jac = F.when(
+        F.col("exact_union") > 0,
+        F.expr("(2 * exact_inter * 1000000 + exact_union) div (2 * exact_union)"),
+    )
     return row.select(
         F.lit(group_a).alias("group_a"),
         F.lit(group_b).alias("group_b"),

@@ -361,13 +361,29 @@ def silhouette_by_cell(
     Plan: the scoring is map-only (:func:`_centroid_best_two`); the only
     shuffle is the n_cells-key aggregation of integer partials.
 
+    Degenerate geometry guard: ``sim_2nd == 1.0`` (duplicate or collinear
+    centroids — the second-best centroid coincides with the vector) makes
+    the silhouette 0/0; that member's ``sil_e6`` is explicit NULL (the
+    zipf_slope degenerate-fit convention) rather than the NaN that Spark
+    would silently cast to 0L while DuckDB's round(NaN) diverges.  A
+    1-centroid codebook has no second-best distance at all, so it is
+    rejected loudly.
+
     Returns ``(cell, n_members, sum_sil_e6, min_sil_e6, max_sil_e6,
     n_negative)``."""
+    if len(cents) < 2:
+        raise ValueError(
+            f"silhouette_by_cell needs >= 2 centroids, got {len(cents)} "
+            "(silhouette is defined against the second-best centroid)"
+        )
     bt = _centroid_best_two(df, cents, id_col, vec_col)
-    sil = F.round(
-        (F.col("sim_own") - F.col("sim_2nd"))
-        / (F.lit(1.0) - F.col("sim_2nd"))
-        * 1000000
+    sil = F.when(
+        F.col("sim_2nd") < 1.0,
+        F.round(
+            (F.col("sim_own") - F.col("sim_2nd"))
+            / (F.lit(1.0) - F.col("sim_2nd"))
+            * 1000000
+        ),
     ).cast("long")
     return (
         bt.withColumn("sil_e6", sil)

@@ -654,8 +654,9 @@ def merge_changeset(
     multiple-matches error (a second change for a key would otherwise fan
     the base row out once per change).  With ``validate_unique`` (default)
     a duplicate key raises at execution time via ``raise_error``,
-    distributed — no driver-side count; the check costs one window count
-    over the (by-contract tiny) changeset.  Disable only when the
+    distributed — no driver-side count; the check is a groupBy(key) count
+    whose hash partitioning the full-outer join reuses, so it adds zero
+    exchanges to the merge plan.  Disable only when the
     changeset is produced by an upstream that already guarantees it (e.g.
     the CDC compactor's last-op-per-key output)."""
     val_cols = [c for c in base.columns if c != key]
@@ -668,20 +669,38 @@ def merge_changeset(
         F.struct(*[F.col(c) for c in val_cols]).alias("_c"),
     )
     if validate_unique:
-        n_ops = F.count("*").over(Window.partitionBy(key))
-        cs = cs.withColumn(
-            "_op",
-            F.when(
-                n_ops > 1,
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "merge_changeset: multiple changeset rows for key "
-                        ),
-                        F.col(key).cast("string"),
-                    )
-                ),
-            ).otherwise(F.col("_op")),
+        # The check rides the join's own key distribution: a groupBy(key)
+        # whose hash partitioning satisfies the full-outer join's
+        # requirement, so validation adds NO exchange beyond the one the
+        # merge already pays (map-side partial counts; the r7 window
+        # formulation re-shuffled + re-sorted the changeset a second time
+        # and doubled rel_merge_upsert's wall time).  _first is safe: with
+        # _n == 1 it is the only row, with _n > 1 the merge raises.
+        cs = (
+            cs.groupBy(key)
+            .agg(
+                F.count("*").alias("_n"),
+                F.first("_op").alias("_op"),
+                F.first("_c").alias("_c"),
+            )
+            .select(
+                F.col(key),
+                F.when(
+                    F.col("_n") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "merge_changeset: multiple changeset rows "
+                                "for key "
+                            ),
+                            F.col(key).cast("string"),
+                        )
+                    ),
+                )
+                .otherwise(F.col("_op"))
+                .alias("_op"),
+                F.col("_c"),
+            )
         )
     j = bs.join(cs, key, "full_outer")
     action = (

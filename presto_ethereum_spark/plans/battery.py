@@ -1738,10 +1738,25 @@ _DUCK_SHINGLED = """
 # calls) to seconds.  `inter` equals len(list_intersect(..)) exactly
 # (shingle lists are list_distinct'ed), so every downstream jaccard double
 # is bit-identical to the old formulation's.
+#
+# Posting lists are df-CAPPED at max_df=8 within each language block (the
+# dfc CTE), mirroring the max_df=8 every graded jaccard_pairs /
+# containment_pairs call passes: shingles shared by more than 8 same-block
+# documents leave the index before the pair join, so join work is bounded
+# by max_df x total postings (LINEAR in corpus size) instead of the
+# unbounded Sum df² a boilerplate shingle explodes at crawl scale.  Sizes
+# (sz) stay FULL-count, so reported similarity is a lower bound on true
+# Jaccard.  The cap FIRES at the sf0.1 gate (organic max df 14), so the
+# lossy path itself is hash-verified.
 _DUCK_JACCARD_IPAIRS = """
-    ex AS (
+    ex0 AS (
       SELECT s.doc_id, d.lang, len(s.shingles) AS sz, unnest(s.shingles) AS sh
       FROM shingled s JOIN documents d USING (doc_id)),
+    dfc AS (
+      SELECT sh, lang FROM (
+        SELECT sh, lang, count(*) AS df FROM ex0 GROUP BY sh, lang)
+      WHERE df <= 8),
+    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh, lang)),
     ipairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
              count(*) AS inter
@@ -1914,11 +1929,18 @@ def doc_fuzzy_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
 )
 def doc_ngram_jaccard_block(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard pairs >= 0.2 blocked by language — the exact
-    verifier that backs the LSH path, run inside blocking keys."""
+    verifier that backs the LSH path, run inside blocking keys.  Posting
+    lists df-capped at max_df=8 (language blocking does NOT bound
+    boilerplate df within a language; the cap keeps join work linear in
+    corpus size — see _shingle_postings), mirrored in the oracle's dfc
+    CTE and firing at the sf0.1 gate (organic max df 14)."""
     from presto_ethereum_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(
-        t_spread(spark, sf, "documents"), threshold=0.2, blocking_cols=["lang"]
+        t_spread(spark, sf, "documents"),
+        threshold=0.2,
+        blocking_cols=["lang"],
+        max_df=8,
     )
 
 
@@ -1952,11 +1974,16 @@ def doc_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     (O(log n) rounds, localCheckpoint-truncated lineage; see
     operators/dedup.connected_components) — the oracle is a recursive CTE
     computing min reachable id, which is exactly the fixpoint the
-    propagation converges to."""
+    propagation converges to.  The pair stage is df-capped at max_df=8
+    (oracle-mirrored; the same linear-join-work bound as
+    doc_ngram_jaccard_block)."""
     from presto_ethereum_spark.operators.dedup import dup_clusters, jaccard_pairs
 
     pairs = jaccard_pairs(
-        t_spread(spark, sf, "documents"), threshold=0.2, blocking_cols=["lang"]
+        t_spread(spark, sf, "documents"),
+        threshold=0.2,
+        blocking_cols=["lang"],
+        max_df=8,
     )
     return dup_clusters(pairs.select("id_a", "id_b"))
 
@@ -4067,7 +4094,9 @@ def doc_dedup_keepers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = t_spread(spark, sf, "documents")
-    pairs = jaccard_pairs(docs, threshold=0.2, blocking_cols=["lang"])
+    pairs = jaccard_pairs(
+        docs, threshold=0.2, blocking_cols=["lang"], max_df=8
+    )
     clusters = dup_clusters(pairs.select("id_a", "id_b"))
     return cluster_keepers(clusters, docs, rank_col="n_chars")
 
@@ -8261,19 +8290,7 @@ def doc_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     "doc_containment_pairs",
     f"""
     WITH {_DUCK_SHINGLED},
-    ex0 AS (
-      SELECT s.doc_id, d.lang, len(s.shingles) AS sz, unnest(s.shingles) AS sh
-      FROM shingled s JOIN documents d USING (doc_id)),
-    dfc AS (
-      SELECT sh, lang FROM (
-        SELECT sh, lang, count(*) AS df FROM ex0 GROUP BY sh, lang)
-      WHERE df <= 8),
-    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh, lang)),
-    ipairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-             count(*) AS inter
-      FROM ex a JOIN ex b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
+    {_DUCK_JACCARD_IPAIRS}
     SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
            CAST((2 * inter * 1000000 + sz_a) // (2 * sz_a) AS DOUBLE)
              / 1000000 AS cont_a,
@@ -8504,8 +8521,21 @@ def emb_knn_join_ivf(spark: SparkSession, sf: str) -> DataFrame:
                           OR l_returnflag IS NULL THEN 1 END)
       FROM lineitem
       UNION ALL
+      -- mirrors validate_expectations' NULL-key-explicit formula:
+      -- violations = NULL-key rows (can't prove uniqueness) +
+      -- (non-null-key rows - distinct non-null key tuples).  The CASE
+      -- inside count(DISTINCT ..) yields NULL for NULL-key rows, which
+      -- DISTINCT drops — unlike a bare struct tuple, which DuckDB would
+      -- count as distinct and silently diverge from the operator on any
+      -- feed with NULL key columns.
       SELECT 'line_pk_unique', 'unique',
-             count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             count(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL
+                        THEN 1 END)
+             + (count(CASE WHEN l_orderkey IS NOT NULL
+                             AND l_linenumber IS NOT NULL THEN 1 END)
+                - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                        AND l_linenumber IS NOT NULL
+                                      THEN (l_orderkey, l_linenumber) END))
       FROM lineitem)
     SELECT c.rule, c.kind,
            CAST(n.n_rows AS BIGINT) AS n_rows,
@@ -11863,8 +11893,13 @@ def rel_benford_deviation(spark: SparkSession, sf: str) -> DataFrame:
     exp_e6 = F.round(
         F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * 1000000
     ).cast("long")
+    # DECIMAL(38,0) numerator (the rake/shingle-profile idiom): plain
+    # int64 would wrap silently (non-ANSI) past n_obs ~ 4.6e12 rows, and
+    # the DuckDB twin's HUGEINT auto-promotion would make only the Spark
+    # side wrap.
     obs_e6 = F.expr(
-        "(2 * coalesce(n_obs, 0) * 1000000 + n_total) div (2 * n_total)"
+        "(2 * CAST(coalesce(n_obs, 0) AS DECIMAL(38,0)) * 1000000 + n_total)"
+        " div (2 * n_total)"
     )
     return (
         spine.join(counts, "digit", "left")
@@ -11969,8 +12004,7 @@ def doc_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
           SELECT hv, row_number() OVER (ORDER BY hv) AS urn FROM uni)
         WHERE urn = 64)),
     bth AS (SELECT hv FROM sk GROUP BY hv HAVING count(*) = 2),
-    common AS (SELECT count(*) AS n_common FROM bth, th WHERE hv < th.theta),
-    allboth AS (SELECT count(*) AS n_both_all FROM bth)
+    common AS (SELECT count(*) AS n_common FROM bth, th WHERE hv < th.theta)
     SELECT '1-URGENT' AS group_a, '2-HIGH' AS group_b, CAST(64 AS INT) AS k,
            CAST(th.theta AS BIGINT) AS theta,
            CAST(c.n_common AS BIGINT) AS n_common,
@@ -11984,14 +12018,16 @@ def doc_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
            CAST(CASE WHEN th.theta IS NOT NULL
                 THEN (CAST(c.n_common AS HUGEINT) * 1152921504606846976)
                      // th.theta
-                ELSE ab.n_both_all END AS BIGINT) AS est_inter,
+                ELSE e.exact_inter END AS BIGINT) AS est_inter,
            CAST(CASE WHEN th.theta IS NOT NULL
                 THEN (2 * c.n_common * 1000000 + 63) // 126
-                ELSE (2 * ab.n_both_all * 1000000 + e.exact_union)
+                WHEN e.exact_union > 0
+                THEN (2 * e.exact_inter * 1000000 + e.exact_union)
                      // (2 * e.exact_union) END AS BIGINT) AS est_jaccard_e6,
-           CAST((2 * e.exact_inter * 1000000 + e.exact_union)
-                // (2 * e.exact_union) AS BIGINT) AS exact_jaccard_e6
-    FROM exact e, th, common c, allboth ab
+           CAST(CASE WHEN e.exact_union > 0
+                THEN (2 * e.exact_inter * 1000000 + e.exact_union)
+                     // (2 * e.exact_union) END AS BIGINT) AS exact_jaccard_e6
+    FROM exact e, th, common c
     """,
 )
 def rel_kmv_set_ops(spark: SparkSession, sf: str) -> DataFrame:
@@ -12113,8 +12149,10 @@ _DUCK_CENT_BEST2 = f"""
     WITH {_DUCK_CENT_BEST2},
     sil AS (
       SELECT vec_id, cell,
-             CAST(round((sim_own - sim_2nd) / (1 - sim_2nd) * 1000000)
-                  AS BIGINT) AS sil_e6
+             CASE WHEN sim_2nd < 1.0
+                  THEN CAST(round((sim_own - sim_2nd) / (1 - sim_2nd)
+                                  * 1000000) AS BIGINT)
+             END AS sil_e6
       FROM bt)
     SELECT CAST(cell AS INT) AS cell,
            CAST(count(*) AS BIGINT) AS n_members,
