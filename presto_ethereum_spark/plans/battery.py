@@ -9266,6 +9266,54 @@ def stream_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "stream_kmv_distinct",
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start, user_id
+      FROM events WHERE user_id IS NOT NULL),
+    cnt AS (SELECT window_start, count(*) AS n_events FROM ev GROUP BY 1),
+    hv AS (
+      SELECT DISTINCT window_start,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hv
+      FROM ev),
+    rk AS (
+      SELECT window_start, hv,
+             row_number() OVER (PARTITION BY window_start ORDER BY hv) AS rn
+      FROM hv),
+    agg AS (
+      SELECT window_start,
+             count(*) FILTER (WHERE rn <= 64) AS n_sk,
+             max(CASE WHEN rn = 64 THEN hv END) AS kth_min
+      FROM rk GROUP BY 1)
+    SELECT c.window_start,
+           CAST(c.n_events AS BIGINT) AS n_events,
+           CAST(a.n_sk AS BIGINT) AS n_sk,
+           CAST(a.kth_min AS BIGINT) AS kth_min,
+           CAST(CASE WHEN a.kth_min IS NOT NULL
+                THEN (CAST(63 AS HUGEINT) * 1152921504606846976) // a.kth_min
+                ELSE a.n_sk END AS BIGINT) AS est_distinct
+    FROM cnt c JOIN agg a USING (window_start)
+    """,
+)
+def stream_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-hour distinct users as a MERGEABLE KMV sketch in the streaming
+    path (streaming/events.kmv_distinct_stream, k=64): state is k longs
+    per window — not one dropDuplicates entry per distinct user — merged
+    per micro-batch via applyInPandasWithState; KMV merge is commutative
+    and associative, so the settled result is bit-identical to the batch
+    sketch under ANY micro-batch split, and the oracle replays the
+    identical md5-derived sketch closed-form.  kth_min and est_distinct
+    are HASH-gated (the rel_kmv_distinct contract carried into
+    Structured Streaming) — strictly stronger than the HLL entries'
+    tolerance verdicts, because KMV contents are merge-order
+    independent while HLL internals are not."""
+    from presto_ethereum_spark.streaming.events import run_kmv_distinct
+
+    return run_kmv_distinct(spark, sf)
+
+
+@q(
     "rel_revenue_trend",
     """
     WITH rev AS (
@@ -11673,6 +11721,49 @@ def emb_ivf_recall_sampled(spark: SparkSession, sf: str) -> DataFrame:
     if cents is None:
         cents = _IVF_CODEBOOKS[key] = seed_centroids_of(e)
     return _ivf_recall_report(e, cents)
+
+
+@q(
+    "doc_containment_pairs_sampled",
+    _sampled_oracle("doc_containment_pairs", "documents", _DOC_SAMPLE_COND),
+)
+def doc_containment_pairs_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_containment_pairs on the ~50% md5 hash-sample of documents —
+    the routine-health-check mode for the heaviest diagnostic pair join
+    (4-24 s at sf0.1): inverted-index pair work shrinks ~quadratically
+    with the sample while the containment-rate signal survives (a pair is
+    sampled iff both endpoints are).  The df-cap recomputes over the
+    sampled corpus on BOTH sides (Spark and the shadowed-view oracle), so
+    the capped path itself stays hash-verified.  Pipeline and oracle are
+    shared verbatim with the full report."""
+    from presto_ethereum_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _doc_sample(t_spread(spark, sf, "documents")),
+        threshold=0.6,
+        blocking_cols=["lang"],
+        max_df=8,
+    )
+
+
+@q(
+    "doc_ppjoin_pairs_sampled",
+    _sampled_oracle("doc_ppjoin_pairs", "documents", _DOC_SAMPLE_COND),
+)
+def doc_ppjoin_pairs_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """doc_ppjoin_pairs on the ~50% md5 hash-sample of documents — the
+    routine-health-check mode for the lossless exact-threshold join: the
+    prefix-filter index halves and candidate work shrinks ~quadratically;
+    the losslessness proof (full inverted-index oracle vs prefix-filtered
+    Spark plan) is re-run verbatim over the sampled corpus.  Full variant
+    kept for the gate."""
+    from presto_ethereum_spark.operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(
+        _doc_sample(t_spread(spark, sf, "documents")),
+        threshold_num=3,
+        threshold_den=5,
+    )
 
 
 # ---------------------------------------------------------------------------

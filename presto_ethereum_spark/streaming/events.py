@@ -18,7 +18,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over ``events.parquet`` with the schema taken from the
@@ -555,4 +555,127 @@ def run_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_distinct_stream(spark, sf_dir),
         "stream_wdistinct",
         "complete",
+    )
+
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("window_start", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_sk", LongType()),
+        StructField("kth_min", LongType()),
+        StructField("est_distinct", LongType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("hashes", ArrayType(LongType())),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def kmv_distinct_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 64,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Per-hour distinct-user KMV sketch in the micro-batch path: the
+    mergeable k-minimum-values state from operators/frequency.kmv_distinct
+    carried as STREAMING state — ``k`` longs per window, not one state
+    entry per distinct user (the dropDuplicates price
+    ``windowed_distinct_stream`` pays for exactness).  This closes the
+    batch/streaming sketch gap the HLL rollup (rel_hll_partial_merge)
+    closes for batch: per micro-batch the window's state merges the
+    batch's hashes and keeps the k smallest — KMV merge is commutative
+    and associative (the k smallest of a union are among each part's k
+    smallest), so the settled availableNow result is BIT-IDENTICAL to
+    the batch KMV under any micro-batch split.
+
+    Hashes are computed JVM-side (dedup.hash60: 60-bit md5 prefix) before
+    the stateful operator, so the Python state function only merges
+    longs, and a DuckDB oracle replays the identical sketch — the graded
+    columns (kth_min, est_distinct) are therefore HASH-gated bit-exact,
+    strictly stronger than the tolerance-verdict contract the HLL
+    entries need (HLL internals are merge-order-dependent; KMV contents
+    are not).  Estimator: ``(k-1) * 2^60 div kth_min`` in exact integer
+    arithmetic; windows with fewer than k distinct hashes report the
+    exact hash count (n_sk) — the standard small-cardinality fallback.
+
+    Each micro-batch emits the updated windows' current sketch summary;
+    ``n_events`` is a monotone per-window row counter so the settle
+    wrapper keeps exactly the LAST emit per window.  At scale: state is
+    O(k) per open window, the shuffle carries (window, 8-byte hash)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from presto_ethereum_spark.operators.dedup import hash60
+
+    # NULL hashes are filtered JVM-side: one NULL in an Arrow batch would
+    # coerce the int64 hv column to float64, which cannot represent 60-bit
+    # hashes exactly (2^60 > 2^53)
+    stream = (
+        (source if source is not None else _events_source(spark, sf_dir))
+        .select(
+            F.expr("t_us DIV 3600000000 * 3600").alias("window_start"),
+            hash60(F.col("user_id").cast("string")).alias("hv"),
+        )
+        .where(F.col("hv").isNotNull())
+    )
+
+    two60 = 1152921504606846976  # 2^60
+
+    def upd(key, pdf_iter, state: GroupState):
+        (wstart,) = key
+        if state.exists:
+            hashes, n_events = state.get
+            merged = set(hashes)
+        else:
+            merged, n_events = set(), 0
+        for pdf in pdf_iter:
+            n_events += len(pdf)
+            merged.update(int(h) for h in pdf["hv"])
+        topk = sorted(merged)[:k]
+        state.update((topk, n_events))
+        n_sk = len(topk)
+        kth = topk[k - 1] if n_sk == k else None
+        est = (k - 1) * two60 // kth if kth is not None else n_sk
+        yield pd.DataFrame(
+            {
+                "window_start": [int(wstart)],
+                "n_events": [n_events],
+                "n_sk": [n_sk],
+                "kth_min": [kth],
+                "est_distinct": [est],
+            }
+        )
+
+    return stream.groupBy("window_start").applyInPandasWithState(
+        upd,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_kmv_distinct(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 64,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Settle the KMV stream and keep the last emit per window (max of the
+    monotone n_events counter — one row per window whatever the
+    micro-batch split)."""
+    settled = _settle_to_memory(
+        spark, kmv_distinct_stream(spark, sf_dir, k, source), "stream_kmv", "append"
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"))
+    return (
+        settled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )

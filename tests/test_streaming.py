@@ -990,3 +990,79 @@ class TestStreamQualityGate:
         assert out["value_in_range"].n_violations == ev.where(
             ~F.col("value").between(0.0, 1000.0) | F.col("value").isNull()
         ).count()
+
+
+class TestStreamKmvDistinct:
+    """Split-invariance proof for the streaming KMV sketch: a window whose
+    rows span two micro-batches must settle to the same sketch a single
+    batch produces (KMV merge is commutative/associative), and the settled
+    estimator must equal the pure-Python md5 replica bit-for-bit."""
+
+    def test_multi_batch_split_invariance(self, spark, tmp_path):
+        import hashlib
+
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_kmv_distinct
+
+        hour = 3_600_000_000
+        # window 0 spans BOTH files (the state merge under test), with a
+        # duplicate inside file 1 (user 2) and across files (user 3);
+        # window 1 lives in file 2 only
+        f1 = pd.DataFrame({"user_id": [1, 2, 3, 2], "t_us": [10, 20, 30, 40]})
+        f2 = pd.DataFrame({"user_id": [3, 4, 5], "t_us": [50, 60, hour + 10]})
+        src = tmp_path / "in"
+        src.mkdir()
+        f1.to_parquet(src / "a.parquet")
+        f2.to_parquet(src / "b.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, t_us long")
+            .option("maxFilesPerTrigger", 1)  # 2 files -> 2 micro-batches
+            .parquet(str(src))
+        )
+        out = {
+            r.window_start: r
+            for r in run_kmv_distinct(spark, "", k=3, source=stream).collect()
+        }
+
+        def h60(v):
+            return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+        assert set(out) == {0, 3600}
+        w0, w1 = out[0], out[3600]
+        # window 0: 6 rows, 4 distinct users -> sketch caps at k=3
+        top3 = sorted({h60(u) for u in (1, 2, 3, 4)})[:3]
+        assert (w0.n_events, w0.n_sk) == (6, 3)
+        assert w0.kth_min == top3[2]
+        assert w0.est_distinct == 2 * 2**60 // top3[2]
+        # window 1: below k -> exact fallback, no kth_min
+        assert (w1.n_events, w1.n_sk, w1.kth_min, w1.est_distinct) == (1, 1, None, 1)
+
+    def test_single_batch_equals_multi_batch(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_kmv_distinct
+
+        rows = pd.DataFrame(
+            {"user_id": [7 * i % 23 for i in range(40)],
+             "t_us": [i * 100 for i in range(40)]}
+        )
+        one = tmp_path / "one"
+        one.mkdir()
+        rows.to_parquet(one / "all.parquet")
+        many = tmp_path / "many"
+        many.mkdir()
+        for j in range(4):
+            rows.iloc[j * 10 : (j + 1) * 10].to_parquet(many / f"p{j}.parquet")
+
+        def run(path):
+            stream = (
+                spark.readStream.schema("user_id long, t_us long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(path))
+            )
+            return sorted(
+                map(tuple, run_kmv_distinct(spark, "", k=8, source=stream).collect())
+            )
+
+        assert run(one) == run(many)
