@@ -14,9 +14,12 @@ CHUNK RUNS IN ITS OWN FRESH SUBPROCESS/JVM.  r5/r6 measured that a single
 2-6x (same-query medians 3.5 s -> 9.7 s across sessions; in-run spreads up
 to 3.5x on the GC-sensitive pair joins).  Fresh-JVM chunks bound that
 accumulation so round-over-round deltas reflect code, not session history.
-Within a chunk, each query runs REPEATS (default 3; 7 for the
-iterative/GC-sensitive subset) times and the reported number is the MEDIAN,
-with per-query min/max spread recorded in BENCH_DETAIL.json.
+Within a chunk, each query runs one UNTIMED warmup execution (r8: the first
+repeat in a fresh JVM pays JIT/codegen/shuffle-service warmup that was
+inflating min/max spreads >1.5x on 35 queries while leaving medians sound)
+and then REPEATS (default 3; 7 for the iterative/GC-sensitive subset) timed
+runs; the reported number is the MEDIAN of the timed (warm) runs, with
+per-query warm min/max spread recorded in BENCH_DETAIL.json.
 
 Output contract (r7): the LAST stdout line is a <=200-byte summary —
 {"metric","value","unit","sf","n_queries","repeats","iter_repeats",
@@ -139,6 +142,11 @@ HEADLINE = [
     "doc_lexical_diversity",
     "emb_silhouette",
     "emb_outlier_scores",
+    # round-8 additions: sampled health-check variants of the two heaviest
+    # pair joins, streaming KMV distinct sketch
+    "doc_containment_pairs_sampled",
+    "doc_ppjoin_pairs_sampled",
+    "stream_kmv_distinct",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -205,6 +213,14 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
     spread: dict[str, list[float]] = {}
     for name in names:
         n = iter_repeats if name in ITERATIVE else repeats
+        # WARM-MEDIAN CONTRACT (r8): one untimed warmup execution per query
+        # before the timed repeats.  r7 measured 35 non-iterative queries
+        # with >1.5x min->max in-chunk spread purely because the FIRST
+        # repeat pays per-query JIT/shuffle-service/codegen warmup that
+        # min/max then records; medians were already trustworthy, spreads
+        # were not.  The warmup run is identical to a timed run, just not
+        # recorded — spreads in BENCH_DETAIL.json are warm-only.
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         samples: list[float] = []
         for _ in range(n):
             t0 = time.perf_counter()
