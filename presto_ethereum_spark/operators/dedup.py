@@ -512,6 +512,52 @@ def _shingle_postings(
     return ex
 
 
+def _overlap_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    blocks: list[str],
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index pair-count core behind :func:`jaccard_pairs`,
+    :func:`containment_pairs`, and :func:`jaccard_threshold_curve`:
+    ``(id_a, id_b, sz_a, sz_b, inter)`` for every pair of same-block
+    documents sharing at least one (kept) shingle, id_a < id_b.
+
+    Cap is applied to ONE side only — result-identical to capping both:
+    eviction is all-or-nothing per shingle (every posting of an over-cap
+    shingle carries the same window count), so an evicted shingle
+    produces zero join rows whatever the other side holds, and a KEPT
+    shingle (df <= max_df globally per block) is complete on both sides —
+    ``inter`` is unchanged.  The join-work bound is also unchanged (per
+    kept shingle the uncapped side holds the same df <= max_df
+    postings), and the uncapped alias skips the window pass entirely:
+    the capped plan pays exactly ONE extra window over the uncapped
+    plan's shuffles (measured at sf0.1: containment 8.9 s with the r7
+    both-sides groupBy+join cap -> 4.3 s)."""
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, None)
+    exa = (
+        _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
+        if max_df is not None
+        else ex
+    )
+    a, b = exa.alias("a"), ex.alias("b")
+    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -540,34 +586,7 @@ def jaccard_pairs(
             "(zero-overlap pairs are never materialized)"
         )
     blocks = list(blocking_cols or [])
-    # Cap ONE side only — result-identical to capping both: the equi-join
-    # on the shingle means a posting evicted from side a produces zero
-    # rows for that shingle regardless of side b, and a KEPT shingle
-    # (df <= max_df globally per block) is complete on both sides, so
-    # `inter` is unchanged.  The join-work bound is also unchanged
-    # (per kept shingle the b side has the same df <= max_df postings),
-    # and the b alias skips the window pass entirely — the capped plan
-    # pays exactly ONE extra window over the uncapped plan's shuffles.
-    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, None)
-    exa = (
-        _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
-        if max_df is not None
-        else ex
-    )
-    a, b = exa.alias("a"), ex.alias("b")
-    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
-    for c in blocks:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _overlap_pair_counts(df, text_col, id_col, shingle_n, blocks, max_df)
     # same exact-integer division as jaccard_from_shingles -> same double
     uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
@@ -578,6 +597,62 @@ def jaccard_pairs(
             "id_b",
             round6_ratio(F.col("inter"), F.col("uni")).alias("jaccard_sim"),
         )
+    )
+
+
+def jaccard_threshold_curve(
+    df: DataFrame,
+    blocking_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Pair-count histogram over the Jaccard axis — the threshold-TUNING
+    curve a dedup pipeline reads before choosing its cutoff: for each
+    bucket ``b`` (J in [b/n_buckets, (b+1)/n_buckets), J = 1.0 lands in
+    bucket n_buckets), how many overlapping pairs fall there and how many
+    pairs a threshold of b/n_buckets would emit (``n_at_or_above``, the
+    cumulative tail).  Running the dedup join once per candidate
+    threshold is n_thresholds corpus passes; this is ONE pass over the
+    same capped inverted-index join :func:`jaccard_pairs` uses (all
+    overlapping pairs materialize — bounded by the ``max_df`` cap, which
+    is what makes "no threshold filter" safe at crawl scale).
+
+    Bucketing is exact integer arithmetic — ``(inter * n_buckets) div
+    uni`` — so no double ever decides a bucket boundary (the
+    ROUNDING_AUDIT.md tie class).  Zero-count buckets still report (the
+    spine join), so the curve's schema and row count are stable.
+
+    Returns ``(bucket, j_lo, n_pairs, n_at_or_above)``."""
+    blocks = list(blocking_cols or [])
+    inter = _overlap_pair_counts(df, text_col, id_col, shingle_n, blocks, max_df)
+    hist = (
+        inter.select(
+            F.expr(f"(inter * {int(n_buckets)}) div (sz_a + sz_b - inter)")
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    spine = (
+        df.sparkSession.range(0, n_buckets + 1)
+        .select(F.col("id").cast("int").alias("bucket"))
+    )
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hist, "bucket", "left")
+        .select(
+            "bucket",
+            round6_ratio(F.col("bucket"), F.lit(n_buckets)).alias("j_lo"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        )
+        .withColumn("n_at_or_above", F.sum("n_pairs").over(w).cast("long"))
     )
 
 
@@ -681,28 +756,7 @@ def containment_pairs(
             "threshold > 0 (zero-overlap pairs are never materialized)"
         )
     blocks = list(blocking_cols or [])
-    # one-side cap: identical results + bound at half the cap's cost
-    # (see jaccard_pairs for the equivalence argument)
-    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, None)
-    exa = (
-        _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
-        if max_df is not None
-        else ex
-    )
-    a, b = exa.alias("a"), ex.alias("b")
-    cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
-    for c in blocks:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    inter = _overlap_pair_counts(df, text_col, id_col, shingle_n, blocks, max_df)
     keep = (
         (F.col("inter") / F.col("sz_a")) >= threshold
     ) | ((F.col("inter") / F.col("sz_b")) >= threshold)

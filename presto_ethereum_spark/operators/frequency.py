@@ -303,6 +303,95 @@ def kmv_set_ops(
     )
 
 
+def misra_gries_heavy(
+    df: DataFrame,
+    value_col: str,
+    k: int = 96,
+) -> DataFrame:
+    """VERIFIED heavy hitters via Misra–Gries summaries (Misra & Gries,
+    "Finding repeated elements", Sci.Comp.Prog.'82; merge/reduce per
+    Agarwal et al., "Mergeable summaries", PODS'12): every value whose
+    exact count exceeds ``N / (k+1)`` — with its exact count.
+
+    The missing member of the sketch family next to CMS (point
+    estimates), HLL/KMV (distinct counts), and Bloom (membership): a
+    deterministic heavy-hitter summary whose state is ``k`` counters per
+    partition REGARDLESS of cardinality.  Each partition folds its rows
+    into a k-counter MG summary (vectorized: per Arrow batch,
+    value_counts merges into the counter table; when it exceeds k
+    entries, subtract the (k+1)-th largest count from all and drop
+    non-positives — the PODS'12 reduce).  The per-partition guarantee —
+    undercount <= N_p/(k+1) — gives the global one by pigeonhole: any
+    value with total count > N/(k+1) = Σ N_p/(k+1) beats the bound in at
+    least one partition and survives that summary.  The candidate union
+    (<= k per partition) is then verified with EXACT counts and the
+    threshold filter, so the OUTPUT is deterministic — independent of
+    partitioning and batch boundaries even though each summary is not —
+    which is what makes an approximate structure hash-gradeable (the
+    repo's sketch contract).
+
+    Plan: one corpus pass emits <= k candidates + one count row per
+    partition (mapInPandas, O(k) state); n_total sums the count rows; the
+    verification pass re-scans filtered by the broadcast candidate set
+    into a map-side-combined exact count.  Nothing proportional to
+    cardinality ever shuffles — the CMS/top-k alternative
+    (``doc_heavy_tokens``) shuffles sketch cells; this shuffles
+    candidates.
+
+    Returns ``(value, n, n_total, share_e6)``, share in half-up
+    micro-units."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    vals = df.select(F.col(value_col).cast("string").alias("v")).where(
+        F.col(value_col).isNotNull()
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters = None
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            c = pdf["v"].value_counts()
+            counters = c if counters is None else counters.add(c, fill_value=0)
+            if len(counters) > k:
+                # PODS'12 reduce: subtract the (k+1)-th largest count from
+                # every counter, keep the strictly-positive ones (<= k
+                # survive; total deduction per element <= N_p/(k+1))
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        cand = [] if counters is None else list(counters.index)
+        # candidate rows carry v; ONE trailing row per partition carries
+        # the partition's row count under v = NULL (n_total rides the
+        # same single pass instead of a second corpus scan)
+        yield pd.DataFrame(
+            {"v": cand + [None], "n_part": [0] * len(cand) + [n_part]}
+        )
+
+    summary = vals.mapInPandas(summarize, "v string, n_part long")
+    cand = summary.where(F.col("v").isNotNull()).select("v").distinct()
+    total = summary.where(F.col("v").isNull()).agg(
+        F.sum("n_part").alias("n_total")
+    )
+    return (
+        vals.join(F.broadcast(cand), "v")
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * (k + 1) > F.col("n_total"))
+        .select(
+            F.col("v").alias("value"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.expr("(2 * n * 1000000 + n_total) div (2 * n_total)")
+            .cast("long")
+            .alias("share_e6"),
+        )
+    )
+
+
 def _hash_mod(value: Column, prefix: str, modulus: int) -> Column:
     """First 8 md5 hex digits of (prefix || value) mod ``modulus`` — the
     one seedable, engine-portable hash construction behind the CMS rows

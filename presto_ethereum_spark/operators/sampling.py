@@ -80,6 +80,48 @@ def split_assign(
     return df.withColumn(split_col, expr)
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: assignment is keyed by the
+    near-dup CLUSTER id, not the document id, so every member of a
+    duplicate cluster lands in the SAME split by construction — the fix
+    for the contamination :func:`split_assign` alone cannot prevent
+    (near-identical documents straddling train and test inflate eval;
+    ``doc_split_leakage`` MEASURES that leakage, this op makes it zero).
+
+    ``clusters`` is :func:`operators.dedup.dup_clusters` output
+    ``(doc_id, cluster_id, cluster_size)`` — deliberately sparse (only
+    documents that appear in some near-dup pair); documents absent from
+    it are singletons and key their split by their own id
+    (cluster_id = doc_id, size 1), so the split stays total over the
+    corpus.
+
+    Scale: the membership join is one id equi-join against the (small)
+    cluster table — the corpus-sized side never shuffles if the pair
+    list broadcasts (AQE decides) — and the assignment itself is the
+    same pure map-side md5-bucket expression as :func:`split_assign`:
+    stable under any partitioning, engine-reproducible.
+
+    Returns ``(doc_id, cluster_id, cluster_size, split)``."""
+    full = (
+        docs.select(F.col(id_col))
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+        )
+    )
+    return split_assign(full, "cluster_id", weights, salt=salt)
+
+
 def stratified_take(
     df: DataFrame,
     strata: str,

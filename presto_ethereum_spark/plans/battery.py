@@ -12304,3 +12304,132 @@ def emb_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
     if cents is None:
         cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
     return centroid_outliers(e, cents, k=20)
+
+
+@q(
+    "doc_jaccard_threshold_curve",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_JACCARD_IPAIRS},
+    hist AS (
+      SELECT (inter * 10) // (sz_a + sz_b - inter) AS bucket,
+             count(*) AS n_pairs
+      FROM ipairs GROUP BY 1)
+    SELECT s.bucket,
+           CAST((2 * s.bucket * 1000000 + 10) // 20 AS DOUBLE) / 1000000
+             AS j_lo,
+           CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(sum(coalesce(h.n_pairs, 0)) OVER (
+               ORDER BY s.bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_at_or_above
+    FROM (SELECT CAST(unnest(range(0, 11)) AS INT) AS bucket) s
+    LEFT JOIN hist h USING (bucket)
+    """,
+)
+def doc_jaccard_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-tuning curve for the dedup cutoff
+    (operators/dedup.jaccard_threshold_curve): pair counts per Jaccard
+    decile plus the cumulative tail — "how many pairs would threshold t
+    emit" read off ONE pass of the same df-capped (max_df=8) inverted
+    index the dedup join uses, instead of one corpus pass per candidate
+    threshold.  Buckets decided by exact integer div (never a double);
+    zero buckets report via the 11-row spine."""
+    from presto_ethereum_spark.operators.dedup import jaccard_threshold_curve
+
+    return jaccard_threshold_curve(
+        t_spread(spark, sf, "documents"), blocking_cols=["lang"], max_df=8
+    )
+
+
+@q(
+    "doc_cluster_safe_split",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLED},
+    {_DUCK_JACCARD_IPAIRS},
+    pairs AS (
+      SELECT id_a, id_b FROM ipairs
+      WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id),
+    comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+    sized AS (
+      SELECT doc_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp),
+    fulltab AS (
+      SELECT d.doc_id,
+             coalesce(s.cluster_id, d.doc_id) AS cluster_id,
+             coalesce(s.cluster_size, 1) AS cluster_size
+      FROM documents d LEFT JOIN sized s USING (doc_id)),
+    bkt AS (
+      SELECT doc_id, cluster_id, cluster_size,
+             {_DUCK_BUCKET.format(salt="v1", key="cluster_id", buckets=100)}
+               AS bucket
+      FROM fulltab)
+    SELECT doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bkt
+    """,
+)
+def doc_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (operators/sampling.
+    cluster_safe_split): the 90/5/5 assignment is keyed by the near-dup
+    CLUSTER id (df-capped jaccard pairs at 0.2 -> connected components),
+    so no near-dup pair can straddle train and test BY CONSTRUCTION —
+    the prevention op next to doc_split_leakage's measurement op.
+    Singletons key by their own id; assignment is the same map-side
+    md5-bucket expression as doc_split_counts, engine-replayed exactly
+    by the oracle."""
+    from presto_ethereum_spark.operators.dedup import dup_clusters, jaccard_pairs
+    from presto_ethereum_spark.operators.sampling import cluster_safe_split
+
+    docs = t_spread(spark, sf, "documents")
+    pairs = jaccard_pairs(
+        docs, threshold=0.2, blocking_cols=["lang"], max_df=8
+    )
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    return cluster_safe_split(
+        docs, clusters, {"train": 90, "val": 5, "test": 5}, salt="v1"
+    )
+
+
+@q(
+    "eth_token_heavy_hitters",
+    f"""
+    WITH t AS (
+      SELECT erc20_token AS v FROM read_parquet('{ETH}/erc20.parquet')
+      WHERE erc20_token IS NOT NULL),
+    n AS (SELECT count(*) AS n_total FROM t),
+    c AS (SELECT v, count(*) AS n FROM t GROUP BY v)
+    SELECT c.v AS value,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(n.n_total AS BIGINT) AS n_total,
+           CAST((2 * c.n * 1000000 + n.n_total) // (2 * n.n_total)
+                AS BIGINT) AS share_e6
+    FROM c, n WHERE c.n * 97 > n.n_total
+    """,
+)
+def eth_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Verified ERC-20 heavy-hitter tokens via Misra-Gries summaries
+    (operators/frequency.misra_gries_heavy, k=96): every token with
+    > 1/97 of all transfers, with exact counts — the deterministic
+    bounded-state heavy-hitter sketch next to CMS/HLL/KMV/Bloom.  The
+    token column's long tail (2,918 distinct values over 5,808 transfers
+    in the fixture) forces the k-counter reduce to actually fire, while
+    38 symbols clear the verification threshold — neither the lossy path
+    nor the output is vacuous.  The oracle is the exact closed form; the
+    Spark plan's state is k counters per partition and the only shuffles
+    carry <= k candidates/partition plus the filtered exact count."""
+    from presto_ethereum_spark.operators.frequency import misra_gries_heavy
+
+    erc20 = _eth_tables(spark).table("erc20")
+    return misra_gries_heavy(erc20, "erc20_token", k=96)

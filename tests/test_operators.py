@@ -4894,3 +4894,111 @@ class TestCentroidQuality:
         for cid, _v in cents:
             assert rows[cid].cell == cid
             assert abs(rows[cid].sim_own - 1.0) < 1e-9
+
+
+class TestMisraGriesHeavy:
+    """Output determinism + the per-partition guarantee: verified heavy
+    hitters must equal the exact closed form even when k is far below the
+    distinct count (reduce firing constantly) and whatever the
+    partitioning."""
+
+    @pytest.fixture(scope="class")
+    def skewed_stream(self, spark):
+        # 2 heavy values (30% + 20%), long tail of 500 singletons
+        rows = (["hot"] * 300 + ["warm"] * 200) + [f"tail{i}" for i in range(500)]
+        return spark.createDataFrame([(v,) for v in rows], "v string")
+
+    def test_matches_exact_closed_form(self, spark, skewed_stream):
+        from presto_ethereum_spark.operators.frequency import misra_gries_heavy
+
+        k = 8  # threshold N/9 ~ 111: only hot (300) and warm (200) qualify
+        got = {
+            r.value: (r.n, r.n_total)
+            for r in misra_gries_heavy(skewed_stream, "v", k=k).collect()
+        }
+        assert got == {"hot": (300, 1000), "warm": (200, 1000)}
+
+    def test_partitioning_invariance(self, spark, skewed_stream):
+        from presto_ethereum_spark.operators.frequency import misra_gries_heavy
+
+        outs = []
+        for parts in (1, 7, 32):
+            df = skewed_stream.repartition(parts)
+            outs.append(
+                sorted(map(tuple, misra_gries_heavy(df, "v", k=8).collect()))
+            )
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_no_heavy_hitters_is_empty_not_error(self, spark):
+        from presto_ethereum_spark.operators.frequency import misra_gries_heavy
+
+        flat = spark.createDataFrame([(f"u{i}",) for i in range(100)], "v string")
+        assert misra_gries_heavy(flat, "v", k=4).count() == 0
+
+
+class TestClusterSafeSplit:
+    def test_no_pair_straddles_splits_and_split_is_total(self, spark):
+        from presto_ethereum_spark.operators.dedup import (
+            dup_clusters,
+            jaccard_pairs,
+        )
+        from presto_ethereum_spark.operators.sampling import cluster_safe_split
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pairs = jaccard_pairs(
+            docs, threshold=0.2, blocking_cols=["lang"], max_df=8
+        )
+        clusters = dup_clusters(pairs.select("id_a", "id_b"))
+        out = cluster_safe_split(docs, clusters, salt="v1")
+        # total: every document assigned exactly once
+        assert out.count() == docs.count()
+        assert out.where(F.col("split").isNull()).count() == 0
+        split_of = {r.doc_id: r.split for r in out.collect()}
+        straddling = [
+            (r.id_a, r.id_b)
+            for r in pairs.collect()
+            if split_of[r.id_a] != split_of[r.id_b]
+        ]
+        assert straddling == []
+
+    def test_singletons_key_by_own_id(self, spark):
+        from presto_ethereum_spark.operators.sampling import (
+            cluster_safe_split,
+            split_assign,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        empty = spark.createDataFrame(
+            [], "doc_id long, cluster_id long, cluster_size long"
+        )
+        out = cluster_safe_split(docs, empty, salt="v1")
+        ref = split_assign(docs, "doc_id", salt="v1")
+        assert sorted((r.doc_id, r.split) for r in out.collect()) == sorted(
+            (r.doc_id, r.split) for r in ref.collect()
+        )
+
+
+class TestJaccardThresholdCurve:
+    def test_cumulative_matches_pair_join(self, spark):
+        from presto_ethereum_spark.operators.dedup import (
+            jaccard_pairs,
+            jaccard_threshold_curve,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        curve = {
+            r.bucket: r
+            for r in jaccard_threshold_curve(
+                docs, blocking_cols=["lang"], max_df=8
+            ).collect()
+        }
+        assert set(curve) == set(range(11))
+        # n_at_or_above is a non-increasing tail ending at bucket 10's count
+        tail = [curve[b].n_at_or_above for b in range(11)]
+        assert tail == sorted(tail, reverse=True)
+        assert curve[10].n_at_or_above == curve[10].n_pairs
+        # bucket-2 tail == pairs the dedup join emits at threshold 0.2
+        n_02 = jaccard_pairs(
+            docs, threshold=0.2, blocking_cols=["lang"], max_df=8
+        ).count()
+        assert curve[2].n_at_or_above == n_02
