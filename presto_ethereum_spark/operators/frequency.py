@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap", "kmv_distinct", "kmv_set_ops"]
+__all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap", "kmv_distinct", "kmv_set_ops", "histogram_quantiles"]
 
 
 def _mg_candidates_kernel(k: int):
@@ -597,4 +597,94 @@ def cooccurrence_overlap(
                 F.col("n_both"), F.col("n_a") + F.col("n_b") - F.col("n_both")
             ).alias("jaccard"),
         )
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 64,
+    quantiles: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Quantile estimation from a MERGEABLE equi-width histogram, with an
+    exact referee that never sorts the full table — the quantile member
+    of the sketch family next to CMS (frequency), HLL/KMV (distinct),
+    Bloom (membership), and Misra–Gries (heavy hitters).
+
+    Plan: (1) one aggregate for (min, max, n); (2) one map-side pass
+    assigns each row an integer bucket ``(x - min) div w`` — the
+    ``groupBy(bucket)`` histogram is the sketch, and Spark's partial
+    aggregation IS the mergeable-summary step (per-partition partials of
+    <= n_buckets counters, merged by sum: exactly how the histogram
+    would merge across days/shards); (3) each requested quantile finds
+    its bucket from the <= n_buckets cumulative rows and reports the
+    bucket's exact integer bounds and midpoint as the estimate (error
+    <= w/2 by construction); (4) the EXACT value at the target rank is
+    recovered by sorting ONLY the selected buckets (expected n/n_buckets
+    rows each), never the corpus — rank-within-bucket = target rank
+    minus the cumulative count below the bucket.  All arithmetic is
+    integer (target rank = ceil(q*n/100) via (q*n + 99) div 100), so the
+    report is hash-exact across engines.
+
+    At 100 TB: phases 1-2 are two linear scans with counter-sized
+    shuffles (the histogram could be maintained incrementally per
+    ingest batch and merged — same counters); the referee narrows the
+    only sort to ~n/n_buckets rows per quantile.  err_cents (estimate -
+    exact) IS the diagnostic: it verifies the histogram's error bound
+    holds on real data rather than assuming it."""
+    v = df.select(F.col(value_col).cast("bigint").alias("x"))
+    b = v.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
+    ).select(
+        "mn", "mx", "n", (F.expr(f"(mx - mn) div {n_buckets}") + 1).alias("w")
+    )
+    vb = v.crossJoin(F.broadcast(b)).select(
+        F.expr("(x - mn) div w").alias("bucket"), "x"
+    )
+    hist = vb.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    hc = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    qs = df.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles], "qpct int"
+    )
+    tr = qs.crossJoin(F.broadcast(b)).select(
+        "qpct", F.expr("(qpct * n + 99) div 100").alias("r"), "mn", "w"
+    )
+    sel = tr.join(
+        F.broadcast(hc),
+        (F.col("cum") >= F.col("r"))
+        & (F.col("cum") - F.col("cnt") < F.col("r")),
+    ).select(
+        "qpct",
+        "bucket",
+        "mn",
+        "w",
+        "cnt",
+        (F.col("r") - (F.col("cum") - F.col("cnt"))).alias("rr"),
+    )
+    rows = vb.join(F.broadcast(sel.select("qpct", "bucket", "rr")), "bucket")
+    exact = (
+        rows.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qpct").orderBy("x")),
+        )
+        .where(F.col("rn") == F.col("rr"))
+        .select("qpct", F.col("x").alias("exact_cents"))
+    )
+    lo = F.col("mn") + F.col("bucket") * F.col("w")
+    return sel.join(exact, "qpct").select(
+        F.col("qpct").cast("int").alias("qpct"),
+        F.col("bucket").cast("int").alias("bucket"),
+        lo.alias("lo_cents"),
+        (lo + F.col("w") - 1).alias("hi_cents"),
+        (lo + F.expr("(w - 1) div 2")).alias("est_mid_cents"),
+        F.col("cnt").cast("bigint").alias("bucket_n"),
+        "exact_cents",
+        (lo + F.expr("(w - 1) div 2") - F.col("exact_cents")).alias(
+            "err_cents"
+        ),
     )

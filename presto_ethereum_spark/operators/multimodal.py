@@ -45,6 +45,7 @@ __all__ = [
     "PHASH_SCHEMA",
     "perceptual_hash",
     "phash_near_dup_pairs",
+    "bytes_profile",
 ]
 
 # media table: one row per asset; bytes + typed metadata
@@ -434,3 +435,53 @@ def phash_near_dup_pairs(
             "id_a", "id_b", ham.cast("int").alias("hamming")
         )
     )
+
+
+def bytes_profile(df: DataFrame, id_col: str = "media_id", data_col: str = "data") -> DataFrame:
+    """Corrupt/degenerate-payload screen over raw media bytes, pure JVM —
+    no codec, no Python: truncated downloads, zero-padded blobs, and
+    single-byte-repeated corruption all collapse the byte distribution,
+    so distributional stats on the bytes themselves are the first-pass
+    health check a 100 TB media crawl runs BEFORE spending decode CPU.
+
+    Works on the hex expansion (2 nibbles/byte): per asset, the 16
+    nibble counts come from 16 ``length - length(replace(...))`` scalar
+    expressions — entirely map-side, zero shuffle, whole-stage-codegen —
+    and reduce to (a) ``distinct_nibbles`` (collapsed alphabet =>
+    corruption) and (b) a Simpson collision index Σc² / n² in exact e6
+    micro-units (uniform random bytes => ~62500 = 1/16; a constant-byte
+    blob => 1000000; natural encodings sit between, so the ``suspect``
+    flag at >= 250000 catches padded/constant payloads without decoding
+    them).  The Σc² sum runs in DECIMAL(38,0) — at petabyte blobs the
+    int64 square would wrap (the benford/rake overflow idiom).
+
+    Half-even-free rounding: simpson_e6 = (2*Σc²*1e6 + n²) div (2*n²)
+    — round-half-up in pure integer arithmetic, NULL (not a crash) for
+    empty payloads via nullif."""
+    syms = "0123456789ABCDEF"
+    base = df.select(
+        F.col(id_col), F.hex(F.col(data_col)).alias("h")
+    )
+    cnts = [
+        (
+            F.length("h") - F.length(F.replace(F.col("h"), F.lit(s)))
+        ).alias(f"c{s}")
+        for s in syms
+    ]
+    prof = base.select(
+        id_col, F.length("h").cast("bigint").alias("n_nibbles"), *cnts
+    )
+    sumsq = "CAST(0 AS DECIMAL(38,0))"
+    for s in syms:
+        sumsq = f"({sumsq} + CAST(c{s} AS DECIMAL(38,0)) * c{s})"
+    ndist = " + ".join(f"(CASE WHEN c{s} > 0 THEN 1 ELSE 0 END)" for s in syms)
+    nsq = "CAST(n_nibbles AS DECIMAL(38,0)) * n_nibbles"
+    return prof.select(
+        id_col,
+        F.expr("n_nibbles div 2").alias("n_bytes"),
+        F.expr(f"CAST(({ndist}) AS INT)").alias("distinct_nibbles"),
+        F.expr(
+            f"CAST((2 * {sumsq} * 1000000 + {nsq})"
+            f" div nullif(2 * {nsq}, 0) AS BIGINT)"
+        ).alias("simpson_e6"),
+    ).withColumn("suspect", F.col("simpson_e6") >= 250000)

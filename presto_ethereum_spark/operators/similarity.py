@@ -40,6 +40,7 @@ __all__ = [
     "kmeans_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_probe_curve",
     "ivf_knn_join",
     "ivf_topk_from_index",
     "quantize_error",
@@ -1967,5 +1968,106 @@ def jl_rerank_topk(
             F.coalesce(F.col("in_exact_topk"), F.lit(False)).alias(
                 "in_exact_topk"
             ),
+        )
+    )
+
+
+def ivf_probe_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k vs ``nprobe`` tuning curve for an IVF index, from ONE pass
+    of the corpus — the measurement every IVF deployment runs to pick its
+    probe budget (recall rises with nprobe, serving cost rises linearly;
+    the curve is where the trade is read off), computed for ALL nprobe
+    levels 1..n_cells at once instead of one serve pass per level.
+
+    One-pass trick: a candidate enters the nprobe=p result set iff the
+    cell rank of ITS cell in the query's centroid ranking (``crank``) is
+    <= p, so each scored candidate explodes into rows for p = crank ..
+    n_cells and a single window per (query, p) takes top-k.  Scale: the
+    corpus is scanned once (cell assignment is the same map-side literal
+    codebook as :func:`ivf_assign`, queries broadcast); the explode
+    multiplies only the probe-set candidates (|queries| x corpus x <=
+    n_cells rows), and the probe set is sampled-small by construction —
+    recall estimation never needs every query.  Truth is
+    :func:`brute_force_topk` on the same probe set.
+
+    Reference anchor: the nprobe knob of any IVF index (FAISS `nprobe`);
+    the curve op itself follows doc_jaccard_threshold_curve's
+    one-pass-per-candidate-threshold design."""
+    n_cells = len(centroids)
+    assigned = ivf_assign(corpus, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
+    )
+    scored = _centroid_scores(F.col(vec_col), centroids)
+    qr = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _d(F.col(vec_col)).alias("qvd"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+            F.posexplode(F.reverse(F.array_sort(scored))).alias("pos", "sc"),
+        ).select(
+            "query_id",
+            "qvd",
+            "qn",
+            (F.col("pos") + 1).alias("crank"),
+            F.col("sc.cid").alias("cid"),
+        )
+    )
+    cand = (
+        assigned.withColumn("cvd", _d(F.col("cv")))
+        .withColumn("cn", l2_norm(F.col("cvd")))
+        .join(qr, F.col("cell") == F.col("cid"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "crank",
+            _cosine_staged(
+                F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn")
+            ).alias("sim"),
+        )
+    )
+    expanded = cand.select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        F.explode(F.sequence("crank", F.lit(n_cells))).alias("nprobe"),
+    )
+    w = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    approx = (
+        expanded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "nprobe"
+    ).agg(F.count("*").alias("n"))
+    spine = (
+        corpus.sparkSession.range(1, n_cells + 1)
+        .select(F.col("id").cast("int").alias("nprobe"))
+    )
+    return (
+        spine.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "nprobe",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            (
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_k"),
         )
     )

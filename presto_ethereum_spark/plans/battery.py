@@ -12433,3 +12433,202 @@ def eth_token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 
     erc20 = _eth_tables(spark).table("erc20")
     return misra_gries_heavy(erc20, "erc20_token", k=96)
+
+
+@q(
+    "emb_ivf_probe_curve",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {{cos}} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    qrank AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cid) AS crank
+      FROM cscored WHERE vec_id < 5
+    ),
+    expanded AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id, p.p,
+             {{pcos}} AS sim
+      FROM qrank q
+      JOIN assign a ON a.cid = q.cid AND a.vec_id != q.query_id
+      JOIN (SELECT unnest(generate_series(1, 8)) AS p) p ON p.p >= q.crank
+    ),
+    approx AS (
+      SELECT p, query_id, neighbor_id FROM (
+        SELECT p, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id, p
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM expanded) WHERE rank <= 10
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {{bcos}} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 5)
+      WHERE rank <= 10
+    ),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    hits AS (
+      SELECT a.p, count(*) AS n
+      FROM approx a JOIN truth t
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY a.p)
+    SELECT CAST(s.p AS INT) AS nprobe,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+             AS recall_at_k
+    FROM (SELECT unnest(generate_series(1, 8)) AS p) s
+    LEFT JOIN hits h ON h.p = s.p
+    CROSS JOIN nt
+    """.replace("{cos}", _duck_cos("c.cvec", "e.embedding"))
+    .replace("{pcos}", _duck_cos("q.qvec", "a.embedding"))
+    .replace("{bcos}", _duck_cos("a.embedding", "b.embedding")),
+)
+def emb_ivf_probe_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 vs nprobe for ALL probe budgets 1..8 from ONE corpus
+    pass (operators/similarity.ivf_probe_curve) — the tuning curve that
+    picks the IVF serving knob, next to emb_ivf_recall's single-point
+    measurement and doc_jaccard_threshold_curve's dedup analog.  A
+    candidate is in the nprobe=p result iff its cell's rank in the
+    query's centroid ordering <= p, so one scored candidate set +
+    explode(crank..8) + one window replaces 8 serve passes.  The oracle
+    replays the entire curve closed-form in SQL."""
+    from presto_ethereum_spark.operators.similarity import (
+        ivf_probe_curve,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    cents = _IVF_CODEBOOKS.get(sf)
+    if cents is None:
+        cents = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    return ivf_probe_curve(e, e.where(F.col("vec_id") < 5), cents, k=10)
+
+
+@q(
+    "rel_histogram_quantiles",
+    """
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+    b AS (
+      SELECT min(x) AS mn, max(x) AS mx, count(*) AS n,
+             (max(x) - min(x)) // 64 + 1 AS w
+      FROM c),
+    vb AS (SELECT (x - mn) // w AS bucket, x FROM c CROSS JOIN b),
+    hist AS (SELECT bucket, count(*) AS cnt FROM vb GROUP BY bucket),
+    hc AS (
+      SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+    qs AS (SELECT unnest([25, 50, 75, 90, 99]) AS qpct),
+    tr AS (SELECT qpct, (qpct * n + 99) // 100 AS r, mn, w
+           FROM qs CROSS JOIN b),
+    sel AS (
+      SELECT t.qpct, hc.bucket, t.mn, t.w, hc.cnt,
+             t.r - (hc.cum - hc.cnt) AS rr
+      FROM tr t JOIN hc ON hc.cum >= t.r AND hc.cum - hc.cnt < t.r),
+    ex AS (
+      SELECT s.qpct, v.x, s.rr,
+             row_number() OVER (PARTITION BY s.qpct ORDER BY v.x) AS rn
+      FROM sel s JOIN vb v ON v.bucket = s.bucket),
+    exact AS (SELECT qpct, x AS exact_cents FROM ex WHERE rn = rr)
+    SELECT CAST(s.qpct AS INT) AS qpct,
+           CAST(s.bucket AS INT) AS bucket,
+           CAST(s.mn + s.bucket * s.w AS BIGINT) AS lo_cents,
+           CAST(s.mn + s.bucket * s.w + s.w - 1 AS BIGINT) AS hi_cents,
+           CAST(s.mn + s.bucket * s.w + (s.w - 1) // 2 AS BIGINT)
+             AS est_mid_cents,
+           CAST(s.cnt AS BIGINT) AS bucket_n,
+           e.exact_cents,
+           CAST(s.mn + s.bucket * s.w + (s.w - 1) // 2 - e.exact_cents
+                AS BIGINT) AS err_cents
+    FROM sel s JOIN exact e USING (qpct)
+    """,
+)
+def rel_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantiles of l_extendedprice from a MERGEABLE 64-bucket equi-width
+    histogram (operators/frequency.histogram_quantiles) with an exact
+    in-bucket referee — the quantile member of the sketch family
+    (CMS / HLL / KMV / Bloom / Misra-Gries / histogram).  The histogram
+    groupBy IS the mergeable-summary step (<= 64 counters per partition
+    partial); the exact target-rank value is recovered by sorting ONLY
+    the selected bucket's rows, never the table; err_cents verifies the
+    w/2 error bound on real data.  All arithmetic integer, hash-exact."""
+    from presto_ethereum_spark.operators.frequency import histogram_quantiles
+
+    li = t(spark, sf, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents")
+    )
+    return histogram_quantiles(li, "cents", n_buckets=64)
+
+
+_NIBBLES = "0123456789ABCDEF"
+_NIB_CNTS = ",\n             ".join(
+    f"length(h) - length(replace(h, '{s}', '')) AS c{s}" for s in _NIBBLES
+)
+_NIB_DISTINCT = " + ".join(
+    f"(CASE WHEN c{s} > 0 THEN 1 ELSE 0 END)" for s in _NIBBLES
+)
+_NIB_SUMSQ = "CAST(0 AS HUGEINT)"
+for _s in _NIBBLES:
+    _NIB_SUMSQ = f"({_NIB_SUMSQ} + CAST(c{_s} AS HUGEINT) * c{_s})"
+
+
+@q(
+    "multimodal_bytes_profile",
+    f"""
+    WITH hx AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h FROM documents),
+    c AS (
+      SELECT media_id,
+             CAST(length(h) AS BIGINT) AS n_nibbles,
+             {_NIB_CNTS}
+      FROM hx),
+    s AS (
+      SELECT media_id, n_nibbles,
+             CAST(({_NIB_DISTINCT}) AS INT) AS distinct_nibbles,
+             CAST((2 * {_NIB_SUMSQ} * 1000000
+                   + CAST(n_nibbles AS HUGEINT) * n_nibbles)
+                  // nullif(2 * CAST(n_nibbles AS HUGEINT) * n_nibbles, 0)
+                  AS BIGINT) AS simpson_e6
+      FROM c)
+    SELECT media_id,
+           n_nibbles // 2 AS n_bytes,
+           distinct_nibbles,
+           simpson_e6,
+           simpson_e6 >= 250000 AS suspect
+    FROM s
+    """,
+)
+def multimodal_bytes_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Codec-free corrupt-payload screen over raw media bytes
+    (operators/multimodal.bytes_profile): 16 nibble counts per asset via
+    pure length/replace scalar expressions on the hex expansion — zero
+    shuffle, whole-stage codegen, no Python — reduced to an exact-integer
+    Simpson collision index (e6 micro-units, DECIMAL(38,0) sum of
+    squares) and a distinct-nibble alphabet count.  Constant/padded
+    blobs hit simpson_e6 -> 1000000 and flag ``suspect``; uniform bytes
+    sit near 62500.  The screen runs BEFORE decode CPU is spent — the
+    first gate of a 100 TB media ingest."""
+    from presto_ethereum_spark.operators.multimodal import (
+        bytes_profile,
+        media_from_documents,
+    )
+
+    media = media_from_documents(t_spread(spark, sf, "documents"))
+    return bytes_profile(media)

@@ -5002,3 +5002,136 @@ class TestJaccardThresholdCurve:
             docs, threshold=0.2, blocking_cols=["lang"], max_df=8
         ).count()
         assert curve[2].n_at_or_above == n_02
+
+
+class TestIvfProbeCurve:
+    def test_monotone_and_exhaustive_at_full_probe(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            ivf_probe_curve,
+            seed_centroids,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = seed_centroids(e, n_cells=4)
+        out = {
+            r.nprobe: r
+            for r in ivf_probe_curve(
+                e, e.where(F.col("vec_id") < 3), cents, k=10
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        # recall is monotone non-decreasing in nprobe
+        rec = [out[p].recall_at_k for p in range(1, 5)]
+        assert rec == sorted(rec)
+        # probing every cell IS brute force: recall must be exactly 1
+        assert out[4].n_hits == out[4].n_truth
+        assert out[4].recall_at_k == 1.0
+        assert out[4].n_truth == 3 * 10
+
+    def test_matches_single_point_serve(self, spark):
+        """The curve's nprobe=2 row equals the ivf_topk serve path's
+        measured hit count — one pass vs per-level serve agree."""
+        from presto_ethereum_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_probe_curve,
+            ivf_topk,
+            seed_centroids,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = seed_centroids(e, n_cells=4)
+        q = e.where(F.col("vec_id") < 3)
+        truth = brute_force_topk(e, q, k=10).select("query_id", "neighbor_id")
+        served = (
+            ivf_topk(e, q, centroids=cents, nprobe=2, k=10)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+        curve = ivf_probe_curve(e, q, cents, k=10)
+        assert curve.where(F.col("nprobe") == 2).collect()[0].n_hits == served
+
+
+class TestHistogramQuantiles:
+    def test_exact_rank_on_known_sequence(self, spark):
+        from presto_ethereum_spark.operators.frequency import (
+            histogram_quantiles,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+        out = {r.qpct: r for r in histogram_quantiles(df, "v").collect()}
+        # target rank = ceil(q*100/100) = q -> exact value is q itself
+        for q in (25, 50, 75, 90, 99):
+            assert out[q].exact_cents == q
+            # estimate honors the histogram's half-width error bound
+            assert abs(out[q].err_cents) <= (out[q].hi_cents - out[q].lo_cents)
+            assert out[q].lo_cents <= out[q].exact_cents <= out[q].hi_cents
+
+    def test_degenerate_single_value(self, spark):
+        from presto_ethereum_spark.operators.frequency import (
+            histogram_quantiles,
+        )
+
+        df = spark.createDataFrame([(7,)] * 9, "v long")
+        out = histogram_quantiles(df, "v").collect()
+        assert len(out) == 5
+        for r in out:
+            assert r.bucket == 0
+            assert r.exact_cents == 7
+            assert r.lo_cents <= 7 <= r.hi_cents
+
+    def test_negative_values(self, spark):
+        from presto_ethereum_spark.operators.frequency import (
+            histogram_quantiles,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(-50, 51)], "v long")
+        out = {r.qpct: r for r in histogram_quantiles(df, "v").collect()}
+        # n=101, rank(50) = ceil(50*101/100) = 51 -> value 0
+        assert out[50].exact_cents == 0
+
+
+class TestBytesProfile:
+    def test_constant_and_empty_payloads(self, spark):
+        from presto_ethereum_spark.operators.multimodal import (
+            bytes_profile,
+            media_from_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=0, text="3333"),  # constant nibble: simpson = 1
+                Row(doc_id=1, text=""),  # empty: NULL simpson, NULL flag
+                Row(doc_id=2, text="the quick brown fox jumps over it"),
+            ]
+        )
+        out = {r.media_id: r for r in bytes_profile(media_from_documents(docs)).collect()}
+        assert out[0].simpson_e6 == 1000000
+        assert out[0].distinct_nibbles == 1
+        assert out[0].suspect is True
+        assert out[1].simpson_e6 is None
+        assert out[1].suspect is None
+        assert out[1].n_bytes == 0
+        assert out[2].simpson_e6 < 250000
+        assert out[2].suspect is False
+        assert out[2].n_bytes == 33
+
+    def test_simpson_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from presto_ethereum_spark.operators.multimodal import (
+            bytes_profile,
+            media_from_documents,
+        )
+
+        text = "mixed Content 123 éè"  # multi-byte utf-8 too
+        docs = spark.createDataFrame([Row(doc_id=0, text=text)])
+        r = bytes_profile(media_from_documents(docs)).collect()[0]
+        hx = text.encode("utf-8").hex().upper()
+        c = Counter(hx)
+        n = len(hx)
+        sumsq = sum(v * v for v in c.values())
+        expect = (2 * sumsq * 1000000 + n * n) // (2 * n * n)
+        assert r.simpson_e6 == expect
+        assert r.distinct_nibbles == len(c)
+        assert r.n_bytes == len(text.encode("utf-8"))
