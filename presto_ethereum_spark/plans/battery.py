@@ -12632,3 +12632,59 @@ def multimodal_bytes_profile(spark: SparkSession, sf: str) -> DataFrame:
 
     media = media_from_documents(t_spread(spark, sf, "documents"))
     return bytes_profile(media)
+
+
+@q(
+    "stream_value_histogram",
+    """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+             length(bin(CAST(round(value * 100) AS BIGINT))) - 1 AS bucket
+      FROM events
+      WHERE CAST(round(value * 100) AS BIGINT) > 0),
+    h AS (SELECT window_start, bucket, count(*) AS cnt FROM ev GROUP BY 1, 2),
+    hc AS (
+      SELECT window_start, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY window_start ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY window_start) AS n
+      FROM h),
+    sel AS (
+      SELECT p.p, hc.window_start, hc.bucket, hc.cnt, hc.n
+      FROM hc CROSS JOIN (SELECT unnest([50, 90]) AS p) p
+      WHERE hc.cum >= (p.p * hc.n + 99) // 100
+        AND hc.cum - hc.cnt < (p.p * hc.n + 99) // 100)
+    SELECT window_start,
+           CAST(min(n) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN p = 50 THEN bucket END) AS INT) AS p50_bucket,
+           CAST(min(CASE WHEN p = 50
+                    THEN (CAST(1 AS BIGINT) << bucket) END) AS BIGINT)
+             AS p50_lo_cents,
+           CAST(min(CASE WHEN p = 50
+                    THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END)
+                AS BIGINT) AS p50_hi_cents,
+           CAST(min(CASE WHEN p = 50 THEN cnt END) AS BIGINT) AS p50_bucket_n,
+           CAST(min(CASE WHEN p = 90 THEN bucket END) AS INT) AS p90_bucket,
+           CAST(min(CASE WHEN p = 90
+                    THEN (CAST(1 AS BIGINT) << bucket) END) AS BIGINT)
+             AS p90_lo_cents,
+           CAST(min(CASE WHEN p = 90
+                    THEN (CAST(1 AS BIGINT) << (bucket + 1)) - 1 END)
+                AS BIGINT) AS p90_hi_cents,
+           CAST(min(CASE WHEN p = 90 THEN cnt END) AS BIGINT) AS p90_bucket_n
+    FROM sel GROUP BY window_start
+    """,
+)
+def stream_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-hour p50/p90 value quantiles from a MERGEABLE log2 histogram
+    in the streaming path (streaming/events.value_histogram_stream) —
+    the streaming counterpart of rel_histogram_quantiles, closing for
+    quantiles the gap stream_kmv_distinct closes for distinct counts.
+    Fixed power-of-two bucket bounds (no global min/max needed mid-
+    stream), bucket = length(bin(cents)) - 1 computed JVM-side — exact
+    integer, replayed verbatim by the oracle; state is 64 long counters
+    per open window, merged by elementwise sum, so the settled result is
+    bit-identical under any micro-batch split and every column is
+    integer hash-gated."""
+    from presto_ethereum_spark.streaming.events import run_value_histogram
+
+    return run_value_histogram(spark, sf)

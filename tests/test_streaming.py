@@ -1066,3 +1066,67 @@ class TestStreamKmvDistinct:
             )
 
         assert run(one) == run(many)
+
+
+class TestStreamValueHistogram:
+    """Split-invariance for the streaming log2 histogram: counters merge by
+    elementwise sum, so a window spanning micro-batches settles to the same
+    histogram one batch produces; quantile picks verified against a pure-
+    Python replica."""
+
+    def test_multi_batch_split_invariance(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_value_histogram
+
+        hour = 3_600_000_000
+        # window 0 spans both files; cents: 1,2,3,4 | 5,100 -> buckets
+        # 0,1,1,2 | 2,6.  window 1: single value in file 2.
+        f1 = pd.DataFrame(
+            {"value": [0.01, 0.02, 0.03, 0.04], "t_us": [10, 20, 30, 40]}
+        )
+        f2 = pd.DataFrame({"value": [0.05, 1.00, 7.00], "t_us": [50, 60, hour + 5]})
+        src = tmp_path / "in"
+        src.mkdir()
+        f1.to_parquet(src / "a.parquet")
+        f2.to_parquet(src / "b.parquet")
+        stream = (
+            spark.readStream.schema("value double, t_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = {
+            r.window_start: r
+            for r in run_value_histogram(spark, "", source=stream).collect()
+        }
+        assert set(out) == {0, 3600}
+        w0 = out[0]
+        # counts: b0:1, b1:2, b2:2, b6:1 (n=6); p50 rank=3 -> bucket 1;
+        # p90 rank=6 -> bucket 6
+        assert w0.n_events == 6
+        assert (w0.p50_bucket, w0.p50_lo_cents, w0.p50_hi_cents, w0.p50_bucket_n) == (1, 2, 3, 2)
+        assert (w0.p90_bucket, w0.p90_lo_cents, w0.p90_hi_cents, w0.p90_bucket_n) == (6, 64, 127, 1)
+        w1 = out[3600]
+        # single value 700 cents -> bucket 9 [512, 1023] for both quantiles
+        assert w1.n_events == 1
+        assert (w1.p50_bucket, w1.p90_bucket) == (9, 9)
+        assert (w1.p50_lo_cents, w1.p50_hi_cents) == (512, 1023)
+
+    def test_zero_and_null_values_filtered(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_value_histogram
+
+        f = pd.DataFrame(
+            {"value": [0.0, None, 0.001, 0.02], "t_us": [1, 2, 3, 4]}
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        f.to_parquet(src / "a.parquet")
+        stream = spark.readStream.schema("value double, t_us long").parquet(str(src))
+        out = run_value_histogram(spark, "", source=stream).collect()
+        # 0.0 -> cents 0 (dropped), NULL dropped, 0.001 -> cents 0 (dropped):
+        # only 0.02 -> cents 2 survives
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_events, r.p50_bucket, r.p50_lo_cents) == (1, 1, 2)
