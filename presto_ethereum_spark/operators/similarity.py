@@ -36,6 +36,7 @@ __all__ = [
     "hyperplane_signature",
     "lsh_candidates",
     "lsh_topk",
+    "lsh_band_curve",
     "seed_centroids",
     "kmeans_centroids",
     "ivf_assign",
@@ -2063,6 +2064,140 @@ def ivf_probe_curve(
         .crossJoin(F.broadcast(n_truth))
         .select(
             "nprobe",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            (
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def lsh_band_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    bands: int = 4,
+    bits: int = 24,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k vs band budget for the hyperplane-LSH index, from ONE
+    candidate pass — the LSH member of the tuning-curve family
+    (doc_jaccard_threshold_curve: dedup threshold; ivf_probe_curve:
+    nprobe; this: how many bands the index needs).  More bands = more
+    candidate unions = higher recall and bigger (band, key) exchanges;
+    the curve is where that trade is read off.
+
+    One-pass trick: a pair is a candidate under a budget of ``b`` bands
+    iff its FIRST matching band index < b, so candidates are generated
+    once from the full ``bands``-band join, ``min_band`` is recovered
+    from the two signatures as a constant-size CASE chain (no per-budget
+    re-join), and each candidate explodes into rows for budgets
+    min_band+1 .. bands before one window takes top-k per (query,
+    budget).  Truth is :func:`brute_force_topk` on the same probe set.
+
+    Scale: signatures are the same one-Arrow-pass kernel the serving
+    path uses; the only corpus exchange is the (band, key) join already
+    bounded by bucket sizes; the explode multiplies candidates of the
+    sampled probe set only."""
+    width = bits // bands
+    idx = _lsh_index_kernel(corpus, dim, bits, id_col, vec_col)
+    bandkeys = F.posexplode(
+        F.array(
+            *[
+                F.shiftright(F.col("sig"), b * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("band", "key")
+    banded = idx.select("id", bandkeys)
+    qids = F.broadcast(
+        queries.select(F.col(id_col).alias("id")).distinct()
+    )
+    qbanded = banded.join(qids, "id", "left_semi").select(
+        F.col("id").alias("query_id"), "band", "key"
+    )
+    cand = (
+        F.broadcast(qbanded)
+        .join(banded, ["band", "key"])
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .distinct()
+    )
+    qidx = F.broadcast(
+        idx.join(qids, "id", "left_semi").select(
+            F.col("id").alias("query_id"),
+            F.col("sig").alias("qsig"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    nidx = idx.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("sig").alias("nsig"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    mask = (1 << width) - 1
+    min_band = None
+    for b in range(bands - 1, -1, -1):
+        match_b = F.shiftright(F.col("qsig"), b * width).bitwiseAND(
+            F.lit(mask)
+        ) == F.shiftright(F.col("nsig"), b * width).bitwiseAND(F.lit(mask))
+        min_band = (
+            F.when(match_b, b)
+            if min_band is None
+            else F.when(match_b, b).otherwise(min_band)
+        )
+    scored = (
+        cand.join(nidx, "neighbor_id")
+        .join(qidx, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            min_band.alias("min_band"),
+            _cosine_staged(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("sim"),
+        )
+    )
+    expanded = scored.select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        F.explode(
+            F.sequence(F.col("min_band") + 1, F.lit(bands))
+        ).alias("n_bands"),
+    )
+    w = Window.partitionBy("query_id", "n_bands").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    approx = (
+        expanded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("n_bands", "query_id", "neighbor_id")
+    )
+    truth = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "n_bands"
+    ).agg(F.count("*").alias("n"))
+    spine = (
+        corpus.sparkSession.range(1, bands + 1)
+        .select(F.col("id").cast("int").alias("n_bands"))
+    )
+    return (
+        spine.join(hits, "n_bands", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_bands",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
             F.col("n_truth").cast("bigint").alias("n_truth"),
             (

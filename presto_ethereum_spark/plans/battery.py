@@ -12688,3 +12688,96 @@ def stream_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.streaming.events import run_value_histogram
 
     return run_value_histogram(spark, sf)
+
+
+def _lsh_band_curve_oracle(
+    dim: int = 64, bands: int = 4, bits: int = 24, k: int = 10
+) -> str:
+    """Closed-form replica of operators/similarity.lsh_band_curve: same
+    inlined hyperplanes and band arithmetic as _lsh_oracle, min matching
+    band per candidate pair, one generate_series explode per budget."""
+    from presto_ethereum_spark.operators.similarity import _hyperplane
+
+    width = bits // bands
+    sig_terms = []
+    for p in range(bits):
+        plane = ", ".join(repr(x) for x in _hyperplane(dim, p))
+        sig_terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
+            f" [{plane}]) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
+        )
+    sig = " + ".join(sig_terms)
+    cos = _duck_cos("q.embedding", "n.embedding")
+    bcos = _duck_cos("a.embedding", "b.embedding")
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id AS id, ({sig}) AS sig FROM embeddings
+    ),
+    banded AS (
+      SELECT id, band, (sig >> (band * {width})) & {(1 << width) - 1} AS key
+      FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band)
+    ),
+    cand AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id, min(a.band) AS min_band
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND b.id != a.id
+      WHERE a.id < 5
+      GROUP BY 1, 2
+    ),
+    expanded AS (
+      SELECT c.query_id, c.neighbor_id, s.nb, {cos} AS sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+      JOIN (SELECT unnest(generate_series(1, {bands})) AS nb) s
+        ON s.nb > c.min_band
+    ),
+    approx AS (
+      SELECT nb, query_id, neighbor_id FROM (
+        SELECT nb, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id, nb
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM expanded) WHERE rank <= {k}
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {bcos} DESC, b.vec_id) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 5)
+      WHERE rank <= {k}
+    ),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    hits AS (
+      SELECT a.nb, count(*) AS n
+      FROM approx a JOIN truth t
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY a.nb)
+    SELECT CAST(s.nb AS INT) AS n_bands,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(h.n, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+             AS recall_at_k
+    FROM (SELECT unnest(generate_series(1, {bands})) AS nb) s
+    LEFT JOIN hits h ON h.nb = s.nb
+    CROSS JOIN nt
+    """
+
+
+@q("emb_lsh_band_curve", _lsh_band_curve_oracle())
+def emb_lsh_band_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 vs LSH band budget 1..4 from ONE candidate pass
+    (operators/similarity.lsh_band_curve) — the LSH member of the
+    tuning-curve family (jaccard threshold, IVF nprobe, LSH bands):
+    more bands union more candidates, so recall is monotone in the
+    budget and the curve prices the (band, key) exchange a target
+    recall costs.  min matching band is recovered from the two 24-bit
+    signatures as a CASE chain (no per-budget re-join); the oracle
+    replays hyperplanes, banding, and the whole curve closed-form."""
+    from presto_ethereum_spark.operators.similarity import lsh_band_curve
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return lsh_band_curve(
+        e, e.where(F.col("vec_id") < 5), dim=64, bands=4, bits=24, k=10
+    )

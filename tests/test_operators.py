@@ -5135,3 +5135,34 @@ class TestBytesProfile:
         assert r.simpson_e6 == expect
         assert r.distinct_nibbles == len(c)
         assert r.n_bytes == len(text.encode("utf-8"))
+
+
+class TestLshBandCurve:
+    def test_monotone_and_matches_serve_path(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_band_curve,
+            lsh_topk,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.where(F.col("vec_id") < 3)
+        out = {
+            r.n_bands: r
+            for r in lsh_band_curve(e, q, dim=64, bands=4, bits=24, k=10).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        rec = [out[b].recall_at_k for b in range(1, 5)]
+        # more bands union more candidates: recall monotone non-decreasing
+        assert rec == sorted(rec)
+        assert out[1].n_truth == 3 * 10
+        # the full-budget row equals the lsh_topk serve path's hit count
+        truth = brute_force_topk(e, q, k=10).select("query_id", "neighbor_id")
+        served = (
+            lsh_topk(e, dim=64, k=10, bands=4, bits=24)
+            .where(F.col("query_id") < 3)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .count()
+        )
+        assert out[4].n_hits == served
