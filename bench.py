@@ -147,6 +147,14 @@ HEADLINE = [
     "doc_containment_pairs_sampled",
     "doc_ppjoin_pairs_sampled",
     "stream_kmv_distinct",
+    # round-8 session-2 additions: mergeable histogram quantiles (batch +
+    # streaming), IVF nprobe / LSH band tuning curves, byte-level corrupt
+    # screen
+    "rel_histogram_quantiles",
+    "stream_value_histogram",
+    "emb_ivf_probe_curve",
+    "emb_lsh_band_curve",
+    "multimodal_bytes_profile",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -221,8 +229,20 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
         # were not.  The warmup run is identical to a timed run, just not
         # recorded — spreads in BENCH_DETAIL.json are warm-only.
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        # GC DRAIN (r8): collect the PREVIOUS query's (and the warmup's)
+        # garbage before timing starts, so an allocator pause triggered by
+        # old-gen debt someone else ran up is not billed to a random repeat
+        # of THIS query.  For the GC-sensitive iterative/pair-join set the
+        # drain runs before EVERY timed repeat — their own repeats generate
+        # enough garbage to trip a collection mid-sample (r8 warm spreads:
+        # doc_ppjoin_pairs 2.2x, doc_repetition 3.9x on a single max
+        # spike).  Standard inter-iteration hygiene (JMH does the same);
+        # the pause still exists, it just lands between samples.
+        spark.sparkContext._jvm.System.gc()
         samples: list[float] = []
         for _ in range(n):
+            if name in ITERATIVE:
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(round(time.perf_counter() - t0, 3))
