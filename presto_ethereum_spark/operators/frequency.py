@@ -676,7 +676,9 @@ def histogram_quantiles(
         .select("qpct", F.col("x").alias("exact_cents"))
     )
     lo = F.col("mn") + F.col("bucket") * F.col("w")
-    return sel.join(exact, "qpct").select(
+    # quantile-count-sized join: broadcast so the 5-row report never plans
+    # a sort-merge exchange
+    return sel.join(F.broadcast(exact), "qpct").select(
         F.col("qpct").cast("int").alias("qpct"),
         F.col("bucket").cast("int").alias("bucket"),
         lo.alias("lo_cents"),

@@ -2052,15 +2052,18 @@ def ivf_probe_curve(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id")
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
-    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi").groupBy(
-        "nprobe"
-    ).agg(F.count("*").alias("n"))
+    # truth is probe-set-sized (|queries| x k) by construction: broadcast
+    # the semi-join so hit counting never shuffles the candidate side
+    hits = approx.join(
+        F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi"
+    ).groupBy("nprobe").agg(F.count("*").alias("n"))
     spine = (
         corpus.sparkSession.range(1, n_cells + 1)
         .select(F.col("id").cast("int").alias("nprobe"))
     )
     return (
-        spine.join(hits, "nprobe", "left")
+        # n_cells-row spine vs n_cells-row hits: broadcast, never sort-merge
+        spine.join(F.broadcast(hits), "nprobe", "left")
         .crossJoin(F.broadcast(n_truth))
         .select(
             "nprobe",
@@ -2186,15 +2189,16 @@ def lsh_band_curve(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id")
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
-    hits = approx.join(truth, ["query_id", "neighbor_id"], "left_semi").groupBy(
-        "n_bands"
-    ).agg(F.count("*").alias("n"))
+    hits = approx.join(
+        F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi"
+    ).groupBy("n_bands").agg(F.count("*").alias("n"))
     spine = (
         corpus.sparkSession.range(1, bands + 1)
         .select(F.col("id").cast("int").alias("n_bands"))
     )
     return (
-        spine.join(hits, "n_bands", "left")
+        # bands-row spine vs bands-row hits: broadcast, never sort-merge
+        spine.join(F.broadcast(hits), "n_bands", "left")
         .crossJoin(F.broadcast(n_truth))
         .select(
             "n_bands",

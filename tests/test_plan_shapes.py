@@ -315,3 +315,38 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bytes_profile_map_only(spark):
+    """The corrupt-payload screen is 16 scalar expressions over hex — no
+    hash exchange at any corpus size (its whole reason to exist is running
+    BEFORE any shuffle or decode CPU).  The single allowed Exchange is
+    t_spread's conditional RoundRobin repartition, a no-op at real scale
+    (the scan already has >= cores partitions there)."""
+    plan = _plan(spark, "multimodal_bytes_profile")
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
+
+
+def test_histogram_quantiles_broadcasts_scaffolding(spark):
+    """The histogram sketch broadcasts its scalar bounds and the <=64-row
+    cumulative table — the corpus side must never sort-merge against
+    them, and the only corpus exchanges are the bucket partials and the
+    selected-bucket referee."""
+    plan = _plan(spark, "rel_histogram_quantiles")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_probe_curve_broadcasts_queries(spark):
+    """The probe set rides broadcasts; the corpus is never the build side
+    of a sort-merge join."""
+    plan = _plan(spark, "emb_ivf_probe_curve")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_band_curve_no_sort_merge(spark):
+    plan = _plan(spark, "emb_lsh_band_curve")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
