@@ -155,6 +155,7 @@ HEADLINE = [
     "emb_ivf_probe_curve",
     "emb_lsh_band_curve",
     "multimodal_bytes_profile",
+    "doc_quality_survival_curve",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -26,6 +26,7 @@ __all__ = [
     "avg_token_len",
     "stopword_ratio",
     "quality_score",
+    "quality_survival_curve",
     "lang_scores",
     "lang_id",
     "alpha_terms",
@@ -1629,4 +1630,58 @@ def token_burstiness(
                 f" AS BIGINT)"
             ).alias("vmr_e6"),
         )
+    )
+
+
+def quality_survival_curve(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus survival curve for the quality cutoff: per quality decile,
+    document count AND token mass, with the cumulative "what survives a
+    cutoff of t" tail — the tuning curve for the pipeline's most
+    consequential knob (every LLM corpus build picks a quality threshold;
+    this reads the doc/token cost of each candidate cutoff from ONE pass
+    instead of re-running the filter per threshold).  Token mass is the
+    column that matters: quality and length correlate, so the token curve
+    falls faster than the doc curve — sizing a training run on doc counts
+    overestimates the surviving corpus.
+
+    Bucket = least(floor(quality*10), 10): the quality double is
+    bit-identical across engines (pure rational arithmetic, see
+    quality_score), so the derived integer bucket is too.  Zero buckets
+    report via the 11-row spine (design shared with
+    dedup.jaccard_threshold_curve).
+
+    Scale: one map-side scoring pass (zero-shuffle expressions), one
+    <= 11-group aggregate; the spine join and running tail operate on 11
+    rows."""
+    scored = df.select(
+        F.least(
+            F.floor(quality_score(F.col(text_col)) * 10).cast("int"),
+            F.lit(10),
+        ).alias("bucket"),
+        token_count_regex(F.col(text_col)).alias("n_tok"),
+    )
+    hist = scored.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    spine = df.sparkSession.range(0, 11).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    joined = spine.join(F.broadcast(hist), "bucket", "left").select(
+        "bucket",
+        (F.col("bucket").cast("double") / F.lit(10.0)).alias("q_lo"),
+        F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+    )
+    return joined.select(
+        "bucket",
+        "q_lo",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("docs_at_or_above"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("tokens_at_or_above"),
     )

@@ -1517,7 +1517,10 @@ def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-def _doc_quality_oracle() -> str:
+def _doc_quality_ctes() -> str:
+    """The WITH-body computing per-doc (doc_id, n_chars, n_tokens_regex,
+    quality, s_<lang> scores) — shared by the doc_quality oracle and the
+    quality-cutoff survival curve so both grade the identical formula."""
     from presto_ethereum_spark.operators.text import (
         EN_STOPWORDS,
         LANG_PROFILES,
@@ -1530,15 +1533,7 @@ def _doc_quality_oracle() -> str:
     )
     langs = list(LANG_PROFILES)
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
-    lang_case = (
-        "CASE "
-        + " ".join(
-            f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
-        )
-        + " ELSE 'und' END"
-    )
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id, text,
              string_split(lower(text), ' ') AS toks_l,
              length(text) AS n_chars,
@@ -1565,8 +1560,27 @@ def _doc_quality_oracle() -> str:
                  + 0.2 * (1 - least((pr + dr) * 3, 1.0)) AS quality,
              {best} AS best,
              {", ".join("s_" + lang for lang in langs)}
-      FROM scored)
-    SELECT doc_id, n_chars, n_tokens_regex, quality, {lang_case} AS pred_lang
+      FROM scored)"""
+
+
+def _doc_quality_lang_case() -> str:
+    from presto_ethereum_spark.operators.text import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+        )
+        + " ELSE 'und' END"
+    )
+
+
+def _doc_quality_oracle() -> str:
+    return f"""
+    WITH {_doc_quality_ctes()}
+    SELECT doc_id, n_chars, n_tokens_regex, quality,
+           {_doc_quality_lang_case()} AS pred_lang
     FROM final
     """
 
@@ -12781,3 +12795,46 @@ def emb_lsh_band_curve(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_band_curve(
         e, e.where(F.col("vec_id") < 5), dim=64, bands=4, bits=24, k=10
     )
+
+
+@q(
+    "doc_quality_survival_curve",
+    f"""
+    WITH {{ctes}},
+    b AS (
+      SELECT least(CAST(floor(quality * 10) AS INT), 10) AS bucket,
+             n_tokens_regex
+      FROM final),
+    hist AS (
+      SELECT bucket, count(*) AS n_docs, sum(n_tokens_regex) AS n_tokens
+      FROM b GROUP BY 1)
+    SELECT s.bucket,
+           CAST(s.bucket AS DOUBLE) / 10.0 AS q_lo,
+           CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(h.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(sum(coalesce(h.n_docs, 0)) OVER (
+               ORDER BY s.bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS docs_at_or_above,
+           CAST(sum(coalesce(h.n_tokens, 0)) OVER (
+               ORDER BY s.bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS tokens_at_or_above
+    FROM (SELECT CAST(unnest(range(0, 11)) AS INT) AS bucket) s
+    LEFT JOIN hist h USING (bucket)
+    """.replace("{ctes}", _doc_quality_ctes()),
+)
+def doc_quality_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-cutoff survival curve (operators/text.
+    quality_survival_curve): per quality decile, doc count AND token
+    mass with the cumulative "what survives cutoff t" tail — the tuning
+    curve for the pipeline's most consequential knob, read from ONE
+    map-side scoring pass instead of one filter run per candidate
+    threshold.  Token mass is the sizing column (quality correlates
+    with length, so the token curve falls faster than the doc curve).
+    Completes the tuning-curve family: dedup threshold, IVF nprobe,
+    LSH bands, quality cutoff.  The oracle recomputes the identical
+    quality formula via the shared _doc_quality_ctes."""
+    from presto_ethereum_spark.operators.text import quality_survival_curve
+
+    return quality_survival_curve(t_spread(spark, sf, "documents"))

@@ -5166,3 +5166,30 @@ class TestLshBandCurve:
             .count()
         )
         assert out[4].n_hits == served
+
+
+class TestQualitySurvivalCurve:
+    def test_tail_identities_and_filter_agreement(self, spark):
+        from presto_ethereum_spark.operators import text as T
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        curve = {r.bucket: r for r in T.quality_survival_curve(docs).collect()}
+        assert set(curve) == set(range(11))
+        # doc tail is non-increasing and starts at the corpus total
+        tail = [curve[b].docs_at_or_above for b in range(11)]
+        assert tail == sorted(tail, reverse=True)
+        assert curve[0].docs_at_or_above == docs.count()
+        # per-bucket counts sum to the totals
+        assert sum(curve[b].n_docs for b in range(11)) == docs.count()
+        # the bucket-4 tail equals what the actual filter at 0.4 keeps
+        kept = docs.where(
+            T.quality_score(F.col("text")) >= 0.4
+        ).count()
+        # tail >= filter count (floor(q*10) >= 4 iff q >= 0.4 exactly);
+        # equality because floor bucketing and the cutoff share the edge
+        assert curve[4].docs_at_or_above == kept
+        # token identity: bucket sums equal the per-doc token total
+        total_tok = docs.select(
+            F.sum(T.token_count_regex(F.col("text")))
+        ).collect()[0][0]
+        assert curve[0].tokens_at_or_above == total_tok
