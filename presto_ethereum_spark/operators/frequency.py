@@ -632,7 +632,13 @@ def histogram_quantiles(
     only sort to ~n/n_buckets rows per quantile.  err_cents (estimate -
     exact) IS the diagnostic: it verifies the histogram's error bound
     holds on real data rather than assuming it."""
-    v = df.select(F.col(value_col).cast("bigint").alias("x"))
+    v = df.select(F.col(value_col).cast("bigint").alias("x")).where(
+        # NULLs are neither rankable nor bucketable: without this filter
+        # they inflate n (shifting every target rank) and form a NULL
+        # bucket that can win the cumulative-crossing predicate and then
+        # silently drop the quantile row at the equality join
+        F.col("x").isNotNull()
+    )
     b = v.agg(
         F.min("x").alias("mn"), F.max("x").alias("mx"), F.count("*").alias("n")
     ).select(

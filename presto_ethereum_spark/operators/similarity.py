@@ -1973,6 +1973,45 @@ def jl_rerank_topk(
     )
 
 
+def _recall_vs_budget(
+    approx: DataFrame,
+    truth: DataFrame,
+    session,
+    budget_col: str,
+    budget_max: int,
+) -> DataFrame:
+    """Shared tail of the recall-vs-budget tuning curves: per budget level,
+    hit count against ``truth`` and recall = n_hits / n_truth.  ``truth``
+    is probe-set-sized (|queries| x k) by construction, so the semi-join,
+    the budget-level hit table, and the spine all broadcast — the
+    candidate side never shuffles into a sort-merge against scaffolding-
+    sized tables."""
+    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
+    hits = (
+        approx.join(
+            F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi"
+        )
+        .groupBy(budget_col)
+        .agg(F.count("*").alias("n"))
+    )
+    spine = session.range(1, budget_max + 1).select(
+        F.col("id").cast("int").alias(budget_col)
+    )
+    return (
+        spine.join(F.broadcast(hits), budget_col, "left")
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            budget_col,
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            (
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def ivf_probe_curve(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2051,29 +2090,8 @@ def ivf_probe_curve(
     truth = brute_force_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     ).select("query_id", "neighbor_id")
-    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
-    # truth is probe-set-sized (|queries| x k) by construction: broadcast
-    # the semi-join so hit counting never shuffles the candidate side
-    hits = approx.join(
-        F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi"
-    ).groupBy("nprobe").agg(F.count("*").alias("n"))
-    spine = (
-        corpus.sparkSession.range(1, n_cells + 1)
-        .select(F.col("id").cast("int").alias("nprobe"))
-    )
-    return (
-        # n_cells-row spine vs n_cells-row hits: broadcast, never sort-merge
-        spine.join(F.broadcast(hits), "nprobe", "left")
-        .crossJoin(F.broadcast(n_truth))
-        .select(
-            "nprobe",
-            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.col("n_truth").cast("bigint").alias("n_truth"),
-            (
-                F.coalesce("n", F.lit(0)).cast("double")
-                / F.col("n_truth").cast("double")
-            ).alias("recall_at_k"),
-        )
+    return _recall_vs_budget(
+        approx, truth, corpus.sparkSession, "nprobe", n_cells
     )
 
 
@@ -2100,14 +2118,24 @@ def lsh_band_curve(
     from the two signatures as a constant-size CASE chain (no per-budget
     re-join), and each candidate explodes into rows for budgets
     min_band+1 .. bands before one window takes top-k per (query,
-    budget).  Truth is :func:`brute_force_topk` on the same probe set.
+    budget).  Truth is :func:`brute_force_topk` on the same probe set,
+    restricted to queries whose ids exist in the corpus (the curve
+    measures the index over its own members; an external query id is
+    excluded from both sides rather than scored as a silent miss).
 
     Scale: signatures are the same one-Arrow-pass kernel the serving
     path uses; the only corpus exchange is the (band, key) join already
     bounded by bucket sizes; the explode multiplies candidates of the
     sampled probe set only."""
     width = bits // bands
-    idx = _lsh_index_kernel(corpus, dim, bits, id_col, vec_col)
+    # the signature index feeds FOUR subtrees (both sides of the band
+    # join, the query staging, the neighbor staging); materialize the one
+    # Arrow kernel pass instead of re-running it per subtree.  At
+    # production scale the signature index is a persisted table anyway
+    # (the same contract as the materialized IVF index).
+    idx = _lsh_index_kernel(corpus, dim, bits, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     bandkeys = F.posexplode(
         F.array(
             *[
@@ -2185,28 +2213,19 @@ def lsh_band_curve(
         .where(F.col("rank") <= k)
         .select("n_bands", "query_id", "neighbor_id")
     )
-    truth = brute_force_topk(
-        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
-    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
-    hits = approx.join(
-        F.broadcast(truth), ["query_id", "neighbor_id"], "left_semi"
-    ).groupBy("n_bands").agg(F.count("*").alias("n"))
-    spine = (
-        corpus.sparkSession.range(1, bands + 1)
-        .select(F.col("id").cast("int").alias("n_bands"))
-    )
-    return (
-        # bands-row spine vs bands-row hits: broadcast, never sort-merge
-        spine.join(F.broadcast(hits), "n_bands", "left")
-        .crossJoin(F.broadcast(n_truth))
-        .select(
-            "n_bands",
-            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.col("n_truth").cast("bigint").alias("n_truth"),
-            (
-                F.coalesce("n", F.lit(0)).cast("double")
-                / F.col("n_truth").cast("double")
-            ).alias("recall_at_k"),
+    # the approx side only sees queries whose ids exist in the corpus
+    # index; restrict truth to the same effective probe set so an
+    # out-of-corpus query drops from BOTH numerator and denominator
+    # (instead of silently reading as recall 0)
+    truth = (
+        brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .join(
+            F.broadcast(qidx.select("query_id").distinct()),
+            "query_id",
+            "left_semi",
         )
+    )
+    return _recall_vs_budget(
+        approx, truth, corpus.sparkSession, "n_bands", bands
     )

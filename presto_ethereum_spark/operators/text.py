@@ -1656,11 +1656,21 @@ def quality_survival_curve(
     <= 11-group aggregate; the spine join and running tail operate on 11
     rows."""
     scored = df.select(
-        F.least(
-            F.floor(quality_score(F.col(text_col)) * 10).cast("int"),
-            F.lit(10),
-        ).alias("bucket"),
-        token_count_regex(F.col(text_col)).alias("n_tok"),
+        # NULL text (failed extraction) is the LOW-quality case; without
+        # the guard, least() skips the NULL and files it under bucket 10
+        # — the top decile (DuckDB's least agrees, so the oracle gate
+        # alone could not catch it)
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(quality_score(F.col(text_col)) * 10).cast("int"),
+                F.lit(10),
+            )
+        )
+        .alias("bucket"),
+        F.coalesce(token_count_regex(F.col(text_col)), F.lit(0)).alias(
+            "n_tok"
+        ),
     )
     hist = scored.groupBy("bucket").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")

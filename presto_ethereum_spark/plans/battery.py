@@ -12540,7 +12540,8 @@ def emb_ivf_probe_curve(spark: SparkSession, sf: str) -> DataFrame:
     "rel_histogram_quantiles",
     """
     WITH c AS (
-      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem),
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL),
     b AS (
       SELECT min(x) AS mn, max(x) AS mx, count(*) AS n,
              (max(x) - min(x)) // 64 + 1 AS w
@@ -12802,8 +12803,10 @@ def emb_lsh_band_curve(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH {{ctes}},
     b AS (
-      SELECT least(CAST(floor(quality * 10) AS INT), 10) AS bucket,
-             n_tokens_regex
+      SELECT CASE WHEN n_chars IS NULL THEN 0
+                  ELSE least(CAST(floor(quality * 10) AS INT), 10) END
+               AS bucket,
+             coalesce(n_tokens_regex, 0) AS n_tokens_regex
       FROM final),
     hist AS (
       SELECT bucket, count(*) AS n_docs, sum(n_tokens_regex) AS n_tokens

@@ -5193,3 +5193,70 @@ class TestQualitySurvivalCurve:
             F.sum(T.token_count_regex(F.col("text")))
         ).collect()[0][0]
         assert curve[0].tokens_at_or_above == total_tok
+
+
+class TestReviewedEdgeCases:
+    """Edge cases surfaced by the r8 diff review: NULL inputs that both
+    engines would mishandle IDENTICALLY (least() skips NULLs in Spark and
+    DuckDB alike), so the oracle gate alone cannot catch them."""
+
+    def test_histogram_quantiles_ignores_nulls(self, spark):
+        from presto_ethereum_spark.operators.frequency import (
+            histogram_quantiles,
+        )
+
+        vals = [(None,)] * 50 + [(i,) for i in range(1, 51)]
+        df = spark.createDataFrame(vals, "v long")
+        out = {r.qpct: r for r in histogram_quantiles(df, "v").collect()}
+        # all 5 quantile rows present (the NULL bucket must not absorb a
+        # target rank and vanish at the equality join)
+        assert set(out) == {25, 50, 75, 90, 99}
+        # n=50 non-null values 1..50: rank(q) = ceil(q*50/100)
+        assert out[50].exact_cents == 25
+        assert out[99].exact_cents == 50
+
+    def test_quality_curve_null_text_is_bucket_zero(self, spark):
+        from presto_ethereum_spark.operators import text as T
+
+        docs = spark.createDataFrame(
+            [(0, None), (1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        curve = {r.bucket: r for r in T.quality_survival_curve(docs).collect()}
+        # NULL text (failed extraction) files under the LOWEST decile,
+        # with zero token mass — never the top one
+        assert curve[0].n_docs == 1
+        assert curve[0].n_tokens == 0
+        assert curve[10].n_docs == 0
+        assert curve[0].docs_at_or_above == 2
+
+    def test_band_curve_external_query_excluded_both_sides(self, spark):
+        from presto_ethereum_spark.operators.similarity import lsh_band_curve
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # probe set = 2 in-corpus ids + 1 id that does not exist
+        q = e.where(F.col("vec_id") < 2).unionByName(
+            e.limit(1).select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding",
+                *[c for c in e.columns if c not in ("vec_id", "embedding")]
+            ).select(*e.columns)
+        )
+        out = sorted(
+            tuple(r)
+            for r in lsh_band_curve(
+                e, q, dim=64, bands=4, bits=24, k=10
+            ).collect()
+        )
+        # the external id drops from BOTH numerator and denominator: the
+        # curve over (2 in-corpus + 1 external) is IDENTICAL to the curve
+        # over just the 2 in-corpus queries (before the fix, truth kept
+        # the external query's 10 rows and recall read ~2/3 of its real
+        # value at every budget)
+        ref = sorted(
+            tuple(r)
+            for r in lsh_band_curve(
+                e, e.where(F.col("vec_id") < 2), dim=64, bands=4, bits=24, k=10
+            ).collect()
+        )
+        assert out == ref
+        assert out[0][2] == 2 * 10  # n_truth
