@@ -165,6 +165,11 @@ HEADLINE = [
 # index pair joins are the most GC-sensitive entries (r6: same-query medians
 # moved 3.5s -> 9.7s across sessions).  Extra samples keep medians honest.
 ITERATIVE = {
+    # stateful micro-batch entries (applyInPandasWithState + memory-sink
+    # settle) carry streaming state-store session state — same class as
+    # stream_trending_topk below
+    "stream_kmv_distinct",
+    "stream_value_histogram",
     "eth_tx_pagerank",
     "eth_tx_pagerank_weighted",
     "eth_tx_hits",

@@ -626,6 +626,8 @@ def jaccard_threshold_curve(
     spine join), so the curve's schema and row count are stable.
 
     Returns ``(bucket, j_lo, n_pairs, n_at_or_above)``."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     blocks = list(blocking_cols or [])
     inter = _overlap_pair_counts(df, text_col, id_col, shingle_n, blocks, max_df)
     hist = (

@@ -32,35 +32,50 @@ from pyspark.sql import functions as F
 __all__ = ["heavy_hitters", "count_min_sketch", "cms_estimate", "cms_hash", "bloom_bits", "bloom_might_contain", "cooccurrence_overlap", "kmv_distinct", "kmv_set_ops", "histogram_quantiles"]
 
 
-def _mg_candidates_kernel(k: int):
-    """mapInArrow kernel: one merged Misra–Gries summary per partition,
-    emitted as a single batch of candidate values."""
+def _mg_summary(vals: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """ONE corpus pass producing the Misra–Gries candidate union and the
+    exact total row count — the shared summarization step behind
+    :func:`heavy_hitters` (fraction threshold) and
+    :func:`misra_gries_heavy` (N/(k+1) threshold).  Each partition folds
+    its rows into a k-counter MG summary (per Arrow batch, value_counts
+    merges into the counter table; when it exceeds k entries, subtract
+    the (k+1)-th largest count from all and drop non-positives — the
+    PODS'12 reduce).  Candidate rows carry ``v``; ONE trailing row per
+    partition carries the partition's row count under ``v = NULL``, so
+    n_total rides the same pass instead of a second corpus scan.  The
+    summary (<= (k+1) x partitions rows) is localCheckpointed so its two
+    consumers (candidate broadcast, total) read the materialized result
+    instead of re-running the corpus pass per consumer."""
 
-    def run(batches):
-        import pyarrow as pa
+    def summarize(batches):
+        import pandas as pd
 
-        counters: dict = {}
-        for rb in batches:
-            if not rb.num_rows:
-                continue
-            # batch-exact counts merged into the summary, then MG-pruned
-            # back to k counters (mergeable-summaries composition)
-            vc = rb.column(0).to_pandas().value_counts()
-            for val, cnt in vc.items():
-                counters[val] = counters.get(val, 0) + int(cnt)
+        counters = None
+        n_part = 0
+        for pdf in batches:
+            n_part += len(pdf)
+            c = pdf["v"].value_counts()
+            counters = c if counters is None else counters.add(c, fill_value=0)
             if len(counters) > k:
-                # subtract the (k+1)-th largest count from everyone and
-                # drop the non-positive — the MG decrement, batched
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    v: c - cut for v, c in counters.items() if c - cut > 0
-                }
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(list(counters.keys()), type=pa.string())],
-            names=["value"],
+                # PODS'12 reduce: subtract the (k+1)-th largest count from
+                # every counter, keep the strictly-positive ones (<= k
+                # survive; total deduction per element <= N_p/(k+1))
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        cand = [] if counters is None else list(counters.index)
+        yield pd.DataFrame(
+            {"v": cand + [None], "n_part": [0] * len(cand) + [n_part]}
         )
 
-    return run
+    summary = vals.mapInPandas(summarize, "v string, n_part long").localCheckpoint(
+        eager=True
+    )
+    cand = summary.where(F.col("v").isNotNull()).select("v").distinct()
+    total = summary.where(F.col("v").isNull()).agg(
+        F.sum("n_part").alias("n_total")
+    )
+    return cand, total
 
 
 def heavy_hitters(
@@ -81,17 +96,16 @@ def heavy_hitters(
     if not (0.0 < threshold_frac < 1.0):
         raise ValueError(f"threshold_frac must be in (0,1), got {threshold_frac}")
     c = F.col(col) if isinstance(col, str) else col
-    vals = df.select(c.cast("string").alias("value")).where(
-        F.col("value").isNotNull()
+    vals = df.select(c.cast("string").alias("v")).where(
+        F.col("v").isNotNull()
     )
     # k such that global freq > n/(k+1) covers freq > n*threshold_frac:
     # need n/(k+1) <= n*threshold_frac  =>  k >= 1/threshold_frac - 1
     k = int(1.0 / threshold_frac) + 1
-    cands = vals.mapInArrow(
-        _mg_candidates_kernel(k), schema="value string"
-    ).distinct()
+    cands, tot = _mg_summary(vals, k)
+    cands = cands.withColumnRenamed("v", "value")
+    vals = vals.withColumnRenamed("v", "value")
     num = int(round(threshold_frac * 1_000_000_000))
-    tot = vals.agg(F.count("*").alias("n_total"))
     # the product n_total * num is computed in DECIMAL(38,0): BIGINT
     # arithmetic would overflow (and silently wrap under non-ANSI Spark)
     # past n_total ~ 2^63/num — a few TB of token positions, squarely the
@@ -330,10 +344,11 @@ def misra_gries_heavy(
     which is what makes an approximate structure hash-gradeable (the
     repo's sketch contract).
 
-    Plan: one corpus pass emits <= k candidates + one count row per
-    partition (mapInPandas, O(k) state); n_total sums the count rows; the
-    verification pass re-scans filtered by the broadcast candidate set
-    into a map-side-combined exact count.  Nothing proportional to
+    Plan: one corpus pass (shared :func:`_mg_summary`, materialized once)
+    emits <= k candidates + one count row per partition (mapInPandas,
+    O(k) state); n_total sums the count rows; the verification pass
+    re-scans filtered by the broadcast candidate set into a
+    map-side-combined exact count.  Nothing proportional to
     cardinality ever shuffles — the CMS/top-k alternative
     (``doc_heavy_tokens``) shuffles sketch cells; this shuffles
     candidates.
@@ -346,48 +361,26 @@ def misra_gries_heavy(
         F.col(value_col).isNotNull()
     )
 
-    def summarize(batches):
-        import pandas as pd
-
-        counters = None
-        n_part = 0
-        for pdf in batches:
-            n_part += len(pdf)
-            c = pdf["v"].value_counts()
-            counters = c if counters is None else counters.add(c, fill_value=0)
-            if len(counters) > k:
-                # PODS'12 reduce: subtract the (k+1)-th largest count from
-                # every counter, keep the strictly-positive ones (<= k
-                # survive; total deduction per element <= N_p/(k+1))
-                cut = counters.nlargest(k + 1).iloc[-1]
-                counters = counters - cut
-                counters = counters[counters > 0]
-        cand = [] if counters is None else list(counters.index)
-        # candidate rows carry v; ONE trailing row per partition carries
-        # the partition's row count under v = NULL (n_total rides the
-        # same single pass instead of a second corpus scan)
-        yield pd.DataFrame(
-            {"v": cand + [None], "n_part": [0] * len(cand) + [n_part]}
-        )
-
-    summary = vals.mapInPandas(summarize, "v string, n_part long")
-    cand = summary.where(F.col("v").isNotNull()).select("v").distinct()
-    total = summary.where(F.col("v").isNull()).agg(
-        F.sum("n_part").alias("n_total")
-    )
+    cand, total = _mg_summary(vals, k)
     return (
         vals.join(F.broadcast(cand), "v")
         .groupBy("v")
         .agg(F.count("*").alias("n"))
         .crossJoin(F.broadcast(total))
-        .where(F.col("n") * (k + 1) > F.col("n_total"))
+        # threshold and share in DECIMAL(38,0): n * (k+1) and
+        # 2*n*1e6 wrap int64 past ~4.6e12 rows under non-ANSI Spark —
+        # the crawl scale this operator targets (same overflow class the
+        # benford/rake fixes closed; the DuckDB oracle auto-promotes to
+        # HUGEINT, so only the Spark side would wrap)
+        .where(F.expr(f"CAST(n AS DECIMAL(38,0)) * {k + 1}") > F.col("n_total"))
         .select(
             F.col("v").alias("value"),
             F.col("n").cast("long").alias("n"),
             F.col("n_total").cast("long").alias("n_total"),
-            F.expr("(2 * n * 1000000 + n_total) div (2 * n_total)")
-            .cast("long")
-            .alias("share_e6"),
+            F.expr(
+                "CAST((2 * CAST(n AS DECIMAL(38,0)) * 1000000 + n_total)"
+                " div (2 * CAST(n_total AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("share_e6"),
         )
     )
 
