@@ -68,8 +68,11 @@ def _mg_summary(vals: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
             {"v": cand + [None], "n_part": [0] * len(cand) + [n_part]}
         )
 
+    # LAZY checkpoint: materializes on the first action and is reused by
+    # the second consumer; eager=True would run the corpus pass at
+    # plan-construction time (explain()/plan tests/conditional branches)
     summary = vals.mapInPandas(summarize, "v string, n_part long").localCheckpoint(
-        eager=True
+        eager=False
     )
     cand = summary.where(F.col("v").isNotNull()).select("v").distinct()
     total = summary.where(F.col("v").isNull()).agg(
@@ -103,8 +106,6 @@ def heavy_hitters(
     # need n/(k+1) <= n*threshold_frac  =>  k >= 1/threshold_frac - 1
     k = int(1.0 / threshold_frac) + 1
     cands, tot = _mg_summary(vals, k)
-    cands = cands.withColumnRenamed("v", "value")
-    vals = vals.withColumnRenamed("v", "value")
     num = int(round(threshold_frac * 1_000_000_000))
     # the product n_total * num is computed in DECIMAL(38,0): BIGINT
     # arithmetic would overflow (and silently wrap under non-ANSI Spark)
@@ -114,12 +115,12 @@ def heavy_hitters(
         f"CAST(n_total AS DECIMAL(38,0)) * {num} DIV 1000000000"
     )
     return (
-        vals.join(F.broadcast(cands), "value")
-        .groupBy("value")
+        vals.join(F.broadcast(cands), "v")
+        .groupBy("v")
         .agg(F.count("*").alias("n"))
         .crossJoin(F.broadcast(tot))
         .where(F.col("n") > thresh)
-        .select("value", "n")
+        .select(F.col("v").alias("value"), "n")
     )
 
 

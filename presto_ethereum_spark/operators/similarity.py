@@ -2134,7 +2134,7 @@ def lsh_band_curve(
     # production scale the signature index is a persisted table anyway
     # (the same contract as the materialized IVF index).
     idx = _lsh_index_kernel(corpus, dim, bits, id_col, vec_col).localCheckpoint(
-        eager=True
+        eager=False
     )
     bandkeys = F.posexplode(
         F.array(
@@ -2214,18 +2214,20 @@ def lsh_band_curve(
         .select("n_bands", "query_id", "neighbor_id")
     )
     # the approx side only sees queries whose ids exist in the corpus
-    # index; restrict truth to the same effective probe set so an
-    # out-of-corpus query drops from BOTH numerator and denominator
-    # (instead of silently reading as recall 0)
-    truth = (
-        brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
-        .select("query_id", "neighbor_id")
-        .join(
-            F.broadcast(qidx.select("query_id").distinct()),
-            "query_id",
-            "left_semi",
-        )
+    # index; restrict the probe set to the same ids BEFORE the truth
+    # scan, so an out-of-corpus query drops from BOTH numerator and
+    # denominator (instead of silently reading as recall 0) and never
+    # pays a brute-force corpus pass just to be discarded
+    q_in = queries.join(
+        F.broadcast(
+            qidx.select(F.col("query_id").alias(id_col)).distinct()
+        ),
+        id_col,
+        "left_semi",
     )
+    truth = brute_force_topk(
+        corpus, q_in, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
     return _recall_vs_budget(
         approx, truth, corpus.sparkSession, "n_bands", bands
     )

@@ -1668,9 +1668,12 @@ def quality_survival_curve(
             )
         )
         .alias("bucket"),
-        F.coalesce(token_count_regex(F.col(text_col)), F.lit(0)).alias(
-            "n_tok"
-        ),
+        # guard the token column like the bucket: under non-ANSI Spark
+        # (legacy.sizeOfNull) size(regexp_extract_all(NULL)) is -1, not
+        # NULL, and a coalesce would pass the -1 through into token mass
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.coalesce(token_count_regex(F.col(text_col)), F.lit(0)))
+        .alias("n_tok"),
     )
     hist = scored.groupBy("bucket").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")

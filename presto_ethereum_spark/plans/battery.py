@@ -12801,7 +12801,7 @@ def emb_lsh_band_curve(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "doc_quality_survival_curve",
     f"""
-    WITH {{ctes}},
+    WITH {_doc_quality_ctes()},
     b AS (
       SELECT CASE WHEN n_chars IS NULL THEN 0
                   ELSE least(CAST(floor(quality * 10) AS INT), 10) END
@@ -12825,7 +12825,7 @@ def emb_lsh_band_curve(spark: SparkSession, sf: str) -> DataFrame:
              AS BIGINT) AS tokens_at_or_above
     FROM (SELECT CAST(unnest(range(0, 11)) AS INT) AS bucket) s
     LEFT JOIN hist h USING (bucket)
-    """.replace("{ctes}", _doc_quality_ctes()),
+    """,
 )
 def doc_quality_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-cutoff survival curve (operators/text.
