@@ -10,6 +10,9 @@ Modes (pass one or more as arguments; default: both):
   shuffle  — spark.sql.shuffle.partitions=7 instead of 32
              (catches partition-order-dependent float accumulation that
              the DECIMAL / fixed-point / round() discipline must prevent)
+  ansi     — spark.sql.ansi.enabled=false + legacy.sizeOfNull
+             (catches results that silently depend on ANSI guards:
+             size(NULL) = -1, wrapping integer arithmetic, lenient casts)
 
 Usage: python3 scripts/audit_robustness.py [tz|shuffle ...] [--sf DIR]
 """
@@ -26,6 +29,17 @@ import presto_ethereum_spark.session as S  # noqa: E402
 MODES = {
     "tz": {"extra_conf": {"spark.sql.session.timeZone": "America/New_York"}},
     "shuffle": {"shuffle_partitions": 7},
+    # legacy non-ANSI mode: integer overflow wraps silently, size(NULL)
+    # returns -1 (legacy.sizeOfNull), casts are lenient — the divergence
+    # class the r8 review found in quality_survival_curve's token column
+    # (ANSI default hid it); this mode makes the whole battery prove its
+    # results don't depend on ANSI guards
+    "ansi": {
+        "extra_conf": {
+            "spark.sql.ansi.enabled": "false",
+            "spark.sql.legacy.sizeOfNull": "true",
+        }
+    },
 }
 
 
