@@ -156,6 +156,7 @@ HEADLINE = [
     "emb_lsh_band_curve",
     "multimodal_bytes_profile",
     "doc_quality_survival_curve",
+    "emb_codebook_drift",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -39,6 +39,7 @@ __all__ = [
     "lsh_band_curve",
     "seed_centroids",
     "kmeans_centroids",
+    "codebook_drift",
     "ivf_assign",
     "ivf_topk",
     "ivf_probe_curve",
@@ -2230,4 +2231,54 @@ def lsh_band_curve(
     ).select("query_id", "neighbor_id")
     return _recall_vs_budget(
         approx, truth, corpus.sparkSession, "n_bands", bands
+    )
+
+
+def codebook_drift(
+    df: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    refined: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell assignment churn between two codebooks — the
+    index-maintenance diagnostic that decides WHEN to rebuild/re-partition
+    an IVF index: refine the codebook (or ingest a new corpus snapshot),
+    measure what fraction of each cell's members would move, and rebuild
+    only when churn justifies rewriting the cell-partitioned layout
+    (emb_ivf_materialized_serve's storage contract).  Complements
+    emb_ivf_recall_refined (is the NEW codebook better?) with the cost
+    side (how much data must MOVE to adopt it?).
+
+    Plan: ONE map-side pass scores both literal codebooks per row (the
+    same staged fold as :func:`ivf_assign`, twice) — zero corpus shuffle;
+    the only exchange is the n_cells-row conditional-count groupBy.
+    churn_e6 is half-up integer micro-units with DECIMAL(38,0) products
+    (cell populations at crawl scale overflow int64 in 2*n*1e6)."""
+    cell0 = F.array_max(_centroid_scores(F.col(vec_col), seeds))["cid"]
+    cell1 = F.array_max(_centroid_scores(F.col(vec_col), refined))["cid"]
+    both = df.select(
+        cell0.alias("cell_seed"), cell1.alias("cell_refined")
+    )
+    return (
+        both.groupBy(F.col("cell_seed").alias("cell"))
+        .agg(
+            F.count("*").alias("n_seed"),
+            F.sum(
+                F.when(F.col("cell_refined") == F.col("cell_seed"), 1).otherwise(0)
+            ).alias("n_stayed"),
+            F.sum(
+                F.when(F.col("cell_refined") != F.col("cell_seed"), 1).otherwise(0)
+            ).alias("n_moved"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_seed").cast("bigint").alias("n_seed"),
+            F.col("n_stayed").cast("bigint").alias("n_stayed"),
+            F.col("n_moved").cast("bigint").alias("n_moved"),
+            F.expr(
+                "CAST((2 * CAST(n_moved AS DECIMAL(38,0)) * 1000000 + n_seed)"
+                " div (2 * CAST(n_seed AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("churn_e6"),
+        )
     )

@@ -12841,3 +12841,97 @@ def doc_quality_survival_curve(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import quality_survival_curve
 
     return quality_survival_curve(t_spread(spark, sf, "documents"))
+
+
+@q(
+    "emb_codebook_drift",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {{cos}} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign0 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    ex AS (
+      SELECT cid, CAST(i - 1 AS INT) AS dim, v[i] AS x
+      FROM (SELECT cid, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM assign0)
+    ),
+    coords AS (
+      SELECT cid, dim,
+             (CAST(CAST(sum(CAST(floor(x * {{qs}}) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / {{qs}}) / count(*) AS coord
+      FROM ex GROUP BY cid, dim
+    ),
+    rcent AS (
+      SELECT c.cid, coalesce(r.rvec, CAST(c.cvec AS DOUBLE[])) AS cvec
+      FROM cent c LEFT JOIN (SELECT cid, list(coord ORDER BY dim) AS rvec
+                             FROM coords GROUP BY cid) r ON r.cid = c.cid
+    ),
+    rscored AS (
+      SELECT e.vec_id, r.cid,
+             {{rcos}} AS csim
+      FROM embeddings e CROSS JOIN rcent r
+    ),
+    rassign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM rscored) WHERE rnk = 1
+    ),
+    mv AS (
+      SELECT a0.cid AS cell_seed, a1.cid AS cell_refined
+      FROM assign0 a0 JOIN rassign a1 USING (vec_id))
+    SELECT CAST(cell_seed AS INT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_seed,
+           CAST(count(*) FILTER (WHERE cell_refined = cell_seed) AS BIGINT)
+             AS n_stayed,
+           CAST(count(*) FILTER (WHERE cell_refined != cell_seed) AS BIGINT)
+             AS n_moved,
+           CAST((2 * CAST(count(*) FILTER (WHERE cell_refined != cell_seed)
+                          AS HUGEINT) * 1000000 + count(*))
+                // (2 * CAST(count(*) AS HUGEINT)) AS BIGINT) AS churn_e6
+    FROM mv GROUP BY cell_seed
+    """.replace("{cos}", _duck_cos("c.cvec", "e.embedding"))
+    .replace("{rcos}", _duck_cos("r.cvec", "e.embedding"))
+    .replace("{qs}", str(_KMEANS_S)),
+)
+def emb_codebook_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell assignment churn between the seed codebook and one Lloyd
+    round of refinement (operators/similarity.codebook_drift) — the COST
+    side of codebook refinement next to emb_ivf_recall_refined's QUALITY
+    side: an IVF rebuild rewrites the cell-partitioned layout, so the
+    decision needs "what fraction of each cell moves", not just "is
+    recall better".  One map-side pass scores both literal codebooks
+    (zero corpus shuffle; the only exchange is the 8-row conditional-
+    count groupBy); the refined codebook's fixed-point member means are
+    bit-exactly replicated by the oracle (the emb_ivf_recall_refined
+    machinery), so churn itself is hash-gated."""
+    from presto_ethereum_spark.operators.similarity import (
+        codebook_drift,
+        kmeans_centroids,
+        seed_centroids,
+    )
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    seeds = _IVF_CODEBOOKS.get(sf)
+    if seeds is None:
+        seeds = _IVF_CODEBOOKS[sf] = seed_centroids(e, n_cells=8)
+    refined = _IVF_CODEBOOKS.get(("refined", sf))
+    if refined is None:
+        refined = _IVF_CODEBOOKS[("refined", sf)] = kmeans_centroids(
+            e, n_cells=8, n_iters=1, seeds=seeds
+        )
+    return codebook_drift(e, seeds, refined)

@@ -5260,3 +5260,36 @@ class TestReviewedEdgeCases:
         )
         assert out == ref
         assert out[0][2] == 2 * 10  # n_truth
+
+
+class TestCodebookDrift:
+    def test_conservation_and_identity(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            codebook_drift,
+            ivf_assign,
+            kmeans_centroids,
+            seed_centroids,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        seeds = seed_centroids(e, n_cells=4)
+        refined = kmeans_centroids(e, n_cells=4, n_iters=1, seeds=seeds)
+        out = codebook_drift(e, seeds, refined).collect()
+        # conservation: per cell n_stayed + n_moved == n_seed, and the
+        # seed-cell populations sum to the corpus
+        for r in out:
+            assert r.n_stayed + r.n_moved == r.n_seed
+            assert 0 <= r.churn_e6 <= 1000000
+        assert sum(r.n_seed for r in out) == e.count()
+        # seed populations match ivf_assign's own census
+        census = {
+            r.cell: r.n
+            for r in ivf_assign(e, seeds)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert {r.cell: r.n_seed for r in out} == census
+        # identity: drift of a codebook against itself is zero everywhere
+        none = codebook_drift(e, seeds, seeds).collect()
+        assert all(r.n_moved == 0 and r.churn_e6 == 0 for r in none)
