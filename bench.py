@@ -157,6 +157,7 @@ HEADLINE = [
     "multimodal_bytes_profile",
     "doc_quality_survival_curve",
     "emb_codebook_drift",
+    "doc_minhash_band_curve",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -186,6 +186,24 @@ def minhash_band_keys(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND
     )
 
 
+def _minhash_banded(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, key) rows from the MinHash signature banding — the
+    shared front half of :func:`minhash_candidates` and
+    :func:`minhash_candidate_bands`."""
+    shingled = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")).withColumn(
+        "sh", F.array_distinct(word_shingles(F.col("txt"), 3))
+    )
+    sigs = (
+        shingled.where(F.size("sh") > 0)  # == "no null sig entries" below
+        .withColumn("sig", minhash_signature_from_shingles(F.col("sh")))
+    )
+    return sigs.select(
+        "id", F.posexplode(minhash_band_keys(F.col("sig"))).alias("band", "key")
+    )
+
+
 def minhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -195,16 +213,7 @@ def minhash_candidates(
     ONE hash shuffle on (band, key) -> per-bucket pair expansion -> distinct.
     Never materializes the full O(n^2) pair space.
     """
-    shingled = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")).withColumn(
-        "sh", F.array_distinct(word_shingles(F.col("txt"), 3))
-    )
-    sigs = (
-        shingled.where(F.size("sh") > 0)  # == "no null sig entries" below
-        .withColumn("sig", minhash_signature_from_shingles(F.col("sh")))
-    )
-    banded = sigs.select(
-        "id", F.posexplode(minhash_band_keys(F.col("sig"))).alias("band", "key")
-    )
+    banded = _minhash_banded(df, text_col, id_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -215,6 +224,30 @@ def minhash_candidates(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_candidate_bands(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs WITH their first agreeing band:
+    ``(id_a, id_b, min_band)`` — a pair is a candidate under a budget of
+    ``b`` bands iff ``min_band < b``, so one banded join prices every
+    band budget at once (the dedup-side analog of
+    similarity.lsh_band_curve's one-pass trick).  Same (band, key)
+    exchange as :func:`minhash_candidates`; the groupBy replaces the
+    distinct."""
+    banded = _minhash_banded(df, text_col, id_col)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.min("a.band").alias("min_band"))
     )
 
 

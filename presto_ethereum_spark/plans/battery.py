@@ -12935,3 +12935,109 @@ def emb_codebook_drift(spark: SparkSession, sf: str) -> DataFrame:
             e, n_cells=8, n_iters=1, seeds=seeds
         )
     return codebook_drift(e, seeds, refined)
+
+
+@q(
+    "doc_minhash_band_curve",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_SIG},
+    candm AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, min(a.band) AS min_band
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    ex0 AS (
+      SELECT s.doc_id, len(s.shingles) AS sz, unnest(s.shingles) AS sh
+      FROM shingled s),
+    dfc AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM ex0 GROUP BY sh)
+      WHERE df <= 8),
+    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh)),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
+    truth AS (
+      SELECT id_a, id_b FROM tp
+      WHERE 10 * inter >= 3 * (sz_a + sz_b - inter)),
+    nt AS (SELECT count(*) AS n_truth FROM truth),
+    hist AS (
+      SELECT c.min_band, count(*) AS n
+      FROM truth t JOIN candm c USING (id_a, id_b)
+      GROUP BY c.min_band)
+    SELECT CAST(s.nb AS INT) AS n_bands,
+           CAST(nt.n_truth AS BIGINT) AS n_truth,
+           CAST(coalesce(
+             (SELECT sum(n) FROM hist WHERE min_band < s.nb), 0) AS BIGINT)
+             AS n_caught,
+           CAST((2 * coalesce(
+                   (SELECT sum(n) FROM hist WHERE min_band < s.nb), 0)
+                 * 1000000 + nt.n_truth)
+                // nullif(2 * nt.n_truth, 0) AS DOUBLE) / 1000000 AS recall
+    FROM (SELECT unnest(generate_series(1, 4)) AS nb) s
+    CROSS JOIN nt
+    """,
+)
+def doc_minhash_band_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair-recall vs MinHash band budget 1..4 from ONE banded join
+    (operators/dedup.minhash_candidate_bands) — the dedup-side band
+    knob next to doc_jaccard_threshold_curve's cutoff knob: more bands
+    union more candidate buckets, so recall over the exact-Jaccard
+    truth (>= 0.3, df-capped at max_df=8, the doc_minhash_recall truth
+    contract) rises monotonically while the (band, key) exchange grows
+    linearly.  A pair is a candidate under budget b iff its FIRST
+    agreeing band < b, so min_band prices every budget at once; the
+    curve says how many bands the index must pay for a target recall.
+    n_caught/recall per budget derive from a <= 4-row min_band
+    histogram — nothing per-budget ever re-joins."""
+    from presto_ethereum_spark.operators.dedup import (
+        _shingle_postings,
+        minhash_candidate_bands,
+        round6_ratio,
+    )
+
+    d = t_spread(spark, sf, "documents")
+    ex = _shingle_postings(d, "text", "doc_id", 3, [], max_df=8)
+    a, b = ex.alias("a"), ex.alias("b")
+    tp = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    truth = tp.where(10 * F.col("inter") >= 3 * uni).select("id_a", "id_b")
+    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
+    candm = minhash_candidate_bands(d)
+    hist = (
+        truth.join(candm, ["id_a", "id_b"])
+        .groupBy("min_band")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(1, 5).select(F.col("id").cast("int").alias("n_bands"))
+    caught = (
+        spine.join(F.broadcast(hist), F.col("min_band") < F.col("n_bands"), "left")
+        .groupBy("n_bands")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_caught"))
+    )
+    return (
+        caught.crossJoin(F.broadcast(n_truth))
+        .select(
+            "n_bands",
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_caught").cast("bigint").alias("n_caught"),
+            # empty truth (possible at any SF where no pair clears the
+            # 0.3 cutoff under the df-capped contract) reports NULL
+            # recall instead of dividing by zero
+            F.when(
+                F.col("n_truth") > 0,
+                round6_ratio(F.col("n_caught"), F.col("n_truth")),
+            ).alias("recall"),
+        )
+    )

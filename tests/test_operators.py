@@ -5293,3 +5293,23 @@ class TestCodebookDrift:
         # identity: drift of a codebook against itself is zero everywhere
         none = codebook_drift(e, seeds, seeds).collect()
         assert all(r.n_moved == 0 and r.churn_e6 == 0 for r in none)
+
+
+class TestMinhashBandCurve:
+    def test_monotone_and_full_budget_matches_recall_report(self, spark):
+        from presto_ethereum_spark.plans import battery
+
+        sf = "/root/testdata/sf0.001"
+        out = {
+            r.n_bands: r
+            for r in battery.doc_minhash_band_curve(spark, sf).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        caught = [out[b].n_caught for b in range(1, 5)]
+        # more bands union more buckets: caught is monotone non-decreasing
+        assert caught == sorted(caught)
+        # the full-budget row equals the recall report's total catch
+        # (same truth contract, same 4x4 banding)
+        rep = battery.doc_minhash_recall(spark, sf).collect()
+        assert out[4].n_caught == sum(r.n_caught for r in rep)
+        assert out[4].n_truth == sum(r.n_truth for r in rep)
