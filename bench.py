@@ -160,6 +160,18 @@ HEADLINE = [
     "doc_minhash_band_curve",
 ]
 
+# HEADLINE is FROZEN as of r9 (the 93 entries above): round-over-round
+# BENCH comparisons are 1:1 on this set — no more shared-subset arithmetic.
+# New queries bench in INCOMING (timed identically, reported separately as
+# incoming_total_wall) and graduate into HEADLINE only by an explicit
+# freeze bump recorded here, never silently.
+HEADLINE_FREEZE = "r9"
+INCOMING: list[str] = [
+    # round-9: streaming Misra-Gries heavy hitters (batch/stream sketch
+    # parity for the heavy-hitter family)
+    "stream_heavy_hitters",
+]
+
 # Iterative / stateful / micro-batch entries carry multi-job session state
 # (shuffle-service reuse, streaming state stores) that makes a 3-sample
 # median unstable (r5: driver vs idle-box medians disagreed >2x on
@@ -172,6 +184,7 @@ ITERATIVE = {
     # stream_trending_topk below
     "stream_kmv_distinct",
     "stream_value_histogram",
+    "stream_heavy_hitters",
     "eth_tx_pagerank",
     "eth_tx_pagerank_weighted",
     "eth_tx_hits",
@@ -246,6 +259,12 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
         # doc_ppjoin_pairs 2.2x, doc_repetition 3.9x on a single max
         # spike).  Standard inter-iteration hygiene (JMH does the same);
         # the pause still exists, it just lands between samples.
+        # LOCAL-MODE ASSUMPTION: System.gc() via _jvm collects the DRIVER
+        # JVM only — exactly right on local[32] where every executor thread
+        # lives in that one JVM, but a silent no-op for executors on a real
+        # cluster (a cluster bench would drain via a dummy all-executor job
+        # that calls System.gc in each task).  The r8 methodology change is
+        # flagged in BENCH_DETAIL.json provenance ("gc_drain").
         spark.sparkContext._jvm.System.gc()
         samples: list[float] = []
         for _ in range(n):
@@ -286,7 +305,8 @@ def main() -> None:
 
     # ---- parent mode: orchestrate fresh-JVM chunks, aggregate ------------
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_SIZE", "25"))
-    chunks = [HEADLINE[i : i + chunk_size] for i in range(0, len(HEADLINE), chunk_size)]
+    allq = HEADLINE + INCOMING
+    chunks = [allq[i : i + chunk_size] for i in range(0, len(allq), chunk_size)]
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     here = Path(__file__).resolve().parent
@@ -320,9 +340,16 @@ def main() -> None:
             flush=True,
         )
 
+    headline_wall = round(sum(times[n] for n in HEADLINE), 3)
+    incoming_wall = round(sum(times[n] for n in INCOMING), 3)
     detail = {
         "metric": "headline_total_wall",
-        "value": round(sum(times.values()), 3),
+        # `value` is the FROZEN headline set only (1:1 round-over-round);
+        # INCOMING entries are timed identically but totaled separately
+        "value": headline_wall,
+        "incoming_total_wall": incoming_wall,
+        "headline_freeze": HEADLINE_FREEZE,
+        "incoming": INCOMING,
         "unit": "sec",
         "queries": times,
         "spread": spread,
@@ -330,6 +357,10 @@ def main() -> None:
         "iter_repeats": iter_repeats,
         "n_sessions": len(chunks),
         "sf": sf,
+        # provenance: warm-median contract since r8; the inter-sample GC
+        # drain collects the driver JVM only (all executors in local mode),
+        # so spreads are not comparable to <=r7 recordings
+        "gc_drain": "driver-jvm-only (local mode); warm-median since r8",
     }
     out_path = here / "BENCH_DETAIL.json"
     out_path.write_text(json.dumps(detail, indent=1) + "\n")
@@ -343,9 +374,10 @@ def main() -> None:
     summary = {
         "metric": "headline_total_wall",
         "value": detail["value"],
+        "incoming_wall": incoming_wall,
         "unit": "sec",
         "sf": sf,
-        "n_queries": len(times),
+        "n_queries": len(HEADLINE),
         "repeats": repeats,
         "iter_repeats": iter_repeats,
         "n_sessions": len(chunks),

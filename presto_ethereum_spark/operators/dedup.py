@@ -45,6 +45,7 @@ __all__ = [
     "simhash_candidates",
     "simhash_dedup_pairs",
     "jaccard_pairs",
+    "jaccard_truth_pairs",
     "shingle_df_profile",
     "fuzzy_prefix_key",
     "hamming_fixed",
@@ -589,6 +590,45 @@ def _overlap_pair_counts(
         )
         .agg(F.count("*").alias("inter"))
     )
+
+
+# The recall/tuning family's shared truth contract: exact-Jaccard pairs at
+# J >= TRUTH_TENTHS/10 over the df-capped (max_df=8) inverted index.  r8's
+# J >= 0.3 contract was ORGANICALLY EMPTY at sf0.1 (the cap lower-bounds
+# reported similarity, and no sf0.1 pair clears 0.3 under it), which made
+# the sf0.1 recall gates vacuous; 0.2 is non-empty at BOTH graded scale
+# factors (sf0.01: 25 truth pairs, sf0.1: 5) so every gate has content.
+# Mirrored verbatim by battery._DUCK_TRUTH_TP / _DUCK_TRUTH_COND — a future
+# threshold change edits this constant and that CTE pair, nothing else.
+TRUTH_TENTHS = 2
+
+
+def jaccard_truth_pairs(
+    df: DataFrame,
+    threshold_tenths: int = TRUTH_TENTHS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_df: int | None = 8,
+) -> DataFrame:
+    """The ONE truth-pair pipeline shared by the LSH quality reports
+    (doc_minhash_recall, doc_minhash_band_curve and their sampled
+    variants): ``(id_a, id_b, sz_a, sz_b, inter)`` for every unblocked
+    document pair whose df-capped exact Jaccard clears
+    ``threshold_tenths/10``, decided in exact integers
+    (``10*inter >= t*(sz_a+sz_b-inter)``) so no double ever gates a
+    truth edge.
+
+    Built on :func:`_overlap_pair_counts` (cap one side only —
+    result-identical, one window cheaper), so truth-join work is bounded
+    by ``max_df x total postings``: linear in corpus size, the same
+    CCNet df-cap trade every graded dedup join makes.  Capped shingles
+    do not count toward ``inter`` while sizes stay full, so truth
+    similarity is a LOWER BOUND on raw Jaccard — the documented reason
+    the threshold is a named contract rather than a per-call literal."""
+    tp = _overlap_pair_counts(df, text_col, id_col, shingle_n, [], max_df)
+    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return tp.where(10 * F.col("inter") >= int(threshold_tenths) * uni)
 
 
 def jaccard_pairs(

@@ -43,7 +43,7 @@ def _mg_summary(vals: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     PODS'12 reduce).  Candidate rows carry ``v``; ONE trailing row per
     partition carries the partition's row count under ``v = NULL``, so
     n_total rides the same pass instead of a second corpus scan.  The
-    summary (<= (k+1) x partitions rows) is localCheckpointed so its two
+    summary (<= (k+1) x partitions rows) is persisted so its two
     consumers (candidate broadcast, total) read the materialized result
     instead of re-running the corpus pass per consumer."""
 
@@ -68,11 +68,17 @@ def _mg_summary(vals: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
             {"v": cand + [None], "n_part": [0] * len(cand) + [n_part]}
         )
 
-    # LAZY checkpoint: materializes on the first action and is reused by
-    # the second consumer; eager=True would run the corpus pass at
-    # plan-construction time (explain()/plan tests/conditional branches)
-    summary = vals.mapInPandas(summarize, "v string, n_part long").localCheckpoint(
-        eager=False
+    # LAZY persist: materializes on the first action and is reused by the
+    # second consumer.  persist over localCheckpoint because the summary's
+    # lineage stays RECOMPUTABLE — localCheckpoint stores unreplicated
+    # executor-local blocks, so on a real cluster one executor loss after
+    # materialization would kill the query instead of recomputing the
+    # lost partitions (the loop operators that NEED lineage truncation
+    # document that trade explicitly; this reuse point does not).
+    from pyspark import StorageLevel
+
+    summary = vals.mapInPandas(summarize, "v string, n_part long").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     cand = summary.where(F.col("v").isNotNull()).select("v").distinct()
     total = summary.where(F.col("v").isNull()).agg(
@@ -626,6 +632,11 @@ def histogram_quantiles(
     only sort to ~n/n_buckets rows per quantile.  err_cents (estimate -
     exact) IS the diagnostic: it verifies the histogram's error bound
     holds on real data rather than assuming it."""
+    if n_buckets < 1:
+        # mirrors jaccard_threshold_curve's guard: n_buckets=0 would put a
+        # div-by-zero in the width expression (ANSI: runtime error;
+        # non-ANSI: silently-NULL width and an empty report)
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     v = df.select(F.col(value_col).cast("bigint").alias("x")).where(
         # NULLs are neither rankable nor bucketable: without this filter
         # they inflate n (shifting every target rank) and form a NULL

@@ -2131,11 +2131,16 @@ def lsh_band_curve(
     width = bits // bands
     # the signature index feeds FOUR subtrees (both sides of the band
     # join, the query staging, the neighbor staging); materialize the one
-    # Arrow kernel pass instead of re-running it per subtree.  At
-    # production scale the signature index is a persisted table anyway
-    # (the same contract as the materialized IVF index).
-    idx = _lsh_index_kernel(corpus, dim, bits, id_col, vec_col).localCheckpoint(
-        eager=False
+    # Arrow kernel pass instead of re-running it per subtree.  persist
+    # (recomputable lineage) over localCheckpoint (unreplicated local
+    # blocks — an executor loss after materialization would kill the
+    # query on a real cluster).  At production scale the signature index
+    # is a persisted table anyway (same contract as the materialized IVF
+    # index).
+    from pyspark import StorageLevel
+
+    idx = _lsh_index_kernel(corpus, dim, bits, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     bandkeys = F.posexplode(
         F.array(

@@ -1743,6 +1743,34 @@ _DUCK_SHINGLED = """
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
 """
 
+# The LSH quality family's SHARED truth pipeline — oracle twin of
+# operators/dedup.jaccard_truth_pairs, used verbatim by doc_minhash_recall
+# and doc_minhash_band_curve (and, via _sampled_oracle, their sampled
+# variants), so a threshold change edits dedup.TRUTH_TENTHS plus this one
+# constant pair and nothing else.  Unblocked df-capped (max_df=8)
+# inverted-index pair counts; the truth cut is J >= _TRUTH_TENTHS/10 in
+# exact integers.  r8's 0.3 cut was organically EMPTY at sf0.1 under the
+# cap (vacuous recall gates there); 0.2 is non-empty at BOTH graded SFs
+# (sf0.01: 25 truth pairs, sf0.1: 5).  doc_jaccard_threshold_curve is
+# threshold-free (it sweeps every decile) and lang-blocked, so it keeps
+# the _DUCK_JACCARD_IPAIRS constant instead.
+_TRUTH_TENTHS = 2
+_DUCK_TRUTH_TP = """
+    ex0 AS (
+      SELECT s.doc_id, len(s.shingles) AS sz, unnest(s.shingles) AS sh
+      FROM shingled s),
+    dfc AS (
+      SELECT sh FROM (SELECT sh, count(*) AS df FROM ex0 GROUP BY sh)
+      WHERE df <= 8),
+    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh)),
+    tp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+             count(*) AS inter
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz)
+"""
+_DUCK_TRUTH_COND = f"10 * inter >= {_TRUTH_TENTHS} * (sz_a + sz_b - inter)"
+
 # Inverted-index exact-Jaccard pair counts inside language blocks — the
 # oracle twin of operators/dedup.jaccard_pairs.  Result-identical to the
 # naive `langd a JOIN langd b` all-pairs formulation for any threshold > 0
@@ -9310,6 +9338,45 @@ def stream_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
     FROM cnt c JOIN agg a USING (window_start)
     """,
 )
+def stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-hour heavy-hitter users via streaming Misra-Gries candidates +
+    exact verify on window close (streaming/events.heavy_hitters_stream,
+    k=96) — the heavy-hitter member of the batch/stream sketch parity
+    family (stream_kmv_distinct: distinct counts; stream_value_histogram:
+    quantiles).  State is <= k (value, count) counters per open window,
+    reduced per micro-batch by the same PODS'12 step the batch
+    misra_gries_heavy runs per partition, so the settled candidate set
+    provably contains every user above 1/97 of the window whatever the
+    micro-batch split; the candidate-sized exact verify then makes the
+    graded output EQUAL to the closed form — hash-gated, split-invariant
+    by construction (MG residuals, the only split-dependent numbers, are
+    diagnostics and never graded).  The eviction path is organically
+    non-vacuous at sf0.1 (densest hour: 166 distinct users > k) while
+    sf0.01 exercises the no-eviction exactness path."""
+    from presto_ethereum_spark.streaming.events import run_heavy_hitters
+
+    return run_heavy_hitters(spark, sf)
+
+
+_STREAM_HH_ORACLE = """
+    WITH ev AS (
+      SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
+             CAST(user_id AS VARCHAR) AS value
+      FROM events WHERE user_id IS NOT NULL),
+    n AS (SELECT window_start, count(*) AS n_total FROM ev GROUP BY 1),
+    c AS (SELECT window_start, value, count(*) AS n FROM ev GROUP BY 1, 2)
+    SELECT c.window_start,
+           c.value,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(n.n_total AS BIGINT) AS n_total,
+           CAST((2 * c.n * 1000000 + n.n_total) // (2 * n.n_total)
+                AS BIGINT) AS share_e6
+    FROM c JOIN n USING (window_start)
+    WHERE c.n * 97 > n.n_total
+    """
+_REGISTRY["stream_heavy_hitters"] = (stream_heavy_hitters, _STREAM_HH_ORACLE)
+
+
 def stream_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Per-hour distinct users as a MERGEABLE KMV sketch in the streaming
     path (streaming/events.kmv_distinct_stream, k=64): state is k longs
@@ -9781,25 +9848,15 @@ def rel_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-    ex0 AS (
-      SELECT s.doc_id, len(s.shingles) AS sz, unnest(s.shingles) AS sh
-      FROM shingled s),
-    dfc AS (
-      SELECT sh FROM (SELECT sh, count(*) AS df FROM ex0 GROUP BY sh)
-      WHERE df <= 8),
-    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh)),
-    tp AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-             count(*) AS inter
-      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
+    {_DUCK_TRUTH_TP},
     truth AS (
       SELECT id_a, id_b,
              CASE WHEN 10 * inter >= 7 * (sz_a + sz_b - inter) THEN '0.7+'
                   WHEN 10 * inter >= 5 * (sz_a + sz_b - inter) THEN '0.5-0.7'
-                  ELSE '0.3-0.5' END AS bucket
+                  WHEN 10 * inter >= 3 * (sz_a + sz_b - inter) THEN '0.3-0.5'
+                  ELSE '0.2-0.3' END AS bucket
       FROM tp
-      WHERE 10 * inter >= 3 * (sz_a + sz_b - inter)),
+      WHERE {_DUCK_TRUTH_COND}),
     hits AS (
       SELECT t.bucket, count(*) AS n_caught
       FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
@@ -9818,49 +9875,41 @@ def doc_minhash_recall(spark: SparkSession, sf: str) -> DataFrame:
     banding catches J ≥ 0.7 pairs near-certainly, J ≈ 0.3 pairs rarely.
     Completes the approximate-index quality-report family (IVF/LSH/PQ
     recalls on embeddings) for the DEDUP side.  Truth pairs come from
-    the inverted-index exact-Jaccard join with posting lists DF-CAPPED at
-    max_df=8 (operators/dedup._shingle_postings; the cap fires at sf0.1
-    where max df is 14, so the lossy path is oracle-verified): truth-join
-    work is bounded by max_df x total postings — linear in corpus size —
-    instead of the unbounded Sum df² a boilerplate shingle would explode
-    at crawl scale.  Truth Jaccard is therefore a lower bound (capped
-    shingles don't count toward inter; sizes stay full) — the standard
-    CCNet measurement trade, documented in SCALE.md.  Candidates come
-    from the banded bucket join; both sides shuffle shingle hashes and
-    ids, never text.  Buckets compare 10·inter vs k·union in integers —
-    no double ever gates a bucket edge."""
+    operators/dedup.jaccard_truth_pairs — the ONE shared df-capped
+    (max_df=8) inverted-index pipeline, threshold J >= TRUTH_TENTHS/10 =
+    0.2 (r9: the r8 0.3 cut was organically empty at sf0.1 under the
+    cap, making that gate vacuous; 0.2 has 25/5 truth pairs at
+    sf0.01/sf0.1 so the gate has content at BOTH SFs).  The cap fires at
+    sf0.1 (max organic df 14), so the lossy path is oracle-verified:
+    truth-join work is bounded by max_df x total postings — linear in
+    corpus size — instead of the unbounded Sum df² a boilerplate shingle
+    would explode at crawl scale.  Truth Jaccard is a lower bound
+    (capped shingles don't count toward inter; sizes stay full) — the
+    standard CCNet measurement trade, documented in SCALE.md.
+    Candidates come from the banded bucket join; both sides shuffle
+    shingle hashes and ids, never text.  Buckets compare 10·inter vs
+    k·union in integers — no double ever gates a bucket edge."""
     return _minhash_recall_report(t_spread(spark, sf, "documents"))
 
 
 def _minhash_recall_report(d: DataFrame) -> DataFrame:
     """Shared body of doc_minhash_recall and its hash-sampled variant:
-    df-capped exact-Jaccard truth vs banded MinHash candidates, recall
-    per similarity bucket."""
+    jaccard_truth_pairs truth (J >= 0.2, df-capped) vs banded MinHash
+    candidates, recall per similarity bucket."""
     from presto_ethereum_spark.operators.dedup import (
-        _shingle_postings,
+        jaccard_truth_pairs,
         minhash_candidates,
         round6_ratio,
     )
 
-    ex = _shingle_postings(d, "text", "doc_id", 3, [], max_df=8)
-    a, b = ex.alias("a"), ex.alias("b")
-    tp = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
     uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    truth = tp.where(10 * F.col("inter") >= 3 * uni).select(
+    truth = jaccard_truth_pairs(d).select(
         "id_a",
         "id_b",
         F.when(10 * F.col("inter") >= 7 * uni, F.lit("0.7+"))
         .when(10 * F.col("inter") >= 5 * uni, F.lit("0.5-0.7"))
-        .otherwise(F.lit("0.3-0.5"))
+        .when(10 * F.col("inter") >= 3 * uni, F.lit("0.3-0.5"))
+        .otherwise(F.lit("0.2-0.3"))
         .alias("bucket"),
     )
     cand = minhash_candidates(d)
@@ -12654,9 +12703,9 @@ def multimodal_bytes_profile(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH ev AS (
       SELECT epoch_us(ts) // 3600000000 * 3600 AS window_start,
-             length(bin(CAST(round(value * 100) AS BIGINT))) - 1 AS bucket
+             length(bin(TRY_CAST(round(value * 100) AS BIGINT))) - 1 AS bucket
       FROM events
-      WHERE CAST(round(value * 100) AS BIGINT) > 0),
+      WHERE TRY_CAST(round(value * 100) AS BIGINT) > 0),
     h AS (SELECT window_start, bucket, count(*) AS cnt FROM ev GROUP BY 1, 2),
     hc AS (
       SELECT window_start, bucket, cnt,
@@ -12947,21 +12996,10 @@ def emb_codebook_drift(spark: SparkSession, sf: str) -> DataFrame:
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    ex0 AS (
-      SELECT s.doc_id, len(s.shingles) AS sz, unnest(s.shingles) AS sh
-      FROM shingled s),
-    dfc AS (
-      SELECT sh FROM (SELECT sh, count(*) AS df FROM ex0 GROUP BY sh)
-      WHERE df <= 8),
-    ex AS (SELECT e.* FROM ex0 e JOIN dfc USING (sh)),
-    tp AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-             count(*) AS inter
-      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id, a.sz, b.sz),
+    {_DUCK_TRUTH_TP},
     truth AS (
       SELECT id_a, id_b FROM tp
-      WHERE 10 * inter >= 3 * (sz_a + sz_b - inter)),
+      WHERE {_DUCK_TRUTH_COND}),
     nt AS (SELECT count(*) AS n_truth FROM truth),
     hist AS (
       SELECT c.min_band, count(*) AS n
@@ -12985,34 +13023,22 @@ def doc_minhash_band_curve(spark: SparkSession, sf: str) -> DataFrame:
     (operators/dedup.minhash_candidate_bands) — the dedup-side band
     knob next to doc_jaccard_threshold_curve's cutoff knob: more bands
     union more candidate buckets, so recall over the exact-Jaccard
-    truth (>= 0.3, df-capped at max_df=8, the doc_minhash_recall truth
-    contract) rises monotonically while the (band, key) exchange grows
-    linearly.  A pair is a candidate under budget b iff its FIRST
+    truth (operators/dedup.jaccard_truth_pairs: J >= 0.2, df-capped at
+    max_df=8 — the shared doc_minhash_recall truth contract, non-empty
+    at BOTH graded SFs since r9) rises monotonically while the
+    (band, key) exchange grows linearly.  A pair is a candidate under budget b iff its FIRST
     agreeing band < b, so min_band prices every budget at once; the
     curve says how many bands the index must pay for a target recall.
     n_caught/recall per budget derive from a <= 4-row min_band
     histogram — nothing per-budget ever re-joins."""
     from presto_ethereum_spark.operators.dedup import (
-        _shingle_postings,
+        jaccard_truth_pairs,
         minhash_candidate_bands,
         round6_ratio,
     )
 
     d = t_spread(spark, sf, "documents")
-    ex = _shingle_postings(d, "text", "doc_id", 3, [], max_df=8)
-    a, b = ex.alias("a"), ex.alias("b")
-    tp = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
-    truth = tp.where(10 * F.col("inter") >= 3 * uni).select("id_a", "id_b")
+    truth = jaccard_truth_pairs(d).select("id_a", "id_b")
     n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
     candm = minhash_candidate_bands(d)
     hist = (
@@ -13032,9 +13058,10 @@ def doc_minhash_band_curve(spark: SparkSession, sf: str) -> DataFrame:
             "n_bands",
             F.col("n_truth").cast("bigint").alias("n_truth"),
             F.col("n_caught").cast("bigint").alias("n_caught"),
-            # empty truth (possible at any SF where no pair clears the
-            # 0.3 cutoff under the df-capped contract) reports NULL
-            # recall instead of dividing by zero
+            # empty truth (possible on corpora where no pair clears the
+            # shared cutoff under the df-capped contract; NOT the graded
+            # SFs since the r9 threshold fix) reports NULL recall
+            # instead of dividing by zero
             F.when(
                 F.col("n_truth") > 0,
                 round6_ratio(F.col("n_caught"), F.col("n_truth")),

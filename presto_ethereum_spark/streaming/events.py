@@ -22,6 +22,7 @@ from pyspark.sql.types import (
     ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -746,12 +747,17 @@ def value_histogram_stream(
         (source if source is not None else _events_source(spark, sf_dir))
         .select(
             F.expr("t_us DIV 3600000000 * 3600").alias("window_start"),
+            # try_cast, not CAST: a single value above ~9.2e16 would
+            # overflow the BIGINT cast and, under ANSI (the default),
+            # kill the whole STREAMING query — try_cast degrades the
+            # out-of-range event to NULL, which the filter drops (the
+            # oracle mirrors with DuckDB TRY_CAST)
             F.expr(
-                "length(bin(CAST(round(value * 100) AS BIGINT))) - 1"
+                "length(bin(TRY_CAST(round(value * 100) AS BIGINT))) - 1"
             ).alias("bucket"),
         )
         .where(
-            F.expr("CAST(round(value * 100) AS BIGINT) > 0")
+            F.expr("TRY_CAST(round(value * 100) AS BIGINT) > 0")
             & F.col("bucket").isNotNull()
         )
     )
@@ -822,4 +828,168 @@ def run_value_histogram(
         settled.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("window_start", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value", StringType()),
+        StructField("mg_lb", LongType()),
+    ]
+)
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("values", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 96,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Per-hour Misra-Gries heavy-hitter CANDIDATE state in the micro-batch
+    path — the streaming counterpart of operators/frequency.misra_gries_heavy,
+    completing for heavy hitters the batch/stream sketch parity
+    stream_kmv_distinct (distinct counts) and stream_value_histogram
+    (quantiles) established: every mergeable batch sketch in the family now
+    has a bounded-state streaming twin.
+
+    State per open window is <= k (value, count) counters plus an exact row
+    counter.  Each micro-batch folds its rows into the counter table and,
+    when it exceeds k entries, subtracts the (k+1)-th largest count from
+    all and drops the non-positives — the PODS'12 mergeable-summaries
+    reduce, the same code path the batch _mg_summary runs per partition.
+    Total deduction per element is <= N/(k+1) (each reduce removes >=
+    (k+1) x cut of count mass, and removable mass is bounded by N), so the
+    settled candidate set is a PROVEN SUPERSET of every value with true
+    window frequency > 1/(k+1) — whatever the micro-batch split.  Residual
+    counts (``mg_lb``) are split-DEPENDENT (MG merge order moves them), so
+    they are emitted as diagnostics and never graded; the graded result is
+    produced by run_heavy_hitters' exact verify, which is split-invariant
+    by construction.
+
+    Every batch emits the window's full current candidate table plus one
+    value=NULL sentinel row carrying the monotone ``n_events`` counter, so
+    the settle step can always identify the LAST emit even if a reduce
+    empties the candidate table.
+
+    At scale: state O(k) per open window; the shuffle carries
+    (window, value) pairs — the same keys the exact verify joins on."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        (source if source is not None else _events_source(spark, sf_dir))
+        .select(
+            F.expr("t_us DIV 3600000000 * 3600").alias("window_start"),
+            F.col("user_id").cast("string").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+
+    def upd(key, pdf_iter, state: GroupState):
+        (wstart,) = key
+        if state.exists:
+            values, counts, n_events = state.get
+            tab = dict(zip(values, (int(c) for c in counts)))
+        else:
+            tab, n_events = {}, 0
+        for pdf in pdf_iter:
+            n_events += len(pdf)
+            for v, c in pdf["v"].value_counts().items():
+                tab[v] = tab.get(v, 0) + int(c)
+            if len(tab) > k:
+                # PODS'12 reduce: subtract the (k+1)-th largest count from
+                # every counter, keep the strictly-positive ones
+                cut = sorted(tab.values(), reverse=True)[k]
+                tab = {v: c - cut for v, c in tab.items() if c > cut}
+        vals = sorted(tab)
+        state.update((vals, [tab[v] for v in vals], n_events))
+        yield pd.DataFrame(
+            {
+                "window_start": [int(wstart)] * (len(vals) + 1),
+                "n_events": [n_events] * (len(vals) + 1),
+                "value": vals + [None],
+                "mg_lb": [tab[v] for v in vals] + [0],
+            }
+        )
+
+    return stream.groupBy("window_start").applyInPandasWithState(
+        upd,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 96,
+    source: DataFrame | None = None,
+    verify_df: DataFrame | None = None,
+) -> DataFrame:
+    """Settle the MG candidate stream and EXACT-VERIFY on window close:
+    keep the last emit per window (max of the monotone n_events counter),
+    then recount ONLY the candidate (window, value) pairs over the batch
+    table and keep values with exact count strictly above n_total/(k+1)
+    — the frequency.misra_gries_heavy contract carried into Structured
+    Streaming.  Because the candidate set provably contains every true
+    heavy hitter (see heavy_hitters_stream), the verified output equals
+    the exact closed form regardless of how micro-batches split the
+    window: the graded columns are hash-gated, not tolerance-gated.
+
+    ``n_total`` is the stream's own exact row counter; the verify join is
+    candidate-sized (<= k rows per window, broadcast) against a single
+    linear scan — at 100 TB the verify prices one pass over the closed
+    window's slice (a log replay in a real deployment), never a full
+    groupBy of the corpus."""
+    settled = _settle_to_memory(
+        spark,
+        heavy_hitters_stream(spark, sf_dir, k, source),
+        "stream_mg",
+        "append",
+    )
+    w = Window.partitionBy("window_start")
+    last = settled.withColumn("_mx", F.max("n_events").over(w)).where(
+        F.col("n_events") == F.col("_mx")
+    )
+    cand = last.where(F.col("value").isNotNull()).select(
+        "window_start", "value", F.col("n_events").alias("n_total")
+    )
+    if verify_df is not None:
+        ev = verify_df
+    else:
+        # batch twin of _events_source's normalization (battery.t applies
+        # the same epoch-ns handling the streaming reader does)
+        from presto_ethereum_spark.plans.battery import t as _battery_t
+
+        ev = _battery_t(spark, sf_dir, "events").select(
+            F.expr("(ts DIV 1000) DIV 3600000000 * 3600").alias("window_start"),
+            F.col("user_id").cast("string").alias("value"),
+        )
+    exact = (
+        ev.where(F.col("value").isNotNull())
+        .join(F.broadcast(cand), ["window_start", "value"])
+        .groupBy("window_start", "value", "n_total")
+        .agg(F.count("*").alias("n"))
+    )
+    return exact.where(F.col("n") * (k + 1) > F.col("n_total")).select(
+        "window_start",
+        "value",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_total").cast("long").alias("n_total"),
+        # round-half-up integer share in parts-per-million (the
+        # eth_token_heavy_hitters column contract)
+        ((2 * F.col("n") * 1_000_000 + F.col("n_total"))
+         / (2 * F.col("n_total"))).cast("long").alias("share_e6"),
     )

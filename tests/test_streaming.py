@@ -1130,3 +1130,108 @@ class TestStreamValueHistogram:
         assert len(out) == 1
         r = out[0]
         assert (r.n_events, r.p50_bucket, r.p50_lo_cents) == (1, 1, 2)
+
+
+class TestStreamHeavyHitters:
+    """Streaming Misra-Gries: the settled, exact-verified output must be
+    split-invariant (candidates are a proven superset of true heavies under
+    any micro-batch split; the verify recount closes the gap), and the
+    eviction path must actually fire when a window's distinct count
+    exceeds k."""
+
+    def test_multi_batch_split_invariance_with_eviction(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_heavy_hitters
+
+        hour = 3_600_000_000
+        # window 0: user 1 x6, user 2 x3, users 10..16 singletons (n=16,
+        # 9 distinct > k=4 -> the PODS'12 reduce fires mid-stream); rows
+        # split across two files so the state merge is exercised.
+        # window 1: 3 rows, one repeat.
+        w0 = [1] * 6 + [2] * 3 + list(range(10, 17))
+        rows = pd.DataFrame(
+            {
+                "user_id": w0 + [5, 5, 6],
+                "t_us": list(range(100, 100 + 16 * 2, 2))
+                + [hour + 1, hour + 2, hour + 3],
+            }
+        )
+        one = tmp_path / "one"
+        one.mkdir()
+        rows.to_parquet(one / "all.parquet")
+        many = tmp_path / "many"
+        many.mkdir()
+        for j in range(4):
+            rows.iloc[j * 5 : (j + 1) * 5].to_parquet(many / f"p{j}.parquet")
+        verify = spark.createDataFrame(rows).select(
+            F.expr("t_us DIV 3600000000 * 3600").alias("window_start"),
+            F.col("user_id").cast("string").alias("value"),
+        )
+
+        def run(path):
+            stream = (
+                spark.readStream.schema("user_id long, t_us long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(path))
+            )
+            return sorted(
+                map(
+                    tuple,
+                    run_heavy_hitters(
+                        spark, "", k=4, source=stream, verify_df=verify
+                    ).collect(),
+                )
+            )
+
+        got_one, got_many = run(one), run(many)
+        assert got_one == got_many
+        # exact closed form with k=4: threshold n*5 > n_total.
+        # window 0 (n=16): user 1 (6*5=30>16) and user 2 (3*5=15<16? no:
+        # 15 < 16 -> excluded).  window 1 (n=3): user 5 (2*5=10>3) and
+        # user 6 (1*5=5>3).
+        assert got_one == sorted(
+            [
+                (0, "1", 6, 16, 375000),
+                (3600, "5", 2, 3, 666667),
+                (3600, "6", 1, 3, 333333),
+            ]
+        )
+
+    def test_candidate_superset_survives_empty_reduce(self, spark, tmp_path):
+        """A reduce that empties the candidate table must still settle to
+        the exact answer (the NULL-sentinel emit keeps the LAST state
+        visible to the settle step)."""
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_heavy_hitters
+
+        # k=2, batch 1: three singletons -> reduce (cut=1) empties the
+        # table; batch 2: user 9 twice -> re-enters and wins.
+        f1 = pd.DataFrame({"user_id": [1, 2, 3], "t_us": [10, 20, 30]})
+        f2 = pd.DataFrame({"user_id": [9, 9], "t_us": [40, 50]})
+        src = tmp_path / "in"
+        src.mkdir()
+        f1.to_parquet(src / "a.parquet")
+        f2.to_parquet(src / "b.parquet")
+        both = pd.concat([f1, f2])
+        verify = spark.createDataFrame(both).select(
+            F.expr("t_us DIV 3600000000 * 3600").alias("window_start"),
+            F.col("user_id").cast("string").alias("value"),
+        )
+        stream = (
+            spark.readStream.schema("user_id long, t_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = sorted(
+            map(
+                tuple,
+                run_heavy_hitters(
+                    spark, "", k=2, source=stream, verify_df=verify
+                ).collect(),
+            )
+        )
+        # n_total=5, threshold n*3 > 5: only user 9 (2*3=6>5) qualifies —
+        # and MG guarantees it survived (deduction <= 5/3 < 2)
+        assert out == [(0, "9", 2, 5, 400000)]
