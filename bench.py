@@ -170,6 +170,14 @@ INCOMING: list[str] = [
     # round-9: streaming Misra-Gries heavy hitters (batch/stream sketch
     # parity for the heavy-hitter family)
     "stream_heavy_hitters",
+    # round-9: native session windows, k-means convergence curve, windowed
+    # DISTINCT, triplet mining, per-doc TF-IDF, per-source dup-rate report
+    "stream_session_window",
+    "emb_kmeans_convergence",
+    "rel_window_distinct_range",
+    "emb_triplet_mining",
+    "doc_tfidf_topk",
+    "doc_dup_rate_by_source",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -185,6 +193,9 @@ ITERATIVE = {
     "stream_kmv_distinct",
     "stream_value_histogram",
     "stream_heavy_hitters",
+    "stream_session_window",
+    # kmeans_convergence collects a codebook per Lloyd round (multi-job)
+    "emb_kmeans_convergence",
     "eth_tx_pagerank",
     "eth_tx_pagerank_weighted",
     "eth_tx_hits",

@@ -26,6 +26,7 @@ __all__ = [
     "cosine",
     "brute_force_topk",
     "hard_negatives",
+    "triplet_mining",
     "jl_project_quantized",
     "jl_recall_report",
     "jl_rerank_topk",
@@ -39,6 +40,7 @@ __all__ = [
     "lsh_band_curve",
     "seed_centroids",
     "kmeans_centroids",
+    "kmeans_convergence",
     "codebook_drift",
     "ivf_assign",
     "ivf_topk",
@@ -878,6 +880,161 @@ def kmeans_centroids(
             for cid, cv in cents
         ]
     return cents
+
+
+#: 1e12 fixed-point quantum for per-vector inertia contributions: (1 - sim)
+#: <= 2 keeps a 2000-row corpus sum below 4e15; switch to DECIMAL(38,0) past
+#: ~10^6 vectors (the kmeans_centroids overflow note applies here too)
+INERTIA_QUANTUM = 1000000000000.0
+
+
+def kmeans_convergence(
+    df: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Lloyd-iteration CONVERGENCE CURVE for the k-means codebook build:
+    one row per iteration 0..n_iters with the corpus inertia under that
+    iteration's codebook and the number of vectors that changed cells —
+    the training-side tuning curve next to the serving-side ones
+    (ivf_probe_curve: nprobe; lsh_band_curve: bands): it says how many
+    Lloyd rounds the index build must pay before assignments stop moving.
+
+    Inertia is ``sum(floor((1 - best_cosine) * 1e12))`` — each row's
+    contribution quantized to a BIGINT BEFORE the sum, so the total is
+    exact under any partitioning/accumulation order (the pagerank /
+    kmeans_centroids fixed-point discipline; a double sum would be
+    partition-order noise).  ``n_moved`` compares consecutive assignments
+    (ties broken to the lowest cid everywhere), NULL for iteration 0.
+    Note the curve is NEAR-monotone, not guaranteed monotone: assignment
+    is by cosine while the update is the coordinate MEAN (the
+    kmeans_centroids contract), and on unnormalized vectors the mean is
+    not the cosine-optimal centroid — spherical k-means would normalize.
+    The curve reports what the build actually does, drift included.
+
+    One corpus pass: every iteration's codebook is scored per row in the
+    same projection (interpreted HOF folds over plan-literal codebooks —
+    fine for a diagnostic; the per-iteration BUILD passes inside
+    kmeans_centroids use the Arrow index kernel), then ONE global
+    aggregate of 3(n_iters+1) counters.  Zero shuffle over the corpus:
+    the aggregate's partials are counter-sized.  Codebooks are collected
+    driver-side per round — n_cells x dim rows, the same materialization
+    broadcasting any codebook implies."""
+    books = [
+        seeds if seeds is not None else seed_centroids(df, n_cells, id_col, vec_col)
+    ]
+    for _ in range(int(n_iters)):
+        books.append(
+            kmeans_centroids(
+                df, n_cells, 1, id_col, vec_col, seeds=books[-1]
+            )
+        )
+    row = df
+    for i, cb in enumerate(books):
+        best = F.array_max(_centroid_scores(F.col(vec_col), cb))
+        row = row.withColumn(f"_c{i}", best["cid"]).withColumn(
+            f"_q{i}",
+            F.floor((F.lit(1.0) - best["sim"]) * F.lit(INERTIA_QUANTUM)).cast(
+                "long"
+            ),
+        )
+    agg = row.agg(
+        *[F.sum(f"_q{i}").alias(f"_in{i}") for i in range(len(books))],
+        *[
+            F.sum(
+                F.when(F.col(f"_c{i}") != F.col(f"_c{i - 1}"), 1).otherwise(0)
+            ).alias(f"_mv{i}")
+            for i in range(1, len(books))
+        ],
+    )
+    stack_args = ["0", "CAST(NULL AS BIGINT)", "_in0"]
+    for i in range(1, len(books)):
+        stack_args += [str(i), f"CAST(_mv{i} AS BIGINT)", f"_in{i}"]
+    return agg.selectExpr(
+        f"stack({len(books)}, {', '.join(stack_args)})"
+        " AS (iteration, n_moved, inertia_q)"
+    ).select(
+        F.col("iteration").cast("int").alias("iteration"),
+        "n_moved",
+        F.col("inertia_q").cast("long").alias("inertia_q"),
+    )
+
+
+def triplet_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Triplet assembly for metric-learning batches: per anchor, the
+    hardest POSITIVE (most-similar same-label neighbor — the pair the
+    loss must keep together) and the hardest NEGATIVE (most-similar
+    different-label neighbor — :func:`hard_negatives`' top-1), plus the
+    margin between them; ``margin <= 0`` flags anchors whose nearest
+    other-class vector is closer than their nearest same-class one, the
+    triplets a FaceNet-style loss actually learns from.
+
+    Returns ``(query_id, pos_id, pos_sim, neg_id, neg_sim, margin)``;
+    pos columns are NULL for an anchor with no same-label peer.
+
+    One scored pass: the broadcast anchor set joins the corpus once,
+    a single window over (query_id, same_label) takes the top row of
+    EACH side — positives and negatives never rank against each other —
+    and a counter-sized pivot folds the two rows per anchor into one
+    triplet.  Corpus-side work is identical to one brute_force_topk
+    scan; nothing pairwise materializes beyond the two kept rows per
+    anchor."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("qlabel"),
+            F.col(vec_col).alias("qv"),
+        )
+        .withColumn("qvd", _d(F.col("qv")))
+        .withColumn("qn", l2_norm(F.col("qvd")))
+        .drop("qv")
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("nlabel"),
+            F.col(vec_col).alias("cv"),
+        )
+        .withColumn("cvd", _d(F.col("cv")))
+        .withColumn("cn", l2_norm(F.col("cvd")))
+        .drop("cv")
+    )
+    scored = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            _cosine_staged(
+                F.col("qvd"), F.col("cvd"), F.col("qn"), F.col("cn")
+            ),
+        )
+        .withColumn("is_pos", F.col("nlabel") == F.col("qlabel"))
+    )
+    w = Window.partitionBy("query_id", "is_pos").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    top = scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    pos, neg = F.col("is_pos"), ~F.col("is_pos")
+    return top.groupBy("query_id").agg(
+        F.max(F.when(pos, F.col("neighbor_id"))).alias("pos_id"),
+        F.round(F.max(F.when(pos, F.col("sim"))), 6).alias("pos_sim"),
+        F.max(F.when(neg, F.col("neighbor_id"))).alias("neg_id"),
+        F.round(F.max(F.when(neg, F.col("sim"))), 6).alias("neg_sim"),
+        F.round(
+            F.max(F.when(pos, F.col("sim"))) - F.max(F.when(neg, F.col("sim"))),
+            6,
+        ).alias("margin"),
+    )
 
 
 def _py_l2(cv: list[float]) -> float:

@@ -39,6 +39,7 @@ __all__ = [
     "quality_classifier_weights",
     "importance_weights",
     "top_terms",
+    "tfidf_topk",
     "chunk_documents",
     "bm25_topk",
     "rrf_fuse",
@@ -310,6 +311,54 @@ def top_terms(df, k: int = 25, text_col: str = "text", id_col: str = "doc_id"):
             F.round(
                 F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))), 6
             ).alias("idf"),
+            "rank",
+        )
+    )
+
+
+def tfidf_topk(df, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document top-k TF-IDF terms — the per-doc keyword extractor
+    next to :func:`rake_keywords` (degree/frequency scoring) and
+    :func:`top_terms` (corpus-global vocabulary): ``tfidf = tf x
+    ln((N+1)/(df+1))``, the smoothed IDF ``top_terms`` already defines,
+    ranked per document with ties broken by term.
+
+    Plan at scale: tokenize map-side (same ``[^a-z]+`` split contract as
+    :func:`alpha_terms`, portable verbatim to the oracle), ONE shuffle to
+    (doc, term) counts; the document-frequency table derives from the
+    SAME (term)-keyed aggregation stream, so the tf-df join reuses the
+    term exchange rather than re-scanning the corpus; the scalar N rides
+    a 1-row broadcast; the final per-doc top-k is a WindowGroupLimit on
+    (doc_id), never a global sort.  Returns ``(doc_id, term, tf,
+    df_docs, tfidf, rank)``."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log(
+                (F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_docs").cast("long").alias("df_docs"),
+            F.round("score", 6).alias("tfidf"),
             "rank",
         )
     )

@@ -1458,6 +1458,90 @@ def stream_sessionized(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "rel_window_distinct_range",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type
+      FROM events)
+    SELECT event_id, user_id, t_us,
+           CAST(count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY t_us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_types_1h
+    FROM ev
+    """,
+)
+def rel_window_distinct_range(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT aggregate over a RANGE-framed window — per event, how many
+    distinct event types its user produced in the trailing hour (the
+    engagement-diversity feature).  Spark's window operator does not
+    accept COUNT(DISTINCT ...) OVER, so the plan builds the same answer
+    from primitives Catalyst DOES codegen: ``size(collect_set(type))``
+    over the event-time RANGE frame — set semantics make the result
+    independent of within-frame order, so the value is deterministic and
+    hash-gated against DuckDB's native windowed DISTINCT.  One shuffle on
+    user_id (the window's own exchange); the per-frame set is bounded by
+    the event-type domain, so state never scales with frame row count —
+    the reason collect_set here is safe where collect_list would not
+    be."""
+    ev = t(spark, sf, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("t_us"), "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_types_1h"),
+    )
+
+
+@q(
+    "stream_session_window",
+    """
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events),
+    marked AS (
+      SELECT user_id, t_us,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                       OR t_us - lag(t_us) OVER w > 3600000000 THEN 1
+                  ELSE 0 END AS is_start
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+    numbered AS (
+      SELECT user_id, t_us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT user_id,
+           min(t_us) AS session_start_us,
+           max(t_us) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf: str) -> DataFrame:
+    """NATIVE streaming session windows (F.session_window + watermark, run
+    via availableNow in complete mode) — the engine-delegated twin of
+    stream_sessionized's custom applyInPandasWithState operator, proving
+    the two sessionization paths (JVM state-store interval merge vs
+    Arrow-batch Python state) settle to the SAME gap sessions the batch
+    lag/cumsum closed form defines.  Session end is last-event + gap in
+    Spark's native definition; the operator subtracts the gap back out so
+    all three implementations share one column contract.  Complete mode
+    on purpose: availableNow's final watermark would hold back sessions
+    ending within the delay in append mode (streaming/events.
+    run_session_window)."""
+    from presto_ethereum_spark.streaming.events import run_session_window
+
+    return run_session_window(spark, sf)
+
+
+@q(
     "stream_windowed_counts",
     """
     SELECT (epoch_us(ts) // 1000000) // 3600 * 3600 AS window_start,
@@ -4718,6 +4802,122 @@ def emb_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "emb_kmeans_convergence",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    cscored AS (
+      SELECT e.vec_id, e.embedding, c.cid, {{cos}} AS csim
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    a0 AS (
+      SELECT vec_id, embedding, cid, csim FROM (
+        SELECT vec_id, embedding, cid, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM cscored) WHERE rnk = 1
+    ),
+    ex1 AS (
+      SELECT cid, CAST(i - 1 AS INT) AS dim, v[i] AS x
+      FROM (SELECT cid, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM a0)
+    ),
+    coords1 AS (
+      SELECT cid, dim,
+             (CAST(CAST(sum(CAST(floor(x * {_KMEANS_S}) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / {_KMEANS_S}) / count(*) AS coord
+      FROM ex1 GROUP BY cid, dim
+    ),
+    rcent1 AS (
+      SELECT c.cid, coalesce(r.rvec, CAST(c.cvec AS DOUBLE[])) AS cvec
+      FROM cent c LEFT JOIN (SELECT cid, list(coord ORDER BY dim) AS rvec
+                             FROM coords1 GROUP BY cid) r ON r.cid = c.cid
+    ),
+    r1scored AS (
+      SELECT e.vec_id, e.embedding, r.cid, {{rcos1}} AS csim
+      FROM embeddings e CROSS JOIN rcent1 r
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, cid, csim FROM (
+        SELECT vec_id, embedding, cid, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM r1scored) WHERE rnk = 1
+    ),
+    ex2 AS (
+      SELECT cid, CAST(i - 1 AS INT) AS dim, v[i] AS x
+      FROM (SELECT cid, CAST(embedding AS DOUBLE[]) AS v,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM a1)
+    ),
+    coords2 AS (
+      SELECT cid, dim,
+             (CAST(CAST(sum(CAST(floor(x * {_KMEANS_S}) AS BIGINT)) AS BIGINT)
+                   AS DOUBLE) / {_KMEANS_S}) / count(*) AS coord
+      FROM ex2 GROUP BY cid, dim
+    ),
+    rcent2 AS (
+      SELECT c.cid, coalesce(r.rvec, c.cvec) AS cvec
+      FROM rcent1 c LEFT JOIN (SELECT cid, list(coord ORDER BY dim) AS rvec
+                               FROM coords2 GROUP BY cid) r ON r.cid = c.cid
+    ),
+    r2scored AS (
+      SELECT e.vec_id, e.embedding, r.cid, {{rcos2}} AS csim
+      FROM embeddings e CROSS JOIN rcent2 r
+    ),
+    a2 AS (
+      SELECT vec_id, cid, csim FROM (
+        SELECT vec_id, cid, csim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS rnk
+        FROM r2scored) WHERE rnk = 1
+    )
+    SELECT CAST(0 AS INT) AS iteration, CAST(NULL AS BIGINT) AS n_moved,
+           CAST(sum(CAST(floor((1.0 - csim) * 1000000000000.0) AS BIGINT))
+                AS BIGINT) AS inertia_q
+    FROM a0
+    UNION ALL
+    SELECT 1,
+           (SELECT count(*) FROM a0 JOIN a1 USING (vec_id)
+            WHERE a0.cid != a1.cid),
+           CAST(sum(CAST(floor((1.0 - csim) * 1000000000000.0) AS BIGINT))
+                AS BIGINT)
+    FROM a1
+    UNION ALL
+    SELECT 2,
+           (SELECT count(*) FROM a1 JOIN a2 USING (vec_id)
+            WHERE a1.cid != a2.cid),
+           CAST(sum(CAST(floor((1.0 - csim) * 1000000000000.0) AS BIGINT))
+                AS BIGINT)
+    FROM a2
+    """.replace("{cos}", _duck_cos("c.cvec", "e.embedding"))
+    .replace("{rcos1}", _duck_cos("r.cvec", "e.embedding"))
+    .replace("{rcos2}", _duck_cos("r.cvec", "e.embedding")),
+)
+def emb_kmeans_convergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd-iteration convergence curve (operators/similarity.
+    kmeans_convergence, 2 rounds over the 8-seed codebook): per iteration
+    the exact fixed-point corpus inertia and the number of vectors that
+    changed cells — the TRAINING-side tuning curve next to the
+    serving-side ones (nprobe, bands): it prices how many build rounds
+    the index needs before assignments stop moving, and completes the
+    k-means family (emb_kmeans_step: one update's coordinates;
+    emb_ivf_recall_refined: one round's recall payoff; this: the
+    multi-round trajectory).  Inertia quantizes each row's (1 - best
+    cosine) to a BIGINT BEFORE summing — exact under any partitioning,
+    the pagerank/kmeans fixed-point discipline — and the oracle replays
+    both Lloyd rounds (assign -> fixed-point means -> reassign, empty
+    cells inheriting the previous centroid) in closed form."""
+    from presto_ethereum_spark.operators.similarity import kmeans_convergence
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return kmeans_convergence(e, n_cells=8, n_iters=2)
 
 
 @q(
@@ -10634,6 +10834,161 @@ def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
     e = t_spread(spark, sf, "embeddings", parts=8)
     return hard_negatives(e, e.where(F.col("vec_id") < 5), k=5)
+
+
+@q(
+    "doc_dup_rate_by_source",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLED},
+    {_DUCK_JACCARD_IPAIRS},
+    pairs AS (
+      SELECT id_a, id_b FROM ipairs
+      WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.2),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, root) AS (
+      SELECT DISTINCT s, s FROM edges
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.id),
+    comp AS (SELECT id AS doc_id, min(root) AS cluster_id
+             FROM reach GROUP BY id)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(c.cluster_id) AS BIGINT) AS n_dup_docs,
+           CAST(count(DISTINCT c.cluster_id) AS BIGINT) AS n_clusters,
+           CAST((2 * count(c.cluster_id) * 1000000 + count(*))
+                // (2 * count(*)) AS BIGINT) AS dup_rate_e6
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def doc_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source near-duplication impact report — the data-governance
+    read-out a mixing pipeline consults before weighting sources: for
+    each source, how many documents sit in a near-dup cluster (df-capped
+    jaccard_pairs at 0.2 within language blocks -> connected components,
+    the doc_cluster_safe_split machinery) and the round-half-up dup rate
+    in ppm.  Clusters may span sources, so the report counts MEMBERSHIP
+    per source (distinct clusters touched), not removable rows — that
+    accounting belongs to doc_dedup_keepers.  The corpus-side cost is
+    one pair join bounded by the df cap; the report itself is a
+    source-domain-sized aggregate over a pair-list-sized cluster table
+    (singletons never enter the closure)."""
+    from presto_ethereum_spark.operators.dedup import dup_clusters, jaccard_pairs
+
+    docs = t_spread(spark, sf, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.2, blocking_cols=["lang"], max_df=8)
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    per_doc = docs.select("doc_id", "source").join(
+        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+    )
+    n = F.count("*")
+    nd = F.count("cluster_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            nd.cast("long").alias("n_dup_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .withColumn(
+            # exact half-up ppm via DECIMAL(38,0) div (never a double `/`,
+            # which can round up across the integer boundary `//` floors)
+            "dup_rate_e6",
+            F.expr(
+                "CAST((2 * CAST(n_dup_docs AS DECIMAL(38,0)) * 1000000"
+                " + n_docs) div (2 * CAST(n_docs AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ),
+        )
+    )
+
+
+@q(
+    "doc_tfidf_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok WHERE term != '' GROUP BY 1, 2),
+    dfx AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfx.df_docs,
+             tf.tf * ln((nd.n_docs + 1.0) / (dfx.df_docs + 1.0)) AS score
+      FROM tf JOIN dfx USING (term), nd)
+    SELECT doc_id, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df_docs AS BIGINT) AS df_docs,
+           round(score, 6) AS tfidf,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def doc_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (operators/text.tfidf_topk) —
+    the classic featurizer read-out next to doc_rake_keywords
+    (degree/frequency) and the corpus-global doc_top_terms vocabulary:
+    tf x ln((N+1)/(df+1)), smoothed IDF shared with top_terms, ranked
+    per doc with term tie-breaks.  One (doc, term) shuffle; the df table
+    derives from the same term-keyed stream (exchange reuse); the scalar
+    N broadcasts; per-doc top-k is a WindowGroupLimit."""
+    from presto_ethereum_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(t_spread(spark, sf, "documents"), k=5)
+
+
+@q(
+    "emb_triplet_mining",
+    f"""
+    WITH a AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      FROM embeddings WHERE vec_id < 5),
+    sc AS (
+      SELECT a.query_id, a.qlabel, b.vec_id AS nid, b.label AS nlabel,
+             {_duck_cos('a.qvec', 'b.embedding')} AS sim
+      FROM a JOIN embeddings b ON b.vec_id != a.query_id),
+    p AS (
+      SELECT query_id, nid, sim FROM (
+        SELECT query_id, nid, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, nid) AS rnk
+        FROM sc WHERE nlabel = qlabel) WHERE rnk = 1),
+    n AS (
+      SELECT query_id, nid, sim FROM (
+        SELECT query_id, nid, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, nid) AS rnk
+        FROM sc WHERE nlabel != qlabel) WHERE rnk = 1)
+    SELECT a.query_id,
+           p.nid AS pos_id, round(p.sim, 6) AS pos_sim,
+           n.nid AS neg_id, round(n.sim, 6) AS neg_sim,
+           round(p.sim - n.sim, 6) AS margin
+    FROM a
+    LEFT JOIN p ON p.query_id = a.query_id
+    LEFT JOIN n ON n.query_id = a.query_id
+    """,
+)
+def emb_triplet_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Triplet assembly for 5 anchors (operators/similarity.
+    triplet_mining): hardest same-label positive + hardest
+    different-label negative per anchor, with the margin between them —
+    the batch-construction step a FaceNet/InfoNCE trainer runs after
+    emb_hard_negatives' one-sided mining; margin <= 0 marks anchors the
+    loss actually learns from.  One broadcast-anchor corpus scan, ONE
+    window over (query_id, same_label) so positives and negatives never
+    rank against each other, counter-sized pivot to triplet rows; the
+    margin subtracts raw sims before the round6, mirrored exactly by
+    the oracle."""
+    from presto_ethereum_spark.operators.similarity import triplet_mining
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return triplet_mining(e, e.where(F.col("vec_id") < 5))
 
 
 def _duck_langid_kappa_oracle() -> str:

@@ -5313,3 +5313,134 @@ class TestMinhashBandCurve:
         rep = battery.doc_minhash_recall(spark, sf).collect()
         assert out[4].n_caught == sum(r.n_caught for r in rep)
         assert out[4].n_truth == sum(r.n_truth for r in rep)
+
+
+class TestKmeansConvergence:
+    """Lloyd convergence curve.  NOTE: with cosine assignment + MEAN
+    updates (the kmeans_centroids contract), inertia is near-monotone but
+    not guaranteed monotone on unnormalized vectors — spherical k-means
+    would normalize the mean.  The exact fixed point is still testable:
+    clusters whose members all EQUAL their seed leave centroids, cells,
+    and inertia bit-identical across every iteration."""
+
+    def test_fixed_point_two_pure_clusters(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            kmeans_convergence,
+        )
+
+        rows = [
+            (0, [1.0, 0.0]), (1, [0.0, 1.0]),  # the two seeds
+            (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]), (5, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.iteration: r
+            for r in kmeans_convergence(df, n_cells=2, n_iters=2).collect()
+        }
+        assert set(out) == {0, 1, 2}
+        assert out[0].n_moved is None
+        # every member equals its centroid: nothing moves, inertia is the
+        # same exact integer at every iteration (0: all cosines are 1.0)
+        assert out[1].n_moved == 0 and out[2].n_moved == 0
+        assert out[0].inertia_q == out[1].inertia_q == out[2].inertia_q == 0
+
+    def test_reassignment_counts_and_rows(self, spark):
+        from presto_ethereum_spark.operators.similarity import (
+            kmeans_convergence,
+        )
+
+        # seeds 0,1 sit together; vectors 4,5 pull centroid 1 away, so at
+        # least one later iteration reassigns or the curve stays flat —
+        # either way the report stays 3 rows with sane counters
+        rows = [
+            (0, [1.0, 0.1]), (1, [0.9, 0.2]),
+            (2, [1.0, 0.0]), (3, [0.95, 0.1]),
+            (4, [0.0, 1.0]), (5, [0.1, 0.9]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = kmeans_convergence(df, n_cells=2, n_iters=2).collect()
+        assert len(out) == 3
+        by_it = {r.iteration: r for r in out}
+        assert by_it[0].n_moved is None
+        assert all(
+            0 <= by_it[i].n_moved <= 6 and by_it[i].inertia_q >= 0
+            for i in (1, 2)
+        )
+
+
+class TestTripletMining:
+    def test_hand_picked_triplets(self, spark):
+        import math
+
+        from presto_ethereum_spark.operators.similarity import triplet_mining
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+        vecs = {
+            0: ([1.0, 0.0], 7),
+            1: ([0.9, 0.1], 7),   # pos for 0
+            2: ([0.8, 0.3], 9),   # hard neg for 0
+            3: ([0.0, 1.0], 9),
+        }
+        df = spark.createDataFrame(
+            [(i, v, l) for i, (v, l) in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {
+            r.query_id: r
+            for r in triplet_mining(df, df.where("vec_id = 0")).collect()
+        }
+        r = out[0]
+        assert (r.pos_id, r.neg_id) == (1, 2)
+        assert r.pos_sim == round(cos(vecs[0][0], vecs[1][0]), 6)
+        assert r.neg_sim == round(cos(vecs[0][0], vecs[2][0]), 6)
+        assert r.margin == round(
+            cos(vecs[0][0], vecs[1][0]) - cos(vecs[0][0], vecs[2][0]), 6
+        )
+
+    def test_no_same_label_peer_yields_null_pos(self, spark):
+        from presto_ethereum_spark.operators.similarity import triplet_mining
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1), (1, [0.5, 0.5], 2), (2, [0.0, 1.0], 3)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        (r,) = triplet_mining(df, df.where("vec_id = 0")).collect()
+        assert r.pos_id is None and r.pos_sim is None and r.margin is None
+        assert r.neg_id == 1  # nearest of the two other-label vectors
+
+
+class TestTfidfTopk:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from presto_ethereum_spark.operators.text import tfidf_topk
+
+        df = spark.createDataFrame(
+            [
+                (0, "apple apple banana"),
+                (1, "apple cherry"),
+                (2, "durian durian durian"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_topk(df, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 0: apple tf=2 df=2 -> 2*ln(4/3) ~= 0.575; banana tf=1 df=1
+        # -> ln(2) ~= 0.693 — the rarer singleton OUTSCORES the repeated
+        # common term, which is exactly the idf weighting working
+        idf = lambda dfd: math.log(4.0 / (dfd + 1.0))
+        top0 = sorted(by_doc[0], key=lambda r: r.rank)
+        assert [(r.term, r.tf, r.df_docs) for r in top0] == [
+            ("banana", 1, 1), ("apple", 2, 2),
+        ]
+        assert top0[0].tfidf == round(1 * idf(1), 6)
+        assert top0[1].tfidf == round(2 * idf(2), 6)
+        # doc 2 has one distinct term -> a single row despite k=2
+        assert [(r.term, r.tf) for r in by_doc[2]] == [("durian", 3)]
+        assert all(r.rank <= 2 for r in out)
