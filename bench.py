@@ -178,6 +178,11 @@ INCOMING: list[str] = [
     "emb_triplet_mining",
     "doc_tfidf_topk",
     "doc_dup_rate_by_source",
+    # round-9 continuation: ordered listagg, estimator calibration,
+    # distributed power iteration
+    "rel_listagg_topk",
+    "doc_minhash_calibration",
+    "emb_power_iteration",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -46,6 +46,7 @@ __all__ = [
     "simhash_dedup_pairs",
     "jaccard_pairs",
     "jaccard_truth_pairs",
+    "minhash_calibration",
     "shingle_df_profile",
     "fuzzy_prefix_key",
     "hamming_fixed",
@@ -629,6 +630,94 @@ def jaccard_truth_pairs(
     tp = _overlap_pair_counts(df, text_col, id_col, shingle_n, [], max_df)
     uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return tp.where(10 * F.col("inter") >= int(threshold_tenths) * uni)
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 8,
+) -> DataFrame:
+    """CALIBRATION table for the MinHash Jaccard estimator: over the
+    banded candidate pairs, group by signature agreement count (0..16)
+    and report the estimator's value (agree/16) next to the mean exact
+    df-capped Jaccard — the table that says whether ``agree/16`` can be
+    TRUSTED as a similarity score at dedup time (E[agree/16] = J is the
+    MinHash identity; this measures it on the real corpus, estimator
+    bias from banding selection included).  Completes the estimator-
+    quality family: recall (does banding FIND the pairs), band curve
+    (budget), threshold curve (cutoff), and now calibration (is the
+    estimate itself accurate).
+
+    Everything gateable is integer: ``est_e6`` is half-up ppm of
+    agree/16; each pair's exact Jaccard quantizes to half-up ppm BEFORE
+    the mean (DECIMAL(38,0) div), so no double crosses an engine
+    boundary.  Pairs sharing no capped shingle report exact J = 0 — the
+    cap's lower-bound trade, same contract as jaccard_truth_pairs.
+
+    Scale: candidates come from the same (band, key) exchange the dedup
+    join pays anyway; signatures join candidate-sized on id; the exact
+    side is the df-capped inverted index (linear).  The report is 17
+    rows max."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), 3)).alias("sh"),
+    )
+    sigs = sh.where(F.size("sh") > 0).select(
+        "id", minhash_signature_from_shingles(F.col("sh")).alias("sig")
+    )
+    cand = minhash_candidates(df, text_col, id_col)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    ag = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with(
+                    F.col("sig_a"),
+                    F.col("sig_b"),
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("n_agree"),
+        )
+    )
+    tp = _overlap_pair_counts(df, text_col, id_col, 3, [], max_df)
+    j = ag.join(tp, ["id_a", "id_b"], "left").select(
+        "n_agree",
+        F.coalesce(
+            F.expr(
+                "CAST((2 * CAST(inter AS DECIMAL(38,0)) * 1000000"
+                " + (sz_a + sz_b - inter))"
+                " div (2 * CAST(sz_a + sz_b - inter AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ),
+            F.lit(0),
+        ).alias("j_e6"),
+    )
+    return (
+        j.groupBy("n_agree")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("j_e6").alias("_sum_j"),
+        )
+        .select(
+            F.col("n_agree").cast("int").alias("n_agree"),
+            "n_pairs",
+            F.expr(
+                "CAST((2 * CAST(n_agree AS DECIMAL(38,0)) * 1000000 + 16)"
+                " div 32 AS BIGINT)"
+            ).alias("est_e6"),
+            F.expr(
+                "CAST((2 * CAST(_sum_j AS DECIMAL(38,0)) + n_pairs)"
+                " div (2 * CAST(n_pairs AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("mean_exact_e6"),
+        )
+    )
 
 
 def jaccard_pairs(

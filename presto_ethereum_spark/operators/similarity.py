@@ -41,6 +41,7 @@ __all__ = [
     "seed_centroids",
     "kmeans_centroids",
     "kmeans_convergence",
+    "power_iteration",
     "codebook_drift",
     "ivf_assign",
     "ivf_topk",
@@ -1035,6 +1036,82 @@ def triplet_mining(
             6,
         ).alias("margin"),
     )
+
+
+#: 1e12 fixed-point quantum for power-iteration contributions (|s·x_d| is
+#: a few units on unit-scale embeddings; 1e12 keeps a multi-thousand-row
+#: sum far under 2^63 — switch to DECIMAL(38,0) past ~10^6 rows)
+POWER_QUANTUM = 1000000000000.0
+
+
+def power_iteration(
+    df: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed POWER ITERATION toward the top principal direction of
+    the corpus's (uncentered) second-moment matrix AᵀA — the spectral
+    step under PCA whitening / low-rank screens, run without ever
+    materializing the dim x dim Gram matrix: per round, each row
+    contributes ``(x·v) * x`` and the next direction is the normalized
+    per-dimension sum.  ``v₀ = e₀`` (deterministic; no RNG enters the
+    plan).
+
+    Returns ``(iteration, dim, contrib_q)``: the fixed-point BIGINT sums
+    ``Σ floor((x·v)·x_d · 1e12)`` for every round — the unnormalized
+    iterate w, whose norm is the Rayleigh eigenvalue estimate.  Each
+    row's contribution quantizes BEFORE the sum (pagerank discipline:
+    exact under any partitioning); normalization happens driver-side on
+    the dim-sized collected sums in plain fp64, so an independent engine
+    replays every round bit-for-bit from the same integers.
+
+    Scale: each round is one map pass (the dot against a plan-literal v
+    folds in-order, no shuffle of vectors) + ONE shuffle of (dim,
+    BIGINT) partials — map-side combine caps it at dim rows per task;
+    the driver holds only the dim-sized iterate (same materialization
+    any codebook broadcast implies).  Rounds 1..n-1 collect to build the
+    next direction; the FINAL round's aggregate stays distributed and
+    earlier rounds union in as literal rows."""
+    q = F.lit(POWER_QUANTUM)
+    spark = df.sparkSession
+    vd = _d(F.col(vec_col))
+    v: list[float] | None = None  # None = e0, avoids a degenerate literal dot
+    done: list[tuple[int, int, int]] = []
+    last = None
+    for it in range(1, int(n_iters) + 1):
+        s = vd[0] if v is None else _dot_raw(
+            F.array(*[F.lit(float(x)) for x in v]), vd
+        )
+        agg = (
+            df.select(s.alias("s"), F.posexplode(vd).alias("dim", "x"))
+            .select("dim", F.floor(F.col("s") * F.col("x") * q).alias("c"))
+            .groupBy("dim")
+            .agg(F.sum("c").alias("contrib_q"))
+            .select(
+                F.lit(it).cast("int").alias("iteration"),
+                F.col("dim").cast("int").alias("dim"),
+                F.col("contrib_q").cast("long").alias("contrib_q"),
+            )
+        )
+        if it == int(n_iters):
+            last = agg
+            break
+        rows = agg.collect()
+        done += [(it, int(r["dim"]), int(r["contrib_q"])) for r in rows]
+        w = {int(r["dim"]): float(r["contrib_q"]) / POWER_QUANTUM for r in rows}
+        wv = [w.get(d, 0.0) for d in range(max(w) + 1)]
+        norm = _py_l2(wv)
+        if norm == 0.0:
+            # degenerate corpus (all mass orthogonal to v): keep direction
+            norm = 1.0
+        v = [x / norm for x in wv]
+    if done:
+        prior = spark.createDataFrame(
+            done, "iteration int, dim int, contrib_q long"
+        )
+        return prior.unionByName(last)
+    return last
 
 
 def _py_l2(cv: list[float]) -> float:

@@ -1458,6 +1458,57 @@ def stream_sessionized(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "rel_listagg_topk",
+    """
+    WITH ranked AS (
+      SELECT n_name, c_name,
+             row_number() OVER (PARTITION BY n_nationkey
+                 ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                          c_name) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT n_name AS nation,
+           string_agg(c_name, ',' ORDER BY rn) AS top_customers,
+           CAST(count(*) AS BIGINT) AS n_listed
+    FROM ranked WHERE rn <= 3 GROUP BY n_name
+    """,
+)
+def rel_listagg_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg ... ORDER BY):
+    per nation, the top-3 customers by account balance as one ordered
+    CSV cell — the report-sheet shape engines expose as a dedicated
+    aggregate.  Spark has no ordered listagg, so the plan composes it
+    from primitives with the SAME determinism guarantee: rank inside a
+    WindowGroupLimit (total order: balance cents desc, name), then
+    ``array_join(transform(array_sort(collect_list(struct(rn, name)))))``
+    — sorting the collected structs by rank makes the concatenation
+    independent of row arrival order, which collect_list alone never
+    promises.  One shuffle for the window (reused by the groupBy on its
+    prefix key); the broadcast nation dim never moves the fact table."""
+    c = t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_name",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    n = F.broadcast(t(spark, sf, "nation").select("n_nationkey", "n_name"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cents"), "c_name")
+    ranked = (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return ranked.groupBy(F.col("n_name").alias("nation")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top_customers"),
+        F.count("*").cast("long").alias("n_listed"),
+    )
+
+
+@q(
     "rel_window_distinct_range",
     """
     WITH ev AS (
@@ -10837,6 +10888,54 @@ def emb_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_minhash_calibration",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    {_DUCK_SIG},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+               AS n_agree
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b),
+    {_DUCK_TRUTH_TP},
+    j AS (
+      SELECT a.n_agree,
+             coalesce((2 * tp.inter * 1000000
+                       + (tp.sz_a + tp.sz_b - tp.inter))
+                      // (2 * (tp.sz_a + tp.sz_b - tp.inter)), 0) AS j_e6
+      FROM agree a LEFT JOIN tp
+        ON tp.id_a = a.id_a AND tp.id_b = a.id_b)
+    SELECT CAST(n_agree AS INT) AS n_agree,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST((2 * n_agree * 1000000 + 16) // 32 AS BIGINT) AS est_e6,
+           CAST((2 * sum(j_e6) + count(*)) // (2 * count(*)) AS BIGINT)
+             AS mean_exact_e6
+    FROM j GROUP BY n_agree
+    """,
+)
+def doc_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator calibration (operators/dedup.minhash_calibration):
+    per signature-agreement count over the banded candidates, the
+    estimator value agree/16 next to the mean exact df-capped Jaccard —
+    measures on the real corpus whether E[agree/16] = J holds well
+    enough to use the estimate as the dedup score (banding-selection
+    bias included).  Completes the LSH quality family: recall (found?),
+    band curve (budget), threshold curve (cutoff), calibration
+    (accurate?).  All graded columns are half-up ppm integers quantized
+    per pair BEFORE averaging; candidates reuse the (band, key)
+    exchange; the <= 17-row report is counter-sized."""
+    from presto_ethereum_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(t_spread(spark, sf, "documents"))
+
+
+@q(
     "doc_dup_rate_by_source",
     f"""
     WITH RECURSIVE {_DUCK_SHINGLED},
@@ -10941,6 +11040,53 @@ def doc_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.text import tfidf_topk
 
     return tfidf_topk(t_spread(spark, sf, "documents"), k=5)
+
+
+@q(
+    "emb_power_iteration",
+    """
+    WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    it1 AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(sum(CAST(floor(v[1] * v[i] * 1000000000000.0) AS BIGINT))
+                  AS BIGINT) AS contrib_q
+      FROM (SELECT v, unnest(generate_series(1, len(v))) AS i FROM ev)
+      GROUP BY 1),
+    w1 AS (SELECT list(CAST(contrib_q AS DOUBLE) / 1000000000000.0
+                       ORDER BY dim) AS wv
+           FROM it1),
+    v1 AS (SELECT list_transform(
+                    wv, x -> x / sqrt(list_dot_product(wv, wv))) AS vv
+           FROM w1),
+    it2 AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(sum(CAST(floor(list_dot_product(e.v, v1.vv) * e.v[i]
+                                 * 1000000000000.0) AS BIGINT))
+                  AS BIGINT) AS contrib_q
+      FROM ev e CROSS JOIN v1, unnest(generate_series(1, len(e.v))) t(i)
+      GROUP BY 1)
+    SELECT CAST(1 AS INT) AS iteration, dim, contrib_q FROM it1
+    UNION ALL
+    SELECT 2, dim, contrib_q FROM it2
+    """,
+)
+def emb_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """Two rounds of distributed power iteration toward the corpus's top
+    principal direction (operators/similarity.power_iteration, v0 = e0):
+    the spectral building block under PCA whitening / low-rank screens,
+    computed without materializing the dim x dim Gram matrix — per round
+    each row contributes (x·v)·x and the next direction is the
+    normalized per-dimension sum.  The graded table is the fixed-point
+    BIGINT iterate sums per (iteration, dim): contributions quantize
+    per row BEFORE summing (pagerank discipline), the in-order dot
+    matches list_dot_product exactly, and normalization between rounds
+    runs on the same integers in both engines — so a fundamentally
+    iterative float algorithm grades hash-exact.  One map pass + one
+    (dim, BIGINT) shuffle per round."""
+    from presto_ethereum_spark.operators.similarity import power_iteration
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return power_iteration(e, n_iters=2)
 
 
 @q(

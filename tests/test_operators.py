@@ -5444,3 +5444,95 @@ class TestTfidfTopk:
         # doc 2 has one distinct term -> a single row despite k=2
         assert [(r.term, r.tf) for r in by_doc[2]] == [("durian", 3)]
         assert all(r.rank <= 2 for r in out)
+
+
+class TestMinhashCalibration:
+    def test_duplicate_pair_calibrates_to_one(self, spark):
+        from presto_ethereum_spark.operators.dedup import minhash_calibration
+
+        # two identical docs: every minhash agrees (n_agree = 16), exact
+        # J = 1.0 -> est_e6 = mean_exact_e6 = 1_000_000; the unrelated doc
+        # never becomes a candidate
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+            ],
+            "doc_id long, text string",
+        )
+        out = minhash_calibration(df).collect()
+        assert len(out) == 1
+        (r,) = out
+        assert (r.n_agree, r.n_pairs) == (16, 1)
+        assert r.est_e6 == 1_000_000 and r.mean_exact_e6 == 1_000_000
+
+    def test_capped_zero_overlap_pair_reports_zero_exact(self, spark):
+        from presto_ethereum_spark.operators.dedup import minhash_calibration
+
+        # identical docs but a df cap of 1 evicts every shared shingle
+        # from the exact index: the pair is still an LSH candidate with
+        # full agreement, while the capped exact J reports 0 — the
+        # documented lower-bound trade surfacing in the calibration table
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon zeta"),
+            ],
+            "doc_id long, text string",
+        )
+        (r,) = minhash_calibration(df, max_df=1).collect()
+        assert (r.n_agree, r.n_pairs, r.mean_exact_e6) == (16, 1, 0)
+
+
+class TestPowerIteration:
+    def test_matches_numpy_replica(self, spark):
+        import numpy as np
+
+        from presto_ethereum_spark.operators.similarity import (
+            POWER_QUANTUM,
+            power_iteration,
+        )
+
+        rng = [
+            [1.0, 0.5, 0.0], [0.9, 0.4, 0.1],
+            [0.8, 0.6, 0.0], [0.1, 0.0, 1.0],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            (r.iteration, r.dim): r.contrib_q
+            for r in power_iteration(df, n_iters=2).collect()
+        }
+        # pure-Python replica (float32 storage -> float64 math, like Spark)
+        X = np.array(rng, dtype=np.float32).astype(np.float64)
+        v = np.array([1.0, 0.0, 0.0])
+        for it in (1, 2):
+            q = {}
+            for d in range(3):
+                q[d] = sum(
+                    int(np.floor(float((x * v).sum() if it > 1 else x[0])
+                                 * float(x[d]) * POWER_QUANTUM))
+                    for x in X
+                )
+            for d in range(3):
+                assert out[(it, d)] == q[d], (it, d)
+            w = np.array([q[d] / POWER_QUANTUM for d in range(3)])
+            v = w / np.sqrt((w * w).sum())
+
+    def test_converges_toward_dominant_direction(self, spark):
+        from presto_ethereum_spark.operators.similarity import power_iteration
+
+        # corpus dominated by the second axis: after one round the
+        # iterate must put its largest mass on dim 1
+        df = spark.createDataFrame(
+            [(0, [0.1, 1.0]), (1, [0.1, 0.9]), (2, [0.2, 1.1]), (3, [0.1, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            (r.iteration, r.dim): r.contrib_q
+            for r in power_iteration(df, n_iters=2).collect()
+        }
+        assert abs(out[(2, 1)]) > abs(out[(2, 0)])
