@@ -211,6 +211,20 @@ ITERATIVE = {
     "doc_chunk_dedup_filter",
     "doc_ppjoin_pairs",
     "doc_count_cosine_pairs",
+    # r9 (VERDICT r8 task #3): the five remaining >1.5x warm-spread
+    # outliers, adjudicated as the same allocator-pause class as the
+    # pair joins above — each spread is a single max spike over an
+    # otherwise tight sample (BENCH_DETAIL r8: emb_hard_negatives
+    # min=0.485 med=0.486 max=0.761; rel_incremental_agg 0.256/0.287/
+    # 0.401 — a 0.15 s pause on a 0.29 s query).  Per-repeat GC drains +
+    # 7 samples land the pause between samples, as r8 did for
+    # doc_ppjoin_pairs/doc_repetition.
+    "doc_minhash_band_curve",
+    "doc_minhash_recall",
+    "doc_collocations_pmi",
+    "emb_hard_negatives",
+    "rel_incremental_agg",
+    "rel_kmv_distinct",
 }
 
 

@@ -9589,6 +9589,23 @@ def stream_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
     FROM cnt c JOIN agg a USING (window_start)
     """,
 )
+def stream_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-hour distinct users as a MERGEABLE KMV sketch in the streaming
+    path (streaming/events.kmv_distinct_stream, k=64): state is k longs
+    per window — not one dropDuplicates entry per distinct user — merged
+    per micro-batch via applyInPandasWithState; KMV merge is commutative
+    and associative, so the settled result is bit-identical to the batch
+    sketch under ANY micro-batch split, and the oracle replays the
+    identical md5-derived sketch closed-form.  kth_min and est_distinct
+    are HASH-gated (the rel_kmv_distinct contract carried into
+    Structured Streaming) — strictly stronger than the HLL entries'
+    tolerance verdicts, because KMV contents are merge-order
+    independent while HLL internals are not."""
+    from presto_ethereum_spark.streaming.events import run_kmv_distinct
+
+    return run_kmv_distinct(spark, sf)
+
+
 def stream_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Per-hour heavy-hitter users via streaming Misra-Gries candidates +
     exact verify on window close (streaming/events.heavy_hitters_stream,
@@ -9626,23 +9643,6 @@ _STREAM_HH_ORACLE = """
     WHERE c.n * 97 > n.n_total
     """
 _REGISTRY["stream_heavy_hitters"] = (stream_heavy_hitters, _STREAM_HH_ORACLE)
-
-
-def stream_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-hour distinct users as a MERGEABLE KMV sketch in the streaming
-    path (streaming/events.kmv_distinct_stream, k=64): state is k longs
-    per window — not one dropDuplicates entry per distinct user — merged
-    per micro-batch via applyInPandasWithState; KMV merge is commutative
-    and associative, so the settled result is bit-identical to the batch
-    sketch under ANY micro-batch split, and the oracle replays the
-    identical md5-derived sketch closed-form.  kth_min and est_distinct
-    are HASH-gated (the rel_kmv_distinct contract carried into
-    Structured Streaming) — strictly stronger than the HLL entries'
-    tolerance verdicts, because KMV contents are merge-order
-    independent while HLL internals are not."""
-    from presto_ethereum_spark.streaming.events import run_kmv_distinct
-
-    return run_kmv_distinct(spark, sf)
 
 
 @q(

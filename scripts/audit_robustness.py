@@ -15,6 +15,7 @@ Modes (pass one or more as arguments; default: both):
              size(NULL) = -1, wrapping integer arithmetic, lenient casts)
 
 Usage: python3 scripts/audit_robustness.py [tz|shuffle ...] [--sf DIR]
+           [--queries q1,q2,...]   (default: the full battery)
 """
 
 from __future__ import annotations
@@ -50,6 +51,11 @@ def main() -> None:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    queries: list[str] = []
+    if "--queries" in args:
+        i = args.index("--queries")
+        queries = [q for q in args[i + 1].split(",") if q]
+        del args[i : i + 2]
     modes = args or list(MODES)
 
     orig = S.get_spark
@@ -74,7 +80,7 @@ def main() -> None:
         cb.get_spark = patched
         print(f"=== audit mode: {mode} ===")
         saved = sys.argv
-        sys.argv = ["check", sf_dir]
+        sys.argv = ["check", sf_dir, *queries]
         try:
             cb.main()
         except SystemExit as e:

@@ -37,3 +37,19 @@ def test_coverage_header_counts_match_registry():
         "doc_bpe_train",
         "doc_bpe_tokenize",
     }, f"undocumented rows-only entries: {rows_only}"
+
+
+def test_registry_keys_match_function_names():
+    """Every battery entry's Spark callable must be NAMED like its registry
+    key.  Catches the decorator-sandwich class of mistake (r9: a new
+    function inserted between @q("stream_kmv_distinct", ...) and its def
+    silently re-pointed the KMV entry at the new function — the driver
+    would have graded the wrong query against the KMV oracle)."""
+    from presto_ethereum_spark.plans import battery
+
+    bad = [
+        (k, fn.__name__)
+        for k, (fn, _) in battery._REGISTRY.items()
+        if fn.__name__ != k
+    ]
+    assert bad == [], f"registry key != function name: {bad}"
