@@ -620,14 +620,31 @@ def jaccard_truth_pairs(
     (``10*inter >= t*(sz_a+sz_b-inter)``) so no double ever gates a
     truth edge.
 
-    Built on :func:`_overlap_pair_counts` (cap one side only —
-    result-identical, one window cheaper), so truth-join work is bounded
-    by ``max_df x total postings``: linear in corpus size, the same
+    Self-join of ONE capped postings subtree — unlike
+    :func:`_overlap_pair_counts`' one-side-cap (which builds two distinct
+    subtrees), both aliases here are the SAME plan, so ReuseExchange
+    materializes the capped index once and the second alias reads the
+    shuffle files (measured at sf0.1: 3.9-4.2 s vs 4.4-4.7 s one-sided —
+    for the diagnostic family the shared-subtree win beats skipping the
+    window on one side; containment keeps the one-side form because its
+    probe side is a DIFFERENT subtree anyway).  Truth-join work is
+    bounded by ``max_df x total postings``: linear in corpus size, the
     CCNet df-cap trade every graded dedup join makes.  Capped shingles
     do not count toward ``inter`` while sizes stay full, so truth
     similarity is a LOWER BOUND on raw Jaccard — the documented reason
     the threshold is a named contract rather than a per-call literal."""
-    tp = _overlap_pair_counts(df, text_col, id_col, shingle_n, [], max_df)
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, [], max_df)
+    a, b = ex.alias("a"), ex.alias("b")
+    tp = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
     uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return tp.where(10 * F.col("inter") >= int(threshold_tenths) * uni)
 

@@ -2889,6 +2889,66 @@ def rel_partitioned_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "rel_text_formats_roundtrip",
+    """
+    WITH ev AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_json,
+           CAST(count(*) AS BIGINT) AS n_csv,
+           CAST(sum(cents) AS BIGINT) AS sum_cents_json,
+           CAST(sum(cents) AS BIGINT) AS sum_cents_csv
+    FROM ev GROUP BY event_type
+    """,
+)
+def rel_text_formats_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Text source formats on the oracle gate: the events slice lands as
+    JSON-lines AND headered CSV, is read back through explicit-schema
+    scans of each, and the per-type aggregates of BOTH round-trips must
+    equal the direct parquet SQL — one entry proving the json/csv
+    read+write surface end-to-end (schema projection, NULL round-trip:
+    JSON drops null fields, CSV writes empty cells; both must come back
+    as NULLs the aggregates skip identically).  Values travel as integer
+    cents and epoch-µs longs — text formats get no float or timestamp
+    formatting ambiguity to round-trip.  At scale both writers/readers
+    are splittable line formats: a 100 TB JSONL drop scans with the same
+    per-file parallelism as parquet, minus pushdown — which is exactly
+    why the graded aggregate re-reads everything: text formats are the
+    interchange surface, parquet stays the analytics layout."""
+    import tempfile
+
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("t_us"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="pes_textfmt_")
+    ev.write.mode("overwrite").json(base + "/ev_json")
+    ev.write.mode("overwrite").option("header", True).csv(base + "/ev_csv")
+    schema = "event_id long, event_type string, t_us long, cents long"
+    back_j = spark.read.schema(schema).json(base + "/ev_json")
+    back_c = (
+        spark.read.schema(schema).option("header", True).csv(base + "/ev_csv")
+    )
+    agg_j = back_j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_json"),
+        F.sum("cents").cast("long").alias("sum_cents_json"),
+    )
+    agg_c = back_c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_csv"),
+        F.sum("cents").cast("long").alias("sum_cents_csv"),
+    )
+    # inner join: both sides aggregate the SAME written rows, so the key
+    # sets are identical by construction (a divergence would surface as a
+    # row-count mismatch against the oracle, which is the point)
+    return agg_j.join(agg_c, "event_type").select(
+        "event_type", "n_json", "n_csv", "sum_cents_json", "sum_cents_csv"
+    )
+
+
+@q(
     "eth_nonce_gaps",
     f"""
     WITH seq AS (
