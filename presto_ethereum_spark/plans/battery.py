@@ -2889,6 +2889,50 @@ def rel_partitioned_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "rel_salted_skew_join",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_salted_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Manual skew-salted equi-join (operators/joins.salted_join, 8
+    salts): the probe side gets a deterministic per-row salt, the build
+    side replicates once per salt, the join keys on (key, salt) — so a
+    hot key spreads over 8 reducers instead of serializing one.  The
+    oracle is the PLAIN join: hash equality is the standing proof that
+    salting is result-invariant (each probe row meets exactly the one
+    replica carrying its salt).  AQE's runtime skew split is the first
+    choice; the manual form exists for plans AQE can't rewrite (pinned
+    partitioning into stateful streams/bucketed writes, non-AQE
+    engines) — see the joins.py cost model: salt the join, not the
+    corpus, and replicate the smaller side."""
+    from presto_ethereum_spark.operators.joins import salted_join
+
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(
+        ev, cust, on="user_id", salt_from=F.col("event_id"), n_salts=8
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+@q(
     "rel_text_formats_roundtrip",
     """
     WITH ev AS (

@@ -5536,3 +5536,45 @@ class TestPowerIteration:
             for r in power_iteration(df, n_iters=2).collect()
         }
         assert abs(out[(2, 1)]) > abs(out[(2, 0)])
+
+
+class TestSaltedJoin:
+    def test_result_identical_to_plain_join(self, spark):
+        from presto_ethereum_spark.operators.joins import salted_join
+
+        left = spark.createDataFrame(
+            [(i, i % 3) for i in range(60)], "row_id long, k long"
+        )
+        right = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (1, "bb"), (2, "c")], "k long, v string"
+        )
+        for how in ("inner", "left"):
+            got = sorted(
+                map(tuple, salted_join(
+                    left, right, "k", F.col("row_id"), n_salts=4, how=how
+                ).collect())
+            )
+            want = sorted(map(tuple, left.join(right, "k", how).collect()))
+            assert got == want, how
+
+    def test_build_side_replicates_per_salt(self, spark):
+        from presto_ethereum_spark.operators.joins import salted_join
+
+        # one hot key: every (key, salt) bucket must hold a replica, so
+        # the join output is complete whatever salt each probe row drew
+        left = spark.createDataFrame(
+            [(i, 7) for i in range(100)], "row_id long, k long"
+        )
+        right = spark.createDataFrame([(7, "hot")], "k long, v string")
+        out = salted_join(left, right, "k", F.col("row_id"), n_salts=8)
+        assert out.count() == 100
+        assert "_salt" not in out.columns
+
+    def test_rejects_full_and_right(self, spark):
+        import pytest
+
+        from presto_ethereum_spark.operators.joins import salted_join
+
+        df = spark.createDataFrame([(1, 1)], "row_id long, k long")
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", F.col("row_id"), how="full")
