@@ -325,17 +325,25 @@ def tfidf_topk(df, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
 
     Plan at scale: tokenize map-side (same ``[^a-z]+`` split contract as
     :func:`alpha_terms`, portable verbatim to the oracle), ONE shuffle to
-    (doc, term) counts; the document-frequency table derives from the
-    SAME (term)-keyed aggregation stream, so the tf-df join reuses the
-    term exchange rather than re-scanning the corpus; the scalar N rides
-    a 1-row broadcast; the final per-doc top-k is a WindowGroupLimit on
-    (doc_id), never a global sort.  Returns ``(doc_id, term, tf,
-    df_docs, tfidf, rank)``."""
+    (doc, term) counts, PERSISTED — the tf table feeds both the
+    document-frequency aggregate and the scoring join, and without the
+    persist Catalyst re-tokenizes the corpus per consumer; the scalar N
+    rides a 1-row broadcast; the final per-doc top-k is a
+    WindowGroupLimit on (doc_id), never a global sort.  Returns
+    ``(doc_id, term, tf, df_docs, tfidf, rank)``."""
+    from pyspark import StorageLevel
+
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
     ).where(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # persist the (doc, term) counts: they feed BOTH the df table and the
+    # scoring join, and (measured) Catalyst re-tokenized the corpus for
+    # each consumer instead of reusing the exchange — at 100 TB the tf
+    # table is the featurizer's materialized intermediate anyway
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dfx = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (

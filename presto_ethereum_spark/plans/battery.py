@@ -11082,8 +11082,12 @@ def doc_dup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
     docs = t_spread(spark, sf, "documents")
     pairs = jaccard_pairs(docs, threshold=0.2, blocking_cols=["lang"], max_df=8)
     clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    # the cluster table is pair-list-sized (singletons never enter the
+    # closure) — orders of magnitude smaller than the corpus: broadcast
+    # it so the report never shuffles documents (the plan otherwise
+    # planned a SortMergeJoin on doc_id)
     per_doc = docs.select("doc_id", "source").join(
-        clusters.select("doc_id", "cluster_id"), "doc_id", "left"
+        F.broadcast(clusters.select("doc_id", "cluster_id")), "doc_id", "left"
     )
     n = F.count("*")
     nd = F.count("cluster_id")
@@ -11138,9 +11142,10 @@ def doc_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     the classic featurizer read-out next to doc_rake_keywords
     (degree/frequency) and the corpus-global doc_top_terms vocabulary:
     tf x ln((N+1)/(df+1)), smoothed IDF shared with top_terms, ranked
-    per doc with term tie-breaks.  One (doc, term) shuffle; the df table
-    derives from the same term-keyed stream (exchange reuse); the scalar
-    N broadcasts; per-doc top-k is a WindowGroupLimit."""
+    per doc with term tie-breaks.  One (doc, term) shuffle into a
+    persisted tf table that feeds both the df aggregate and the scoring
+    join (one tokenize pass, not one per consumer); the scalar N
+    broadcasts; per-doc top-k is a WindowGroupLimit."""
     from presto_ethereum_spark.operators.text import tfidf_topk
 
     return tfidf_topk(t_spread(spark, sf, "documents"), k=5)
