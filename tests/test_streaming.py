@@ -1235,3 +1235,58 @@ class TestStreamHeavyHitters:
         # n_total=5, threshold n*3 > 5: only user 9 (2*3=6>5) qualifies —
         # and MG guarantees it survived (deduction <= 5/3 < 2)
         assert out == [(0, "9", 2, 5, 400000)]
+
+
+class TestStreamSessionWindow:
+    """Native session windows: a session whose events span two
+    micro-batches must come back as ONE merged interval (the JVM
+    state-store merge under test), and the settled result must equal the
+    custom applyInPandasWithState sessionizer's bounds."""
+
+    def test_multi_batch_interval_merge(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_session_window
+
+        hour = 3_600_000_000
+        # user 1: events at t=0s and t=30min (same session) split across
+        # files, then t=3h (new session).  user 2: one event per file,
+        # 10 min apart -> one session.
+        f1 = pd.DataFrame({"user_id": [1, 2], "t_us": [0, 1_000_000]})
+        f2 = pd.DataFrame(
+            {"user_id": [1, 2, 1],
+             "t_us": [30 * 60_000_000, 601_000_000, 3 * hour]}
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        f1.to_parquet(src / "a.parquet")
+        f2.to_parquet(src / "b.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, t_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        rows = sorted(
+            map(tuple, run_session_window(spark, "", source=stream).collect())
+        )
+        assert rows == [
+            (1, 0, 30 * 60_000_000, 2),       # merged across the 2 batches
+            (1, 3 * hour, 3 * hour, 1),       # new session after the gap
+            (2, 1_000_000, 601_000_000, 2),   # 10-min gap < 1h -> one session
+        ]
+
+    def test_matches_custom_sessionizer(self, spark):
+        from presto_ethereum_spark.streaming.events import (
+            run_session_window,
+            run_sessionized,
+        )
+
+        sfd = "/root/testdata/sf0.001"
+        native = sorted(
+            map(tuple, run_session_window(spark, sfd).collect())
+        )
+        custom = sorted(
+            (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+            for r in run_sessionized(spark, sfd).collect()
+        )
+        assert native == custom
