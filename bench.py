@@ -179,10 +179,14 @@ INCOMING: list[str] = [
     "doc_tfidf_topk",
     "doc_dup_rate_by_source",
     # round-9 continuation: ordered listagg, estimator calibration,
-    # distributed power iteration
+    # distributed power iteration, skew-salted join, text-format
+    # roundtrip, Matryoshka prefix recall
     "rel_listagg_topk",
     "doc_minhash_calibration",
     "emb_power_iteration",
+    "rel_salted_skew_join",
+    "rel_text_formats_roundtrip",
+    "emb_prefix_dim_recall",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -27,6 +27,7 @@ __all__ = [
     "brute_force_topk",
     "hard_negatives",
     "triplet_mining",
+    "prefix_dim_recall",
     "jl_project_quantized",
     "jl_recall_report",
     "jl_rerank_topk",
@@ -961,6 +962,108 @@ def kmeans_convergence(
         F.col("iteration").cast("int").alias("iteration"),
         "n_moved",
         F.col("inertia_q").cast("long").alias("inertia_q"),
+    )
+
+
+def prefix_dim_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dims: tuple[int, ...] = (8, 16, 32),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style TRUNCATION diagnostic: recall@k of cosine search
+    over only the FIRST d dimensions, for each candidate prefix width,
+    against the full-dimension exact top-k — the table that says how
+    small a stored/serving prefix can get before retrieval quality pays
+    (the measurement behind MRL-style embedding deployments, and the
+    sibling of the quantization recalls: SQ8/PQ shrink precision, this
+    shrinks WIDTH).
+
+    Returns ``(prefix_dim, n_hits, n_truth, recall)`` — one row per
+    prefix plus the full width (recall 1.0 by construction, the
+    self-check row).
+
+    ONE corpus pass: both sides stage the double vector, each prefix's
+    slice and norm per ROW (never per pair), the pair join computes all
+    prefix cosines together, and one window per width (all partitioned
+    by query — one exchange, parallel sorts) ranks them; hits count
+    pairs inside both the prefix top-k and the full top-k.  The output
+    is a len(prefix_dims)+1-row counter table."""
+    dims = sorted(int(d) for d in prefix_dims)
+
+    def staged(df: DataFrame, idname: str) -> DataFrame:
+        out = (
+            df.select(F.col(id_col).alias(idname), F.col(vec_col).alias("v"))
+            .withColumn(f"{idname}_vd", _d(F.col("v")))
+            .withColumn(f"{idname}_n", l2_norm(F.col(f"{idname}_vd")))
+            .drop("v")
+        )
+        for d in dims:
+            sl = F.slice(F.col(f"{idname}_vd"), 1, d)
+            out = out.withColumn(f"{idname}_vd{d}", sl).withColumn(
+                f"{idname}_n{d}", l2_norm(sl)
+            )
+        return out
+
+    q = F.broadcast(staged(queries, "query_id"))
+    c = staged(corpus, "neighbor_id")
+    pairs = c.join(q, F.col("neighbor_id") != F.col("query_id"))
+    sims = pairs.select(
+        "query_id",
+        "neighbor_id",
+        _cosine_staged(
+            F.col("query_id_vd"),
+            F.col("neighbor_id_vd"),
+            F.col("query_id_n"),
+            F.col("neighbor_id_n"),
+        ).alias("sim_full"),
+        *[
+            _cosine_staged(
+                F.col(f"query_id_vd{d}"),
+                F.col(f"neighbor_id_vd{d}"),
+                F.col(f"query_id_n{d}"),
+                F.col(f"neighbor_id_n{d}"),
+            ).alias(f"sim_{d}")
+            for d in dims
+        ],
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("sim_full"), "neighbor_id")
+    ranked = sims.withColumn("rank_full", F.row_number().over(wf))
+    for d in dims:
+        wd = Window.partitionBy("query_id").orderBy(
+            F.desc(f"sim_{d}"), "neighbor_id"
+        )
+        ranked = ranked.withColumn(f"rank_{d}", F.row_number().over(wd))
+    from presto_ethereum_spark.operators.dedup import round6_ratio
+
+    in_truth = F.col("rank_full") <= k
+    agg = ranked.agg(
+        F.sum(F.when(in_truth, 1).otherwise(0)).alias("n_truth"),
+        *[
+            F.sum(
+                F.when(in_truth & (F.col(f"rank_{d}") <= k), 1).otherwise(0)
+            ).alias(f"hits_{d}")
+            for d in dims
+        ],
+    )
+    stack_args: list[str] = []
+    for d in dims:
+        stack_args += [str(d), f"CAST(hits_{d} AS BIGINT)"]
+    stack_args += ["-1", "CAST(n_truth AS BIGINT)"]  # -1 = full width row
+    return (
+        agg.selectExpr(
+            "n_truth",
+            f"stack({len(dims) + 1}, {', '.join(stack_args)})"
+            " AS (prefix_dim, n_hits)",
+        )
+        .select(
+            F.col("prefix_dim").cast("int").alias("prefix_dim"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            round6_ratio(F.col("n_hits"), F.col("n_truth")).alias("recall"),
+        )
     )
 
 

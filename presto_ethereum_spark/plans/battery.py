@@ -11198,6 +11198,85 @@ def emb_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
     return power_iteration(e, n_iters=2)
 
 
+def _duck_cos_slice(x: str, y: str, d: int) -> str:
+    """_duck_cos over the first ``d`` dimensions (1-based inclusive slice
+    — same in-order accumulation, so bit-stable vs the Spark staged fold
+    over F.slice)."""
+    xs, ys = (
+        f"(CAST({x} AS DOUBLE[]))[1:{d}]",
+        f"(CAST({y} AS DOUBLE[]))[1:{d}]",
+    )
+    return (
+        f"(list_dot_product({xs}, {ys})"
+        f" / (sqrt(list_dot_product({xs}, {xs}))"
+        f" * sqrt(list_dot_product({ys}, {ys}))))"
+    )
+
+
+def _prefix_dim_recall_oracle(dims=(8, 16, 32), k=10) -> str:
+    sims = ",\n             ".join(
+        f"{_duck_cos_slice('qv', 'nv', d)} AS sim_{d}" for d in dims
+    )
+    ranks = ",\n             ".join(
+        f"row_number() OVER (PARTITION BY query_id ORDER BY sim_{d} DESC,"
+        f" nid) AS r_{d}"
+        for d in dims
+    )
+    hit_rows = "\n      UNION ALL ".join(
+        f"SELECT {d} AS prefix_dim, count(*) AS n_hits FROM r"
+        f" WHERE rf <= {k} AND r_{d} <= {k}"
+        for d in dims
+    )
+    return f"""
+    WITH a AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5),
+    p AS (
+      SELECT a.query_id, b.vec_id AS nid, a.qv, b.embedding AS nv
+      FROM a JOIN embeddings b ON b.vec_id != a.query_id),
+    s AS (
+      SELECT query_id, nid,
+             {_duck_cos('qv', 'nv')} AS sim_full,
+             {sims}
+      FROM p),
+    r AS (
+      SELECT query_id, nid,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim_full DESC, nid) AS rf,
+             {ranks}
+      FROM s),
+    t AS (SELECT count(*) AS n_truth FROM r WHERE rf <= {k}),
+    hits AS (
+      {hit_rows}
+      UNION ALL SELECT -1, n_truth FROM t)
+    SELECT CAST(h.prefix_dim AS INT) AS prefix_dim,
+           CAST(h.n_hits AS BIGINT) AS n_hits,
+           CAST(t.n_truth AS BIGINT) AS n_truth,
+           CAST((2 * h.n_hits * 1000000 + t.n_truth) // (2 * t.n_truth)
+                AS DOUBLE) / 1000000 AS recall
+    FROM hits h, t
+    """
+
+
+@q("emb_prefix_dim_recall", _prefix_dim_recall_oracle())
+def emb_prefix_dim_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation diagnostic (operators/similarity.
+    prefix_dim_recall): recall@10 of cosine search over only the FIRST
+    8/16/32 dimensions vs the full-width exact top-10 for the 5 probe
+    queries — how narrow a stored/serving prefix can get before
+    retrieval pays, the WIDTH member of the quantization-quality family
+    (SQ8/PQ shrink precision, JL shrinks via projection, this shrinks by
+    plain truncation, the MRL deployment trade).  One corpus pass stages
+    every prefix's slice+norm per row; one window per width shares the
+    query exchange; the -1 row is the full width (recall 1.0, the
+    self-check).  Counters integer, recall via the round6_ratio exact
+    contract."""
+    from presto_ethereum_spark.operators.similarity import prefix_dim_recall
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return prefix_dim_recall(e, e.where(F.col("vec_id") < 5))
+
+
 @q(
     "emb_triplet_mining",
     f"""
