@@ -5578,3 +5578,48 @@ class TestSaltedJoin:
         df = spark.createDataFrame([(1, 1)], "row_id long, k long")
         with pytest.raises(ValueError):
             salted_join(df, df, "k", F.col("row_id"), how="full")
+
+
+class TestPrefixDimRecall:
+    def test_full_width_row_is_perfect_and_prefix_monotone_ish(self, spark):
+        from presto_ethereum_spark.operators.similarity import prefix_dim_recall
+
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.prefix_dim: r
+            for r in prefix_dim_recall(
+                df, df.where("vec_id < 3"), prefix_dims=(4, 8), k=5
+            ).collect()
+        }
+        assert set(out) == {4, 8, -1}
+        # the -1 row is the full width: hits == truth, recall exactly 1.0
+        assert out[-1].n_hits == out[-1].n_truth == 15
+        assert out[-1].recall == 1.0
+        assert all(0 <= out[d].n_hits <= 15 for d in (4, 8))
+
+    def test_prefix_identical_when_tail_is_zero(self, spark):
+        from presto_ethereum_spark.operators.similarity import prefix_dim_recall
+
+        # vectors whose mass lives entirely in the first 4 dims: the
+        # 4-dim prefix ordering equals the full ordering -> recall 1.0
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(4)] + [0.0] * 12)
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r.prefix_dim: r
+            for r in prefix_dim_recall(
+                df, df.where("vec_id < 3"), prefix_dims=(4,), k=5
+            ).collect()
+        }
+        assert out[4].recall == 1.0
