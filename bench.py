@@ -187,6 +187,8 @@ INCOMING: list[str] = [
     "rel_salted_skew_join",
     "rel_text_formats_roundtrip",
     "emb_prefix_dim_recall",
+    # round-9 final: exact-decimal ERC-20 ledger reconstruction
+    "eth_erc20_balances",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

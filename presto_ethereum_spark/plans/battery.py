@@ -1045,6 +1045,103 @@ def eth_token_flows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "eth_erc20_balances",
+    f"""
+    WITH lg AS (
+      SELECT unnest(t.logs) AS l
+      FROM (SELECT unnest(transactions) AS t
+            FROM read_parquet('{ETH}/chain_blocks.parquet'))
+    ),
+    tr AS (
+      SELECT l.address AS token_address,
+             concat('0x', substr(l.topics[2], length(l.topics[2]) - 39, 40))
+               AS from_addr,
+             concat('0x', substr(l.topics[3], length(l.topics[3]) - 39, 40))
+               AS to_addr,
+             CAST(CAST(concat('0x', substr(l.data, 37, 15)) AS BIGINT)
+                  AS HUGEINT) * 1152921504606846976
+               + CAST(CAST(concat('0x', substr(l.data, 52, 15)) AS BIGINT)
+                      AS HUGEINT) AS wei
+      FROM lg
+      WHERE lower(l.topics[1]) =
+            '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'
+        AND len(l.topics) >= 3
+        AND length(l.data) = 66
+        AND substr(l.data, 3, 34) = repeat('0', 34)
+    ),
+    d AS (
+      SELECT token_address, to_addr AS holder, wei AS delta, 1 AS is_in
+      FROM tr
+      UNION ALL
+      SELECT token_address, from_addr, -wei, 0 FROM tr
+    )
+    SELECT token_address, holder,
+           CAST(sum(is_in) AS BIGINT) AS n_in,
+           CAST(sum(1 - is_in) AS BIGINT) AS n_out,
+           CAST(sum(delta) AS DECIMAL(38,0)) AS balance_wei
+    FROM d GROUP BY token_address, holder
+    """,
+)
+def eth_erc20_balances(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(token, holder) LEDGER RECONSTRUCTION from standard Transfer
+    events — the chain-accounting read-out the reference's ERC-20 view
+    feeds (credit each `to`, debit each `from`, exact DECIMAL(38,0) wei
+    per eth_erc20_exact_flows' Decimal-mode contract, so balances carry
+    no double mantissa loss at any holder size).  Negative balances are
+    REPORTED, not dropped: a holder spending more than the scanned range
+    credited is the standard evidence the scan's block range starts
+    after the holder's funding (mints from the zero address show up as
+    the zero address's negative ledger by the same rule).  Addresses
+    narrow h32->h20 exactly as the connector decode does
+    (decode.h32_to_h20_col).  One union of two projections over the same
+    decoded scan, one (token, holder) shuffle with map-side partials —
+    at chain scale this is the incremental balance-snapshot job: merge
+    yesterday's balances with today's deltas by the same additive
+    state."""
+    from presto_ethereum_spark.sources.decode import (
+        h32_to_h20_col,
+        hex_to_decimal_col,
+    )
+
+    chain = _eth_tables(spark).chain
+    logs = chain.select(F.explode("transactions").alias("t")).select(
+        F.explode("t.logs").alias("l")
+    )
+    tr = logs.where(
+        (
+            F.lower(F.col("l.topics")[0])
+            == "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+        )
+        & (F.size("l.topics") >= 3)
+        & (F.length("l.data") == 66)
+        & (F.substring(F.col("l.data"), 3, 34) == "0" * 34)
+    ).select(
+        F.col("l.address").alias("token_address"),
+        h32_to_h20_col(F.col("l.topics")[1]).alias("from_addr"),
+        h32_to_h20_col(F.col("l.topics")[2]).alias("to_addr"),
+        hex_to_decimal_col(F.col("l.data")).alias("wei"),
+    )
+    d = tr.select(
+        "token_address",
+        F.col("to_addr").alias("holder"),
+        F.col("wei").alias("delta"),
+        F.lit(1).alias("is_in"),
+    ).unionByName(
+        tr.select(
+            "token_address",
+            F.col("from_addr").alias("holder"),
+            (-F.col("wei")).alias("delta"),
+            F.lit(0).alias("is_in"),
+        )
+    )
+    return d.groupBy("token_address", "holder").agg(
+        F.sum("is_in").cast("long").alias("n_in"),
+        F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
+        F.sum("delta").cast("decimal(38,0)").alias("balance_wei"),
+    )
+
+
+@q(
     "eth_value_in_ether",
     f"""
     SELECT tx_hash, tx_value / 1e18 AS value_ether, tx_gasprice / 1e9 AS gasprice_gwei
