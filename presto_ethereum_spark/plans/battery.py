@@ -1078,7 +1078,7 @@ def eth_token_flows(spark: SparkSession, sf: str) -> DataFrame:
     SELECT token_address, holder,
            CAST(sum(is_in) AS BIGINT) AS n_in,
            CAST(sum(1 - is_in) AS BIGINT) AS n_out,
-           CAST(sum(delta) AS DECIMAL(38,0)) AS balance_wei
+           CAST(CAST(sum(delta) AS DECIMAL(38,0)) AS VARCHAR) AS balance_wei
     FROM d GROUP BY token_address, holder
     """,
 )
@@ -1087,7 +1087,12 @@ def eth_erc20_balances(spark: SparkSession, sf: str) -> DataFrame:
     events — the chain-accounting read-out the reference's ERC-20 view
     feeds (credit each `to`, debit each `from`, exact DECIMAL(38,0) wei
     per eth_erc20_exact_flows' Decimal-mode contract, so balances carry
-    no double mantissa loss at any holder size).  Negative balances are
+    no double mantissa loss at any holder size; the final read-out is the
+    canonical DIGIT STRING of that exact decimal — engines disagree on how
+    they surface 128-bit decimals to clients (DuckDB's pandas bridge
+    narrows them to float64, CORRECTNESS_r09), and a plain base-10 string
+    is the one representation every client hashes identically).  Negative
+    balances are
     REPORTED, not dropped: a holder spending more than the scanned range
     credited is the standard evidence the scan's block range starts
     after the holder's funding (mints from the zero address show up as
@@ -1137,7 +1142,7 @@ def eth_erc20_balances(spark: SparkSession, sf: str) -> DataFrame:
     return d.groupBy("token_address", "holder").agg(
         F.sum("is_in").cast("long").alias("n_in"),
         F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
-        F.sum("delta").cast("decimal(38,0)").alias("balance_wei"),
+        F.sum("delta").cast("decimal(38,0)").cast("string").alias("balance_wei"),
     )
 
 
@@ -3153,11 +3158,11 @@ def eth_nonce_gaps(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT token_address,
            count(*) AS n_transfers,
-           CAST(sum(
+           CAST(CAST(sum(
              CAST(CAST(concat('0x', substr(data, 37, 15)) AS BIGINT) AS HUGEINT)
                * 1152921504606846976
              + CAST(CAST(concat('0x', substr(data, 52, 15)) AS BIGINT) AS HUGEINT)
-           ) AS DECIMAL(38,0)) AS total_wei_exact
+           ) AS DECIMAL(38,0)) AS VARCHAR) AS total_wei_exact
     FROM tr GROUP BY token_address
     """,
 )
@@ -3170,7 +3175,11 @@ def eth_erc20_exact_flows(spark: SparkSession, sf: str) -> DataFrame:
     The oracle reassembles each value as hi*2^60 + lo HUGEINT chunks from
     the same hex.  Values needing > 120 bits are excluded by the
     leading-zero guard on BOTH engines (none exist in the fixture; the
-    guard makes the contract explicit)."""
+    guard makes the contract explicit).  The exact total is read out as
+    its canonical digit string: client bridges narrow wide decimals
+    inconsistently (DuckDB pandas -> float64), and the base-10 string is
+    the representation both engines agree on byte-for-byte
+    (CORRECTNESS_r09's eth_erc20_balances hash finding)."""
     from presto_ethereum_spark.sources.decode import hex_to_decimal_col
 
     chain = _eth_tables(spark).chain
@@ -3194,7 +3203,7 @@ def eth_erc20_exact_flows(spark: SparkSession, sf: str) -> DataFrame:
     )
     return tr.groupBy("token_address").agg(
         F.count("*").alias("n_transfers"),
-        F.sum("wei_exact").cast("decimal(38,0)").alias("total_wei_exact"),
+        F.sum("wei_exact").cast("decimal(38,0)").cast("string").alias("total_wei_exact"),
     )
 
 

@@ -44,6 +44,19 @@ def norm(v):
 
 
 def compare(name, spark_df, duck_rel) -> str:
+    # Driver-hash hazard gate: raw DECIMAL output columns bridge
+    # inconsistently across client layers (DuckDB's pandas conversion
+    # narrows wide decimals to float64), so a value-identical result can
+    # still hash-mismatch downstream (CORRECTNESS_r09 eth_erc20_balances).
+    # Exact decimals must be read out as canonical digit strings (or
+    # narrowed to double/bigint) in the FINAL projection of both engines.
+    from pyspark.sql.types import DecimalType
+
+    dec_cols = [
+        f.name for f in spark_df.schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    if dec_cols:
+        return f"DRIVER-HAZARD: decimal-typed output columns {dec_cols}"
     got_cols = sorted(spark_df.columns)
     want_cols = sorted(duck_rel.columns)
     if got_cols != want_cols:
