@@ -1044,6 +1044,53 @@ def eth_token_flows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TRANSFER_TOPIC = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+
+def _erc20_transfer_deltas(chain: DataFrame) -> DataFrame:
+    """Shared ledger-delta decode for the balance family: standard 3-topic
+    Transfer events -> two signed rows each (credit `to`, debit `from`),
+    columns (token_address, holder, delta DECIMAL(38,0), is_in, block_number).
+    Addresses narrow h32->h20 as the connector decode does; the exact-mode
+    leading-zero guard excludes >120-bit values on both engines (the
+    eth_erc20_exact_flows contract)."""
+    from presto_ethereum_spark.sources.decode import (
+        h32_to_h20_col,
+        hex_to_decimal_col,
+    )
+
+    logs = chain.select(F.explode("transactions").alias("t")).select(
+        F.explode("t.logs").alias("l")
+    )
+    tr = logs.where(
+        (F.lower(F.col("l.topics")[0]) == _TRANSFER_TOPIC)
+        & (F.size("l.topics") >= 3)
+        & (F.length("l.data") == 66)
+        & (F.substring(F.col("l.data"), 3, 34) == "0" * 34)
+    ).select(
+        F.col("l.address").alias("token_address"),
+        h32_to_h20_col(F.col("l.topics")[1]).alias("from_addr"),
+        h32_to_h20_col(F.col("l.topics")[2]).alias("to_addr"),
+        hex_to_decimal_col(F.col("l.data")).alias("wei"),
+        F.col("l.blockNumber").alias("block_number"),
+    )
+    return tr.select(
+        "token_address",
+        F.col("to_addr").alias("holder"),
+        F.col("wei").alias("delta"),
+        F.lit(1).alias("is_in"),
+        "block_number",
+    ).unionByName(
+        tr.select(
+            "token_address",
+            F.col("from_addr").alias("holder"),
+            (-F.col("wei")).alias("delta"),
+            F.lit(0).alias("is_in"),
+            "block_number",
+        )
+    )
+
+
 @q(
     "eth_erc20_balances",
     f"""
@@ -1103,46 +1150,158 @@ def eth_erc20_balances(spark: SparkSession, sf: str) -> DataFrame:
     at chain scale this is the incremental balance-snapshot job: merge
     yesterday's balances with today's deltas by the same additive
     state."""
-    from presto_ethereum_spark.sources.decode import (
-        h32_to_h20_col,
-        hex_to_decimal_col,
-    )
-
-    chain = _eth_tables(spark).chain
-    logs = chain.select(F.explode("transactions").alias("t")).select(
-        F.explode("t.logs").alias("l")
-    )
-    tr = logs.where(
-        (
-            F.lower(F.col("l.topics")[0])
-            == "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
-        )
-        & (F.size("l.topics") >= 3)
-        & (F.length("l.data") == 66)
-        & (F.substring(F.col("l.data"), 3, 34) == "0" * 34)
-    ).select(
-        F.col("l.address").alias("token_address"),
-        h32_to_h20_col(F.col("l.topics")[1]).alias("from_addr"),
-        h32_to_h20_col(F.col("l.topics")[2]).alias("to_addr"),
-        hex_to_decimal_col(F.col("l.data")).alias("wei"),
-    )
-    d = tr.select(
-        "token_address",
-        F.col("to_addr").alias("holder"),
-        F.col("wei").alias("delta"),
-        F.lit(1).alias("is_in"),
-    ).unionByName(
-        tr.select(
-            "token_address",
-            F.col("from_addr").alias("holder"),
-            (-F.col("wei")).alias("delta"),
-            F.lit(0).alias("is_in"),
-        )
-    )
+    d = _erc20_transfer_deltas(_eth_tables(spark).chain)
     return d.groupBy("token_address", "holder").agg(
         F.sum("is_in").cast("long").alias("n_in"),
         F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
         F.sum("delta").cast("decimal(38,0)").cast("string").alias("balance_wei"),
+    )
+
+
+@q(
+    "eth_balance_snapshot_merge",
+    f"""
+    WITH lg AS (
+      SELECT unnest(t.logs) AS l
+      FROM (SELECT unnest(transactions) AS t
+            FROM read_parquet('{ETH}/chain_blocks.parquet'))
+    ),
+    tr AS (
+      SELECT l.address AS token_address,
+             concat('0x', substr(l.topics[2], length(l.topics[2]) - 39, 40))
+               AS from_addr,
+             concat('0x', substr(l.topics[3], length(l.topics[3]) - 39, 40))
+               AS to_addr,
+             CAST(CAST(concat('0x', substr(l.data, 37, 15)) AS BIGINT)
+                  AS HUGEINT) * 1152921504606846976
+               + CAST(CAST(concat('0x', substr(l.data, 52, 15)) AS BIGINT)
+                      AS HUGEINT) AS wei,
+             l.blocknumber AS bn
+      FROM lg
+      WHERE lower(l.topics[1]) =
+            '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'
+        AND len(l.topics) >= 3
+        AND length(l.data) = 66
+        AND substr(l.data, 3, 34) = repeat('0', 34)
+    ),
+    mid AS (SELECT max(bn) // 2 AS m FROM tr),
+    d AS (
+      SELECT token_address, to_addr AS holder, wei AS delta, bn FROM tr
+      UNION ALL
+      SELECT token_address, from_addr, -wei, bn FROM tr
+    )
+    SELECT token_address, holder,
+           CAST(sum(CASE WHEN bn <= m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_snapshot_events,
+           CAST(sum(CASE WHEN bn > m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_incremental_events,
+           CAST(CAST(sum(delta) AS DECIMAL(38,0)) AS VARCHAR) AS balance_wei
+    FROM d, mid GROUP BY token_address, holder
+    """,
+)
+def eth_balance_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL balance maintenance: aggregate the ledger up to the
+    chain midpoint into a snapshot state, aggregate the blocks after it
+    into a delta state, and MERGE the two by re-aggregating the additive
+    (count, exact-wei-sum) pairs — the daily job that keeps a 100 TB
+    chain's balance table fresh without rescanning history.  The oracle
+    computes the same (token, holder) ledger in ONE pass over the full
+    range, so the hash gate is the algebraic claim itself: merged
+    partial states == direct recompute, for every holder, at exact
+    DECIMAL(38,0) precision (canonical digit-string read-out, the
+    eth_erc20_balances contract).  At scale both legs shuffle once on
+    (token, holder) with map-side partials and the merge is a union of
+    two already-aggregated tables — the snapshot leg is yesterday's
+    materialization read back, not a rescan."""
+    d = _erc20_transfer_deltas(_eth_tables(spark).chain)
+    mid = d.agg(
+        F.floor(F.max("block_number") / 2).cast("long").alias("m")
+    )
+    parts = []
+    for tag, cond in (
+        ("snap", F.col("block_number") <= F.col("m")),
+        ("inc", F.col("block_number") > F.col("m")),
+    ):
+        leg = (
+            d.join(F.broadcast(mid))
+            .where(cond)
+            .groupBy("token_address", "holder")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("delta").alias("part_wei"),
+            )
+            .select(
+                "token_address",
+                "holder",
+                (F.col("n_events") if tag == "snap" else F.lit(0)).alias(
+                    "n_snapshot_events"
+                ),
+                (F.col("n_events") if tag == "inc" else F.lit(0)).alias(
+                    "n_incremental_events"
+                ),
+                "part_wei",
+            )
+        )
+        parts.append(leg)
+    merged = parts[0].unionByName(parts[1])
+    return merged.groupBy("token_address", "holder").agg(
+        F.sum("n_snapshot_events").cast("long").alias("n_snapshot_events"),
+        F.sum("n_incremental_events").cast("long").alias("n_incremental_events"),
+        F.sum("part_wei").cast("decimal(38,0)").cast("string").alias("balance_wei"),
+    )
+
+
+@q(
+    "eth_log_topic_profile",
+    f"""
+    WITH lg AS (
+      SELECT unnest(t.logs) AS l
+      FROM (SELECT unnest(transactions) AS t
+            FROM read_parquet('{ETH}/chain_blocks.parquet'))
+    )
+    SELECT lower(l.topics[1]) AS topic0,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT l.address) AS BIGINT) AS n_contracts,
+           CAST(count(DISTINCT l.transactionhash) AS BIGINT) AS n_txs,
+           CAST(count(DISTINCT l.blocknumber) AS BIGINT) AS n_blocks,
+           CAST(min(l.blocknumber) AS BIGINT) AS first_block,
+           CAST(max(l.blocknumber) AS BIGINT) AS last_block
+    FROM lg WHERE len(l.topics) >= 1
+    GROUP BY topic0
+    """,
+)
+def eth_log_topic_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-signature census over the raw log stream: per topic0 (the
+    keccak event signature the reference keys its Transfer filter on,
+    EthereumRecordCursor.java:158-170), how many events fired, from how
+    many distinct contracts / transactions / blocks, and the block span.
+    The reconnaissance query that decides WHICH event decoders a chain
+    pipeline needs before any decode is written.  Three distincts inside
+    one grouped aggregate — Spark plans a single expand (x3) over the
+    pruned (topics[0], address, txhash, block) projection; at 100 TB
+    swap the exact distincts for approx_count_distinct and the expand
+    disappears."""
+    chain = _eth_tables(spark).chain
+    logs = chain.select(F.explode("transactions").alias("t")).select(
+        F.explode("t.logs").alias("l")
+    )
+    return (
+        logs.where(F.size("l.topics") >= 1)
+        .select(
+            F.lower(F.col("l.topics")[0]).alias("topic0"),
+            F.col("l.address").alias("address"),
+            F.col("l.transactionHash").alias("txh"),
+            F.col("l.blockNumber").alias("bn"),
+        )
+        .groupBy("topic0")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("address").alias("n_contracts"),
+            F.count_distinct("txh").alias("n_txs"),
+            F.count_distinct("bn").alias("n_blocks"),
+            F.min("bn").alias("first_block"),
+            F.max("bn").alias("last_block"),
+        )
     )
 
 
