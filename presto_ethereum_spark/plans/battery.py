@@ -10015,6 +10015,86 @@ _REGISTRY["stream_heavy_hitters"] = (stream_heavy_hitters, _STREAM_HH_ORACLE)
 
 
 @q(
+    "stream_ewma_user",
+    """
+    WITH ev AS (
+      SELECT user_id AS key, event_id, epoch_us(ts) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+    tot AS (SELECT key, count(*) AS n_seen FROM ev GROUP BY key),
+    r AS (
+      SELECT key, cents,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY t_us DESC, event_id DESC) AS rn
+      FROM ev),
+    k AS (
+      SELECT key, cents, rn, count(*) OVER (PARTITION BY key) AS m
+      FROM r WHERE rn <= 20)
+    SELECT k.key,
+           CAST(any_value(t.n_seen) AS BIGINT) AS n_seen,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (m - rn))) AS BIGINT)
+             AS ewma_num,
+           CAST((CAST(1 AS BIGINT) << any_value(m)) - 1 AS BIGINT)
+             AS ewma_den,
+           CAST(sum(cents * (CAST(1 AS BIGINT) << (m - rn))) AS DOUBLE)
+             / CAST((CAST(1 AS BIGINT) << any_value(m)) - 1 AS DOUBLE) / 100
+             AS ewma
+    FROM k JOIN tot t ON k.key = t.key GROUP BY k.key
+    """,
+)
+def stream_ewma_user(spark: SparkSession, sf: str) -> DataFrame:
+    """rel_ewma_value carried into Structured Streaming
+    (streaming/events.ewma_stream): per-user dyadic EWMA over the newest
+    20 observations, with the order-sensitive fold replaced by a
+    MERGEABLE newest-k buffer (top-k by (t_us, event_id) is commutative/
+    associative/idempotent) so the settled BIGINT rational is
+    bit-identical to the batch closed form under any micro-batch split —
+    hash-gated, the stream_kmv_distinct standard.  State: <= 20 triples
+    + one counter per user."""
+    from presto_ethereum_spark.streaming.events import run_ewma
+
+    return run_ewma(spark, sf)
+
+
+@q(
+    "stream_funnel_firsts",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')),
+    m AS (
+      SELECT user_id,
+             count(*) AS n_seen,
+             min(CASE WHEN event_type = 'view' THEN t_us END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN t_us END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN t_us END) AS t_purchase
+      FROM ev GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           t_view, t_click, t_purchase,
+           CAST(CASE WHEN t_view IS NULL THEN 0
+                     WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                     WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                     ELSE 3 END AS INT) AS steps_completed
+    FROM m
+    """,
+)
+def stream_funnel_firsts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming first-occurrence funnel (streaming/events.funnel_stream):
+    per-user earliest view/click/purchase timestamps and the in-order
+    step count, maintained as three MIN-merged longs of state — the
+    restart-safe CEP counterpart to rel_funnel_steps' conditional chain
+    (which needs full replay to absorb a late-arriving earlier view).
+    Split-invariant by min-merge algebra; all five columns hash-gated."""
+    from presto_ethereum_spark.streaming.events import run_funnel
+
+    return run_funnel(spark, sf)
+
+
+@q(
     "rel_revenue_trend",
     """
     WITH rev AS (

@@ -1058,3 +1058,251 @@ def run_session_window(
         "stream_swin",
         "complete",
     )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("n_obs", LongType()),
+        StructField("ewma_num", LongType()),
+        StructField("ewma_den", LongType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("t_us", ArrayType(LongType())),
+        StructField("event_id", ArrayType(LongType())),
+        StructField("cents", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+EWMA_WINDOW = 20  # newest-m dyadic EWMA window (operators/temporal.ewma_last)
+
+
+def ewma_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Per-user streaming EWMA (alpha = 1/2 over the newest 20
+    observations) — the batch rel_ewma_value smoother carried into
+    Structured Streaming with BOUNDED per-key state.
+
+    The naive streaming EWMA folds arrival order into the state
+    (s' = (s + x)/2), which makes the result micro-batch-split dependent
+    the moment events arrive out of event-time order.  This operator
+    instead keeps the newest-20 observation BUFFER keyed by
+    (t_us, event_id): top-k-by-timestamp is a commutative, associative,
+    idempotent merge (the newest 20 of a union are among each part's
+    newest 20), so the settled buffer — and therefore the dyadic
+    weighted sum computed from it — is bit-identical to the batch
+    closed form under ANY split.  Same design move as
+    stream_kmv_distinct: replace an order-sensitive fold with a
+    mergeable summary of identical size.
+
+    State: <= 20 (t_us, event_id, cents) triples + one counter per user.
+    Weights are exact powers of two (num <= cents * 2^20 << 2^53), so
+    both engines report the identical BIGINT rational; the graded double
+    is computed from it outside the stream.  ``n_seen`` is the monotone
+    total-events counter the settle wrapper keys on."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        source if source is not None else _events_source(spark, sf_dir)
+    ).select(
+        F.col("user_id").alias("key"),
+        F.col("t_us"),
+        F.col("event_id"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    ).where(F.col("key").isNotNull() & F.col("cents").isNotNull())
+
+    def upd(key, pdf_iter, state: GroupState):
+        (k,) = key
+        if state.exists:
+            ts, ids, cs, n_seen = state.get
+            rows = list(zip(ts, ids, cs))
+        else:
+            rows, n_seen = [], 0
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            rows.extend(
+                zip(
+                    (int(x) for x in pdf["t_us"]),
+                    (int(x) for x in pdf["event_id"]),
+                    (int(x) for x in pdf["cents"]),
+                )
+            )
+        # newest EWMA_WINDOW by (t_us, event_id) desc — the mergeable top-k
+        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        rows = rows[:EWMA_WINDOW]
+        state.update(
+            ([r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows], n_seen)
+        )
+        m = len(rows)
+        # rows[0] is newest (rn=1): weight 2^(m-1) .. oldest weight 2^0
+        num = sum(c << (m - 1 - i) for i, (_, _, c) in enumerate(rows))
+        yield pd.DataFrame(
+            {
+                "key": [int(k)],
+                "n_seen": [n_seen],
+                "n_obs": [m],
+                "ewma_num": [num],
+                "ewma_den": [(1 << m) - 1],
+            }
+        )
+
+    return stream.groupBy("key").applyInPandasWithState(
+        upd,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Settle the EWMA stream, keep the last emit per user (max of the
+    monotone n_seen counter), and derive the graded double from the exact
+    BIGINT rational — the identical division sequence the oracle runs."""
+    settled = _settle_to_memory(
+        spark, ewma_stream(spark, sf_dir, source), "stream_ewma", "append"
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("n_seen"))
+    return (
+        settled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn(
+            "ewma",
+            F.col("ewma_num").cast("double")
+            / F.col("ewma_den").cast("double")
+            / F.lit(100),
+        )
+    )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+        StructField("steps_completed", IntegerType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming first-occurrence funnel: per user, the earliest timestamp
+    of each step and how many steps were completed in order — the CEP-style
+    pattern detector run as standing state over the event firehose.
+
+    State is THREE nullable longs + a counter per user (min timestamp per
+    step), merged by MIN — commutative, associative, idempotent, so the
+    settled verdict is split-invariant by construction.  The funnel
+    definition is strict ordering of FIRST occurrences
+    (t_view < t_click < t_purchase), deliberately different from
+    rel_funnel_steps' conditional chain (min click AFTER first view):
+    the conditional chain is not computable from O(1) mergeable state —
+    a late-arriving earlier view can invalidate a conditioned click min
+    that only a full event replay could repair — while first-occurrence
+    mins absorb late data exactly.  That trade (restart-safe O(1) state
+    vs replay semantics) is the standard streaming-funnel design choice,
+    and having BOTH graded pins each contract."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = (
+        source if source is not None else _events_source(spark, sf_dir)
+    ).select(
+        "user_id",
+        F.col("event_type"),
+        F.col("t_us"),
+    ).where(
+        F.col("user_id").isNotNull() & F.col("event_type").isin(*FUNNEL_STEPS)
+    )
+
+    def upd(key, pdf_iter, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            tv, tc, tp, n_seen = state.get
+        else:
+            tv = tc = tp = None
+            n_seen = 0
+        mins = {"view": tv, "click": tc, "purchase": tp}
+        for pdf in pdf_iter:
+            n_seen += len(pdf)
+            for step, t in zip(pdf["event_type"], pdf["t_us"]):
+                t = int(t)
+                cur = mins[step]
+                if cur is None or t < cur:
+                    mins[step] = t
+        tv, tc, tp = mins["view"], mins["click"], mins["purchase"]
+        state.update((tv, tc, tp, n_seen))
+        if tv is None:
+            steps = 0
+        elif tc is None or tc <= tv:
+            steps = 1
+        elif tp is None or tp <= tc:
+            steps = 2
+        else:
+            steps = 3
+        yield pd.DataFrame(
+            {
+                "user_id": [int(uid)],
+                "n_seen": [n_seen],
+                "t_view": [tv],
+                "t_click": [tc],
+                "t_purchase": [tp],
+                "steps_completed": [steps],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Settle the funnel stream and keep the last emit per user."""
+    settled = _settle_to_memory(
+        spark, funnel_stream(spark, sf_dir, source), "stream_funnel", "append"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        settled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

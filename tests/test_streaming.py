@@ -1290,3 +1290,137 @@ class TestStreamSessionWindow:
             for r in run_sessionized(spark, sfd).collect()
         )
         assert native == custom
+
+
+class TestStreamEwma:
+    """Split-invariance for the streaming EWMA: the newest-20 buffer merges
+    by top-k-by-timestamp (commutative/associative/idempotent), so
+    out-of-event-time-order arrival across micro-batches settles to the
+    batch closed form, verified against a pure-Python dyadic replica."""
+
+    @staticmethod
+    def _dyadic(cents_newest_first):
+        m = len(cents_newest_first)
+        num = sum(c << (m - 1 - i) for i, c in enumerate(cents_newest_first))
+        return num, (1 << m) - 1
+
+    def test_out_of_order_arrival(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_ewma
+
+        # batch 1 carries the NEWEST event; batch 2 arrives later with
+        # OLDER timestamps — an order-sensitive fold would weight them
+        # newest, the mergeable buffer must not
+        f1 = pd.DataFrame(
+            {"user_id": [1, 1], "event_id": [10, 11],
+             "t_us": [500, 400], "value": [5.0, 4.0]}
+        )
+        f2 = pd.DataFrame(
+            {"user_id": [1, 1], "event_id": [12, 13],
+             "t_us": [100, 200], "value": [1.0, 2.0]}
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        f1.to_parquet(src / "a.parquet")
+        f2.to_parquet(src / "b.parquet")
+        stream = (
+            spark.readStream
+            .schema("user_id long, event_id long, t_us long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        (row,) = run_ewma(spark, "", source=stream).collect()
+        # event-time order newest-first: t=500(500c), 400(400c), 200(200c), 100(100c)
+        num, den = self._dyadic([500, 400, 200, 100])
+        assert (row.key, row.n_seen, row.n_obs) == (1, 4, 4)
+        assert (row.ewma_num, row.ewma_den) == (num, den)
+        assert row.ewma == num / den / 100
+
+    def test_buffer_caps_at_window(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_ewma
+
+        n = 30  # > EWMA_WINDOW=20
+        rows = pd.DataFrame(
+            {"user_id": [1] * n, "event_id": range(n),
+             "t_us": [i * 10 for i in range(n)],
+             "value": [float(i) for i in range(n)]}
+        )
+        many = tmp_path / "many"
+        many.mkdir()
+        for j in range(3):
+            rows.iloc[j * 10 : (j + 1) * 10].to_parquet(many / f"p{j}.parquet")
+        stream = (
+            spark.readStream
+            .schema("user_id long, event_id long, t_us long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(many))
+        )
+        (row,) = run_ewma(spark, "", source=stream).collect()
+        kept = [i * 100 for i in range(n - 1, n - 21, -1)]  # newest 20, cents
+        num, den = self._dyadic(kept)
+        assert (row.n_seen, row.n_obs) == (n, 20)
+        assert (row.ewma_num, row.ewma_den) == (num, den)
+
+
+class TestStreamFunnel:
+    """Split-invariance for the streaming first-occurrence funnel: min-merge
+    state absorbs a late-arriving EARLIER view exactly (the case the
+    conditional-chain definition cannot repair without replay)."""
+
+    def test_late_earlier_view_absorbed(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_funnel
+
+        # batch 1: view@300, click@400 -> 2 steps; batch 2 delivers a LATE
+        # view@100 and purchase@500 -> settled must be 3 steps with t_view=100
+        f1 = pd.DataFrame(
+            {"user_id": [1, 1], "event_type": ["view", "click"],
+             "t_us": [300, 400]}
+        )
+        f2 = pd.DataFrame(
+            {"user_id": [1, 1], "event_type": ["view", "purchase"],
+             "t_us": [100, 500]}
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        f1.to_parquet(src / "a.parquet")
+        f2.to_parquet(src / "b.parquet")
+        stream = (
+            spark.readStream
+            .schema("user_id long, event_type string, t_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        (row,) = run_funnel(spark, "", source=stream).collect()
+        assert (row.user_id, row.n_seen) == (1, 4)
+        assert (row.t_view, row.t_click, row.t_purchase) == (100, 400, 500)
+        assert row.steps_completed == 3
+
+    def test_out_of_order_steps_counted_strictly(self, spark, tmp_path):
+        import pandas as pd
+
+        from presto_ethereum_spark.streaming.events import run_funnel
+
+        # purchase BEFORE first click -> only 2 steps (view < click holds,
+        # purchase min precedes click min); irrelevant types filtered out
+        rows = pd.DataFrame(
+            {"user_id": [2, 2, 2, 2],
+             "event_type": ["view", "purchase", "click", "error"],
+             "t_us": [10, 20, 30, 40]}
+        )
+        src = tmp_path / "one"
+        src.mkdir()
+        rows.to_parquet(src / "all.parquet")
+        stream = (
+            spark.readStream
+            .schema("user_id long, event_type string, t_us long")
+            .parquet(str(src))
+        )
+        (row,) = run_funnel(spark, "", source=stream).collect()
+        assert row.n_seen == 3  # 'error' filtered before the stateful op
+        assert (row.t_view, row.t_click, row.t_purchase) == (10, 30, 20)
+        assert row.steps_completed == 2
