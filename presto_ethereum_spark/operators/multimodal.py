@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -46,6 +46,7 @@ __all__ = [
     "perceptual_hash",
     "phash_near_dup_pairs",
     "bytes_profile",
+    "shard_pack",
 ]
 
 # media table: one row per asset; bytes + typed metadata
@@ -485,3 +486,49 @@ def bytes_profile(df: DataFrame, id_col: str = "media_id", data_col: str = "data
             f" div nullif(2 * {nsq}, 0) AS BIGINT)"
         ).alias("simpson_e6"),
     ).withColumn("suspect", F.col("simpson_e6") >= 250000)
+
+
+def shard_pack(
+    media: DataFrame,
+    shard_bytes: int = 65536,
+    n_shards: int = 16,
+    salt: str = "m1",
+    id_col: str = "media_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """WebDataset-style shard manifest: assign each media asset a
+    (shard, pack_id, byte_offset) address inside fixed-byte-budget packs —
+    the index a training loader seeks by, built WITHOUT writing the tar.
+
+    Same sharded-greedy algebra as sampling.pack_sequences (content-hash
+    shard -> id-ordered byte cumsum -> fixed pack boundaries), plus the
+    within-pack byte offset (cum_prev minus the pack's first cum_prev).
+    Assets are never split across packs; a pack overflows by at most one
+    asset — the one-pass trade.  Engine-replayable end to end: hash shard,
+    two window passes, exact integer arithmetic.
+
+    At 100 TB the byte lengths come from a metadata column (never
+    re-scan blobs to size them); parallelism = n_shards independent
+    window partitions, so pick n_shards >> cores and let AQE balance."""
+    from presto_ethereum_spark.operators.sampling import hash_bucket
+
+    d = media.select(
+        F.col(id_col).alias("media_id"),
+        F.length(F.col(data_col)).cast("long").alias("n_bytes"),
+        hash_bucket(F.col(id_col), buckets=n_shards, salt=salt).alias("shard"),
+    )
+    w_prev = (
+        Window.partitionBy("shard")
+        .orderBy("media_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_pack = Window.partitionBy("shard", "pack_id")
+    return (
+        d.withColumn("cum_prev", F.coalesce(F.sum("n_bytes").over(w_prev), F.lit(0)))
+        .withColumn("pack_id", F.expr(f"cum_prev DIV {shard_bytes}"))
+        .withColumn(
+            "byte_offset",
+            (F.col("cum_prev") - F.min("cum_prev").over(w_pack)).cast("long"),
+        )
+        .drop("cum_prev")
+    )

@@ -13733,6 +13733,48 @@ def multimodal_bytes_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "multimodal_shard_pack",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST({_DUCK_BUCKET.format(salt="m1", key="doc_id", buckets=16)}
+                  AS BIGINT) AS shard
+      FROM documents),
+    c AS (
+      SELECT media_id, shard, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (
+                 PARTITION BY shard ORDER BY media_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM d),
+    p AS (SELECT *, cum_prev // 65536 AS pack_id FROM c)
+    SELECT media_id, shard, n_bytes,
+           CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(cum_prev - min(cum_prev) OVER (PARTITION BY shard, pack_id)
+                AS BIGINT) AS byte_offset
+    FROM p
+    """,
+)
+def multimodal_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """WebDataset-style shard manifest (operators/multimodal.shard_pack):
+    every media asset gets a (shard, pack_id, byte_offset) address inside
+    64 KiB byte-budget packs — the seekable index a training loader reads
+    INSTEAD of listing tar members.  The byte-packing sibling of
+    doc_pack_sequences' token packing, plus the within-pack offset (a
+    second window over the same shard exchange — no extra shuffle).
+    Exact integer arithmetic end to end; the oracle replays the md5
+    shard, the id-ordered cumsum, and both windows."""
+    from presto_ethereum_spark.operators.multimodal import (
+        media_from_documents,
+        shard_pack,
+    )
+
+    media = media_from_documents(t_spread(spark, sf, "documents"))
+    return shard_pack(media, shard_bytes=65536, n_shards=16, salt="m1")
+
+
+@q(
     "stream_value_histogram",
     """
     WITH ev AS (

@@ -164,3 +164,42 @@ class TestPerceptualHash:
                 want[(a, b)] = ham
         assert got == want
         assert got[(0, 1)] == 0  # the exact dup is always caught
+
+
+class TestShardPack:
+    """Manifest invariants: assets are whole (never split), offsets within a
+    pack are the contiguous byte cumsum, and a pack overflows by at most one
+    asset."""
+
+    def test_manifest_invariants(self, spark):
+        import pandas as pd
+
+        from presto_ethereum_spark.operators.multimodal import shard_pack
+
+        pdf = pd.DataFrame(
+            {
+                "media_id": range(40),
+                "mime": ["application/octet-stream"] * 40,
+                "data": [bytes([i % 251]) * (i * 37 % 900 + 10) for i in range(40)],
+                "source_uri": [f"synthetic://t/{i}" for i in range(40)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        rows = shard_pack(df, shard_bytes=1000, n_shards=4, salt="t").collect()
+        assert len(rows) == 40
+        by_pack = {}
+        for r in rows:
+            by_pack.setdefault((r.shard, r.pack_id), []).append(r)
+        for (shard, pack_id), members in by_pack.items():
+            members.sort(key=lambda r: r.media_id)
+            # offsets are the contiguous cumsum inside the pack
+            off = 0
+            for m in members:
+                assert m.byte_offset == off
+                off += m.n_bytes
+            # a pack's payload below its last asset fits the budget
+            assert members[-1].byte_offset < 1000
+        # pack ids are dense per shard (0..max)
+        for shard in {r.shard for r in rows}:
+            pids = sorted({r.pack_id for r in rows if r.shard == shard})
+            assert pids == list(range(len(pids)))
