@@ -2457,6 +2457,72 @@ def emb_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "emb_knn_label_purity",
+    f"""
+    WITH nn AS (
+      SELECT a.vec_id AS qid, a.label AS qlabel, b.label AS nlabel,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_DUCK_COSINE} DESC, b.vec_id) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+    k AS (
+      SELECT qid, qlabel,
+             sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS m
+      FROM nn WHERE rank <= 10 GROUP BY qid, qlabel)
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(m) AS BIGINT) AS n_label_matches,
+           CAST((2 * sum(m) * 1000000 + count(*) * 10)
+                // (2 * count(*) * 10) AS BIGINT) AS purity_e6
+    FROM k GROUP BY qlabel
+    """,
+)
+def emb_knn_label_purity(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality EVAL: for every vector, how many of its 10 exact
+    cosine neighbors share its label — per-label kNN purity, the standard
+    sanity metric before an embedding column is trusted for clustering or
+    near-dup work (low purity = the space does not separate the labels).
+    Reuses the brute-force top-k kernel (queries broadcast, WindowGroupLimit
+    per-partition top-k) with both label joins broadcast; purity is an
+    exact half-up e6 over integer match counts — no float aggregation
+    anywhere past the audited cosine ordering.  At 100 TB the eval runs on
+    a fixed sample of queries against the full corpus (the
+    emb_ivf_recall_sampled pattern); the metric's algebra is unchanged."""
+    from presto_ethereum_spark.operators.similarity import brute_force_topk
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    nn = brute_force_topk(e, e, k=10)
+    labels = e.select("vec_id", "label")
+    q = F.broadcast(
+        labels.select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
+    )
+    n = F.broadcast(
+        labels.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")
+        )
+    )
+    per_q = (
+        nn.join(q, "query_id")
+        .join(n, "neighbor_id")
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            ).alias("m")
+        )
+    )
+    return per_q.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("m").cast("long").alias("n_label_matches"),
+        F.expr(
+            "CAST((2 * sum(m) * 1000000 + count(*) * 10)"
+            " DIV (2 * count(*) * 10) AS BIGINT)"
+        ).alias("purity_e6"),
+    )
+
+
+@q(
     "emb_similar_pairs",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COSINE}, 6) AS sim
@@ -10012,6 +10078,108 @@ _STREAM_HH_ORACLE = """
     WHERE c.n * 97 > n.n_total
     """
 _REGISTRY["stream_heavy_hitters"] = (stream_heavy_hitters, _STREAM_HH_ORACLE)
+
+
+@q(
+    "rel_decile_lift",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY user_id),
+    dist AS (
+      SELECT cents, count(*) AS n, sum(conv) AS nc FROM u GROUP BY cents),
+    tot AS (SELECT sum(n) AS tn, sum(nc) AS tc FROM dist),
+    b AS (
+      SELECT cents, n, nc,
+             least(9, (10 * COALESCE(sum(n) OVER (
+                 ORDER BY cents DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               // tn) AS decile
+      FROM dist, tot),
+    d AS (
+      SELECT decile, sum(n) AS n_users, sum(nc) AS n_converters
+      FROM b GROUP BY decile),
+    c AS (
+      SELECT decile, n_users, n_converters,
+             sum(n_converters) OVER (ORDER BY decile) AS cum_conv
+      FROM d)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_converters AS BIGINT) AS n_converters,
+           CAST((2 * n_converters * 1000000 + n_users) // (2 * n_users)
+                AS BIGINT) AS conv_ppm,
+           CAST((2 * cum_conv * 1000000 + tc) // (2 * tc)
+                AS BIGINT) AS cum_capture_ppm,
+           CAST((2 * n_converters * tn * 1000000 + n_users * tc)
+                // (2 * n_users * tc) AS BIGINT) AS lift_e6
+    FROM c, tot
+    """,
+)
+def rel_decile_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Gains/lift table — the campaign-targeting read-out: users ranked by
+    total spend (exact cents), cut into spend deciles (0 = highest), and
+    each decile scored by purchase-conversion rate, cumulative converter
+    capture, and lift over the base rate.  Deciles come from the DISTINCT-
+    SCORE distribution (curriculum_interleave's trick): the one global
+    window runs over (distinct score, count) rows, never over raw users.
+    Exact cent totals are near-unique, so at 100 TB you first ROUND the
+    score (whole currency units caps the distribution at the price range)
+    — the decile algebra is unchanged and the cut stays exact for the
+    rounded score; alternatively assign by 9 broadcast percentile
+    boundaries and accept boundary-tie drift.  Every reported ratio is an
+    exact half-up ppm/e6 integer division; at petabyte user counts the
+    2*nc*tn*1e6 numerator moves to DECIMAL(38,0), nothing else
+    changes."""
+    u = t_spread(spark, sf, "events").groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("conv"),
+    )
+    dist = u.groupBy("cents").agg(
+        F.count("*").alias("n"), F.sum("conv").alias("nc")
+    )
+    tot = dist.agg(F.sum("n").alias("tn"), F.sum("nc").alias("tc"))
+    w_cum = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    b = (
+        dist.withColumn("before", F.coalesce(F.sum("n").over(w_cum), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "nc",
+            "tn",
+            "tc",
+            F.least(F.lit(9), F.expr("(10 * before) DIV tn")).alias("decile"),
+        )
+    )
+    d = b.groupBy("decile", "tn", "tc").agg(
+        F.sum("n").alias("n_users"), F.sum("nc").alias("n_converters")
+    )
+    w_dec = Window.orderBy("decile")
+    return (
+        d.withColumn("cum_conv", F.sum("n_converters").over(w_dec))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converters").cast("long").alias("n_converters"),
+            F.expr(
+                "CAST((2 * n_converters * 1000000 + n_users)"
+                " DIV (2 * n_users) AS BIGINT)"
+            ).alias("conv_ppm"),
+            F.expr(
+                "CAST((2 * cum_conv * 1000000 + tc) DIV (2 * tc) AS BIGINT)"
+            ).alias("cum_capture_ppm"),
+            F.expr(
+                "CAST((2 * n_converters * tn * 1000000 + n_users * tc)"
+                " DIV (2 * n_users * tc) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+    )
 
 
 @q(
