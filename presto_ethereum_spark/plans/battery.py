@@ -13943,6 +13943,70 @@ def multimodal_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "multimodal_pack_blobs",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             hex(encode(text)) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST({_DUCK_BUCKET.format(salt="m1", key="doc_id", buckets=16)}
+                  AS BIGINT) AS shard
+      FROM documents),
+    c AS (
+      SELECT media_id, shard, h, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (
+                 PARTITION BY shard ORDER BY media_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM d),
+    p AS (SELECT *, cum_prev // 65536 AS pack_id FROM c)
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(n_bytes) AS BIGINT) AS pack_bytes,
+           md5(string_agg(h, '' ORDER BY media_id)) AS payload_md5
+    FROM p GROUP BY shard, pack_id
+    """,
+)
+def multimodal_pack_blobs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack ASSEMBLY proof for the shard manifest: concatenate each pack's
+    member payloads in manifest order and fingerprint the assembled blob —
+    the writer side of multimodal_shard_pack's index, gated on the md5 of
+    the exact byte stream a loader would seek into.  Per-pack state is
+    bounded by the pack budget (64 KiB + at most one overflowing asset),
+    so the collect-and-sort inside each (shard, pack) group is
+    constant-sized by construction — the packing exists precisely to make
+    this safe at 100 TB.  One shuffle on the shard key shared by the
+    cumsum window and the assembly aggregation."""
+    from presto_ethereum_spark.operators.multimodal import (
+        media_from_documents,
+        shard_pack,
+    )
+
+    media = media_from_documents(t_spread(spark, sf, "documents"))
+    manifest = shard_pack(media, shard_bytes=65536, n_shards=16, salt="m1")
+    payload = media.select("media_id", F.hex("data").alias("h"))
+    return (
+        manifest.join(payload, "media_id")
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("pack_bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("byte_offset", "h"))
+                        ),
+                        lambda x: x["h"],
+                    ),
+                    "",
+                ).cast("binary")
+            ).alias("payload_md5"),
+        )
+    )
+
+
+@q(
     "stream_value_histogram",
     """
     WITH ev AS (
