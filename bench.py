@@ -160,35 +160,47 @@ HEADLINE = [
     "doc_minhash_band_curve",
 ]
 
-# HEADLINE is FROZEN as of r9 (the 93 entries above): round-over-round
-# BENCH comparisons are 1:1 on this set — no more shared-subset arithmetic.
-# New queries bench in INCOMING (timed identically, reported separately as
+# HEADLINE is FROZEN per round: round-over-round BENCH comparisons are 1:1
+# on the frozen set — no more shared-subset arithmetic.  New queries bench
+# in INCOMING (timed identically, reported separately as
 # incoming_total_wall) and graduate into HEADLINE only by an explicit
 # freeze bump recorded here, never silently.
-HEADLINE_FREEZE = "r9"
-INCOMING: list[str] = [
-    # round-9: streaming Misra-Gries heavy hitters (batch/stream sketch
-    # parity for the heavy-hitter family)
+#
+# r10 freeze bump: the 14 round-9 INCOMING entries graduate (below); the
+# first 93 names remain exactly the r9-frozen set, so the r9-comparable
+# subtotal is still reported (r9_headline_subtotal in BENCH_DETAIL.json).
+R9_HEADLINE_N = 93
+HEADLINE += [
+    # graduated r9 incoming (order preserved from the r9 INCOMING list)
     "stream_heavy_hitters",
-    # round-9: native session windows, k-means convergence curve, windowed
-    # DISTINCT, triplet mining, per-doc TF-IDF, per-source dup-rate report
     "stream_session_window",
     "emb_kmeans_convergence",
     "rel_window_distinct_range",
     "emb_triplet_mining",
     "doc_tfidf_topk",
     "doc_dup_rate_by_source",
-    # round-9 continuation: ordered listagg, estimator calibration,
-    # distributed power iteration, skew-salted join, text-format
-    # roundtrip, Matryoshka prefix recall
     "rel_listagg_topk",
     "doc_minhash_calibration",
     "emb_power_iteration",
     "rel_salted_skew_join",
     "rel_text_formats_roundtrip",
     "emb_prefix_dim_recall",
-    # round-9 final: exact-decimal ERC-20 ledger reconstruction
     "eth_erc20_balances",
+]
+HEADLINE_FREEZE = "r10"
+INCOMING: list[str] = [
+    # round-10: incremental balance snapshot merge + log topic census
+    "eth_balance_snapshot_merge",
+    "eth_log_topic_profile",
+    # round-10: mergeable-state streaming EWMA and first-occurrence funnel
+    "stream_ewma_user",
+    "stream_funnel_firsts",
+    # round-10: WebDataset-style shard manifest + pack assembly proof
+    "multimodal_shard_pack",
+    "multimodal_pack_blobs",
+    # round-10: decile lift/gains table, kNN label-purity eval
+    "rel_decile_lift",
+    "emb_knn_label_purity",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -205,6 +217,8 @@ ITERATIVE = {
     "stream_value_histogram",
     "stream_heavy_hitters",
     "stream_session_window",
+    "stream_ewma_user",
+    "stream_funnel_firsts",
     # kmeans_convergence collects a codebook per Lloyd round (multi-job)
     "emb_kmeans_convergence",
     "eth_tx_pagerank",
@@ -384,6 +398,11 @@ def main() -> None:
         # INCOMING entries are timed identically but totaled separately
         "value": headline_wall,
         "incoming_total_wall": incoming_wall,
+        # 1:1 comparability with BENCH_r09: the first R9_HEADLINE_N names
+        # are exactly the r9-frozen set
+        "r9_headline_subtotal": round(
+            sum(times[n] for n in HEADLINE[:R9_HEADLINE_N]), 3
+        ),
         "headline_freeze": HEADLINE_FREEZE,
         "incoming": INCOMING,
         "unit": "sec",
