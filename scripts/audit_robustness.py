@@ -13,6 +13,12 @@ Modes (pass one or more as arguments; default: both):
   ansi     — spark.sql.ansi.enabled=false + legacy.sizeOfNull
              (catches results that silently depend on ANSI guards:
              size(NULL) = -1, wrapping integer arithmetic, lenient casts)
+  split    — spark.sql.files.maxPartitionBytes=131072 (+openCostInBytes=0)
+             so every scan fans out into many tiny input splits — the
+             batch analogue of the streaming micro-batch split-invariance
+             tests (catches partition-count/-boundary-dependent results:
+             first/any_value without a frame, per-partition RNG or
+             monotonically_increasing_id leaks, map-side fold order)
 
 Usage: python3 scripts/audit_robustness.py [tz|shuffle ...] [--sf DIR]
            [--queries q1,q2,...]   (default: the full battery)
@@ -39,6 +45,12 @@ MODES = {
         "extra_conf": {
             "spark.sql.ansi.enabled": "false",
             "spark.sql.legacy.sizeOfNull": "true",
+        }
+    },
+    "split": {
+        "extra_conf": {
+            "spark.sql.files.maxPartitionBytes": "131072",
+            "spark.sql.files.openCostInBytes": "0",
         }
     },
 }
