@@ -2788,6 +2788,69 @@ def eth_method_selectors(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "eth_selector_gas_economics",
+    f"""
+    WITH tx AS (
+      SELECT substr(tx_input, 1, 10) AS selector,
+             CAST(tx_gas AS HUGEINT) AS g,
+             CAST(tx_gas AS HUGEINT) * CAST(tx_gasprice AS HUGEINT) AS fee
+      FROM read_parquet('{ETH}/transaction.parquet')
+      WHERE tx_input != '0x' AND tx_to IS NOT NULL),
+    tot AS (SELECT sum(g) AS tg FROM tx),
+    per AS (
+      SELECT selector, count(*) AS n_calls, sum(g) AS sg, sum(fee) AS sfee
+      FROM tx GROUP BY selector)
+    SELECT selector,
+           CAST(n_calls AS BIGINT) AS n_calls,
+           CAST(sg AS BIGINT) AS gas_total,
+           CAST(CAST(sfee AS DECIMAL(38,0)) AS VARCHAR) AS fee_wei_total,
+           CAST((2 * sg * 1000000 + tg) // (2 * tg) AS BIGINT)
+             AS gas_share_ppm
+    FROM per, tot
+    """,
+)
+def eth_selector_gas_economics(spark: SparkSession, sf: str) -> DataFrame:
+    """Gas economics per 4-byte method selector — which contract methods
+    consume the chain: call counts, exact total gas, exact total fee
+    (gas x gasprice as DECIMAL(38,0) products — the integral-wei-double
+    discipline of eth_address_ledger; the fee total is read out as the
+    canonical digit string since it outgrows int64 on real chains), and
+    each selector's half-up ppm share of all contract-call gas.  One
+    grouped aggregate plus a broadcast 1-row total — the
+    eth_method_selectors histogram upgraded into the fee-market report."""
+    tx = _eth_tables(spark).table("transaction")
+    g = F.col("tx_gas").cast("decimal(38,0)")
+    fee = g * F.col("tx_gasprice").cast("decimal(38,0)")
+    base = tx.where(
+        (F.col("tx_input") != "0x") & F.col("tx_to").isNotNull()
+    ).select(
+        F.substring("tx_input", 1, 10).alias("selector"),
+        g.alias("g"),
+        fee.alias("fee"),
+    )
+    tot = base.agg(F.sum("g").cast("decimal(38,0)").alias("tg"))
+    return (
+        base.groupBy("selector")
+        .agg(
+            F.count("*").alias("n_calls"),
+            F.sum("g").alias("sg"),
+            F.sum("fee").cast("decimal(38,0)").alias("sfee"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "selector",
+            F.col("n_calls").cast("long").alias("n_calls"),
+            F.col("sg").cast("long").alias("gas_total"),
+            F.col("sfee").cast("string").alias("fee_wei_total"),
+            F.expr(
+                "CAST((2 * CAST(sg AS DECIMAL(38,0)) * 1000000 + tg)"
+                " div (2 * tg) AS BIGINT)"
+            ).alias("gas_share_ppm"),
+        )
+    )
+
+
+@q(
     "rel_cross_join",
     """
     SELECT r_name, n_name FROM region CROSS JOIN nation
