@@ -201,6 +201,8 @@ INCOMING: list[str] = [
     # round-10: decile lift/gains table, kNN label-purity eval
     "rel_decile_lift",
     "emb_knn_label_purity",
+    # round-10: per-selector gas economics
+    "eth_selector_gas_economics",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
