@@ -203,6 +203,8 @@ INCOMING: list[str] = [
     "emb_knn_label_purity",
     # round-10: per-selector gas economics
     "eth_selector_gas_economics",
+    # round-10: semantic-dedup threshold sweep
+    "emb_dup_threshold_curve",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -2541,6 +2541,78 @@ def emb_similar_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_pairs_gemm(t_spread(spark, sf, "embeddings", parts=8), threshold=0.3)
 
 
+@q(
+    "emb_dup_threshold_curve",
+    f"""
+    WITH p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_DUCK_COSINE}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_DUCK_COSINE} >= 0.2),
+    bkt AS (
+      SELECT CAST(floor(sim * 10) AS INT) AS bucket, id_a, id_b FROM p),
+    hist AS (SELECT bucket, count(*) AS n_pairs FROM bkt GROUP BY bucket),
+    docs AS (
+      SELECT bucket, count(DISTINCT doc) AS n_docs FROM (
+        SELECT bucket, id_a AS doc FROM bkt
+        UNION ALL SELECT bucket, id_b FROM bkt) GROUP BY bucket)
+    SELECT s.bucket,
+           CAST(s.bucket AS DOUBLE) / 10 AS cos_lo,
+           CAST(coalesce(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs_in_band,
+           CAST(sum(coalesce(h.n_pairs, 0)) OVER (
+               ORDER BY s.bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_pairs_at_or_above
+    FROM (SELECT CAST(unnest(range(2, 11)) AS INT) AS bucket) s
+    LEFT JOIN hist h USING (bucket)
+    LEFT JOIN docs d USING (bucket)
+    """,
+)
+def emb_dup_threshold_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-tuning curve for SEMANTIC dedup — the embedding twin of
+    doc_jaccard_threshold_curve: pair counts per cosine band (0.2..1.0 in
+    0.1 steps, floor of the round-6 sim), distinct docs touched per band,
+    and the cumulative "pairs a threshold t would emit" tail, all read
+    off ONE broadcast block-GEMM pass (the exact kernel emb_similar_pairs
+    gates) instead of one corpus pass per candidate threshold.  Band
+    membership uses the ROUNDED sim, pair admission the raw >= 0.2 filter
+    — both mirrored in the oracle.  The 9-row spine reports empty bands;
+    at 100 TB the sweep inherits the kernel's tiling/LSH escape hatches
+    unchanged."""
+    from presto_ethereum_spark.operators.similarity import cosine_pairs_gemm
+
+    pairs = cosine_pairs_gemm(
+        t_spread(spark, sf, "embeddings", parts=8), threshold=0.2
+    )
+    b = pairs.select(
+        F.floor(F.col("sim") * 10).cast("int").alias("bucket"), "id_a", "id_b"
+    )
+    hist = b.groupBy("bucket").agg(F.count("*").alias("n_pairs"))
+    docs = (
+        b.select("bucket", F.explode(F.array("id_a", "id_b")).alias("doc"))
+        .groupBy("bucket")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+    )
+    spine = spark.range(2, 11).select(F.col("id").cast("int").alias("bucket"))
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(hist, "bucket", "left")
+        .join(docs, "bucket", "left")
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / 10).alias("cos_lo"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs_in_band"),
+        )
+        .withColumn(
+            "n_pairs_at_or_above", F.sum("n_pairs").over(w).cast("long")
+        )
+    )
+
+
 _IVF_CODEBOOKS: dict[str, list] = {}
 
 
