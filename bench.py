@@ -205,6 +205,8 @@ INCOMING: list[str] = [
     "eth_selector_gas_economics",
     # round-10: semantic-dedup threshold sweep
     "emb_dup_threshold_curve",
+    # round-10: streaming additive balance upsert
+    "stream_erc20_balance_upsert",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -223,6 +225,7 @@ ITERATIVE = {
     "stream_session_window",
     "stream_ewma_user",
     "stream_funnel_firsts",
+    "stream_erc20_balance_upsert",
     # kmeans_convergence collects a codebook per Lloyd round (multi-job)
     "emb_kmeans_convergence",
     "eth_tx_pagerank",

@@ -1044,56 +1044,16 @@ def eth_token_flows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_TRANSFER_TOPIC = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
-
-
 def _erc20_transfer_deltas(chain: DataFrame) -> DataFrame:
-    """Shared ledger-delta decode for the balance family: standard 3-topic
-    Transfer events -> two signed rows each (credit `to`, debit `from`),
-    columns (token_address, holder, delta DECIMAL(38,0), is_in, block_number).
-    Addresses narrow h32->h20 as the connector decode does; the exact-mode
-    leading-zero guard excludes >120-bit values on both engines (the
-    eth_erc20_exact_flows contract)."""
-    from presto_ethereum_spark.sources.decode import (
-        h32_to_h20_col,
-        hex_to_decimal_col,
-    )
+    """Shared ledger-delta decode for the balance family — lives in
+    sources/decode.py so the streaming balance upsert reuses the identical
+    exact-Decimal path (one decode, three graded consumers)."""
+    from presto_ethereum_spark.sources.decode import erc20_transfer_deltas
 
-    logs = chain.select(F.explode("transactions").alias("t")).select(
-        F.explode("t.logs").alias("l")
-    )
-    tr = logs.where(
-        (F.lower(F.col("l.topics")[0]) == _TRANSFER_TOPIC)
-        & (F.size("l.topics") >= 3)
-        & (F.length("l.data") == 66)
-        & (F.substring(F.col("l.data"), 3, 34) == "0" * 34)
-    ).select(
-        F.col("l.address").alias("token_address"),
-        h32_to_h20_col(F.col("l.topics")[1]).alias("from_addr"),
-        h32_to_h20_col(F.col("l.topics")[2]).alias("to_addr"),
-        hex_to_decimal_col(F.col("l.data")).alias("wei"),
-        F.col("l.blockNumber").alias("block_number"),
-    )
-    return tr.select(
-        "token_address",
-        F.col("to_addr").alias("holder"),
-        F.col("wei").alias("delta"),
-        F.lit(1).alias("is_in"),
-        "block_number",
-    ).unionByName(
-        tr.select(
-            "token_address",
-            F.col("from_addr").alias("holder"),
-            (-F.col("wei")).alias("delta"),
-            F.lit(0).alias("is_in"),
-            "block_number",
-        )
-    )
+    return erc20_transfer_deltas(chain)
 
 
-@q(
-    "eth_erc20_balances",
-    f"""
+_BALANCES_ORACLE = f"""
     WITH lg AS (
       SELECT unnest(t.logs) AS l
       FROM (SELECT unnest(transactions) AS t
@@ -1127,8 +1087,10 @@ def _erc20_transfer_deltas(chain: DataFrame) -> DataFrame:
            CAST(sum(1 - is_in) AS BIGINT) AS n_out,
            CAST(CAST(sum(delta) AS DECIMAL(38,0)) AS VARCHAR) AS balance_wei
     FROM d GROUP BY token_address, holder
-    """,
-)
+    """
+
+
+@q("eth_erc20_balances", _BALANCES_ORACLE)
 def eth_erc20_balances(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(token, holder) LEDGER RECONSTRUCTION from standard Transfer
     events — the chain-accounting read-out the reference's ERC-20 view
@@ -1156,6 +1118,23 @@ def eth_erc20_balances(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
         F.sum("delta").cast("decimal(38,0)").cast("string").alias("balance_wei"),
     )
+
+
+@q("stream_erc20_balance_upsert", _BALANCES_ORACLE)
+def stream_erc20_balance_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """The balance ledger as a STANDING PIPELINE
+    (streaming/chain.run_balance_upsert): raw-block micro-batches decode
+    through the same exact-Decimal path as eth_erc20_balances, reduce to
+    additive per-(token, holder) partials, and foreachBatch-merge into a
+    compact-and-swap state table — graded against the identical one-pass
+    oracle, so the hash gate proves settled-stream == batch ledger.  The
+    graded run streams the snapshot as THREE block-range micro-batches
+    (maxFilesPerTrigger=1), exercising a real multi-generation merge;
+    addition's commutativity makes the result split-invariant by the
+    same algebra as the batch snapshot-merge entry."""
+    from presto_ethereum_spark.streaming.chain import run_balance_upsert
+
+    return run_balance_upsert(spark, str(ETH / "chain_blocks.parquet"))
 
 
 @q(

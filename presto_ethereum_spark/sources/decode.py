@@ -295,3 +295,45 @@ def erc20_from_chain(chain: DataFrame) -> DataFrame:
             F.col("l.blocknumber").alias("erc20_blocknumber"),
         )
     )
+
+
+def erc20_transfer_deltas(chain: DataFrame) -> DataFrame:
+    """Exact ledger-delta decode shared by the balance family (batch
+    eth_erc20_balances / eth_balance_snapshot_merge and the streaming
+    foreachBatch balance upsert): standard 3-topic Transfer events ->
+    two signed rows each (credit `to`, debit `from`), columns
+    (token_address, holder, delta DECIMAL(38,0), is_in, block_number).
+    Addresses narrow h32->h20 as the connector decode does
+    (EthereumRecordCursor.java:433-435); the leading-zero guard keeps
+    values inside the exact-Decimal contract (>120-bit values excluded
+    on both engines — eth_erc20_exact_flows)."""
+    logs = chain.select(F.explode("transactions").alias("t")).select(
+        F.explode("t.logs").alias("l")
+    )
+    tr = logs.where(
+        (F.lower(F.col("l.topics")[0]) == TRANSFER_EVENT_TOPIC)
+        & (F.size("l.topics") >= 3)
+        & (F.length("l.data") == 66)
+        & (F.substring(F.col("l.data"), 3, 34) == "0" * 34)
+    ).select(
+        F.col("l.address").alias("token_address"),
+        h32_to_h20_col(F.col("l.topics")[1]).alias("from_addr"),
+        h32_to_h20_col(F.col("l.topics")[2]).alias("to_addr"),
+        hex_to_decimal_col(F.col("l.data")).alias("wei"),
+        F.col("l.blockNumber").alias("block_number"),
+    )
+    return tr.select(
+        "token_address",
+        F.col("to_addr").alias("holder"),
+        F.col("wei").alias("delta"),
+        F.lit(1).alias("is_in"),
+        "block_number",
+    ).unionByName(
+        tr.select(
+            "token_address",
+            F.col("from_addr").alias("holder"),
+            (-F.col("wei")).alias("delta"),
+            F.lit(0).alias("is_in"),
+            "block_number",
+        )
+    )

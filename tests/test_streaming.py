@@ -1424,3 +1424,38 @@ class TestStreamFunnel:
         assert row.n_seen == 3  # 'error' filtered before the stateful op
         assert (row.t_view, row.t_click, row.t_purchase) == (10, 30, 20)
         assert row.steps_completed == 2
+
+
+class TestBalanceUpsert:
+    """foreachBatch additive balance upsert: the settled state must equal
+    the batch ledger whatever the micro-batch split (addition is
+    commutative/associative), including the degenerate single-batch run."""
+
+    def test_split_counts_match_batch(self, spark):
+        from presto_ethereum_spark.plans.battery import _erc20_transfer_deltas
+        from presto_ethereum_spark.streaming.chain import run_balance_upsert
+
+        from pyspark.sql import functions as F
+
+        path = "fixtures/eth/chain_blocks.parquet"
+        batch = (
+            _erc20_transfer_deltas(spark.read.parquet(path))
+            .groupBy("token_address", "holder")
+            .agg(
+                F.sum("is_in").cast("long").alias("n_in"),
+                F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
+                F.sum("delta")
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("balance_wei"),
+            )
+        )
+        want = sorted(map(tuple, batch.collect()))
+        got_multi = sorted(
+            map(tuple, run_balance_upsert(spark, path, split_ranges=4).collect())
+        )
+        got_single = sorted(
+            map(tuple, run_balance_upsert(spark, path, split_ranges=1).collect())
+        )
+        assert got_multi == want
+        assert got_single == want
