@@ -207,6 +207,8 @@ INCOMING: list[str] = [
     "emb_dup_threshold_curve",
     # round-10: streaming additive balance upsert
     "stream_erc20_balance_upsert",
+    # round-10: corpus-order shingle novelty
+    "doc_shingle_novelty",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

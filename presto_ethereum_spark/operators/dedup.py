@@ -1915,3 +1915,48 @@ def count_cosine_pairs(
             ).alias("cosine"),
         )
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document shingle NOVELTY: the fraction of a document's distinct
+    word n-grams first seen (by min doc id) in that document — the
+    corpus-order memorization/derivativeness signal: a near-verbatim
+    rehash of earlier documents scores near 0, fresh text near 1e6 ppm.
+
+    Two linear shuffles at any corpus size: first-claimant is a MIN window
+    over the shingle key on the same (id, shingle) posting stream the
+    dedup index uses; novelty then re-aggregates per document.  No pair
+    join anywhere — this reads corpus-wide originality WITHOUT the O(df²)
+    machinery, which is what makes it a cheap standing metric next to the
+    pair-based dup reports.  Documents shorter than ``shingle_n`` tokens
+    have no shingles and are absent from the report (mirrored in the
+    oracle).  Exact half-up ppm."""
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
+    ex = d.withColumn(
+        "sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n))
+    ).select("doc_id", F.explode("sh").alias("s"))
+    w = Window.partitionBy("s")
+    return (
+        ex.withColumn("first_doc", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr(
+                "CAST((2 * n_novel * 1000000 + n_shingles)"
+                " DIV (2 * n_shingles) AS BIGINT)"
+            ),
+        )
+    )

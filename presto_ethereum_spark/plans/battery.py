@@ -13686,6 +13686,40 @@ def emb_outlier_scores(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_shingle_novelty",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+    f AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s),
+    per AS (
+      SELECT e.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM ex e JOIN f USING (s) GROUP BY e.doc_id)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST((2 * n_novel * 1000000 + n_shingles) // (2 * n_shingles)
+                AS BIGINT) AS novelty_ppm
+    FROM per
+    """,
+)
+def doc_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-order ORIGINALITY metric (operators/dedup.shingle_novelty):
+    per document, the exact ppm of its distinct 3-gram shingles first
+    seen in that document — near-verbatim rehashes of earlier corpus
+    score near 0, fresh text near 1e6.  Two linear shuffles (MIN window
+    on the shingle key, per-doc re-agg), NO pair join — corpus-wide
+    derivativeness without the O(df²) machinery the pair-based dup
+    reports need, so it can run as a standing ingest metric at any
+    corpus size."""
+    from presto_ethereum_spark.operators.dedup import shingle_novelty
+
+    return shingle_novelty(t_spread(spark, sf, "documents"))
+
+
+@q(
     "doc_jaccard_threshold_curve",
     f"""
     WITH {_DUCK_SHINGLED},
