@@ -207,8 +207,9 @@ INCOMING: list[str] = [
     "emb_dup_threshold_curve",
     # round-10: streaming additive balance upsert
     "stream_erc20_balance_upsert",
-    # round-10: corpus-order shingle novelty
+    # round-10: corpus-order shingle novelty + cross-source vocab overlap
     "doc_shingle_novelty",
+    "doc_source_vocab_overlap",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

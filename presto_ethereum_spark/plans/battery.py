@@ -13720,6 +13720,87 @@ def doc_shingle_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "doc_source_vocab_overlap",
+    """
+    WITH sh AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT source,
+               unnest([array_to_string(t[i:i+2], ' ')
+                       FOR i IN range(1, len(t) - 1)]) AS s
+        FROM (SELECT source, string_split(text, ' ') AS t FROM documents))),
+    v AS (SELECT source, count(*) AS vsz FROM sh GROUP BY source),
+    ip AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(inter AS BIGINT) AS n_shared,
+           CAST(va.vsz AS BIGINT) AS vocab_a,
+           CAST(vb.vsz AS BIGINT) AS vocab_b,
+           CAST((2 * inter * 1000000 + (va.vsz + vb.vsz - inter))
+                // (2 * (va.vsz + vb.vsz - inter)) AS BIGINT) AS jaccard_ppm
+    FROM ip
+    JOIN v va ON va.source = ip.source_a
+    JOIN v vb ON vb.source = ip.source_b
+    """,
+)
+def doc_source_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source VOCABULARY overlap: exact shingle-set Jaccard between
+    every source pair — the corpus-mixing diagnostic that says which
+    sources contribute redundant versus complementary text BEFORE any
+    doc-level dedup runs (doc_crosssource_dup_matrix counts duplicate
+    documents; this measures distributional overlap even where no single
+    document repeats).  The exchange carries only distinct
+    (source, shingle) rows; the self-join fans out at most
+    |sources|(|sources|-1)/2 rows per shingle and aggregates map-side, so
+    the report is |sources|² rows at any corpus size.  Exact half-up ppm
+    over exact integer set sizes."""
+    from presto_ethereum_spark.operators.text import word_shingles
+
+    d = (
+        t_spread(spark, sf, "documents")
+        .select(
+            "source",
+            F.explode(F.array_distinct(word_shingles(F.col("text"), 3))).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    v = d.groupBy("source").agg(F.count("*").alias("vsz"))
+    a, b = d.alias("a"), d.alias("b")
+    ip = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    va = F.broadcast(v.select(F.col("source").alias("source_a"), F.col("vsz").alias("vocab_a")))
+    vb = F.broadcast(v.select(F.col("source").alias("source_b"), F.col("vsz").alias("vocab_b")))
+    return (
+        ip.join(va, "source_a")
+        .join(vb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("inter").cast("long").alias("n_shared"),
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.expr(
+                "CAST((2 * inter * 1000000 + (vocab_a + vocab_b - inter))"
+                " DIV (2 * (vocab_a + vocab_b - inter)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+@q(
     "doc_jaccard_threshold_curve",
     f"""
     WITH {_DUCK_SHINGLED},
