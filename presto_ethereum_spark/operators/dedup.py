@@ -1935,14 +1935,23 @@ def shingle_novelty(
     machinery, which is what makes it a cheap standing metric next to the
     pair-based dup reports.  Documents shorter than ``shingle_n`` tokens
     have no shingles and are absent from the report (mirrored in the
-    oracle).  Exact half-up ppm."""
+    oracle).  Exact half-up ppm.
+
+    The first-claimant pass is groupBy-min + re-join on the shingle key
+    (NOT a ``Window.partitionBy(s)``): a window must buffer/spill the
+    FULL posting list of a pathological-df shingle per partition, while
+    the grouped MIN is a streaming partial aggregate — map-side combine
+    shrinks an extreme-df key to one row per input partition before the
+    exchange, so per-key memory stays O(1) at any skew.  Same two
+    key-hash shuffles either way (the join reuses the groupBy's
+    partitioning); only the per-key buffering changes."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
     ex = d.withColumn(
         "sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n))
     ).select("doc_id", F.explode("sh").alias("s"))
-    w = Window.partitionBy("s")
+    firsts = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
-        ex.withColumn("first_doc", F.min("doc_id").over(w))
+        ex.join(firsts, "s")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),

