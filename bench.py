@@ -258,6 +258,27 @@ ITERATIVE = {
 }
 
 
+def calibration_probe(spark) -> None:
+    """CODE-FROZEN host-speed probe (r11; never edit — a changed probe
+    breaks every cross-round normalized comparison).  One full 8M-row
+    sort + one 8M-row grouped aggregate over a hash-generated constant
+    DataFrame: pure JVM compute + shuffle, zero I/O, zero Python workers,
+    deterministic by construction.  Timed in EVERY bench session; each
+    query's normalized time is raw/probe for ITS session, so VM/CPU-steal
+    session drift (r10: a uniform 1.14-1.30x fleet-wide factor on
+    unchanged code) divides out of round-over-round comparisons."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 8_000_000, 1, 32).select(
+        (F.hash(F.col("id")) % 997).alias("k"),
+        (F.hash(F.col("id") * 2654435761) % 1_000_000).alias("v"),
+    )
+    base.orderBy("v", "k").write.mode("overwrite").format("noop").save()
+    base.groupBy("k").agg(
+        F.sum("v"), F.count("*"), F.avg("v"), F.max("v")
+    ).write.mode("overwrite").format("noop").save()
+
+
 def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) -> dict:
     """Child-process entry: time ``names`` in THIS fresh JVM, return maps."""
     from presto_ethereum_spark.plans import battery
@@ -298,6 +319,19 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
     battery._IVF_CODEBOOKS[sf_dir] = seeds
     battery._IVF_CODEBOOKS[("pq", sf_dir)] = seeds[:4]
 
+    # Session calibration: warm once, time 3 fixed repeats (NOT governed by
+    # the repeats env — the probe methodology is frozen with the probe code),
+    # keep the median.  Runs after the table/UDF warmups so it measures the
+    # same steady-state JVM the queries see.
+    calibration_probe(spark)
+    calib_samples: list[float] = []
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        calibration_probe(spark)
+        calib_samples.append(round(time.perf_counter() - t0, 3))
+    calib = round(statistics.median(calib_samples), 3)
+
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -336,7 +370,7 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
         samples.sort()
         times[name] = round(statistics.median(samples), 3)
         spread[name] = [samples[0], samples[-1]]
-    return {"queries": times, "spread": spread}
+    return {"queries": times, "spread": spread, "calibration": calib}
 
 
 def main() -> None:
@@ -369,6 +403,8 @@ def main() -> None:
     chunks = [allq[i : i + chunk_size] for i in range(0, len(allq), chunk_size)]
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    session_calib: dict[str, float] = {}  # query -> its session's probe time
+    calibs: list[float] = []  # per-session probe medians, chunk order
     here = Path(__file__).resolve().parent
     for i, chunk in enumerate(chunks):
         out = here / f".bench_chunk_{i}.json"
@@ -393,15 +429,26 @@ def main() -> None:
         part = json.loads(out.read_text())
         times.update(part["queries"])
         spread.update(part["spread"])
+        calibs.append(part["calibration"])
+        for name in part["queries"]:
+            session_calib[name] = part["calibration"]
         out.unlink()
         print(
             f'# chunk {i + 1}/{len(chunks)}: {len(chunk)} queries, '
-            f'{round(sum(part["queries"].values()), 3)} s',
+            f'{round(sum(part["queries"].values()), 3)} s, '
+            f'calib {part["calibration"]} s',
             flush=True,
         )
 
     headline_wall = round(sum(times[n] for n in HEADLINE), 3)
     incoming_wall = round(sum(times[n] for n in INCOMING), 3)
+    # Normalized times: each query divided by ITS OWN session's probe median
+    # (unitless multiples of the frozen calibration_probe).  Cross-round,
+    # compare these — host-session speed divides out.
+    times_norm = {
+        n: round(t / session_calib[n], 3) for n, t in times.items()
+    }
+    calibration_wall = round(statistics.median(calibs), 3)
     detail = {
         "metric": "headline_total_wall",
         # `value` is the FROZEN headline set only (1:1 round-over-round);
@@ -417,7 +464,17 @@ def main() -> None:
         "incoming": INCOMING,
         "unit": "sec",
         "queries": times,
+        # host-drift-immune numbers (r11, VERDICT r10 #1): the frozen
+        # calibration_probe's per-session median + per-query times in
+        # probe units; headline_norm is the sum over the frozen set.
+        "queries_normalized": times_norm,
         "spread": spread,
+        # small calibration scalars AFTER the big maps: the driver's
+        # 2,000-char stdout tail then shows them alongside the summary line
+        "calibration_wall": calibration_wall,
+        "calibration_per_session": calibs,
+        "headline_norm": round(sum(times_norm[n] for n in HEADLINE), 3),
+        "incoming_norm": round(sum(times_norm[n] for n in INCOMING), 3),
         "repeats": repeats,
         "iter_repeats": iter_repeats,
         "n_sessions": len(chunks),
@@ -446,9 +503,15 @@ def main() -> None:
         "repeats": repeats,
         "iter_repeats": iter_repeats,
         "n_sessions": len(chunks),
+        "calib": calibration_wall,
+        "hl_norm": detail["headline_norm"],
     }
     line = json.dumps(summary)
-    assert len(line) <= 200, f"final bench line {len(line)}B > 200B contract"
+    # 256B cap (r11: was 200B; +calib/hl_norm fields).  The real constraint
+    # is the driver's 2,000-char stdout tail — the final line must stay far
+    # inside it so the whole summary parses; 256B leaves ~1.7KB of the
+    # preceding detail line visible in the tail as well.
+    assert len(line) <= 256, f"final bench line {len(line)}B > 256B contract"
     print(line)
 
 
