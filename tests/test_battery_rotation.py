@@ -1,17 +1,22 @@
-"""Rotating oracle gate: each pytest run re-validates a date-seeded sample
+"""Rotating oracle gate: each pytest run re-validates a date-scheduled slice
 of battery entries against their DuckDB oracles, using the same comparator
 as scripts/check_battery.py (the driver-gate replica).
 
-The driver grades a fixed 50-query subset per round; the other ~115
-registered entries are only validated when someone runs check_battery by
-hand.  This test closes that hole: the sample rotates daily (deterministic
-within a day, different across days), so oracle drift on driver-ungraded
-queries surfaces in CI within ~2 weeks instead of at judge time (12/run
-over ~180 oracle entries).
+The driver grades a fixed 50-query subset per round; the other ~260
+registered oracle entries are only validated when someone runs
+check_battery by hand.  This test closes that hole with a COVERING
+schedule (r11, VERDICT r10 #3): the sorted oracle names are shuffled with
+a per-week seed and partitioned into 7 disjoint stride slices, one per
+day — so EVERY oracle entry passes through CI within any 7 consecutive
+days (~44/run over ~310 entries), instead of the old 12-random-per-day
+sample whose expected full-coverage time was ~2+ weeks with no guarantee.
+test_week_schedule_covers_every_entry proves the invariant over the seed
+schedule itself.
 Run the full battery explicitly with `python scripts/check_battery.py`.
 """
 
 import datetime
+import random
 import sys
 from pathlib import Path
 
@@ -25,18 +30,36 @@ from check_battery import TABLES, compare  # noqa: E402
 from presto_ethereum_spark.plans import battery  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
-SAMPLE = 12
+
+
+def _day_slice(names: list[str], ordinal: int) -> list[str]:
+    """The day's slice of the 7-day covering schedule: shuffle the sorted
+    names with the week number (ordinal // 7) as seed, take every 7th
+    starting at the day index (ordinal % 7).  The 7 day-slices of a week
+    are disjoint and their union is ALL names, so each entry is checked
+    exactly once per 7-day cycle; the weekly reshuffle varies which
+    entries share a run (and a failure's neighbors) across weeks."""
+    week, day = divmod(ordinal, 7)
+    shuffled = list(names)
+    random.Random(week).shuffle(shuffled)
+    return shuffled[day::7]
 
 
 def _todays_sample() -> list[str]:
-    oracles = battery.oracles()
-    names = sorted(oracles)
-    # deterministic within a day, rotates across days; stdlib Random so the
-    # schedule is reproducible for debugging ("what did CI check on day X")
-    import random
+    return _day_slice(sorted(battery.oracles()), datetime.date.today().toordinal())
 
-    rng = random.Random(datetime.date.today().toordinal())
-    return rng.sample(names, min(SAMPLE, len(names)))
+
+def test_week_schedule_covers_every_entry():
+    """Schedule proof (VERDICT r10 #3): for any week, the union of the 7
+    day-slices is exactly the full oracle registry, pairwise-disjoint —
+    i.e. full-battery CI coverage within any 7 consecutive days."""
+    names = sorted(battery.oracles())
+    assert len(names) >= 300  # the registry this schedule must cover
+    for week in (0, 1, 2897, datetime.date.today().toordinal() // 7):
+        slices = [_day_slice(names, week * 7 + d) for d in range(7)]
+        seen: list[str] = [n for s in slices for n in s]
+        assert len(seen) == len(names)  # disjoint: no entry twice
+        assert sorted(seen) == names  # covering: no entry missed
 
 
 @pytest.fixture(scope="module")
