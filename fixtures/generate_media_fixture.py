@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Deterministic synthetic IMAGE fixture for the graded real-decode entry
+(VERDICT r10 #6).
+
+Generates (seed=42): fixtures/media/images.parquet — one row per image:
+
+  media_id      long     dense 0..N-1
+  mime          string   'image/png'
+  png           binary   a REAL baseline PNG (encoded by operators/png.py)
+  true_width    int      ┐
+  true_height   int      │ ground truth computed from the SOURCE pixel
+  true_channels int      │ arrays BEFORE encoding — the graded Spark entry
+  true_sum_r    long     │ (multimodal_png_decode_stats) must recover every
+  true_sum_g    long     │ one of these from the compressed bytes alone,
+  true_sum_b    long     │ so a hash match proves the decode, not the
+  true_thumb_md5 string  ┘ bookkeeping
+
+true_thumb_md5 is the md5 of the 8x8 nearest-neighbor thumbnail of the
+PRE-ENCODE pixel array (png.nn_resize on raw source bytes); the Spark side
+recomputes it from the DECODED bytes, pinning decode + resize end-to-end.
+
+Content mix: gradients, checkerboards, stripes, solids, and seeded noise;
+sizes 5x5..48x33; every PNG filter type 0..4 and both color types (grey /
+RGB) cycle through the corpus, so all decoder reconstruction branches are
+exercised by graded data, not just unit tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from presto_ethereum_spark.operators.png import (  # noqa: E402
+    encode_png,
+    nn_resize,
+)
+
+OUT = Path(__file__).resolve().parent / "media"
+N_IMAGES = 240
+THUMB = 8
+
+
+def _pixels(rng: random.Random, kind: str, w: int, h: int, gray: bool):
+    """One image's pixel grid: rows of ints (gray) or RGB tuples."""
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        if kind == "gradient":
+            return (x * 255 // max(1, w - 1), y * 255 // max(1, h - 1), 128)
+        if kind == "checker":
+            on = (x // 4 + y // 4) % 2 == 0
+            return (230, 40, 90) if on else (15, 200, 160)
+        if kind == "stripes":
+            return (255, 255, 0) if y % 3 == 0 else (0, 64, 192)
+        if kind == "solid":
+            return (77, 151, 19)
+        return (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+
+    if gray:
+        return [
+            [sum(px(x, y)) // 3 for x in range(w)] for y in range(h)
+        ]
+    return [[px(x, y) for x in range(w)] for y in range(h)]
+
+
+def main() -> None:
+    rng = random.Random(42)
+    kinds = ["gradient", "checker", "stripes", "solid", "noise"]
+    rows: dict[str, list] = {
+        "media_id": [], "mime": [], "png": [],
+        "true_width": [], "true_height": [], "true_channels": [],
+        "true_sum_r": [], "true_sum_g": [], "true_sum_b": [],
+        "true_thumb_md5": [],
+    }
+    for i in range(N_IMAGES):
+        kind = kinds[i % len(kinds)]
+        gray = i % 7 == 3
+        filt = i % 5
+        w, h = rng.randint(5, 48), rng.randint(5, 33)
+        px = _pixels(rng, kind, w, h, gray)
+        if gray:
+            flat = bytes(v for row in px for v in row)
+            sr = sg = sb = sum(flat)
+            nch = 1
+        else:
+            flat = bytes(c for row in px for p in row for c in p)
+            sr = sum(flat[0::3])
+            sg = sum(flat[1::3])
+            sb = sum(flat[2::3])
+            nch = 3
+        thumb = nn_resize(flat, w, h, nch, THUMB, THUMB)
+        rows["media_id"].append(i)
+        rows["mime"].append("image/png")
+        rows["png"].append(encode_png(px, grayscale=gray, filter_type=filt))
+        rows["true_width"].append(w)
+        rows["true_height"].append(h)
+        rows["true_channels"].append(nch)
+        rows["true_sum_r"].append(sr)
+        rows["true_sum_g"].append(sg)
+        rows["true_sum_b"].append(sb)
+        rows["true_thumb_md5"].append(hashlib.md5(thumb).hexdigest())
+
+    OUT.mkdir(exist_ok=True)
+    table = pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "png": pa.array(rows["png"], pa.binary()),
+            "true_width": pa.array(rows["true_width"], pa.int32()),
+            "true_height": pa.array(rows["true_height"], pa.int32()),
+            "true_channels": pa.array(rows["true_channels"], pa.int32()),
+            "true_sum_r": pa.array(rows["true_sum_r"], pa.int64()),
+            "true_sum_g": pa.array(rows["true_sum_g"], pa.int64()),
+            "true_sum_b": pa.array(rows["true_sum_b"], pa.int64()),
+            "true_thumb_md5": pa.array(rows["true_thumb_md5"], pa.string()),
+        }
+    )
+    pq.write_table(table, OUT / "images.parquet", compression="snappy")
+    print(f"wrote {table.num_rows} images -> {OUT / 'images.parquet'}")
+
+
+if __name__ == "__main__":
+    main()

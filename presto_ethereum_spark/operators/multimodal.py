@@ -2,11 +2,14 @@
 
 Media ride through Spark as opaque ``binary`` columns with a typed metadata
 struct — the schema, partitioning, Arrow batch shape, and UDF signatures are
-real and tested; only the codec step is stubbed (no image/audio libraries in
-this environment).  Decode functions try to import the real library
+real and tested.  General codecs are stubbed (no image/audio libraries in
+this environment): decode functions try to import the real library
 (PIL/soundfile) and otherwise fall back to a clearly-marked deterministic
 fake (or raise, for the strict variant), so dropping the real codec in is a
-one-line change on a cluster that has it.
+one-line change on a cluster that has it.  PNG is the exception — a REAL
+pure-Python baseline decoder (operators/png.py, public spec + stdlib zlib)
+runs end-to-end in :func:`png_decode_stats` and is graded against ground
+truth stored beside the encoded fixture bytes.
 
 Plumbing decisions that matter at 100 TB:
 
@@ -40,6 +43,7 @@ __all__ = [
     "media_from_documents",
     "decode_image_meta",
     "extract_features",
+    "png_decode_stats",
     "sample_frames",
     "frame_dedup_stats",
     "PHASH_SCHEMA",
@@ -138,6 +142,74 @@ def decode_image_meta(df: DataFrame, strict: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, out_schema)
+
+
+def png_decode_stats(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "png",
+    thumb: int = 8,
+) -> DataFrame:
+    """REAL image decode -> per-image stats: width, height, channels,
+    per-channel pixel sums, and the md5 of an 8x8 nearest-neighbor
+    thumbnail — the decode -> resize -> feature chain of a training-data
+    ingest, with the codec step actually executed (operators/png.py),
+    not stubbed.
+
+    Runs via ``mapInPandas``: each Arrow batch of blobs decodes
+    independently on its executor with zero cross-row state, so the
+    stage parallelizes embarrassingly; at 100 TB the knobs are blob-column
+    partition sizing and ``arrow.maxRecordsPerBatch`` (keep batches small
+    when blobs are MBs).  Greyscale images report the grey sum in all
+    three channels (the generator mirrors this).  A corrupt or
+    out-of-profile blob fails the task loudly (ValueError) rather than
+    producing fake stats — quarantine upstream with a try/filter stage
+    if the corpus is dirty (multimodal_bytes_profile is that screen)."""
+    from presto_ethereum_spark.operators.png import decode_png, nn_resize
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+            StructField("thumb_md5", StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                w, h, nch, raw = decode_png(bytes(blob))
+                if nch == 1:
+                    s = sum(raw)
+                    sr = sg = sb = s
+                else:
+                    sr, sg, sb = (
+                        sum(raw[0::3]), sum(raw[1::3]), sum(raw[2::3])
+                    )
+                tmb = nn_resize(raw, w, h, nch, thumb, thumb)
+                recs.append(
+                    (
+                        int(mid), w, h, nch, sr, sg, sb,
+                        hashlib.md5(tmb).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "sum_r", "sum_g", "sum_b", "thumb_md5",
+                ],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, out_schema)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -303,24 +303,45 @@ def erc20_transfer_deltas(chain: DataFrame) -> DataFrame:
     foreachBatch balance upsert): standard 3-topic Transfer events ->
     two signed rows each (credit `to`, debit `from`), columns
     (token_address, holder, delta DECIMAL(38,0), is_in, block_number).
-    Addresses narrow h32->h20 as the connector decode does
+    Thin projection over :func:`erc20_transfer_deltas_from_logs` — the
+    chain-dump explode and the streamed raw-log table (streaming source
+    table=log) land on the SAME decode, so the balance pipeline is
+    source-agnostic by construction."""
+    logs = (
+        chain.select(F.explode("transactions").alias("t"))
+        .select(F.explode("t.logs").alias("l"))
+        .select(
+            F.col("l.address").alias("address"),
+            F.col("l.topics").alias("topics"),
+            F.col("l.data").alias("data"),
+            F.col("l.blockNumber").alias("blocknumber"),
+        )
+    )
+    return erc20_transfer_deltas_from_logs(logs)
+
+
+def erc20_transfer_deltas_from_logs(logs: DataFrame) -> DataFrame:
+    """Exact ledger-delta decode over the WIRE log shape — columns
+    (address, topics array<string>, data, blocknumber), exactly what
+    ``eth_getLogs`` returns and what the streaming source's table=log
+    emits.  Standard 3-topic Transfer events -> two signed rows each
+    (credit `to`, debit `from`), columns (token_address, holder,
+    delta DECIMAL(38,0), is_in, block_number).  Addresses narrow
+    h32->h20 as the connector decode does
     (EthereumRecordCursor.java:433-435); the leading-zero guard keeps
     values inside the exact-Decimal contract (>120-bit values excluded
     on both engines — eth_erc20_exact_flows)."""
-    logs = chain.select(F.explode("transactions").alias("t")).select(
-        F.explode("t.logs").alias("l")
-    )
     tr = logs.where(
-        (F.lower(F.col("l.topics")[0]) == TRANSFER_EVENT_TOPIC)
-        & (F.size("l.topics") >= 3)
-        & (F.length("l.data") == 66)
-        & (F.substring(F.col("l.data"), 3, 34) == "0" * 34)
+        (F.lower(F.col("topics")[0]) == TRANSFER_EVENT_TOPIC)
+        & (F.size("topics") >= 3)
+        & (F.length("data") == 66)
+        & (F.substring(F.col("data"), 3, 34) == "0" * 34)
     ).select(
-        F.col("l.address").alias("token_address"),
-        h32_to_h20_col(F.col("l.topics")[1]).alias("from_addr"),
-        h32_to_h20_col(F.col("l.topics")[2]).alias("to_addr"),
-        hex_to_decimal_col(F.col("l.data")).alias("wei"),
-        F.col("l.blockNumber").alias("block_number"),
+        F.col("address").alias("token_address"),
+        h32_to_h20_col(F.col("topics")[1]).alias("from_addr"),
+        h32_to_h20_col(F.col("topics")[2]).alias("to_addr"),
+        hex_to_decimal_col(F.col("data")).alias("wei"),
+        F.col("blocknumber").alias("block_number"),
     )
     return tr.select(
         "token_address",

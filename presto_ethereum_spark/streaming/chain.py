@@ -44,10 +44,39 @@ from pyspark.sql.datasource import (
     InputPartition,
     SimpleDataSourceStreamReader,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from presto_ethereum_spark.schemas import SCHEMAS
 from presto_ethereum_spark.sources.rpc import make_transport
+
+# Raw-log wire shape (streaming-only table=log; NOT in the reference's
+# 3-table metadata, so kept out of the SCHEMAS registry): one row per
+# bulk-eth_getLogs log, untouched by the erc20 double decode — the exact
+# shape sources/decode.erc20_transfer_deltas_from_logs consumes, so the
+# balance ledger can run as a standing pipeline straight off the RPC
+# transport with no precision loss.  Column names mirror the transport's
+# normalized log dict (rpc.get_logs) key-for-key.
+LOG_SCHEMA = StructType(
+    [
+        StructField("address", StringType()),
+        StructField("topics", ArrayType(StringType())),
+        StructField("data", StringType()),
+        StructField("transactionhash", StringType()),
+        StructField("blocknumber", LongType()),
+    ]
+)
+
+
+def _stream_schema(table: str) -> StructType:
+    if table == "log":
+        return LOG_SCHEMA
+    return SCHEMAS[table]
 
 
 class EthereumStreamReader(SimpleDataSourceStreamReader):
@@ -69,7 +98,7 @@ class EthereumStreamReader(SimpleDataSourceStreamReader):
         self.logs_addresses = (
             [a.strip() for a in spec.split(",") if a.strip()] if spec else None
         )
-        self.columns = [f.name for f in SCHEMAS[self.table].fields]
+        self.columns = [f.name for f in _stream_schema(self.table).fields]
 
     def initialOffset(self) -> dict:
         return {"next": self.start_block}
@@ -105,18 +134,24 @@ def _table_rows(
     transport, table: str, start: int, end: int, columns, addresses=None
 ) -> list[tuple]:
     """Rows of ``table`` for an INCLUSIVE block range.  ``block`` fetches
-    block bodies; ``erc20`` rides the bulk eth_getLogs path (one filtered
-    RPC per range, server-side Transfer topic + optional token addresses —
-    the cheap way to TAIL a token's transfers live)."""
+    block bodies; ``erc20`` and ``log`` ride the bulk eth_getLogs path
+    (one filtered RPC per range, server-side Transfer topic + optional
+    token addresses — the cheap way to TAIL a token's transfers live).
+    ``erc20`` applies the reference-parity double decode per log; ``log``
+    serves the wire shape untouched for exact downstream decodes
+    (erc20_transfer_deltas_from_logs)."""
     from presto_ethereum_spark.sources import pyrows
 
     out: list[tuple] = []
-    if table == "erc20":
+    if table in ("erc20", "log"):
         from presto_ethereum_spark.sources.rpc import fetch_logs_adaptive
 
         # adaptive bisection, same as the batch path: a stream that cannot
         # split a capped range would replay the identical failure forever
         for lg in fetch_logs_adaptive(transport, start, end, addresses=addresses):
+            if table == "log":
+                out.append(tuple(lg.get(c) for c in columns))
+                continue
             row = pyrows.erc20_row_from_log(lg)
             if row is not None:
                 out.append(tuple(row[c] for c in columns))
@@ -158,7 +193,7 @@ class EthereumPartitionedStreamReader(DataSourceStreamReader):
         self.logs_addresses = (
             [a.strip() for a in spec.split(",") if a.strip()] if spec else None
         )
-        self.columns = [f.name for f in SCHEMAS[self.table].fields]
+        self.columns = [f.name for f in _stream_schema(self.table).fields]
         self._last: dict | None = None
 
     def initialOffset(self) -> dict:
@@ -217,12 +252,12 @@ class EthereumStreamDataSource(DataSource):
 
     def schema(self) -> StructType:
         table = self.options.get("table", "block").lower()
-        if table not in ("block", "erc20"):
+        if table not in ("block", "erc20", "log"):
             raise ValueError(
-                f"ethereum-stream serves table=block|erc20 (got {table!r}); "
-                f"transaction bodies stream via table=block + batch explode"
+                f"ethereum-stream serves table=block|erc20|log (got {table!r});"
+                f" transaction bodies stream via table=block + batch explode"
             )
-        return SCHEMAS[table]
+        return _stream_schema(table)
 
     def simpleStreamReader(self, schema: StructType) -> EthereumStreamReader:
         return EthereumStreamReader(dict(self.options))
@@ -347,7 +382,14 @@ def rescan_reorged(spark, ingested, options: dict, depth: int = 64):
     )
 
 
-def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
+def run_balance_upsert(
+    spark,
+    path: str,
+    source=None,
+    split_ranges: int = 3,
+    deltas_fn=None,
+    drain_runs: int = 1,
+):
     """Streaming ERC-20 BALANCE MAINTENANCE: foreachBatch additive upsert
     of the exact-decimal (token, holder) ledger — eth_balance_snapshot_merge
     run as a standing pipeline instead of a daily job.
@@ -372,7 +414,12 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
     block-range parquet files and streams them one per micro-batch
     (maxFilesPerTrigger=1), so the graded entry exercises a REAL
     multi-batch merge, not a single-batch degenerate run.  ``source``
-    overrides the stream entirely (tests).
+    overrides the stream entirely — e.g. the ethereum-stream source's
+    raw-log table straight off an RPC transport — with ``deltas_fn``
+    selecting the matching decode (default erc20_transfer_deltas for
+    raw-block batches; pass erc20_transfer_deltas_from_logs for wire-log
+    batches).  Everything downstream of the decode is shape-identical,
+    which is what makes the standing pipeline source-agnostic.
 
     Scale: per-batch work is distributed DataFrame compute keyed on
     (token, holder); state is one row per funded pair; the driver only
@@ -388,6 +435,8 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
 
     from presto_ethereum_spark.sources.decode import erc20_transfer_deltas
 
+    if deltas_fn is None:
+        deltas_fn = erc20_transfer_deltas
     # Normalize ONCE at entry: a bare relative filename would otherwise
     # (a) miss in the JVM, whose user.dir is fixed at session start and
     # need not match Python's CWD, and (b) make the single-batch path's
@@ -443,7 +492,7 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
             out = f"{root}/gen_{batch_id}"
             prior = [g for g in gens if g != out]
             part = (
-                erc20_transfer_deltas(batch_df)
+                deltas_fn(batch_df)
                 .groupBy("token_address", "holder")
                 .agg(
                     F.sum("is_in").cast("long").alias("n_in"),
@@ -462,13 +511,23 @@ def run_balance_upsert(spark, path: str, source=None, split_ranges: int = 3):
             if out not in gens:
                 gens.append(out)
 
-        q = (
-            source.writeStream.foreachBatch(merge_batch)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{root}/_chk")
-            .start()
-        )
-        q.awaitTermination()
+        # drain_runs > 1 is the INCREMENTAL-BATCH schedule for rate-limited
+        # sources: Spark wraps a Python stream source that lacks
+        # SupportsTriggerAvailableNow in AvailableNowDataStreamWrapper,
+        # which captures latestOffset ONCE at query start — so a reader
+        # that rate-limits to max_blocks_per_batch drains exactly one
+        # micro-batch per availableNow run.  Re-running against the SAME
+        # checkpoint resumes from the committed offset (a real
+        # restart-recovery per run) until the source is exhausted; each
+        # run's batch merges into the same generation chain.
+        for _ in range(max(1, drain_runs)):
+            q = (
+                source.writeStream.foreachBatch(merge_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{root}/_chk")
+                .start()
+            )
+            q.awaitTermination()
         if not gens:
             return spark.createDataFrame(
                 [],

