@@ -331,6 +331,7 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
         calibration_probe(spark)
         calib_samples.append(round(time.perf_counter() - t0, 3))
     calib = round(statistics.median(calib_samples), 3)
+    calib_samples.sort()
 
     times: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -370,7 +371,15 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
         samples.sort()
         times[name] = round(statistics.median(samples), 3)
         spread[name] = [samples[0], samples[-1]]
-    return {"queries": times, "spread": spread, "calibration": calib}
+    return {
+        "queries": times,
+        "spread": spread,
+        "calibration": calib,
+        # the probe's OWN warm spread: a frozen constant plan with zero
+        # I/O — any in-session spread here is pure host/GC noise floor,
+        # the denominator for adjudicating per-query spread outliers
+        "calibration_spread": [calib_samples[0], calib_samples[-1]],
+    }
 
 
 def main() -> None:
@@ -405,6 +414,7 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     session_calib: dict[str, float] = {}  # query -> its session's probe time
     calibs: list[float] = []  # per-session probe medians, chunk order
+    calib_spreads: list[list[float]] = []  # per-session probe [min, max]
     here = Path(__file__).resolve().parent
     for i, chunk in enumerate(chunks):
         out = here / f".bench_chunk_{i}.json"
@@ -430,6 +440,7 @@ def main() -> None:
         times.update(part["queries"])
         spread.update(part["spread"])
         calibs.append(part["calibration"])
+        calib_spreads.append(part["calibration_spread"])
         for name in part["queries"]:
             session_calib[name] = part["calibration"]
         out.unlink()
@@ -473,6 +484,7 @@ def main() -> None:
         # 2,000-char stdout tail then shows them alongside the summary line
         "calibration_wall": calibration_wall,
         "calibration_per_session": calibs,
+        "calibration_spread_per_session": calib_spreads,
         "headline_norm": round(sum(times_norm[n] for n in HEADLINE), 3),
         "incoming_norm": round(sum(times_norm[n] for n in INCOMING), 3),
         "repeats": repeats,

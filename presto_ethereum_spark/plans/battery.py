@@ -14689,3 +14689,312 @@ def doc_minhash_band_curve(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@q(
+    "rel_welch_ttest",
+    """
+    WITH base AS (
+      SELECT n_name,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS hi,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    g AS (
+      SELECT n_name, hi,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+      FROM base GROUP BY n_name, hi),
+    w AS (
+      SELECT a.n_name,
+             a.n AS n_hi, b.n AS n_lo,
+             CAST(a.s * b.n - b.s * a.n AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * b.n) AS dm,
+             CAST(a.n * a.ss - a.s * a.s AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * a.n * (a.n - 1)) AS se1,
+             CAST(b.n * b.ss - b.s * b.s AS DOUBLE)
+               / (CAST(b.n AS DOUBLE) * b.n * (b.n - 1)) AS se2
+      FROM g a JOIN g b ON a.n_name = b.n_name
+      WHERE a.hi = 1 AND b.hi = 0 AND a.n >= 2 AND b.n >= 2)
+    SELECT n_name, n_hi, n_lo,
+           round(dm / sqrt(se1 + se2), 6) AS t_stat,
+           round((se1 + se2) * (se1 + se2)
+                 / (se1 * se1 / (n_hi - 1) + se2 * se2 / (n_lo - 1)),
+                 6) AS welch_df
+    FROM w
+    """,
+)
+def rel_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t-test per nation: do HIGH/URGENT orders
+    carry different total prices than the rest?  The A/B-measurement
+    staple next to rel_chisq_independence (proportions) and rel_ks_drift
+    (distributions) — one conditional aggregation produces exact
+    HUGEINT/DECIMAL(38,0) (n, sum, sum-of-squares) per (nation, arm) in
+    CENTS (sum-of-squares outgrows int64 past ~4k rows/arm at TPC-H
+    price magnitudes).  CANCELLATION DISCIPLINE: the variance numerator
+    n*ss - s^2 and the mean-difference numerator s1*n2 - s2*n1 are
+    formed as EXACT integers — the textbook ss - s*(s/n) double form
+    subtracts near-equal 1e17-scale values and the two engines lose
+    DIFFERENT digits (measured: 1e-8 relative divergence on this very
+    fixture), while the exact-numerator form leaves only
+    correctly-rounded IEEE ops (cast, divide, add, sqrt), identical
+    everywhere.  t and the Welch-Satterthwaite df are then the
+    audited-safe irrational class, round @6 per ROUNDING_AUDIT.md.
+    Mergeable-state shape: three additive counters per arm, so the test
+    re-runs incrementally at any scale; the join is arm-vs-arm on the
+    25-row group table."""
+    base = (
+        t(spark, sf, "orders")
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t(spark, sf, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .alias("hi"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    dec = "decimal(38,0)"
+    g = base.groupBy("n_name", "hi").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cents").cast(dec)).cast(dec).alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).cast(dec).alias("ss"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    w = (
+        a.join(b, F.col("a.n_name") == F.col("b.n_name"))
+        .where(
+            (F.col("a.hi") == 1)
+            & (F.col("b.hi") == 0)
+            & (F.col("a.n") >= 2)
+            & (F.col("b.n") >= 2)
+        )
+        .select(
+            F.col("a.n_name").alias("n_name"),
+            F.col("a.n").alias("n_hi"),
+            F.col("b.n").alias("n_lo"),
+            # exact integer numerators; doubles only for the final
+            # correctly-rounded divides (see docstring)
+            (
+                (
+                    F.col("a.s") * F.col("b.n") - F.col("b.s") * F.col("a.n")
+                ).cast("double")
+                / (F.col("a.n").cast("double") * F.col("b.n"))
+            ).alias("dm"),
+            (
+                (
+                    F.col("a.n") * F.col("a.ss") - F.col("a.s") * F.col("a.s")
+                ).cast("double")
+                / (
+                    F.col("a.n").cast("double")
+                    * F.col("a.n")
+                    * (F.col("a.n") - 1)
+                )
+            ).alias("se1"),
+            (
+                (
+                    F.col("b.n") * F.col("b.ss") - F.col("b.s") * F.col("b.s")
+                ).cast("double")
+                / (
+                    F.col("b.n").cast("double")
+                    * F.col("b.n")
+                    * (F.col("b.n") - 1)
+                )
+            ).alias("se2"),
+        )
+    )
+    return w.select(
+        "n_name",
+        "n_hi",
+        "n_lo",
+        F.round(
+            F.col("dm") / F.sqrt(F.col("se1") + F.col("se2")), 6
+        ).alias("t_stat"),
+        F.round(
+            (F.col("se1") + F.col("se2"))
+            * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n_hi") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n_lo") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@q(
+    "rel_mann_whitney_auc",
+    """
+    WITH base AS (
+      SELECT r_name,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS hi,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+    rk AS (
+      SELECT r_name, hi,
+             2 * rank() OVER (PARTITION BY r_name ORDER BY cents)
+               + count(*) OVER (PARTITION BY r_name, cents) - 1
+               AS avgrank2
+      FROM base),
+    agg AS (
+      SELECT r_name,
+             CAST(sum(hi) AS BIGINT) AS n_hi,
+             CAST(sum(1 - hi) AS BIGINT) AS n_lo,
+             CAST(sum(CASE WHEN hi = 1 THEN avgrank2 ELSE 0 END) AS HUGEINT)
+               AS r1_x2
+      FROM rk GROUP BY r_name)
+    SELECT r_name, n_hi, n_lo,
+           CAST(r1_x2 - CAST(n_hi AS HUGEINT) * (n_hi + 1) AS BIGINT) AS u1_x2,
+           CAST(((r1_x2 - CAST(n_hi AS HUGEINT) * (n_hi + 1)) * 1000000
+                 + CAST(n_hi AS HUGEINT) * n_lo)
+                // (2 * CAST(n_hi AS HUGEINT) * n_lo) AS BIGINT) AS auc_ppm
+    FROM agg
+    WHERE n_hi > 0 AND n_lo > 0
+    """,
+)
+def rel_mann_whitney_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U / rank-sum AUC per region: the DISTRIBUTION-FREE
+    companion to rel_welch_ttest on the same arms — U1 doubled to stay
+    integral under average tie ranks (for a tie block of c values whose
+    min rank is r, 2*avgrank = 2r + c - 1, both engine-portable window
+    primitives), so u1_x2 is EXACT, and auc_ppm = U1/(n_hi*n_lo) is the
+    half-up-ppm probability that a random HIGH/URGENT order outprices a
+    random other order — the AUC identity that makes this the standard
+    ranking-quality statistic.  One rank window per region plus a
+    conditional aggregate; rank sums go through HUGEINT/DECIMAL(38,0)
+    (R1 <= n^2 outgrows int64 past ~3e9 rows/region).  At 100 TB the
+    per-key window is the cost: partition by region is 5-way here — for
+    finer keys use the same double-rank algebra over a sampled arm."""
+    base = (
+        t(spark, sf, "orders")
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t(spark, sf, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .alias("hi"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    wr = Window.partitionBy("r_name").orderBy("cents")
+    wt = Window.partitionBy("r_name", "cents")
+    dec = "decimal(38,0)"
+    rk = base.select(
+        "r_name",
+        "hi",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).alias("avgrank2"),
+    )
+    agg = rk.groupBy("r_name").agg(
+        F.sum("hi").cast("long").alias("n_hi"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n_lo"),
+        F.sum(F.when(F.col("hi") == 1, F.col("avgrank2")).otherwise(0))
+        .cast(dec)
+        .alias("r1_x2"),
+    )
+    u1 = (
+        F.col("r1_x2") - F.col("n_hi").cast(dec) * (F.col("n_hi") + 1)
+    ).cast(dec)
+    return (
+        agg.where((F.col("n_hi") > 0) & (F.col("n_lo") > 0))
+        .select(
+            "r_name",
+            "n_hi",
+            "n_lo",
+            u1.cast("long").alias("u1_x2"),
+            F.expr(
+                f"CAST((CAST(r1_x2 - CAST(n_hi AS {dec}) * (n_hi + 1) AS {dec})"
+                f" * 1000000 + CAST(n_hi AS {dec}) * n_lo)"
+                f" div (2 * CAST(n_hi AS {dec}) * n_lo) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+@q(
+    "rel_basket_lift",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n_orders AS (SELECT CAST(count(DISTINCT ok) AS HUGEINT) AS n FROM op),
+    freq AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk)
+    SELECT part_a, part_b, n_ab,
+           fa.n_p AS n_a, fb.n_p AS n_b,
+           CAST((2 * (SELECT n FROM n_orders) * n_ab * 1000000
+                 + CAST(fa.n_p AS HUGEINT) * fb.n_p)
+                // (2 * CAST(fa.n_p AS HUGEINT) * fb.n_p) AS BIGINT)
+             AS lift_e6
+    FROM pairs
+    JOIN freq fa ON part_a = fa.pk
+    JOIN freq fb ON part_b = fb.pk
+    ORDER BY n_ab DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def rel_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association lift over co-ordered parts — the
+    frequent-itemset primitive (pairs only): support n_ab from a
+    within-order self-join, per-part frequencies, and
+    lift = N * P(ab) / (P(a) P(b)) as an exact half-up-e6 rational
+    (HUGEINT/DECIMAL(38,0) — N * n_ab * 1e6 outgrows int64 at
+    warehouse scale).  Top-20 by support with full key tie-breaks.
+    Scale shape: the pair join is keyed on the order and TPC-H-bounded
+    at <= 7 distinct parts/order, so fan-out is <= 21 pairs/order —
+    the same bounded-blocking argument as doc_ngram_jaccard_block's
+    df cap; frequencies and N broadcast.  Top-k is
+    TakeOrderedAndProject, never a global sort."""
+    li = (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    dec = "decimal(38,0)"
+    n_orders = li.agg(
+        F.countDistinct("ok").cast(dec).alias("n")
+    )
+    freq = li.groupBy("pk").agg(F.count("*").cast("long").alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+    )
+    fa = freq.select(F.col("pk").alias("part_a"), F.col("n_p").alias("n_a"))
+    fb = freq.select(F.col("pk").alias("part_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"CAST((2 * n * n_ab * 1000000"
+                f" + CAST(n_a AS {dec}) * n_b)"
+                f" div (2 * CAST(n_a AS {dec}) * n_b) AS BIGINT)"
+            ).alias("lift_e6"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(20)
+    )
