@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -44,6 +45,7 @@ __all__ = [
     "decode_image_meta",
     "extract_features",
     "png_decode_stats",
+    "png_decode_screen",
     "sample_frames",
     "frame_dedup_stats",
     "PHASH_SCHEMA",
@@ -604,3 +606,49 @@ def shard_pack(
         )
         .drop("cum_prev")
     )
+
+
+def png_decode_screen(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "png"
+) -> DataFrame:
+    """Decode QUARANTINE screen — the try/except wrapper around the real
+    PNG decode that a dirty crawl needs in front of png_decode_stats
+    (which fails tasks loudly by design): per blob, did it decode, a
+    short error class if not, and the dimensions if it did.  The
+    corrupt rows route to quarantine instead of killing the ingest; the
+    clean rows carry their dims forward.  Same mapInPandas shape and
+    scale story as png_decode_stats."""
+    from presto_ethereum_spark.operators.png import decode_png
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("ok", BooleanType()),
+            StructField("err", StringType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    w, h, _, _ = decode_png(bytes(blob))
+                    recs.append((int(mid), True, None, w, h))
+                except ValueError as e:
+                    msg = str(e)
+                    kind = (
+                        "bad-signature"
+                        if "signature" in msg
+                        else "bad-crc"
+                        if "CRC" in msg
+                        else "decode-error"
+                    )
+                    recs.append((int(mid), False, kind, None, None))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "ok", "err", "width", "height"]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, out_schema)

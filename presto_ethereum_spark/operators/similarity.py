@@ -741,6 +741,67 @@ def _lsh_index_kernel(
     )
 
 
+def lsh_bucket_stats(
+    df: DataFrame,
+    dim: int,
+    bands: int = 4,
+    bits: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-band LSH bucket LOAD-BALANCE report — the capacity-planning
+    read on the index the candidate join runs over: bucket count, item
+    count, the largest bucket, the exact candidate-pair bill
+    est_pairs = sum c*(c-1)/2 (the (band,key) self-join's true output
+    size), and the largest bucket's half-up-ppm share of items.  This is
+    the number that says whether the band/bit budget keeps the exchange
+    flat at 100 TB BEFORE anyone pays for the pair join: a top_share_ppm
+    drifting toward 1e6 means one hot bucket owns the index and the
+    self-join degenerates quadratic — re-tune bits/band or salt.
+
+    All-integer outputs (counts, exact pair arithmetic through
+    DECIMAL(38,0) — sum c^2 outgrows int64 once any bucket passes ~3e9);
+    one (band, key) exchange plus a bands-row final aggregate."""
+    width = bits // bands
+    sigs = _lsh_index_kernel(df, dim, bits, id_col, vec_col).select("id", "sig")
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    c = banded.groupBy("band", "key").agg(F.count("*").alias("c"))
+    dec = "decimal(38,0)"
+    return (
+        c.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_items"),
+            F.max("c").cast("long").alias("max_bucket"),
+            (F.sum(F.col("c").cast(dec) * (F.col("c") - 1)).cast(dec)).alias(
+                "p2"
+            ),
+        )
+        .select(
+            "band",
+            "n_buckets",
+            "n_items",
+            "max_bucket",
+            F.expr(f"CAST(p2 div 2 AS BIGINT)").alias("est_pairs"),
+            F.expr(
+                f"CAST((2 * CAST(max_bucket AS {dec}) * 1000000 + n_items)"
+                f" div (2 * CAST(n_items AS {dec})) AS BIGINT)"
+            ).alias("top_share_ppm"),
+        )
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     dim: int,

@@ -3940,15 +3940,13 @@ def rel_hll_partial_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lsh_oracle(dim: int = 64, bands: int = 4, bits: int = 24, k: int = 10) -> str:
-    """Closed-form DuckDB replica of operators/similarity.lsh_topk: the
-    md5-derived hyperplanes are inlined as literals (same constants as the
-    Spark plan — both sides call similarity._hyperplane), the sign test and
-    cosine use list_dot_product, whose in-order double accumulation is
-    bit-identical to the Spark fold (see emb_norms)."""
+def _lsh_sig_sql(dim: int, bits: int) -> str:
+    """The DuckDB expression for the ``bits``-bit sign signature — the
+    md5-derived hyperplanes inlined as literals (same constants as the
+    Spark plan: both sides call similarity._hyperplane).  Shared by the
+    LSH serving oracle and the bucket-balance oracle."""
     from presto_ethereum_spark.operators.similarity import _hyperplane
 
-    width = bits // bands
     sig_terms = []
     for p in range(bits):
         plane = ", ".join(repr(x) for x in _hyperplane(dim, p))
@@ -3956,7 +3954,15 @@ def _lsh_oracle(dim: int = 64, bands: int = 4, bits: int = 24, k: int = 10) -> s
             f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),"
             f" [{plane}]) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END"
         )
-    sig = " + ".join(sig_terms)
+    return " + ".join(sig_terms)
+
+
+def _lsh_oracle(dim: int = 64, bands: int = 4, bits: int = 24, k: int = 10) -> str:
+    """Closed-form DuckDB replica of operators/similarity.lsh_topk: the
+    sign test and cosine use list_dot_product, whose in-order double
+    accumulation is bit-identical to the Spark fold (see emb_norms)."""
+    width = bits // bands
+    sig = _lsh_sig_sql(dim, bits)
     cos = _duck_cos("q.embedding", "n.embedding")
     return f"""
     WITH sigs AS (
@@ -14998,3 +15004,321 @@ def rel_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+def _lsh_bucket_oracle(dim: int = 64, bands: int = 4, bits: int = 24) -> str:
+    width = bits // bands
+    sig = _lsh_sig_sql(dim, bits)
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id AS id, ({sig}) AS sig FROM embeddings),
+    banded AS (
+      SELECT id, CAST(band AS INT) AS band,
+             (sig >> (band * {width})) & {(1 << width) - 1} AS key
+      FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band)),
+    c AS (SELECT band, key, CAST(count(*) AS BIGINT) AS c
+          FROM banded GROUP BY band, key)
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(c) AS BIGINT) AS n_items,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(CAST(c AS HUGEINT) * (c - 1)) // 2 AS BIGINT) AS est_pairs,
+           CAST((2 * CAST(max(c) AS HUGEINT) * 1000000 + sum(c))
+                // (2 * CAST(sum(c) AS HUGEINT)) AS BIGINT) AS top_share_ppm
+    FROM c GROUP BY band
+    """
+
+
+@q("emb_bucket_balance", _lsh_bucket_oracle())
+def emb_bucket_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH index load-balance report (operators/similarity
+    .lsh_bucket_stats) over the SAME 4-band/24-bit signature space the
+    graded emb_lsh_topk serves from: per band, bucket count, the largest
+    bucket, the EXACT candidate-pair bill sum c*(c-1)/2 the (band, key)
+    self-join would pay, and the hot bucket's half-up-ppm item share.
+    The shuffle-skew pre-flight every banded/bucketed operator in this
+    repo assumes: read this BEFORE the pair join, re-tune bits per band
+    (or salt) when top_share_ppm drifts toward 1e6.  One (band, key)
+    exchange + a 4-row aggregate; all-integer outputs, pair arithmetic
+    through DECIMAL(38,0)/HUGEINT (sum c^2 outgrows int64 past ~3e9-item
+    buckets)."""
+    from presto_ethereum_spark.operators.similarity import lsh_bucket_stats
+
+    e = t_spread(spark, sf, "embeddings", parts=8)
+    return lsh_bucket_stats(e, dim=64, bands=4, bits=24)
+
+
+@q(
+    "doc_code_prose_screen",
+    """
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(translate(text, '{}();=[]<>#&|\\', ''))
+                  AS BIGINT) AS n_code,
+             CAST(length(text) - length(replace(text, ' ', ''))
+                  AS BIGINT) AS n_space
+      FROM documents WHERE length(text) > 0),
+    s AS (
+      SELECT doc_id, source, n_chars, n_code,
+             CAST((2 * n_code * 1000000 + n_chars) // (2 * n_chars)
+                  AS BIGINT) AS code_ppm,
+             CAST((2 * n_space * 1000000 + n_chars) // (2 * n_chars)
+                  AS BIGINT) AS space_ppm
+      FROM m)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN code_ppm >= 20000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_codeish,
+           CAST(max(code_ppm) AS BIGINT) AS max_code_ppm,
+           CAST(sum(n_code) AS BIGINT) AS total_code_chars,
+           CAST((2 * sum(n_code) * 1000000 + sum(n_chars))
+                // (2 * sum(n_chars)) AS BIGINT) AS corpus_code_ppm
+    FROM s GROUP BY source
+    """,
+)
+def doc_code_prose_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-vs-prose corpus screen — the pretraining-mix gate that
+    decides whether a crawl source is leaking source code into a prose
+    corpus (or vice versa): per-document density of code-indicative
+    characters (braces, semicolons, operators — counted EXACTLY via the
+    translate-delete idiom, no regex dialect to disagree on), rolled up
+    per source as flagged-doc counts at the 2% density threshold, the
+    worst document, and the corpus-level density.  All half-up-ppm
+    integers; one map-side projection + one grouped aggregate — the
+    whole screen is a single linear pass at any corpus size, the same
+    cost class as doc_quality."""
+    d = t_spread(spark, sf, "documents").where(F.length("text") > 0)
+    code_chars = "{}();=[]<>#&|\\"
+    m = d.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text") - F.length(F.translate(F.col("text"), code_chars, ""))
+        )
+        .cast("long")
+        .alias("n_code"),
+    )
+    s = m.select(
+        "source",
+        "n_chars",
+        "n_code",
+        F.expr(
+            "CAST((2 * n_code * 1000000 + n_chars) div (2 * n_chars) AS BIGINT)"
+        ).alias("code_ppm"),
+    )
+    return s.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("code_ppm") >= 20000).cast("int"))
+        .cast("long")
+        .alias("n_codeish"),
+        F.max("code_ppm").cast("long").alias("max_code_ppm"),
+        F.sum("n_code").cast("long").alias("total_code_chars"),
+        F.expr(
+            "CAST((2 * sum(n_code) * 1000000 + sum(n_chars))"
+            " div (2 * sum(n_chars)) AS BIGINT)"
+        ).alias("corpus_code_ppm"),
+    )
+
+
+@q(
+    "doc_boundary_leakage",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+    seq AS (
+      SELECT doc_id, source, ts,
+             lag(ts) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+      FROM toks),
+    ov AS (
+      SELECT source, doc_id,
+             CAST(len(list_intersect(
+               list_distinct(prev[greatest(len(prev) - 7, 1):len(prev)]),
+               list_distinct(ts[1:least(8, len(ts))])))
+               AS BIGINT) AS n_shared
+      FROM seq WHERE prev IS NOT NULL)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_boundaries,
+           CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_leaky,
+           CAST(sum(n_shared) AS BIGINT) AS total_shared,
+           CAST(max(n_shared) AS BIGINT) AS max_shared
+    FROM ov GROUP BY source
+    """,
+)
+def doc_boundary_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-packing BOUNDARY LEAKAGE audit: when documents are packed
+    back-to-back into training sequences in corpus order (doc_pack
+    _sequences' contract), how often does a document's 8-token prefix
+    share tokens with its predecessor's 8-token suffix?  Shared boundary
+    tokens mean the model sees near-continuations across what should be
+    independent samples — the quiet sibling of dedup leakage that
+    doc_split_leakage guards across SPLITS, measured here across PACK
+    NEIGHBORS.  Exact distinct-token set intersection (order-free, both
+    engines' set semantics), one lag window over (source, doc_id) order
+    + one grouped aggregate — two linear shuffles, no pair join, because
+    adjacency is positional, not similarity-based."""
+    d = t_spread(spark, sf, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    seq = d.withColumn("prev", F.lag("ts").over(w))
+    ov = seq.where(F.col("prev").isNotNull()).select(
+        "source",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(
+                    F.slice(
+                        F.col("prev"),
+                        F.greatest(F.size("prev") - 7, F.lit(1)),
+                        8,
+                    )
+                ),
+                F.array_distinct(F.slice(F.col("ts"), 1, 8)),
+            )
+        )
+        .cast("long")
+        .alias("n_shared"),
+    )
+    return ov.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_boundaries"),
+        F.sum((F.col("n_shared") > 0).cast("int")).cast("long").alias("n_leaky"),
+        F.sum("n_shared").cast("long").alias("total_shared"),
+        F.max("n_shared").cast("long").alias("max_shared"),
+    )
+
+
+@q(
+    "eth_fee_burn_split",
+    f"""
+    WITH tx AS (
+      SELECT t.blocknumber AS bn,
+             CAST(t.gas AS HUGEINT) AS g,
+             CAST(t.gasprice AS HUGEINT) AS gp
+      FROM (SELECT unnest(transactions) AS t
+            FROM read_parquet('{ETH}/chain_blocks.parquet'))),
+    base AS (
+      SELECT bn, g, gp, min(gp) OVER (PARTITION BY bn) AS basefee
+      FROM tx),
+    blk AS (
+      SELECT bn // 100 AS bucket,
+             sum(g * basefee) AS burn,
+             sum(g * (gp - basefee)) AS tips,
+             CAST(count(*) AS BIGINT) AS n_tx
+      FROM base GROUP BY bn // 100)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_tx,
+           CAST(burn AS VARCHAR) AS burn_wei,
+           CAST(tips AS VARCHAR) AS tips_wei,
+           CAST((2 * burn * 1000000 + (burn + tips))
+                // nullif(2 * (burn + tips), 0) AS BIGINT) AS burn_share_ppm
+    FROM blk
+    """,
+)
+def eth_fee_burn_split(spark: SparkSession, sf: str) -> DataFrame:
+    """EIP-1559-style fee DECOMPOSITION per 100-block bucket: with each
+    block's minimum observed gas price standing in for the base fee (the
+    fixture predates 1559 fields; documented stand-in, same shape as the
+    real basefee join), every transaction's fee splits into the burned
+    component gas*basefee and the priority tip gas*(gasprice-basefee).
+    Exact DECIMAL(38,0)/HUGEINT wei throughout, digit-string read-outs
+    (the balance family's bridge-stable contract), half-up-ppm burn
+    share.  One per-block MIN window (bounded: txs per block), one
+    grouped aggregate — the fee-market telemetry a chain-economics
+    dashboard polls, next to eth_fee_oracle's percentile bands."""
+    dec = "decimal(38,0)"
+    tx = (
+        _eth_tables(spark)
+        .chain.select(F.explode("transactions").alias("t"))
+        .select(
+            F.col("t.blockNumber").alias("bn"),
+            F.col("t.gas").cast(dec).alias("g"),
+            F.col("t.gasprice").cast(dec).alias("gp"),
+        )
+    )
+    base = tx.withColumn(
+        "basefee", F.min("gp").over(Window.partitionBy("bn"))
+    )
+    blk = base.groupBy(F.expr("CAST(bn div 100 AS BIGINT)").alias("bucket")).agg(
+        F.sum(F.col("g") * F.col("basefee")).cast(dec).alias("burn"),
+        F.sum(F.col("g") * (F.col("gp") - F.col("basefee")))
+        .cast(dec)
+        .alias("tips"),
+        F.count("*").cast("long").alias("n_tx"),
+    )
+    return blk.select(
+        "bucket",
+        "n_tx",
+        F.col("burn").cast("string").alias("burn_wei"),
+        F.col("tips").cast("string").alias("tips_wei"),
+        F.expr(
+            f"CAST((2 * burn * 1000000 + (burn + tips))"
+            f" div nullif(2 * (burn + tips), CAST(0 AS {dec})) AS BIGINT)"
+        ).alias("burn_share_ppm"),
+    )
+
+
+@q(
+    "multimodal_png_corrupt_screen",
+    f"""
+    SELECT media_id,
+           media_id % 13 != 0 AS ok,
+           CASE WHEN media_id % 13 = 0 THEN 'bad-signature' END AS err,
+           CASE WHEN media_id % 13 != 0 THEN true_width END AS width,
+           CASE WHEN media_id % 13 != 0 THEN true_height END AS height
+    FROM read_parquet('{MEDIA}/images.parquet')
+    """,
+)
+def multimodal_png_corrupt_screen(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode QUARANTINE over a deliberately dirtied corpus: every 13th
+    image's blob is beheaded in-plan (the 8-byte PNG signature sliced
+    off with substring on the binary column — corruption the ingest
+    would see from truncated uploads), then multimodal.png_decode_screen
+    classifies each blob instead of failing the task: corrupt rows carry
+    (ok=false, err class, NULL dims), clean rows carry their REAL
+    decoded dimensions.  The oracle derives the expected verdict + truth
+    dims arithmetically from the untouched fixture, so the gate proves
+    both the error path (all planted corruptions caught, classified) and
+    that quarantining never perturbs a clean row's decode.  Same
+    mapInPandas scale story as the stats entry."""
+    from presto_ethereum_spark.operators.multimodal import png_decode_screen
+
+    imgs = spark.read.parquet(str(MEDIA / "images.parquet")).select(
+        "media_id",
+        F.when(
+            F.col("media_id") % 13 == 0,
+            F.expr("substring(png, 9, length(png) - 8)"),
+        )
+        .otherwise(F.col("png"))
+        .alias("png"),
+    )
+    return png_decode_screen(imgs)
+
+
+@q(
+    "stream_png_ingest",
+    f"""
+    SELECT media_id,
+           true_width AS width,
+           true_height AS height,
+           true_channels AS channels,
+           true_sum_r AS sum_r,
+           true_sum_g AS sum_g,
+           true_sum_b AS sum_b,
+           true_thumb_md5 AS thumb_md5
+    FROM read_parquet('{MEDIA}/images.parquet')
+    """,
+)
+def stream_png_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The REAL decode as a STANDING INGEST (streaming/media
+    .run_png_ingest): the image corpus streams in as three micro-batches
+    (maxFilesPerTrigger=1), each decoded through the actual PNG codec
+    inside foreachBatch and appended to the result table.  Graded
+    against the same pre-encode ground truth as the batch entry — decode
+    is per-row pure, so the settled stream equals the batch decode with
+    NO merge algebra (the split-invariance freebie; contrast the
+    additive balance ledger).  Zero exchanges end-to-end: decode is
+    map-side, the sink appends partition-locally."""
+    from presto_ethereum_spark.streaming.media import run_png_ingest
+
+    return run_png_ingest(spark, str(MEDIA / "images.parquet"), splits=3)

@@ -171,3 +171,54 @@ class TestGradedDecodeEntry:
             hashlib.md5(nn_resize(raw, 4, 4, 3, 8, 8)).hexdigest()
             == hashlib.md5(nn_resize(flat, 4, 4, 3, 8, 8)).hexdigest()
         )
+
+
+class TestDecodeScreen:
+    def test_classifies_and_passes_clean_rows(self, spark):
+        from presto_ethereum_spark.operators.multimodal import png_decode_screen
+        from pyspark.sql import functions as F
+
+        imgs = spark.read.parquet(MEDIA).limit(30).select(
+            "media_id",
+            F.when(
+                F.col("media_id") % 3 == 0,
+                F.expr("substring(png, 9, length(png) - 8)"),
+            )
+            .otherwise(F.col("png"))
+            .alias("png"),
+            "true_width",
+        )
+        out = {r.media_id: r for r in png_decode_screen(imgs).collect()}
+        truth = {r.media_id: r.true_width for r in imgs.collect()}
+        for mid, r in out.items():
+            if mid % 3 == 0:
+                assert (r.ok, r.err, r.width) == (False, "bad-signature", None)
+            else:
+                assert (r.ok, r.err, r.width) == (True, None, truth[mid])
+
+    def test_crc_corruption_classified(self, spark):
+        from presto_ethereum_spark.operators.multimodal import png_decode_screen
+        from pyspark.sql import functions as F
+
+        # flip a byte INSIDE the stream (keep the signature): CRC class
+        imgs = spark.read.parquet(MEDIA).limit(3).select(
+            "media_id",
+            F.expr(
+                "concat(substring(png, 1, 20), X'FF',"
+                " substring(png, 22, length(png) - 21))"
+            ).alias("png"),
+        )
+        rows = png_decode_screen(imgs).collect()
+        assert all(not r.ok and r.err == "bad-crc" for r in rows)
+
+
+class TestStreamIngest:
+    def test_settles_to_batch_decode(self, spark):
+        from presto_ethereum_spark.operators.multimodal import png_decode_stats
+        from presto_ethereum_spark.streaming.media import run_png_ingest
+
+        got = sorted(map(tuple, run_png_ingest(spark, MEDIA, splits=4).collect()))
+        want = sorted(
+            map(tuple, png_decode_stats(spark.read.parquet(MEDIA)).collect())
+        )
+        assert got == want and len(got) == 240
