@@ -187,29 +187,46 @@ HEADLINE += [
     "emb_prefix_dim_recall",
     "eth_erc20_balances",
 ]
-HEADLINE_FREEZE = "r10"
-INCOMING: list[str] = [
-    # round-10: incremental balance snapshot merge + log topic census
+HEADLINE_FREEZE = "r11"
+# r11 freeze bump: the 13 round-10 INCOMING entries graduate (below); the
+# first R10_HEADLINE_N names are exactly the r10-frozen set, so the
+# r10-comparable subtotal is still reported (r10_headline_subtotal).
+R10_HEADLINE_N = len(HEADLINE)
+HEADLINE += [
+    # graduated r10 incoming (order preserved from the r10 INCOMING list)
     "eth_balance_snapshot_merge",
     "eth_log_topic_profile",
-    # round-10: mergeable-state streaming EWMA and first-occurrence funnel
     "stream_ewma_user",
     "stream_funnel_firsts",
-    # round-10: WebDataset-style shard manifest + pack assembly proof
     "multimodal_shard_pack",
     "multimodal_pack_blobs",
-    # round-10: decile lift/gains table, kNN label-purity eval
     "rel_decile_lift",
     "emb_knn_label_purity",
-    # round-10: per-selector gas economics
     "eth_selector_gas_economics",
-    # round-10: semantic-dedup threshold sweep
     "emb_dup_threshold_curve",
-    # round-10: streaming additive balance upsert
     "stream_erc20_balance_upsert",
-    # round-10: corpus-order shingle novelty + cross-source vocab overlap
     "doc_shingle_novelty",
     "doc_source_vocab_overlap",
+]
+INCOMING: list[str] = [
+    # round-11: the balance pipeline fed by the RPC source's raw-log table
+    "stream_balance_rpc_tail",
+    # round-11: REAL PNG decode — batch stats, quarantine screen, and the
+    # standing 3-micro-batch ingest
+    "multimodal_png_decode_stats",
+    "multimodal_png_corrupt_screen",
+    "stream_png_ingest",
+    # round-11: A/B statistics (Welch t, rank-sum AUC) + basket lift
+    "rel_welch_ttest",
+    "rel_mann_whitney_auc",
+    "rel_basket_lift",
+    # round-11: LSH index load-balance pre-flight
+    "emb_bucket_balance",
+    # round-11: code-vs-prose screen + packing boundary leakage
+    "doc_code_prose_screen",
+    "doc_boundary_leakage",
+    # round-11: EIP-1559-style burn/tip decomposition
+    "eth_fee_burn_split",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -229,6 +246,8 @@ ITERATIVE = {
     "stream_ewma_user",
     "stream_funnel_firsts",
     "stream_erc20_balance_upsert",
+    "stream_balance_rpc_tail",
+    "stream_png_ingest",
     # kmeans_convergence collects a codebook per Lloyd round (multi-job)
     "emb_kmeans_convergence",
     "eth_tx_pagerank",
@@ -466,10 +485,13 @@ def main() -> None:
         # INCOMING entries are timed identically but totaled separately
         "value": headline_wall,
         "incoming_total_wall": incoming_wall,
-        # 1:1 comparability with BENCH_r09: the first R9_HEADLINE_N names
-        # are exactly the r9-frozen set
+        # 1:1 comparability with BENCH_r09/r10: name prefixes are exactly
+        # the respective frozen sets
         "r9_headline_subtotal": round(
             sum(times[n] for n in HEADLINE[:R9_HEADLINE_N]), 3
+        ),
+        "r10_headline_subtotal": round(
+            sum(times[n] for n in HEADLINE[:R10_HEADLINE_N]), 3
         ),
         "headline_freeze": HEADLINE_FREEZE,
         "incoming": INCOMING,
