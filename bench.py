@@ -227,6 +227,8 @@ INCOMING: list[str] = [
     "doc_boundary_leakage",
     # round-11: EIP-1559-style burn/tip decomposition
     "eth_fee_burn_split",
+    # round-11: REAL WAV/PCM16 audio decode
+    "multimodal_wav_decode_stats",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

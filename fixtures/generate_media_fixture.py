@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Deterministic synthetic IMAGE fixture for the graded real-decode entry
-(VERDICT r10 #6).
+"""Deterministic synthetic MEDIA fixtures for the graded real-decode
+entries (VERDICT r10 #6 and the audio extension).
 
 Generates (seed=42): fixtures/media/images.parquet — one row per image:
 
@@ -23,6 +23,13 @@ Content mix: gradients, checkerboards, stripes, solids, and seeded noise;
 sizes 5x5..48x33; every PNG filter type 0..4 and both color types (grey /
 RGB) cycle through the corpus, so all decoder reconstruction branches are
 exercised by graded data, not just unit tests.
+
+Also fixtures/media/audio.parquet — one row per PCM16 WAV clip
+(operators/wav.py encoder): sine / square / sawtooth / chirp / noise
+waveforms, rates 8000/16000/22050, mono + stereo, 400..2000 frames, with
+pre-encode ground truth (rate, channels, frames, total sum of squares,
+peak |sample|, strict sign-change count on channel 0) the graded Spark
+entry must recover from the container bytes alone.
 """
 
 from __future__ import annotations
@@ -41,9 +48,11 @@ from presto_ethereum_spark.operators.png import (  # noqa: E402
     encode_png,
     nn_resize,
 )
+from presto_ethereum_spark.operators.wav import encode_wav  # noqa: E402
 
 OUT = Path(__file__).resolve().parent / "media"
 N_IMAGES = 240
+N_CLIPS = 120
 THUMB = 8
 
 
@@ -123,6 +132,94 @@ def main() -> None:
     )
     pq.write_table(table, OUT / "images.parquet", compression="snappy")
     print(f"wrote {table.num_rows} images -> {OUT / 'images.parquet'}")
+    _write_audio()
+
+
+def _samples(rng: random.Random, kind: str, n: int, rate: int) -> list[int]:
+    import math
+
+    amp = 18000
+    if kind == "sine":
+        f = 220 + (n % 7) * 110
+        return [
+            int(round(amp * math.sin(2 * math.pi * f * i / rate)))
+            for i in range(n)
+        ]
+    if kind == "square":
+        period = max(8, rate // 440)
+        return [amp if (i // (period // 2)) % 2 == 0 else -amp for i in range(n)]
+    if kind == "saw":
+        period = max(8, rate // 330)
+        return [
+            int(round(-amp + 2 * amp * (i % period) / (period - 1)))
+            for i in range(n)
+        ]
+    if kind == "chirp":
+        return [
+            int(
+                round(
+                    amp
+                    * math.sin(2 * math.pi * (110 + 900 * i / n) * i / rate)
+                )
+            )
+            for i in range(n)
+        ]
+    return [rng.randint(-amp, amp) for _ in range(n)]
+
+
+def _write_audio() -> None:
+    rng = random.Random(4242)
+    kinds = ["sine", "square", "saw", "chirp", "noise"]
+    rates = [8000, 16000, 22050]
+    rows: dict[str, list] = {
+        "media_id": [], "mime": [], "wav": [],
+        "true_rate": [], "true_channels": [], "true_frames": [],
+        "true_sumsq": [], "true_peak": [], "true_zero_crossings": [],
+    }
+    for i in range(N_CLIPS):
+        kind = kinds[i % len(kinds)]
+        rate = rates[i % len(rates)]
+        stereo = i % 4 == 1
+        n = rng.randint(400, 2000)
+        ch0 = _samples(rng, kind, n, rate)
+        if stereo:
+            ch1 = _samples(rng, kinds[(i + 2) % len(kinds)], n, rate)
+            frames = list(zip(ch0, ch1))
+            blob = encode_wav(frames, rate, 2)
+            flat = [v for t in frames for v in t]
+            nch = 2
+        else:
+            blob = encode_wav(ch0, rate, 1)
+            flat = ch0
+            nch = 1
+        zc = sum(1 for j in range(1, n) if ch0[j - 1] * ch0[j] < 0)
+        rows["media_id"].append(i)
+        rows["mime"].append("audio/wav")
+        rows["wav"].append(blob)
+        rows["true_rate"].append(rate)
+        rows["true_channels"].append(nch)
+        rows["true_frames"].append(n)
+        rows["true_sumsq"].append(sum(v * v for v in flat))
+        rows["true_peak"].append(max(abs(v) for v in flat))
+        rows["true_zero_crossings"].append(zc)
+
+    table = pa.table(
+        {
+            "media_id": pa.array(rows["media_id"], pa.int64()),
+            "mime": pa.array(rows["mime"], pa.string()),
+            "wav": pa.array(rows["wav"], pa.binary()),
+            "true_rate": pa.array(rows["true_rate"], pa.int32()),
+            "true_channels": pa.array(rows["true_channels"], pa.int32()),
+            "true_frames": pa.array(rows["true_frames"], pa.int64()),
+            "true_sumsq": pa.array(rows["true_sumsq"], pa.int64()),
+            "true_peak": pa.array(rows["true_peak"], pa.int32()),
+            "true_zero_crossings": pa.array(
+                rows["true_zero_crossings"], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, OUT / "audio.parquet", compression="snappy")
+    print(f"wrote {table.num_rows} clips -> {OUT / 'audio.parquet'}")
 
 
 if __name__ == "__main__":

@@ -6,10 +6,12 @@ real and tested.  General codecs are stubbed (no image/audio libraries in
 this environment): decode functions try to import the real library
 (PIL/soundfile) and otherwise fall back to a clearly-marked deterministic
 fake (or raise, for the strict variant), so dropping the real codec in is a
-one-line change on a cluster that has it.  PNG is the exception — a REAL
-pure-Python baseline decoder (operators/png.py, public spec + stdlib zlib)
-runs end-to-end in :func:`png_decode_stats` and is graded against ground
-truth stored beside the encoded fixture bytes.
+one-line change on a cluster that has it.  PNG and WAV are the
+exceptions — REAL pure-Python baseline decoders (operators/png.py,
+public spec + stdlib zlib; operators/wav.py, RIFF/PCM16 + stdlib struct)
+run end-to-end in :func:`png_decode_stats` / :func:`wav_decode_stats`
+and are graded against ground truth stored beside the encoded fixture
+bytes; video remains byte-plumbing-only (no public pure-stdlib codec).
 
 Plumbing decisions that matter at 100 TB:
 
@@ -46,6 +48,7 @@ __all__ = [
     "extract_features",
     "png_decode_stats",
     "png_decode_screen",
+    "wav_decode_stats",
     "sample_frames",
     "frame_dedup_stats",
     "PHASH_SCHEMA",
@@ -649,6 +652,67 @@ def png_decode_screen(
                     recs.append((int(mid), False, kind, None, None))
             yield pd.DataFrame(
                 recs, columns=["media_id", "ok", "err", "width", "height"]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, out_schema)
+
+
+def wav_decode_stats(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "wav"
+) -> DataFrame:
+    """REAL audio decode -> per-clip stats: sample rate, channels, frame
+    count, total energy (exact integer sum of squares), peak |sample|,
+    and the strict sign-change count on channel 0 — the audio analogue
+    of png_decode_stats, with the codec step actually executed
+    (operators/wav.py RIFF/PCM16 parser), not stubbed.
+
+    All-integer outputs, so the differential against pre-encode ground
+    truth is exact.  Same mapInPandas scale story as the image path;
+    sum-of-squares stays in int64 up to ~2.1e9 frames/clip at full-scale
+    int16 amplitude (a 13-hour 44.1 kHz clip) — beyond that widen to
+    DECIMAL at the aggregation layer.  Out-of-profile containers fail
+    loudly (ValueError); screen a dirty corpus upstream the way
+    multimodal_png_corrupt_screen does for images."""
+    from presto_ethereum_spark.operators.wav import decode_wav
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("rate", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("n_frames", LongType()),
+            StructField("sum_sq", LongType()),
+            StructField("peak", IntegerType()),
+            StructField("zero_crossings", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, blob in zip(pdf[id_col], pdf[data_col]):
+                rate, nch, n, samples = decode_wav(bytes(blob))
+                ch0 = samples[::nch]
+                zc = sum(
+                    1 for j in range(1, n) if ch0[j - 1] * ch0[j] < 0
+                )
+                recs.append(
+                    (
+                        int(mid),
+                        rate,
+                        nch,
+                        n,
+                        sum(v * v for v in samples),
+                        max((abs(v) for v in samples), default=0),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "rate", "channels", "n_frames",
+                    "sum_sq", "peak", "zero_crossings",
+                ],
             )
 
     return df.select(id_col, data_col).mapInPandas(batches, out_schema)

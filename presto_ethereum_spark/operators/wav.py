@@ -1,0 +1,101 @@
+"""Minimal pure-Python WAV (RIFF/PCM16) codec — the REAL audio-decode path
+for the multimodal family, the audio sibling of operators/png.py.
+
+WAV is a fully public container (Microsoft/IBM RIFF spec; PCM samples are
+raw little-endian int16), so baseline decode needs only stdlib ``struct``:
+this module parses the RIFF header, the ``fmt `` chunk (PCM, 16-bit, 1-2
+channels) and the ``data`` chunk, and returns the interleaved samples
+exactly.  The encoder exists for the fixture generator and round-trip
+tests; the decoder runs inside Spark (multimodal.wav_decode_stats) and is
+graded against ground truth computed from the source samples BEFORE
+encoding.
+
+Same scale story as the PNG codec: per-row CPU work, zero cross-row
+state, embarrassingly parallel inside ``mapInPandas``.
+
+No third-party imports; written from the public container layout
+(RIFF('WAVE') -> 'fmt ' {audio_format, channels, sample_rate, byte_rate,
+block_align, bits} -> 'data' {pcm bytes}).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_wav", "decode_wav"]
+
+
+def encode_wav(
+    samples: list[int] | list[tuple[int, ...]],
+    sample_rate: int,
+    channels: int = 1,
+) -> bytes:
+    """Encode int16 PCM samples as a WAV blob.  ``samples`` is a flat list
+    of ints (mono) or frame tuples (multi-channel); values are clamped to
+    int16 range."""
+    flat: list[int] = []
+    for s in samples:
+        if isinstance(s, tuple):
+            if len(s) != channels:
+                raise ValueError("frame width != channels")
+            flat.extend(s)
+        else:
+            if channels != 1:
+                raise ValueError("flat samples require channels=1")
+            flat.append(s)
+    pcm = struct.pack(
+        "<%dh" % len(flat),
+        *[max(-32768, min(32767, int(v))) for v in flat],
+    )
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a PCM16 WAV -> (sample_rate, channels, n_frames, interleaved
+    int16 samples).  Non-PCM formats, other bit depths, or a mangled
+    container raise ValueError (honest failure, not a fake)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    (riff_len,) = struct.unpack("<I", blob[4:8])
+    if riff_len + 8 > len(blob):
+        raise ValueError("truncated RIFF payload")
+    pos = 12
+    rate = nch = bits = None
+    pcm: bytes | None = None
+    while pos + 8 <= len(blob):
+        ctype = blob[pos : pos + 4]
+        (length,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        if ctype == b"fmt ":
+            fmt_code, nch, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
+            if fmt_code != 1 or bits != 16 or nch not in (1, 2):
+                raise ValueError(
+                    f"unsupported WAV profile: format={fmt_code} bits={bits}"
+                    f" channels={nch}"
+                )
+        elif ctype == b"data":
+            pcm = data
+        # chunks are word-aligned: odd lengths carry a pad byte
+        pos += 8 + length + (length & 1)
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(pcm) % (2 * nch):
+        raise ValueError("data chunk is not whole frames")
+    samples = list(struct.unpack("<%dh" % (len(pcm) // 2), pcm))
+    return rate, nch, len(samples) // nch, samples

@@ -15322,3 +15322,33 @@ def stream_png_ingest(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.streaming.media import run_png_ingest
 
     return run_png_ingest(spark, str(MEDIA / "images.parquet"), splits=3)
+
+
+@q(
+    "multimodal_wav_decode_stats",
+    f"""
+    SELECT media_id,
+           true_rate AS rate,
+           true_channels AS channels,
+           true_frames AS n_frames,
+           true_sumsq AS sum_sq,
+           true_peak AS peak,
+           true_zero_crossings AS zero_crossings
+    FROM read_parquet('{MEDIA}/audio.parquet')
+    """,
+)
+def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL end-to-end AUDIO decode — the WAV sibling of
+    multimodal_png_decode_stats: Spark parses each fixture row's actual
+    RIFF/PCM16 container (operators/wav.py, public container layout +
+    stdlib struct; sine/square/saw/chirp/noise clips, 3 sample rates,
+    mono + stereo) inside mapInPandas and recomputes rate, channels,
+    frames, exact integer energy, peak, and channel-0 sign changes.
+    The oracle reads the GROUND-TRUTH columns the generator computed
+    from the source samples BEFORE encoding — all-integer, so the hash
+    gate passes only on exact sample reconstruction.  With this, image
+    AND audio decode run for real in CI; video remains the one
+    byte-plumbing-only modality (no public pure-stdlib codec)."""
+    from presto_ethereum_spark.operators.multimodal import wav_decode_stats
+
+    return wav_decode_stats(spark.read.parquet(str(MEDIA / "audio.parquet")))

@@ -222,3 +222,63 @@ class TestStreamIngest:
             map(tuple, png_decode_stats(spark.read.parquet(MEDIA)).collect())
         )
         assert got == want and len(got) == 240
+
+
+class TestWavDecode:
+    def test_roundtrip_and_corrupt(self):
+        from presto_ethereum_spark.operators.wav import decode_wav, encode_wav
+
+        s = [100, -200, 300, -32768, 32767, 0, 5]
+        assert decode_wav(encode_wav(s, 8000, 1)) == (8000, 1, 7, s)
+        fr = [(1, -1), (2, -2)]
+        assert decode_wav(encode_wav(fr, 22050, 2)) == (
+            22050, 2, 2, [1, -1, 2, -2],
+        )
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"OggS" + bytes(40))
+        blob = bytearray(encode_wav(s, 8000, 1))
+        blob[4:8] = (len(blob) + 99).to_bytes(4, "little")  # lie about size
+        with pytest.raises(ValueError, match="truncated"):
+            decode_wav(bytes(blob))
+        import struct
+
+        # 8-bit fmt chunk: unsupported profile, honest failure
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        bad = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_wav(bad)
+
+    def test_operator_recovers_pre_encode_truth(self, spark):
+        from presto_ethereum_spark.operators.multimodal import wav_decode_stats
+
+        clips = spark.read.parquet("fixtures/media/audio.parquet")
+        got = {
+            r.media_id: (
+                r.rate, r.channels, r.n_frames, r.sum_sq, r.peak,
+                r.zero_crossings,
+            )
+            for r in wav_decode_stats(clips).collect()
+        }
+        want = {
+            r.media_id: (
+                r.true_rate, r.true_channels, r.true_frames, r.true_sumsq,
+                r.true_peak, r.true_zero_crossings,
+            )
+            for r in clips.collect()
+        }
+        assert got == want and len(got) == 120
+
+    def test_fixture_covers_rates_channels_kinds(self, spark):
+        from pyspark.sql import functions as F
+
+        clips = spark.read.parquet("fixtures/media/audio.parquet")
+        rates = {r.true_rate for r in clips.select("true_rate").distinct().collect()}
+        chans = {
+            r.true_channels
+            for r in clips.select("true_channels").distinct().collect()
+        }
+        assert rates == {8000, 16000, 22050}
+        assert chans == {1, 2}
