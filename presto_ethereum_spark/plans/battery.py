@@ -5864,10 +5864,21 @@ def stream_chain_gas(spark: SparkSession, sf: str) -> DataFrame:
     availableNow result must equal the batch aggregation of the block
     table — the oracle checks a *custom Python streaming source* end to
     end.  Gas sums ride DECIMAL(18,0) (the values are integer-valued
-    doubles), so the answer is micro-batch-partitioning independent."""
+    doubles), so the answer is micro-batch-partitioning independent.
+    r11: graded as THREE rate-limited micro-batches under the
+    incremental-batch schedule (drain_runs=3, 800 blocks/batch over the
+    2,400-block fixture) — each drain resumes the aggregation's state
+    store from the shared checkpoint, so the gate now also proves
+    stateful restart-recovery on the custom source, not just a
+    single-batch pass."""
     from presto_ethereum_spark.streaming.chain import run_chain_gas_buckets
 
-    return run_chain_gas_buckets(spark, str(ETH / "chain_blocks.parquet"))
+    return run_chain_gas_buckets(
+        spark,
+        str(ETH / "chain_blocks.parquet"),
+        max_per_batch=800,
+        drain_runs=3,
+    )
 
 
 @q(
@@ -5888,11 +5899,17 @@ def stream_chain_gas_partitioned(spark: SparkSession, sf: str) -> DataFrame:
     the high-rate catch-up mode: per trigger, the batch range splits into
     blocks_per_partition chunks fetched in parallel on executors instead
     of serially on the driver).  Same offsets, same oracle, different
-    physical read path."""
+    physical read path; r11: same 3-drain incremental-batch schedule as
+    stream_chain_gas, so the executor-side reader's offset floor +
+    state-store recovery are gate-proven too."""
     from presto_ethereum_spark.streaming.chain import run_chain_gas_buckets
 
     return run_chain_gas_buckets(
-        spark, str(ETH / "chain_blocks.parquet"), reader_mode="partitioned"
+        spark,
+        str(ETH / "chain_blocks.parquet"),
+        reader_mode="partitioned",
+        max_per_batch=800,
+        drain_runs=3,
     )
 
 
@@ -8091,10 +8108,14 @@ def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ERC-20 transfer tail: readStream over the chain source
     with table=erc20 — each micro-batch is ONE filtered eth_getLogs per
     block range (the bulk path, no block bodies, no receipts), decoded by
-    the same per-log rules as the batch scan.  Drained availableNow and
-    aggregated per token; must equal the golden batch aggregation exactly
-    (%.6e canonicalization absorbs fp summation order, as in
-    eth_erc20_movement)."""
+    the same per-log rules as the batch scan.  Aggregated per token; must
+    equal the golden batch aggregation exactly (%.6e canonicalization
+    absorbs fp summation order, as in eth_erc20_movement).  r11: graded
+    as THREE rate-limited micro-batches (drain_runs=3 x 800 blocks) under
+    the incremental-batch schedule — each availableNow run is one bulk
+    getLogs + a state-store resume from the shared checkpoint."""
+    import shutil
+    import tempfile
     import uuid
 
     from presto_ethereum_spark.streaming.chain import EthereumStreamDataSource
@@ -8104,7 +8125,7 @@ def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
         spark.readStream.format("ethereum-stream")
         .option("path", str(ETH / "chain_blocks.parquet"))
         .option("table", "erc20")
-        .option("max_blocks_per_batch", 3000)
+        .option("max_blocks_per_batch", 800)
         .load()
     )
     agg = stream.groupBy("erc20_token").agg(
@@ -8112,17 +8133,23 @@ def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_transfers"),
     )
     sink = f"stream_erc20_{uuid.uuid4().hex[:8]}"
-    q_ = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q_.awaitTermination()
-    out = spark.table(sink).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
-    return out
+    chk = tempfile.mkdtemp(prefix="erc20_tail_chk_")
+    try:
+        for _ in range(3):
+            q_ = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            q_.awaitTermination()
+        out = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return out
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
 
 
 @q("doc_bpe_train", None)

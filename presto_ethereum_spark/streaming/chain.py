@@ -284,6 +284,7 @@ def run_chain_gas_buckets(
     bucket_blocks: int = 100,
     max_per_batch: int = 4000,
     reader_mode: str = "simple",
+    drain_runs: int = 1,
 ):
     """Streaming gas telemetry over the chain tail: readStream on the
     ethereum-stream source, aggregated per ``bucket_blocks``-block bucket,
@@ -292,7 +293,17 @@ def run_chain_gas_buckets(
     The standing monitor shape for a live node: block micro-batches fold
     into a bounded per-bucket state (complete mode over a small bucket
     domain); gas sums go through DECIMAL so the streamed result equals the
-    batch aggregation exactly under any micro-batch partitioning."""
+    batch aggregation exactly under any micro-batch partitioning.
+
+    ``drain_runs`` > 1 applies the incremental-batch schedule (see
+    run_balance_upsert): Spark wraps Python stream sources lacking
+    SupportsTriggerAvailableNow so one availableNow run drains exactly one
+    rate-limited micro-batch; re-running against the SAME checkpoint
+    resumes both the source offset AND the aggregation's state store —
+    each drain is a genuine stateful-query restart-recovery, and the
+    settled table must still equal the batch aggregation."""
+    import tempfile
+    import shutil
     import uuid
 
     from pyspark.sql import functions as F
@@ -320,20 +331,26 @@ def run_chain_gas_buckets(
         )
     )
     sink = f"stream_chain_gas_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # pin the result and DROP the uuid-named sink table: repeated calls in
-    # one session (bench loops, retries) must not accumulate cached result
-    # tables
-    out = spark.table(sink).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
-    return out
+    chk = tempfile.mkdtemp(prefix="chain_gas_chk_")
+    try:
+        for _ in range(max(1, drain_runs)):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            q.awaitTermination()
+        # pin the result and DROP the uuid-named sink table: repeated calls
+        # in one session (bench loops, retries) must not accumulate cached
+        # result tables
+        out = spark.table(sink).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(sink)
+        return out
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
 
 
 def rescan_reorged(spark, ingested, options: dict, depth: int = 64):
