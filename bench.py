@@ -21,13 +21,23 @@ and then REPEATS (default 3; 7 for the iterative/GC-sensitive subset) timed
 runs; the reported number is the MEDIAN of the timed (warm) runs, with
 per-query warm min/max spread recorded in BENCH_DETAIL.json.
 
-Output contract (r7): the LAST stdout line is a <=200-byte summary —
-{"metric","value","unit","sf","n_queries","repeats","iter_repeats",
-"n_sessions"} — with NO per-query map, guarded by a hard length assert.
-Two rounds running (r5, r6) the per-query map outgrew the driver's
-2,000-char stdout tail window and the flagship number shipped
-machine-unreadable ("parsed: null").  The full per-query map + spreads are
-printed on an EARLIER stdout line and written to BENCH_DETAIL.json.
+Host-drift normalization (r11): every chunk session also times the
+CODE-FROZEN ``calibration_probe`` (warmup + 3 repeats, median + warm
+spread recorded).  BENCH_DETAIL.json carries ``calibration_wall``,
+per-session probe medians/spreads, and ``queries_normalized`` (each query
+divided by ITS session's probe median, unitless).  Cross-round
+comparisons should read the normalized numbers — r10's 1.14-1.30x
+fleet-wide host drift divides out, and a spread outlier is only
+suspicious if its session's probe stayed tight (SCALE.md §6c).
+
+Output contract (r7, relaxed r11): the LAST stdout line is a <=256-byte
+summary — {"metric","value","unit","sf","n_queries","repeats",
+"iter_repeats","n_sessions","calib","hl_norm"} — with NO per-query map,
+guarded by a hard length assert.  Two rounds running (r5, r6) the
+per-query map outgrew the driver's 2,000-char stdout tail window and the
+flagship number shipped machine-unreadable ("parsed: null").  The full
+per-query map + spreads are printed on an EARLIER stdout line and written
+to BENCH_DETAIL.json.
 """
 
 from __future__ import annotations

@@ -14800,7 +14800,9 @@ def rel_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     )
     a, b = g.alias("a"), g.alias("b")
     w = (
-        a.join(b, F.col("a.n_name") == F.col("b.n_name"))
+        # the arm-vs-arm join runs on the |groups| x 2-row aggregate, never
+        # the fact table: broadcast it statically (AQE would anyway)
+        a.join(F.broadcast(b), F.col("a.n_name") == F.col("b.n_name"))
         .where(
             (F.col("a.hi") == 1)
             & (F.col("b.hi") == 0)
