@@ -239,6 +239,8 @@ INCOMING: list[str] = [
     "eth_fee_burn_split",
     # round-11: REAL WAV/PCM16 audio decode
     "multimodal_wav_decode_stats",
+    # round-11: RFM segmentation on exact percentile_disc thresholds
+    "rel_rfm_segments",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -15381,3 +15381,109 @@ def multimodal_wav_decode_stats(spark: SparkSession, sf: str) -> DataFrame:
     from presto_ethereum_spark.operators.multimodal import wav_decode_stats
 
     return wav_decode_stats(spark.read.parquet(str(MEDIA / "audio.parquet")))
+
+
+@q(
+    "rel_rfm_segments",
+    """
+    WITH p AS (
+      SELECT user_id,
+             epoch_us(max(ts)) // 86400000000 AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    tr AS (
+      SELECT min(CASE WHEN cum * 4 >= 1 * tot THEN v END) AS q1,
+             min(CASE WHEN cum * 4 >= 2 * tot THEN v END) AS q2,
+             min(CASE WHEN cum * 4 >= 3 * tot THEN v END) AS q3
+      FROM (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER () AS tot
+            FROM (SELECT r AS v, count(*) AS c FROM p GROUP BY r))),
+    tf AS (
+      SELECT min(CASE WHEN cum * 4 >= 1 * tot THEN v END) AS q1,
+             min(CASE WHEN cum * 4 >= 2 * tot THEN v END) AS q2,
+             min(CASE WHEN cum * 4 >= 3 * tot THEN v END) AS q3
+      FROM (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER () AS tot
+            FROM (SELECT f AS v, count(*) AS c FROM p GROUP BY f))),
+    tm AS (
+      SELECT min(CASE WHEN cum * 4 >= 1 * tot THEN v END) AS q1,
+             min(CASE WHEN cum * 4 >= 2 * tot THEN v END) AS q2,
+             min(CASE WHEN cum * 4 >= 3 * tot THEN v END) AS q3
+      FROM (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER () AS tot
+            FROM (SELECT m AS v, count(*) AS c FROM p GROUP BY m)))
+    SELECT CAST(1 + (r > tr.q1)::INT + (r > tr.q2)::INT + (r > tr.q3)::INT
+                AS INT) AS r_bucket,
+           CAST(1 + (f > tf.q1)::INT + (f > tf.q2)::INT + (f > tf.q3)::INT
+                AS INT) AS f_bucket,
+           CAST(1 + (m > tm.q1)::INT + (m > tm.q2)::INT + (m > tm.q3)::INT
+                AS INT) AS m_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(m) AS BIGINT) AS total_m_cents
+    FROM p, tr, tf, tm
+    GROUP BY 1, 2, 3
+    """,
+)
+def rel_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation — the retention/marketing workhorse:
+    per purchasing user, Recency (last purchase DAY, exact epoch-day —
+    day grain keeps the threshold window's distinct-value domain at
+    calendar size, not user cardinality),
+    Frequency (purchase count), Monetary (LONG cents), each assigned a
+    1..4 quartile bucket against EXACT PERCENTILE_DISC thresholds
+    (operators/stats.grouped_percentile_disc's integer-comparison rule —
+    thresholds are actual data values, never interpolated doubles, so
+    both engines agree bit-for-bit and ties land deterministically by
+    value, not input order).  Output: the <=64 (R,F,M) cells with user
+    counts and cents mass.  One user-keyed aggregate + three
+    distinct-value cumulative windows (bounded by distinct metric
+    values: calendar days for R, small ints for F; M's cents domain is
+    the widest — at extreme scale swap its exact threshold for
+    rel_histogram_quantiles' fixed-bin estimate) + three broadcast 1-row
+    threshold joins — no per-user window over the raw event stream, so
+    the plan survives any user cardinality."""
+    from presto_ethereum_spark.operators.stats import grouped_percentile_disc
+
+    ev = t(spark, sf, "events").where(F.col("event_type") == "purchase")
+    p = ev.groupBy("user_id").agg(
+        F.expr("CAST(max(ts) DIV 1000 DIV 86400000000 AS BIGINT)").alias("r"),
+        F.count("*").cast("long").alias("f"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("m"),
+    )
+    qs = [("q1", 1, 4), ("q2", 2, 4), ("q3", 3, 4)]
+    thr = {
+        name: grouped_percentile_disc(p, [], name, qs).select(
+            F.col("q1").alias(f"{name}_q1"),
+            F.col("q2").alias(f"{name}_q2"),
+            F.col("q3").alias(f"{name}_q3"),
+        )
+        for name in ("r", "f", "m")
+    }
+    j = p
+    for name in ("r", "f", "m"):
+        j = j.crossJoin(F.broadcast(thr[name]))
+
+    def bucket(name: str):
+        return (
+            1
+            + (F.col(name) > F.col(f"{name}_q1")).cast("int")
+            + (F.col(name) > F.col(f"{name}_q2")).cast("int")
+            + (F.col(name) > F.col(f"{name}_q3")).cast("int")
+        ).cast("int")
+
+    return (
+        j.select(
+            bucket("r").alias("r_bucket"),
+            bucket("f").alias("f_bucket"),
+            bucket("m").alias("m_bucket"),
+            "m",
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("m").cast("long").alias("total_m_cents"),
+        )
+    )
