@@ -8132,10 +8132,15 @@ def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
         F.format_string("%.6e", F.sum("erc20_value")).alias("total_value"),
         F.count("*").alias("n_transfers"),
     )
-    sink = f"stream_erc20_{uuid.uuid4().hex[:8]}"
     chk = tempfile.mkdtemp(prefix="erc20_tail_chk_")
     try:
-        for _ in range(3):
+        out = None
+        for i in range(3):
+            # one sink per drain; keep the last non-empty settled table
+            # (an exhausted-source drain fires zero triggers and would
+            # otherwise clobber the state with its empty view) — the
+            # run_chain_gas_buckets drain discipline
+            sink = f"stream_erc20_{uuid.uuid4().hex[:8]}_{i}"
             q_ = (
                 agg.writeStream.format("memory")
                 .queryName(sink)
@@ -8145,8 +8150,10 @@ def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
                 .start()
             )
             q_.awaitTermination()
-        out = spark.table(sink).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(sink)
+            cur = spark.table(sink).localCheckpoint(eager=True)
+            spark.catalog.dropTempView(sink)
+            if cur.take(1):
+                out = cur
         return out
     finally:
         shutil.rmtree(chk, ignore_errors=True)

@@ -330,10 +330,17 @@ def run_chain_gas_buckets(
             F.max("block_gaslimit").alias("max_gas_limit"),
         )
     )
-    sink = f"stream_chain_gas_{uuid.uuid4().hex[:8]}"
     chk = tempfile.mkdtemp(prefix="chain_gas_chk_")
     try:
-        for _ in range(max(1, drain_runs)):
+        out = None
+        for i in range(max(1, drain_runs)):
+            # one sink PER drain: a drain that finds the source exhausted
+            # fires zero triggers and leaves ITS table empty — reusing one
+            # name would let that empty table clobber the settled state
+            # (complete mode rewrites the registered view per query run).
+            # Keeping the last non-empty output makes drain_runs
+            # over-provisionable.
+            sink = f"stream_chain_gas_{uuid.uuid4().hex[:8]}_{i}"
             q = (
                 agg.writeStream.format("memory")
                 .queryName(sink)
@@ -343,11 +350,19 @@ def run_chain_gas_buckets(
                 .start()
             )
             q.awaitTermination()
-        # pin the result and DROP the uuid-named sink table: repeated calls
-        # in one session (bench loops, retries) must not accumulate cached
-        # result tables
-        out = spark.table(sink).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(sink)
+            # pin the result and DROP the uuid-named sink table: repeated
+            # calls in one session (bench loops, retries) must not
+            # accumulate cached result tables
+            cur = spark.table(sink).localCheckpoint(eager=True)
+            spark.catalog.dropTempView(sink)
+            if cur.take(1):
+                out = cur
+        if out is None:
+            out = spark.createDataFrame(
+                [],
+                "bucket int, n_blocks long, total_gas_used double,"
+                " max_gas_limit long",
+            )
         return out
     finally:
         shutil.rmtree(chk, ignore_errors=True)

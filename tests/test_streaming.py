@@ -1604,3 +1604,31 @@ class TestBalanceUpsertRpcTail:
         assert batches == 3  # 2,400 fixture blocks / 800 per batch
         assert n_rows > 0
         assert counting.counts == {"get_blocks": 0, "get_logs": 3}
+
+
+class TestDrainOverProvisioning:
+    def test_extra_drains_do_not_clobber_settled_state(self, spark):
+        """drain_runs beyond the available micro-batches must be a no-op:
+        an exhausted-source availableNow run fires zero triggers, and the
+        per-drain sink discipline keeps the last NON-empty settled table
+        instead of letting the empty view win."""
+        from presto_ethereum_spark.streaming.chain import run_chain_gas_buckets
+
+        path = "fixtures/eth/chain_blocks.parquet"
+        want = sorted(
+            map(
+                tuple,
+                run_chain_gas_buckets(
+                    spark, path, max_per_batch=4000, drain_runs=1
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                run_chain_gas_buckets(
+                    spark, path, max_per_batch=800, drain_runs=6
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
