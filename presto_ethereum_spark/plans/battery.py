@@ -15000,11 +15000,16 @@ def rel_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     at <= 7 distinct parts/order, so fan-out is <= 21 pairs/order —
     the same bounded-blocking argument as doc_ngram_jaccard_block's
     df cap; frequencies and N broadcast.  Top-k is
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort.  The distinct basket
+    table is pinned once (localCheckpoint — the doc_tfidf_topk persisted
+    reused-base discipline): four consumers (N, frequencies, both pair
+    sides) would otherwise each re-scan and re-distinct the fact
+    table."""
     li = (
         t(spark, sf, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     dec = "decimal(38,0)"
     n_orders = li.agg(
