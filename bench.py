@@ -241,6 +241,8 @@ INCOMING: list[str] = [
     "multimodal_wav_decode_stats",
     # round-11: RFM segmentation on exact percentile_disc thresholds
     "rel_rfm_segments",
+    # round-11: exact integer-scaled PERCENTILE_CONT
+    "rel_percentile_cont",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

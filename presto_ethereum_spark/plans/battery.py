@@ -15499,3 +15499,89 @@ def rel_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("m").cast("long").alias("total_m_cents"),
         )
     )
+
+
+@q(
+    "rel_percentile_cont",
+    """
+    WITH v AS (
+      SELECT n_name,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY n_name ORDER BY
+                                round(o_totalprice * 100)) AS rn,
+             count(*) OVER (PARTITION BY n_name) AS n
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey),
+    k AS (
+      SELECT n_name, cents, rn, n,
+             (n - 1) // 2 AS k50, (n - 1) % 2 AS r50,
+             ((n - 1) * 9) // 10 AS k90, ((n - 1) * 9) % 10 AS r90
+      FROM v)
+    SELECT n_name,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN rn = k50 + 1 THEN cents * (2 - r50)
+                         WHEN rn = k50 + 2 THEN cents * r50
+                         ELSE 0 END) AS BIGINT) AS p50_cents_x2,
+           CAST(sum(CASE WHEN rn = k90 + 1 THEN cents * (10 - r90)
+                         WHEN rn = k90 + 2 THEN cents * r90
+                         ELSE 0 END) AS BIGINT) AS p90_cents_x10
+    FROM k GROUP BY n_name
+    """,
+)
+def rel_percentile_cont(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL-standard PERCENTILE_CONT, EXACT — the interpolated quantile
+    that completes the repo's quantile inventory (disc: eth_fee_oracle /
+    rel_weighted_median; sketch: rel_approx_sketches; mergeable
+    histogram: rel_histogram_quantiles): at rank position (n-1)p the
+    value is v_k*(1-frac) + v_{k+1}*frac, and for rational p the
+    interpolation is an INTEGER once scaled by p's denominator — p50
+    reads out as cents*2, p90 as cents*10, so both engines agree
+    bit-for-bit with zero doubles anywhere (the disc family's
+    integer-comparison discipline extended to interpolation).  One
+    row_number window per group + a conditional aggregate; equal values
+    may permute under row_number but the selected POSITIONS read the
+    same multiset values, so ties cannot perturb the result.  At 100 TB
+    the per-group sort is the cost — same class as any exact quantile;
+    swap for the histogram entry when an estimate suffices."""
+    ev = (
+        t(spark, sf, "orders")
+        .join(t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t(spark, sf, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents")
+    v = ev.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("n_name")).alias("n"),
+    ).select(
+        "*",
+        F.expr("(n - 1) DIV 2").alias("k50"),
+        F.expr("(n - 1) % 2").alias("r50"),
+        F.expr("((n - 1) * 9) DIV 10").alias("k90"),
+        F.expr("((n - 1) * 9) % 10").alias("r90"),
+    )
+    return v.groupBy("n_name").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("rn") == F.col("k50") + 1, F.col("cents") * (2 - F.col("r50")))
+            .when(F.col("rn") == F.col("k50") + 2, F.col("cents") * F.col("r50"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("p50_cents_x2"),
+        F.sum(
+            F.when(
+                F.col("rn") == F.col("k90") + 1, F.col("cents") * (10 - F.col("r90"))
+            )
+            .when(F.col("rn") == F.col("k90") + 2, F.col("cents") * F.col("r90"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("p90_cents_x10"),
+    )
