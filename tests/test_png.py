@@ -282,3 +282,74 @@ class TestWavDecode:
         }
         assert rates == {8000, 16000, 22050}
         assert chans == {1, 2}
+
+
+class TestCodecProperties:
+    """Hypothesis round-trips: arbitrary pixel/sample content, arbitrary
+    dimensions and filter choices — shrinkage finds minimal failures the
+    fixed-seed loops cannot."""
+
+    def test_png_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 10),
+            gray=st.booleans(),
+            ft=st.integers(0, 4),
+            data=st.data(),
+        )
+        def check(w, h, gray, ft, data):
+            byte = st.integers(0, 255)
+            if gray:
+                px = data.draw(
+                    st.lists(
+                        st.lists(byte, min_size=w, max_size=w),
+                        min_size=h, max_size=h,
+                    )
+                )
+                flat = bytes(v for row in px for v in row)
+            else:
+                px = data.draw(
+                    st.lists(
+                        st.lists(
+                            st.tuples(byte, byte, byte),
+                            min_size=w, max_size=w,
+                        ),
+                        min_size=h, max_size=h,
+                    )
+                )
+                flat = bytes(c for row in px for p in row for c in p)
+            got = decode_png(encode_png(px, grayscale=gray, filter_type=ft))
+            assert got == (w, h, 1 if gray else 3, flat)
+
+        check()
+
+    def test_wav_roundtrip_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        from presto_ethereum_spark.operators.wav import decode_wav, encode_wav
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            rate=st.sampled_from([8000, 16000, 44100]),
+            stereo=st.booleans(),
+            data=st.data(),
+        )
+        def check(rate, stereo, data):
+            sample = st.integers(-32768, 32767)
+            if stereo:
+                frames = data.draw(
+                    st.lists(st.tuples(sample, sample), min_size=1, max_size=64)
+                )
+                flat = [v for t in frames for v in t]
+                got = decode_wav(encode_wav(frames, rate, 2))
+                assert got == (rate, 2, len(frames), flat)
+            else:
+                s = data.draw(st.lists(sample, min_size=1, max_size=128))
+                assert decode_wav(encode_wav(s, rate, 1)) == (
+                    rate, 1, len(s), s,
+                )
+
+        check()
