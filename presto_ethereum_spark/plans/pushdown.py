@@ -24,8 +24,10 @@ block ranges per scan (``EthereumBlockRange`` list in
 EthereumTableLayoutHandle.java:13-36, consumed by the ``getOrderedRanges``
 loop at EthereumMetadata.java:190-199) so ``WHERE a BETWEEN .. OR a BETWEEN
 ..`` prunes both islands.  Spark's Python DataSource API delivers only the
-top-level conjunction, so arbitrary ORs cannot arrive via ``pushFilters`` —
-but the two expressible forms are honored:
+top-level conjunction, so arbitrary ORs cannot arrive via ``pushFilters``
+(re-verified against pyspark 4.1.2 in r11: datasource.py:523 still
+documents the filter list as "the AND of the elements") — but the two
+expressible forms are honored:
 
 - ``In`` filters split into one range per *consecutive run* of values
   (``block_number IN (5, 6, 1_000_000)`` scans 2 islands, not 999_996
