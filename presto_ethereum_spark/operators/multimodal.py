@@ -634,6 +634,9 @@ def png_decode_screen(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         for pdf in it:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[data_col]):
@@ -650,6 +653,12 @@ def png_decode_screen(
                         else "decode-error"
                     )
                     recs.append((int(mid), False, kind, None, None))
+                except (struct.error, zlib.error):
+                    # blobs truncated mid-chunk hit struct.unpack on a
+                    # short slice; garbage IDAT hits zlib.decompress —
+                    # both are exactly the dirty-corpus corruption this
+                    # screen exists to quarantine, not task-killers
+                    recs.append((int(mid), False, "decode-error", None, None))
             yield pd.DataFrame(
                 recs, columns=["media_id", "ok", "err", "width", "height"]
             )

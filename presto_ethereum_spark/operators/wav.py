@@ -83,6 +83,8 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
         if len(data) != length:
             raise ValueError(f"truncated {ctype!r} chunk")
         if ctype == b"fmt ":
+            if len(data) < 16:
+                raise ValueError("truncated fmt chunk (need 16 bytes)")
             fmt_code, nch, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
             if fmt_code != 1 or bits != 16 or nch not in (1, 2):
                 raise ValueError(

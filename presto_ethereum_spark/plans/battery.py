@@ -8154,6 +8154,11 @@ def stream_erc20_tail(spark: SparkSession, sf: str) -> DataFrame:
             spark.catalog.dropTempView(sink)
             if cur.take(1):
                 out = cur
+        if out is None:
+            # all drains settled empty (empty/exhausted source): hand back
+            # an empty frame with the agg schema, not None — the
+            # run_chain_gas_buckets fallback discipline
+            out = spark.createDataFrame([], agg.schema)
         return out
     finally:
         shutil.rmtree(chk, ignore_errors=True)

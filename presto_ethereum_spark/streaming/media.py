@@ -12,7 +12,6 @@ per-row pure, so the settled result is split-invariant by construction
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import tempfile
@@ -36,14 +35,20 @@ def run_png_ingest(spark, path: str, splits: int = 3):
         imgs = spark.read.parquet(path)
         schema = imgs.schema
         n = imgs.count()
-        step = max(1, math.ceil(n / splits))
+        # split on pmod(media_id, splits) — a total partitioning of the
+        # id domain, so sparse / non-dense / negative ids all land in
+        # exactly one staged batch (id-RANGE staging silently dropped
+        # ids outside [0, splits*step) when ids weren't dense 0..n-1)
+        staged = 0
         for i in range(splits):
-            part = imgs.where(
-                (F.col("media_id") >= i * step)
-                & (F.col("media_id") < (i + 1) * step)
-            )
+            part = imgs.where(F.pmod(F.col("media_id"), F.lit(splits)) == i)
+            staged += part.count()
             part.coalesce(1).write.mode("overwrite").parquet(
                 f"{root}/input/part_{i}"
+            )
+        if staged != n:
+            raise AssertionError(
+                f"staging lost rows: staged {staged} of {n}"
             )
         out = f"{root}/decoded"
 

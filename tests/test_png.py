@@ -211,6 +211,41 @@ class TestDecodeScreen:
         rows = png_decode_screen(imgs).collect()
         assert all(not r.ok and r.err == "bad-crc" for r in rows)
 
+    def test_truncated_and_garbage_idat_quarantined(self, spark):
+        """A blob cut mid-chunk raises struct.error inside decode_png and
+        zlib garbage raises zlib.error — both must route to quarantine
+        (that truncated-upload corruption is exactly what the screen is
+        for), never kill the task."""
+        import struct
+        import zlib
+
+        from presto_ethereum_spark.operators.multimodal import png_decode_screen
+        from presto_ethereum_spark.operators.png import encode_png
+
+        good = encode_png([[(1, 2, 3)] * 4] * 4)
+        # cut mid-chunk: keep the signature + a partial IHDR (no CRC bytes)
+        truncated = good[:14]
+        # valid chunk framing, garbage compressed payload inside IDAT
+        raw = bytearray(good)
+        pos = 8
+        while pos + 8 <= len(raw):
+            (ln,) = struct.unpack(">I", bytes(raw[pos : pos + 4]))
+            if bytes(raw[pos + 4 : pos + 8]) == b"IDAT":
+                body = b"\x00not-zlib-data"[:ln]
+                body += bytes(ln - len(body))
+                raw[pos + 8 : pos + 8 + ln] = body
+                crc = zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF
+                raw[pos + 8 + ln : pos + 12 + ln] = struct.pack(">I", crc)
+            pos += 12 + ln
+        imgs = spark.createDataFrame(
+            [(0, bytearray(truncated)), (1, raw), (2, bytearray(good))],
+            "media_id long, png binary",
+        )
+        out = {r.media_id: r for r in png_decode_screen(imgs).collect()}
+        assert (out[0].ok, out[0].err) == (False, "decode-error")
+        assert out[1].ok is False  # zlib.error or CRC-detected, never a raise
+        assert out[2].ok is True
+
 
 class TestStreamIngest:
     def test_settles_to_batch_decode(self, spark):
@@ -222,6 +257,27 @@ class TestStreamIngest:
             map(tuple, png_decode_stats(spark.read.parquet(MEDIA)).collect())
         )
         assert got == want and len(got) == 240
+
+    def test_sparse_nondense_ids_lose_nothing(self, spark, tmp_path):
+        """ids that are NOT dense 0..n-1 (gaps, huge offsets) must all be
+        staged and decoded — the old COUNT-derived id-range staging
+        silently dropped ids outside [0, splits*step)."""
+        from presto_ethereum_spark.operators.multimodal import png_decode_stats
+        from presto_ethereum_spark.streaming.media import run_png_ingest
+        from pyspark.sql import functions as F
+
+        sparse = (
+            spark.read.parquet(MEDIA)
+            .limit(12)
+            .withColumn("media_id", F.col("media_id") * 1000 + 7_000_000)
+        )
+        p = str(tmp_path / "sparse_media")
+        sparse.write.parquet(p)
+        got = sorted(map(tuple, run_png_ingest(spark, p, splits=3).collect()))
+        want = sorted(
+            map(tuple, png_decode_stats(spark.read.parquet(p)).collect())
+        )
+        assert got == want and len(got) == 12
 
 
 class TestWavDecode:
@@ -250,6 +306,15 @@ class TestWavDecode:
         )
         with pytest.raises(ValueError, match="unsupported"):
             decode_wav(bad)
+        # fmt chunk shorter than the 16-byte PCM header: honest ValueError,
+        # never struct.error escaping an except-ValueError quarantine
+        short_fmt = struct.pack("<HHI", 1, 1, 8000)  # 8 bytes only
+        bad2 = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(short_fmt)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt
+        )
+        with pytest.raises(ValueError, match="truncated fmt"):
+            decode_wav(bad2)
 
     def test_operator_recovers_pre_encode_truth(self, spark):
         from presto_ethereum_spark.operators.multimodal import wav_decode_stats
