@@ -36,6 +36,9 @@ __all__ = [
     "erc20_from_chain",
     "h32_to_h20_col",
     "hex_to_double_col",
+    "hex_to_u256_limb_cols",
+    "u256_limb_sums_to_hex",
+    "erc20_transfer_deltas_u256",
     "token_symbol_col",
     "truncate_varchar_bounds",
     "VARCHAR_BOUNDS",
@@ -177,6 +180,107 @@ def hex_to_decimal_col(col: Column) -> Column:
         return s.map(conv)
 
     return _f(col)
+
+
+U256_LIMB_BASE = 16**15  # 2^60: each limb exact in BIGINT/conv, 5 limbs = 2^256
+
+# 1-based (pos, len) slices over the lpad-64 hex body, LOW limb first:
+# l0 = hex[50:65) (bits 0-59), l1, l2, l3 (15 hex each), l4 = hex[1:5) (top
+# 16 bits).  Binary-aligned on purpose: base 16^15 limbs carry-normalize and
+# render back to hex with 64-bit arithmetic only — no 256-bit type needed on
+# either engine (the DuckDB oracles use the same slices in HUGEINT).
+U256_LIMB_SLICES = [(50, 15), (35, 15), (20, 15), (5, 15), (1, 4)]
+
+
+def hex_to_u256_limb_cols(col: Column) -> list[Column]:
+    """FULL-RANGE exact uint256 decode: hex quantity -> five base-16^15
+    limbs [l0 (low) .. l4 (top)], each DECIMAL(38,0), pure JVM expressions
+    (conv on <=15 hex digits is exact; no Python in the scan path — the
+    hex_to_double_col design argument).  Retires the exact family's
+    >2^120 exclusion: any uint256 a real token can emit decodes exactly.
+    Signed arithmetic distributes over limbs (-v == per-limb negation), so
+    ledger deltas sum per-limb with map-side partials and re-normalize
+    once per GROUP at read-out (u256_limb_sums_to_hex).  Unparseable or
+    over-long hex -> all-NULL limbs (the exact path's honest failure;
+    callers filter wire shapes beforehand, as erc20_transfer_deltas_u256
+    does)."""
+    body = F.lower(F.substring(col, 3, 1 << 30))
+    h = F.lpad(body, 64, "0")
+    ok = body.rlike("^[0-9a-f]{1,64}$")
+    return [
+        F.when(ok, F.conv(F.substring(h, pos, ln), 16, 10).cast("decimal(38,0)"))
+        for pos, ln in U256_LIMB_SLICES
+    ]
+
+
+def u256_limb_sums_to_hex(limbs: list[Column]) -> Column:
+    """Carry-normalize SIGNED per-limb sums (low->top, DECIMAL(38,0)) and
+    render the canonical ``0x`` + 64-hex-digit uint256 read-out.  Floored
+    carry semantics (pmod + exactly-divisible quotient) so negative
+    intermediate limbs borrow correctly; after normalization every limb is
+    in [0, 16^15) and only the TOP limb can be negative — iff the total is
+    negative, which a consistent ERC-20 ledger (mint-from-zero, zero
+    address excluded) never produces.  A negative or >=2^256 total raises
+    (raise_error) rather than rendering a wrong wrap-around."""
+    B = F.lit(U256_LIMB_BASE).cast("decimal(38,0)")
+    parts: list[Column] = []
+    carry: Column = F.lit(0).cast("decimal(38,0)")
+    for limb in limbs[:4]:
+        v = limb + carry
+        m = F.pmod(v, B)
+        carry = ((v - m) / B).cast("decimal(38,0)")
+        parts.append(F.lpad(F.lower(F.conv(m.cast("string"), 10, 16)), 15, "0"))
+    top = limbs[4] + carry
+    bad = (top < 0) | (top >= F.lit(16**4).cast("decimal(38,0)"))
+    top_hex = F.lpad(F.lower(F.conv(top.cast("string"), 10, 16)), 4, "0")
+    return F.when(
+        bad,
+        F.raise_error(
+            F.format_string(
+                "u256 read-out outside [0, 2^256): top limb %s", top.cast("string")
+            )
+        ).cast("string"),
+    ).otherwise(F.concat(F.lit("0x"), top_hex, *reversed(parts)))
+
+
+def erc20_transfer_deltas_u256(logs: DataFrame) -> DataFrame:
+    """FULL-RANGE exact ledger-delta decode over the wire log shape
+    (address, topics array<string>, data, blocknumber) — the u256
+    successor to erc20_transfer_deltas_from_logs: same standard 3-topic
+    Transfer filter, but values decode to five exact base-16^15 limbs
+    with NO magnitude guard, so >2^120 transfers (excluded from the
+    DECIMAL(38,0) family by the leading-zero guard) are in scope.
+    Output: (token_address, holder, l0..l4 signed limb deltas, is_in,
+    block_number); aggregate with per-limb SUM (commutative, map-side
+    partial) and read out via u256_limb_sums_to_hex."""
+    limbs = hex_to_u256_limb_cols(F.col("data"))
+    tr = logs.where(
+        (F.lower(F.col("topics")[0]) == TRANSFER_EVENT_TOPIC)
+        & (F.size("topics") >= 3)
+        & (F.length("data") == 66)
+    ).select(
+        F.col("address").alias("token_address"),
+        h32_to_h20_col(F.col("topics")[1]).alias("from_addr"),
+        h32_to_h20_col(F.col("topics")[2]).alias("to_addr"),
+        *[limb.alias(f"l{i}") for i, limb in enumerate(limbs)],
+        F.col("blocknumber").alias("block_number"),
+    )
+    names = [f"l{i}" for i in range(5)]
+    return tr.select(
+        "token_address",
+        F.col("to_addr").alias("holder"),
+        *names,
+        F.lit(1).alias("is_in"),
+        "block_number",
+    ).unionByName(
+        tr.select(
+            "token_address",
+            F.col("from_addr").alias("holder"),
+            *[(-F.col(n)).alias(n) for n in names],
+            F.lit(0).alias("is_in"),
+            "block_number",
+        )
+    )
 
 
 def token_symbol_col(address: Column) -> Column:
@@ -329,8 +433,13 @@ def erc20_transfer_deltas_from_logs(logs: DataFrame) -> DataFrame:
     delta DECIMAL(38,0), is_in, block_number).  Addresses narrow
     h32->h20 as the connector decode does
     (EthereumRecordCursor.java:433-435); the leading-zero guard keeps
-    values inside the exact-Decimal contract (>120-bit values excluded
-    on both engines — eth_erc20_exact_flows)."""
+    values inside this variant's exact-DECIMAL(38,0) contract (>120-bit
+    values excluded on both engines — eth_erc20_exact_flows).  The guard
+    is RETIRED from the exact family as a whole: use
+    :func:`erc20_transfer_deltas_u256` (five base-16^15 limbs, no
+    magnitude bound, hex read-out) for full uint256 coverage; this
+    single-DECIMAL variant remains for consumers whose downstream
+    algebra needs one native numeric column."""
     tr = logs.where(
         (F.lower(F.col("topics")[0]) == TRANSFER_EVENT_TOPIC)
         & (F.size("topics") >= 3)

@@ -52,3 +52,35 @@ def test_calibration_probe_is_frozen(spark):
     assert 990 <= n_groups <= 1993
     # and the probe function itself executes without error
     bench.calibration_probe(spark)
+
+
+def test_adjudicate_probe_copy_is_byte_equal():
+    """scripts/adjudicate_movers.py carries a verbatim copy of the frozen
+    probe (so the r10-worktree child can run it without importing HEAD's
+    bench module, whose import-time sys.path insert would shadow the
+    worktree's package).  The copy must stay byte-equal in body to the
+    original or every paired-normalized adjudication number is invalid."""
+    import importlib.util
+    import inspect
+
+    spec = importlib.util.spec_from_file_location(
+        "adjudicate_movers",
+        Path(__file__).resolve().parent.parent / "scripts" / "adjudicate_movers.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def body(fn):
+        lines = inspect.getsource(fn).splitlines()
+        # drop decorator/def line and the docstring: compare executable body
+        src = "\n".join(lines)
+        doc = inspect.getdoc(fn) or ""
+        for frag in doc.splitlines():
+            src = src.replace(frag, "")
+        return [
+            ln.strip()
+            for ln in src.splitlines()
+            if ln.strip() and not ln.strip().startswith(('"""', "def "))
+        ]
+
+    assert body(mod.calibration_probe) == body(bench.calibration_probe)

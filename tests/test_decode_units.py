@@ -117,3 +117,120 @@ class TestVarcharBounds:
         for tbl in ("block", "transaction", "erc20"):
             a, b = chain_source.table(tbl), strict.table(tbl)
             assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestU256Limbs:
+    """Full-range exact uint256 decode (sources/decode.py limb family)."""
+
+    def test_roundtrip_random_uint256(self, spark):
+        """hex -> 5 limbs -> canonical hex read-out is the identity for
+        values across the whole uint256 range (incl. max and 0)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.sources.decode import (
+            hex_to_u256_limb_cols,
+            u256_limb_sums_to_hex,
+        )
+
+        rng = random.Random(7)
+        vals = (
+            [0, 1, 2**60 - 1, 2**60, 2**120, 2**255, 2**256 - 1]
+            + [rng.getrandbits(rng.randint(1, 256)) for _ in range(60)]
+        )
+        df = spark.createDataFrame(
+            [("0x" + format(v, "x"),) for v in vals], "h string"
+        )
+        limbs = hex_to_u256_limb_cols(F.col("h"))
+        out = df.select(
+            "h", u256_limb_sums_to_hex(limbs).alias("back")
+        ).collect()
+        for r in out:
+            assert int(r.back, 16) == int(r.h, 16), (r.h, r.back)
+            assert len(r.back) == 66 and r.back.startswith("0x")
+
+    def test_signed_limb_sums_borrow_correctly(self, spark):
+        """Per-limb SUM of signed deltas + one carry normalization equals
+        Python-int arithmetic, including deltas whose limb differences go
+        negative (borrow propagation across all 4 carries)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.sources.decode import (
+            hex_to_u256_limb_cols,
+            u256_limb_sums_to_hex,
+        )
+
+        rng = random.Random(11)
+        credits = [rng.getrandbits(250) + 1 for _ in range(20)]  # sum < 2^255
+        debits = [rng.randint(1, sum(credits) // 40) for _ in range(15)]
+        total = sum(credits) - sum(debits)
+        assert total >= 0
+        rows = [("0x" + format(v, "x"), 1) for v in credits] + [
+            ("0x" + format(v, "x"), -1) for v in debits
+        ]
+        df = spark.createDataFrame(rows, "h string, sign int")
+        limbs = hex_to_u256_limb_cols(F.col("h"))
+        signed = df.select(
+            *[(F.col("sign") * limb).alias(f"l{i}") for i, limb in enumerate(limbs)]
+        )
+        agg = signed.agg(*[F.sum(f"l{i}").alias(f"s{i}") for i in range(5)])
+        out = agg.select(
+            u256_limb_sums_to_hex([F.col(f"s{i}") for i in range(5)]).alias("b")
+        ).first()
+        assert int(out.b, 16) == total
+
+    def test_negative_or_overflow_total_raises(self, spark):
+        """A read-out outside [0, 2^256) must raise loudly, not render a
+        wrong wrap-around string."""
+        import pytest
+        from pyspark.sql import functions as F
+        from pyspark.errors import PySparkException
+
+        from presto_ethereum_spark.sources.decode import u256_limb_sums_to_hex
+
+        for limbvals in ([(-5, 0, 0, 0, 0)], [(0, 0, 0, 0, 16**4)]):
+            df = spark.createDataFrame(
+                limbvals, "l0 long, l1 long, l2 long, l3 long, l4 long"
+            ).select(*[F.col(f"l{i}").cast("decimal(38,0)") for i in range(5)])
+            with pytest.raises(PySparkException):
+                df.select(
+                    u256_limb_sums_to_hex(
+                        [F.col(f"l{i}") for i in range(5)]
+                    ).alias("b")
+                ).collect()
+
+    def test_unparseable_hex_is_null_limbs(self, spark):
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.sources.decode import hex_to_u256_limb_cols
+
+        df = spark.createDataFrame(
+            [("0x",), ("0xzz",), (None,), ("0x" + "f" * 65,)], "h string"
+        )
+        out = df.select(
+            *[c.alias(f"l{i}") for i, c in enumerate(hex_to_u256_limb_cols(F.col("h")))]
+        ).collect()
+        for r in out:
+            assert all(r[f"l{i}"] is None for i in range(5))
+
+    def test_battery_entry_matches_generator_ledger(self, spark):
+        """eth_erc20_balances_u256 must equal the fixture generator's own
+        Python-int ledger (a third independent computation beside the
+        DuckDB oracle)."""
+        from presto_ethereum_spark.plans import battery
+
+        df = battery.queries()["eth_erc20_balances_u256"](spark, "unused")
+        got = {
+            (r.token_address, r.holder): r.balance_hex for r in df.collect()
+        }
+        truth = {
+            (r.token_address, r.holder): r.balance_hex
+            for r in spark.read.parquet(
+                "fixtures/eth/u256_balances.parquet"
+            ).collect()
+        }
+        assert got == truth and len(truth) > 30
+        assert any(int(b, 16) > 2**200 for b in truth.values())
