@@ -1182,6 +1182,27 @@ def stream_balance_rpc_tail(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q("stream_balance_restart", _BALANCES_ORACLE)
+def stream_balance_restart(spark: SparkSession, sf: str) -> DataFrame:
+    """DURABLE KILL-AND-RESUME for the balance pipeline (VERDICT r11 #2):
+    drain 2 of 4 block-range micro-batches with a persistent state root,
+    DISCARD the query and all driver-side Python state, stage the
+    remaining ranges, and resume from the same checkpoint + recovered
+    generation chain in a brand-new run
+    (streaming/chain.run_balance_restart).  Graded against the identical
+    one-pass batch oracle as eth_erc20_balances: dropped recovered state
+    would lose the early blocks' transfers, a failed checkpoint resume
+    would double-count the drained files — either is a hash mismatch, so
+    the gate covers both halves of the durability contract.  This
+    upgrades the balance family's documented weakest link (within-run
+    idempotency only) to the full production claim."""
+    from presto_ethereum_spark.streaming.chain import run_balance_restart
+
+    return run_balance_restart(
+        spark, str(ETH / "chain_blocks.parquet"), split_ranges=4, kill_after=2
+    )
+
+
 @q(
     "eth_balance_snapshot_merge",
     f"""

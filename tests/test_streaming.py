@@ -1549,6 +1549,95 @@ class TestBalanceUpsert:
         assert got.count() > 0
 
 
+class TestBalanceRestart:
+    """VERDICT r11 #2: durable state root + genuine kill-and-resume."""
+
+    CHAIN = "fixtures/eth/chain_blocks.parquet"
+
+    def _batch_ledger(self, spark):
+        from presto_ethereum_spark.streaming.chain import run_balance_upsert
+
+        return sorted(
+            map(
+                tuple,
+                run_balance_upsert(spark, self.CHAIN, split_ranges=1).collect(),
+            )
+        )
+
+    def test_kill_and_resume_settles_to_batch_ledger(self, spark):
+        from presto_ethereum_spark.streaming.chain import run_balance_restart
+
+        got = sorted(
+            map(
+                tuple,
+                run_balance_restart(
+                    spark, self.CHAIN, split_ranges=4, kill_after=2
+                ).collect(),
+            )
+        )
+        assert got == self._batch_ledger(spark) and len(got) > 0
+
+    def test_state_root_survives_and_recovers_between_calls(
+        self, spark, tmp_path
+    ):
+        """Drive the two runs by hand so the on-disk contract is visible:
+        after run 1 the state root holds the checkpoint + committed
+        generations; run 2 (new call, empty driver state) must recover
+        them and merge ONLY the newly-staged files on top."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.streaming.chain import run_balance_upsert
+
+        chain = spark.read.parquet(self.CHAIN)
+        schema = chain.schema
+        mn, hi = chain.agg(F.min("number"), F.max("number")).collect()[0]
+        mid = mn + (hi - mn) // 2
+        inp = str(tmp_path / "input")
+        state = str(tmp_path / "state")
+
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(inp)
+            )
+
+        chain.where(F.col("number") <= mid).coalesce(1).write.parquet(
+            f"{inp}/range_0"
+        )
+        first = run_balance_upsert(spark, self.CHAIN, source=src(), state_root=state)
+        n_first = first.count()
+        assert os.path.isdir(f"{state}/_chk")
+        gens = [d for d in os.listdir(state) if d.startswith("gen_")]
+        assert gens, "no committed generations persisted"
+        # a torn write from a hard kill: a gen dir without _SUCCESS must
+        # be invisible to recovery
+        os.makedirs(f"{state}/gen_999")
+
+        chain.where(F.col("number") > mid).coalesce(1).write.parquet(
+            f"{inp}/range_1"
+        )
+        second = run_balance_upsert(
+            spark, self.CHAIN, source=src(), state_root=state
+        )
+        got = sorted(map(tuple, second.collect()))
+        assert got == self._batch_ledger(spark)
+        assert len(got) >= n_first
+
+    def test_kill_after_bounds(self, spark):
+        import pytest
+
+        from presto_ethereum_spark.streaming.chain import run_balance_restart
+
+        with pytest.raises(ValueError):
+            run_balance_restart(spark, self.CHAIN, split_ranges=3, kill_after=3)
+        with pytest.raises(ValueError):
+            run_balance_restart(spark, self.CHAIN, split_ranges=3, kill_after=0)
+
+
 class TestBalanceUpsertRpcTail:
     """VERDICT r10 #4: the standing balance pipeline driven by the RPC
     source's canned transport — settled ledger must equal the fixture
