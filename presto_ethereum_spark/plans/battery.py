@@ -951,6 +951,57 @@ def eth_erc20_movement_getlogs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "eth_single_token_tail",
+    f"""
+    SELECT erc20_to AS holder,
+           printf('%.6e', sum(erc20_value)) AS total_in,
+           CAST(count(*) AS BIGINT) AS n_transfers
+    FROM read_parquet('{ETH}/erc20.parquet')
+    WHERE erc20_token = 'Xaurum'
+    GROUP BY erc20_to
+    """,
+)
+def eth_single_token_tail(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE token's transfers over the WHOLE chain through SERVER-side
+    address pushdown (VERDICT r11 #4, the reference README's single-token
+    use-case, README.md:124-127): ``logs_mode=eth_getLogs`` +
+    ``logs_address=<contract>`` puts the emitting-contract filter in the
+    RPC request itself, so the scan costs one filtered eth_getLogs per
+    block-range partition and only the MATCHING token's logs ever cross
+    the wire — no block bodies, no receipts, no client-side discard of
+    other tokens' events (rpc.py get_logs; the per-partition RPC count is
+    pinned by TestBulkGetLogs.test_single_token_address_pushdown_cost).
+    The oracle filters the golden full decode by the token's symbol
+    (Xaurum = 0x4df812f6064def1e5e029f1ca858777cc98d2d81, symbols are
+    unique in the 42-entry map), so the gate proves the pushed-down read
+    decodes bit-identically to filter-after-decode — including the
+    fixture's case-varied address spellings, which the transport matches
+    case-insensitively like a real node."""
+    from presto_ethereum_spark.sources.rpc import EthereumDataSource
+
+    spark.dataSource.register(EthereumDataSource)
+    erc20 = (
+        spark.read.format("ethereum")
+        .option("table", "erc20")
+        .option("path", str(ETH / "chain_blocks.parquet"))
+        .option("logs_mode", "eth_getLogs")
+        .option("logs_address", "0x4df812f6064def1e5e029f1ca858777cc98d2d81")
+        # one partition: the parquet transport loads the nested fixture
+        # per task (see eth_erc20_movement_getlogs); a live url= source
+        # wants the default 200-block partitions
+        .option("blocks_per_partition", 4000)
+        .load()
+    )
+    return (
+        erc20.groupBy(F.col("erc20_to").alias("holder"))
+        .agg(
+            F.format_string("%.6e", F.sum("erc20_value")).alias("total_in"),
+            F.count("*").alias("n_transfers"),
+        )
+    )
+
+
+@q(
     "eth_top_senders",
     f"""
     SELECT tx_from,

@@ -340,6 +340,36 @@ class TestBulkGetLogs:
             "get_blocks": 0, "get_receipt_logs": 0, "get_logs": 5,
         }
 
+    def test_single_token_address_pushdown_cost(self):
+        """'One token's transfers over the whole chain cost the matching
+        logs only' (rpc.py get_logs) — test-enforced: with logs_address
+        the read is exactly one eth_getLogs per partition carrying the
+        address filter, zero block/receipt calls, and every returned row
+        is the requested token (incl. case-varied fixture spellings)."""
+        addr = "0x4df812f6064def1e5e029f1ca858777cc98d2d81"  # Xaurum
+        opts = {
+            "table": "erc20", "path": CHAIN,
+            "blocks_per_partition": 4000,
+            "logs_mode": "eth_getLogs", "logs_address": addr,
+        }
+        r = EthereumReader(opts, EthereumDataSource(opts).schema())
+        counting = CountingTransport(r.transport)
+        r.transport = counting
+        parts = r.partitions()
+        assert len(parts) == 1
+        cols = [f.name for f in EthereumDataSource(opts).schema().fields]
+        sym = cols.index("erc20_token")
+        rows = [row for p in parts for row in r.read(p)]
+        assert rows and all(row[sym] == "Xaurum" for row in rows)
+        assert counting.counts == {
+            "get_blocks": 0, "get_receipt_logs": 0, "get_logs": 1,
+        }
+
+    def test_logs_address_requires_getlogs_mode(self):
+        opts = {"table": "erc20", "path": CHAIN, "logs_address": "0xabc"}
+        with pytest.raises(ValueError, match="logs_address"):
+            EthereumReader(opts, EthereumDataSource(opts).schema())
+
     def test_receipts_path_unchanged_by_default(self):
         opts = {
             "table": "erc20", "path": CHAIN,
