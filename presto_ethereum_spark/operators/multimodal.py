@@ -696,26 +696,43 @@ def wav_decode_stats(
         ]
     )
 
+    try:
+        import numpy as np
+
+        from presto_ethereum_spark.operators.wav import decode_wav_samples_np
+
+        def clip_stats(blob: bytes):
+            # vectorized kernel (VERDICT r11 #5): int64 sum of squares is
+            # exact up to ~2^33 full-scale frames/clip, products for the
+            # sign-change count stay in int64 — value-identical to the
+            # per-sample reference below (property-pinned in test_png.py)
+            rate, nch, n, a = decode_wav_samples_np(blob)
+            s = a.astype(np.int64)
+            ch0 = s[::nch]
+            zc = int((ch0[:-1] * ch0[1:] < 0).sum())
+            peak = int(np.abs(s).max()) if n else 0
+            return rate, nch, n, int((s * s).sum()), peak, zc
+
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+
+        def clip_stats(blob: bytes):
+            rate, nch, n, samples = decode_wav(bytes(blob))
+            ch0 = samples[::nch]
+            zc = sum(1 for j in range(1, n) if ch0[j - 1] * ch0[j] < 0)
+            return (
+                rate,
+                nch,
+                n,
+                sum(v * v for v in samples),
+                max((abs(v) for v in samples), default=0),
+                zc,
+            )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
             for mid, blob in zip(pdf[id_col], pdf[data_col]):
-                rate, nch, n, samples = decode_wav(bytes(blob))
-                ch0 = samples[::nch]
-                zc = sum(
-                    1 for j in range(1, n) if ch0[j - 1] * ch0[j] < 0
-                )
-                recs.append(
-                    (
-                        int(mid),
-                        rate,
-                        nch,
-                        n,
-                        sum(v * v for v in samples),
-                        max((abs(v) for v in samples), default=0),
-                        zc,
-                    )
-                )
+                recs.append((int(mid),) + clip_stats(bytes(blob)))
             yield pd.DataFrame(
                 recs,
                 columns=[

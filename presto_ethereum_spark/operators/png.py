@@ -114,11 +114,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline PNG -> (width, height, channels, raw bytes in
-    row-major pixel order).  Supports bit depth 8, color types 0 (grey)
-    and 2 (RGB), no interlace — the profile the fixture generator emits;
-    anything else raises ValueError (honest failure, not a fake)."""
+def _parse_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Shared container walk: signature, per-chunk CRC, IHDR profile
+    gate, IDAT reassembly + inflate, scanline length check.  Returns
+    (w, h, nch, raw filtered scanline bytes)."""
     if blob[:8] != _MAGIC:
         raise ValueError("not a PNG (bad signature)")
     pos, w = 8, None
@@ -152,6 +151,14 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
+    return w, h, nch, raw
+
+
+def _unfilter_py(raw: bytes, w: int, h: int, nch: int) -> bytes:
+    """REFERENCE unfilter kernel: the spec §9 reconstruction as plain
+    per-byte Python.  Frozen as the differential baseline for the numpy
+    fast path (the hex_to_double_col reference/fast-path pattern)."""
+    stride = w * nch
     out = bytearray()
     prev = bytes(stride)
     for y in range(h):
@@ -176,7 +183,184 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad filter type {ft} on scanline {y}")
         out += line
         prev = bytes(line)
-    return w, h, nch, bytes(out)
+    return bytes(out)
+
+
+def _unfilter_np(raw: bytes, w: int, h: int, nch: int) -> bytes:
+    """VECTORIZED unfilter (VERDICT r11 #5), bit-exact to _unfilter_py.
+
+    Two exact strategies, chosen by the image's filter mix:
+
+    - rows all in {None, Sub, Up}: one numpy op per row — Up is an
+      elementwise add against the reconstructed previous row; Sub is a
+      per-channel-lane prefix recurrence u_i = (u_{i-1} + r_i) mod 256,
+      i.e. cumsum mod 256 (mod commutes with addition, summed in int64
+      so no intermediate overflow);
+    - any Average/Paeth row: an ANTI-DIAGONAL WAVEFRONT over pixel
+      columns.  Every PNG filter's dependencies are within
+      {(y, col-1), (y-1, col), (y-1, col-1)}, so all pixels with
+      y + col = d are mutually independent and compute as one vector
+      step once diagonals d-1, d-2 are done — h + w - 1 vector steps
+      total, no per-byte Python even for Paeth (predictor evaluated
+      branch-free with np.where on int16, exact: |a+b-c| <= 510).
+
+    Intermediate dtype int16 everywhere; (x + pred) & 255 reproduces the
+    reference's mod-256 byte arithmetic exactly.  Property-tested
+    bit-equal to the reference kernel across random sizes, channel
+    counts, and per-row filter mixes (tests/test_png.py)."""
+    import numpy as np
+
+    stride = w * nch
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ft = arr[:, 0].astype(np.int16)
+    bad = np.nonzero(ft > 4)[0]
+    if bad.size:
+        y = int(bad[0])
+        raise ValueError(f"bad filter type {int(ft[y])} on scanline {y}")
+    if (ft == 0).all():
+        return arr[:, 1:].tobytes()
+    R = arr[:, 1:].reshape(h, w, nch).astype(np.int16)
+    if (ft <= 2).all():
+        out = np.empty((h, w, nch), dtype=np.int16)
+        prev = np.zeros((w, nch), dtype=np.int16)
+        for y in range(h):
+            f = ft[y]
+            if f == 0:
+                u = R[y]
+            elif f == 2:
+                u = (R[y] + prev) & 255
+            else:  # Sub: per-lane running sum mod 256
+                u = (np.cumsum(R[y], axis=0, dtype=np.int64) & 255).astype(
+                    np.int16
+                )
+            out[y] = u
+            prev = u
+        return out.astype(np.uint8).tobytes()
+    # Wavefront over a SKEWED, DIAGONAL-MAJOR plane: Q[Y+C, Y] holds
+    # padded pixel (Y, C), Y=y+1, C=col+1, so anti-diagonal y+col=d is
+    # the CONTIGUOUS row-block Q[d+2] (diagonal-major beats pixel-major
+    # by the cache line: a column slice of a row-major plane strides
+    # ~2(h+w)·nch bytes per element and thrashes at megapixel sizes; and
+    # plain views beat fancy-index gathers, which made the naive
+    # wavefront slower than the Python loop).  Dependencies are rows
+    # D-1, D-1, D-2 with a one-element shift:
+    #   left (Y, C-1)      -> Q[D-1, Y]
+    #   up (Y-1, C)        -> Q[D-1, Y-1]
+    #   up-left (Y-1, C-1) -> Q[D-2, Y-1]
+    Q = np.zeros((h + w + 1, h + 1, nch), dtype=np.int16)
+    Rq = np.zeros_like(Q)
+    # skew by per-diagonal strided gather (sequential writes, strided
+    # reads): ~30x cheaper than a naive 3D transpose copy, whose access
+    # order thrashes at megapixel sizes
+    rstride = (w - 1) * nch * R.itemsize
+    for D in range(2, h + w + 1):
+        Y0, Y1 = max(1, D - w), min(h, D - 1)
+        v = np.lib.stride_tricks.as_strided(
+            R[Y0 - 1 :, D - Y0 - 1 :],
+            shape=(Y1 - Y0 + 1, nch),
+            strides=(rstride, R.itemsize),
+        )
+        Rq[D, Y0 : Y1 + 1] = v
+    uniform = int(ft[0]) if (ft == ft[0]).all() else None
+    fcol = ft[:, None]
+    # preallocated scratch (sliced per diagonal): every step runs as
+    # in-place ufuncs on views — zero allocations in the loop
+    s1 = np.empty((h, nch), dtype=np.int16)
+    s2 = np.empty_like(s1)
+    s3 = np.empty_like(s1)
+    pa = np.empty_like(s1)
+    pb = np.empty_like(s1)
+    pc = np.empty_like(s1)
+    m1 = np.empty((h, nch), dtype=bool)
+    m2 = np.empty_like(m1)
+
+    def paeth_pred(a, b, c, n):
+        # pa=|p-a|=|b-c|, pb=|p-b|=|a-c|, pc=|p-c|=|(b-c)+(a-c)|
+        v1, v2, v3 = s1[:n], s2[:n], s3[:n]
+        qa, qb, qc = pa[:n], pb[:n], pc[:n]
+        w1, w2 = m1[:n], m2[:n]
+        np.subtract(b, c, out=v1)
+        np.abs(v1, out=qa)
+        np.subtract(a, c, out=v2)
+        np.abs(v2, out=qb)
+        np.add(v1, v2, out=v3)
+        np.abs(v3, out=qc)
+        np.less_equal(qa, qb, out=w1)
+        np.less_equal(qa, qc, out=w2)
+        np.logical_and(w1, w2, out=w1)  # w1: pick a
+        np.less_equal(qb, qc, out=w2)  # w2: else pick b over c
+        np.copyto(v3, c)
+        np.copyto(v3, b, where=w2)
+        np.copyto(v3, a, where=w1)
+        return v3
+
+    for D in range(2, h + w + 1):
+        Y0, Y1 = max(1, D - w), min(h, D - 1)
+        n = Y1 - Y0 + 1
+        t = slice(Y0, Y1 + 1)
+        u = slice(Y0 - 1, Y1)
+        a = Q[D - 1, t]
+        b = Q[D - 1, u]
+        r = Rq[D, t]
+        if uniform == 4:
+            pred = paeth_pred(a, b, Q[D - 2, u], n)
+        elif uniform == 3:
+            pred = np.add(a, b, out=s1[:n])
+            np.right_shift(pred, 1, out=pred)
+        elif uniform is None:  # per-row filter mix on this diagonal
+            paeth = paeth_pred(a, b, Q[D - 2, u], n).copy()
+            f = fcol[Y0 - 1 : Y1]
+            pred = np.select(
+                [f == 0, f == 1, f == 2, f == 3],
+                [np.int16(0), a, b, (a + b) >> 1],
+                default=paeth,
+            )
+        else:  # uniform 0/1/2 never reaches here (row path above)
+            raise AssertionError("unreachable filter class")
+        out_v = Q[D, t]
+        np.add(r, pred, out=out_v)
+        np.bitwise_and(out_v, 255, out=out_v)
+    # unskew by per-diagonal strided scatter (sequential reads of Q,
+    # strided writes into the pixel-major result) — same cost argument
+    # as the gather above
+    out = np.empty((h, w, nch), dtype=np.uint8)
+    ostride = (w - 1) * nch * out.itemsize
+    for D in range(2, h + w + 1):
+        Y0, Y1 = max(1, D - w), min(h, D - 1)
+        v = np.lib.stride_tricks.as_strided(
+            out[Y0 - 1 :, D - Y0 - 1 :],
+            shape=(Y1 - Y0 + 1, nch),
+            strides=(ostride, out.itemsize),
+        )
+        v[:] = Q[D, Y0 : Y1 + 1]  # int16 -> uint8 narrowing copy
+    return out.tobytes()
+
+
+# below this many pixel-bytes the per-step numpy dispatch overhead beats
+# the vector win; measured crossover is ~2-4k on this host class
+_NP_MIN_BYTES = 2048
+
+
+def decode_png(blob: bytes, kernel: str = "auto") -> tuple[int, int, int, bytes]:
+    """Decode a baseline PNG -> (width, height, channels, raw bytes in
+    row-major pixel order).  Supports bit depth 8, color types 0 (grey)
+    and 2 (RGB), no interlace — the profile the fixture generator emits;
+    anything else raises ValueError (honest failure, not a fake).
+
+    ``kernel``: ``auto`` (numpy unfilter when importable and the image is
+    big enough to amortize vector dispatch, else the reference loop),
+    ``numpy``, or ``py`` (the frozen pure-stdlib reference)."""
+    w, h, nch, raw = _parse_png(blob)
+    use_np = kernel == "numpy"
+    if kernel == "auto" and h * w * nch >= _NP_MIN_BYTES:
+        try:
+            import numpy  # noqa: F401
+
+            use_np = True
+        except ImportError:
+            use_np = False
+    unfilter = _unfilter_np if use_np else _unfilter_py
+    return w, h, nch, unfilter(raw, w, h, nch)
 
 
 def nn_resize(

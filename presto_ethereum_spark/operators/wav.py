@@ -68,6 +68,27 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
     """Decode a PCM16 WAV -> (sample_rate, channels, n_frames, interleaved
     int16 samples).  Non-PCM formats, other bit depths, or a mangled
     container raise ValueError (honest failure, not a fake)."""
+    rate, nch, pcm = _parse_wav(blob)
+    samples = list(struct.unpack("<%dh" % (len(pcm) // 2), pcm))
+    return rate, nch, len(samples) // nch, samples
+
+
+def decode_wav_samples_np(blob: bytes):
+    """Same container parse, samples as a zero-copy numpy int16 view ->
+    (sample_rate, channels, n_frames, ndarray).  The vectorized stats
+    path (VERDICT r11 #5); per-sample values identical to decode_wav by
+    construction (both read the same little-endian int16 PCM words)."""
+    import numpy as np
+
+    rate, nch, pcm = _parse_wav(blob)
+    samples = np.frombuffer(pcm, dtype="<i2")
+    return rate, nch, len(samples) // nch, samples
+
+
+def _parse_wav(blob: bytes) -> tuple[int, int, bytes]:
+    """RIFF/WAVE container walk shared by the list and numpy decoders:
+    validates header, fmt profile (PCM16, 1-2 channels), chunk lengths,
+    word alignment; returns (rate, channels, raw PCM bytes)."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
     (riff_len,) = struct.unpack("<I", blob[4:8])
@@ -99,5 +120,4 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("missing fmt/data chunk")
     if len(pcm) % (2 * nch):
         raise ValueError("data chunk is not whole frames")
-    samples = list(struct.unpack("<%dh" % (len(pcm) // 2), pcm))
-    return rate, nch, len(samples) // nch, samples
+    return rate, nch, pcm

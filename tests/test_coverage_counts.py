@@ -53,3 +53,33 @@ def test_registry_keys_match_function_names():
         if fn.__name__ != k
     ]
     assert bad == [], f"registry key != function name: {bad}"
+
+
+def test_registry_output_schemas_are_decimal_free(spark):
+    """The driver-hash hazard contract (CORRECTNESS_r09, check_battery.py
+    compare()): raw DECIMAL output columns bridge inconsistently across
+    client layers (DuckDB's pandas conversion narrows wide decimals to
+    float64), so every entry's FINAL schema must read exact decimals out
+    as canonical digit strings or narrow them to double/bigint.  The gate
+    script enforces this at run time; this test makes the contract
+    survive without the gate script (VERDICT r11 #6).
+
+    Builds every registry entry at sf0.001 (plan construction only for
+    lazy entries; stream/iterative entries execute their bounded fixture
+    drains, same as the gate)."""
+    from pyspark.sql.types import DecimalType
+
+    from presto_ethereum_spark.plans import battery
+
+    sf_dir = "/root/testdata/sf0.001"
+    offenders: dict[str, list[str]] = {}
+    for name, fn in battery.queries().items():
+        df = fn(spark, sf_dir)
+        dec = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType)
+        ]
+        if dec:
+            offenders[name] = dec
+    assert not offenders, f"DECIMAL in final schemas: {offenders}"

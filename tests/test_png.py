@@ -418,3 +418,146 @@ class TestCodecProperties:
                 )
 
         check()
+
+
+class TestVectorizedKernels:
+    """VERDICT r11 #5: the numpy fast paths must be BIT-EQUAL to the
+    frozen pure-stdlib reference kernels across arbitrary content,
+    dimensions, channel counts, and filter choices."""
+
+    def test_png_unfilter_np_bit_equal_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        from presto_ethereum_spark.operators.png import (
+            _parse_png,
+            _unfilter_np,
+            _unfilter_py,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            w=st.integers(1, 24),
+            h=st.integers(1, 20),
+            gray=st.booleans(),
+            ft=st.integers(0, 4),
+            data=st.data(),
+        )
+        def check(w, h, gray, ft, data):
+            byte = st.integers(0, 255)
+            if gray:
+                px = data.draw(
+                    st.lists(
+                        st.lists(byte, min_size=w, max_size=w),
+                        min_size=h, max_size=h,
+                    )
+                )
+            else:
+                px = data.draw(
+                    st.lists(
+                        st.lists(
+                            st.tuples(byte, byte, byte),
+                            min_size=w, max_size=w,
+                        ),
+                        min_size=h, max_size=h,
+                    )
+                )
+            blob = encode_png(px, grayscale=gray, filter_type=ft)
+            W, H, nch, raw = _parse_png(blob)
+            assert _unfilter_np(raw, W, H, nch) == _unfilter_py(raw, W, H, nch)
+
+        check()
+
+    def test_png_per_row_filter_mix_bit_equal(self):
+        """The wavefront's np.select branch (per-row filter mixes) — the
+        encoder emits one filter per image, so splice rows from
+        differently-filtered encodings into one IDAT by hand."""
+        import random
+        import struct
+        import zlib
+
+        from presto_ethereum_spark.operators.png import (
+            _parse_png,
+            _unfilter_np,
+            _unfilter_py,
+        )
+
+        rng = random.Random(23)
+        for trial in range(8):
+            w, h, nch = rng.randint(2, 30), rng.randint(2, 24), 3
+            stride = w * nch
+            # raw filtered stream with a random filter byte per row and
+            # random delta bytes — every byte string is a valid filtered
+            # payload for filters 0..4, so decode just has to agree
+            raw = b"".join(
+                bytes([rng.randint(0, 4)])
+                + bytes(rng.randint(0, 255) for _ in range(stride))
+                for _ in range(h)
+            )
+            assert _unfilter_np(raw, w, h, nch) == _unfilter_py(raw, w, h, nch)
+
+    def test_png_kernel_selection_and_forcing(self):
+        from presto_ethereum_spark.operators.png import decode_png
+
+        px = [[(x * 7 % 256, y * 5 % 256, 9) for x in range(40)] for y in range(40)]
+        blob = encode_png(px, filter_type=4)
+        assert (
+            decode_png(blob, kernel="py")
+            == decode_png(blob, kernel="numpy")
+            == decode_png(blob)  # auto: 4800 pixel-bytes >= threshold
+        )
+
+    def test_wav_np_samples_bit_equal_property(self):
+        from hypothesis import given, settings, strategies as st
+
+        from presto_ethereum_spark.operators.wav import (
+            decode_wav,
+            decode_wav_samples_np,
+            encode_wav,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            stereo=st.booleans(),
+            data=st.data(),
+        )
+        def check(stereo, data):
+            sample = st.integers(-32768, 32767)
+            if stereo:
+                frames = data.draw(
+                    st.lists(st.tuples(sample, sample), min_size=1, max_size=48)
+                )
+                blob = encode_wav(frames, 16000, 2)
+            else:
+                blob = encode_wav(
+                    data.draw(st.lists(sample, min_size=1, max_size=96)),
+                    16000,
+                    1,
+                )
+            rate, nch, n, lst = decode_wav(blob)
+            nrate, nnch, nn, arr = decode_wav_samples_np(blob)
+            assert (rate, nch, n) == (nrate, nnch, nn)
+            assert arr.tolist() == lst
+
+        check()
+
+    def test_wav_stats_vectorized_matches_reference_formulas(self, spark):
+        """wav_decode_stats now computes sum_sq/peak/zero_crossings with
+        numpy — values must equal the per-sample Python formulas on the
+        real fixture (incl. extreme -32768 samples)."""
+        from presto_ethereum_spark.operators.multimodal import wav_decode_stats
+        from presto_ethereum_spark.operators.wav import decode_wav
+
+        clips = spark.read.parquet("fixtures/media/audio.parquet")
+        got = {
+            r.media_id: (r.sum_sq, r.peak, r.zero_crossings)
+            for r in wav_decode_stats(clips).collect()
+        }
+        for row in clips.select("media_id", "wav").collect():
+            _, nch, n, samples = decode_wav(bytes(row.wav))
+            ch0 = samples[::nch]
+            want = (
+                sum(v * v for v in samples),
+                max((abs(v) for v in samples), default=0),
+                sum(1 for j in range(1, n) if ch0[j - 1] * ch0[j] < 0),
+            )
+            assert got[row.media_id] == want
