@@ -3240,6 +3240,14 @@ def eth_chain_state_udf(spark: SparkSession, sf: str) -> DataFrame:
     count of the chain — the Arrow-batched UDF lookup path must reproduce the
     SQL aggregation exactly.  The backend receives its state dict driver-side
     (the same shape an RPC node would return); the UDF runs distributed.
+
+    DO NOT copy the ``.collect()`` below into production code: it exists
+    only to SIMULATE an archive node for the graded differential (the
+    collected dict is O(distinct senders) and would not fit the driver at
+    chain scale).  The production backend is ``RpcBackend``
+    (functions/web3.py), which holds NO driver state — each executor
+    batch issues its own eth_getTransactionCount calls; this fixture
+    entry grades the UDF plumbing, not the backend.
     """
     from presto_ethereum_spark.functions.web3 import (
         FixtureBackend,
@@ -3286,7 +3294,10 @@ def eth_chain_state_historical(spark: SparkSession, sf: str) -> DataFrame:
     conditional-count SQL at blocks 800, 1600, and latest.
 
     The state dicts are built driver-side (they simulate what an archive
-    node holds); the UDF lookups run distributed over Arrow batches."""
+    node holds); the UDF lookups run distributed over Arrow batches.
+    As in eth_chain_state_udf: the ``.collect()`` is the fixture's
+    archive-node simulation, NOT a pattern to copy — production uses the
+    driver-stateless ``RpcBackend``."""
     from presto_ethereum_spark.functions.web3 import (
         FixtureBackend,
         make_chain_state_udfs,

@@ -404,6 +404,7 @@ class ParquetChainTransport:
     def __init__(self, path: str):
         self.path = path
         self._by_number: dict[int, dict] | None = None
+        self._by_hash: dict[str, int] | None = None
 
     def _load(self) -> dict[int, dict]:
         if self._by_number is None:
@@ -417,10 +418,12 @@ class ParquetChainTransport:
         return max(self._load())
 
     def block_number_by_hash(self, block_hash: str) -> int | None:
-        for b in self._load().values():
-            if b["hash"] == block_hash:
-                return b["number"]
-        return None
+        # index dict, built once with the block dict (the HTTP transport
+        # does one eth_getBlockByHash RPC; a planning-time linear scan
+        # here was harmless but off-pattern)
+        if self._by_hash is None:
+            self._by_hash = {b["hash"]: n for n, b in self._load().items()}
+        return self._by_hash.get(block_hash)
 
     def block_timestamp(self, number: int) -> int:
         return self._load()[number]["timestamp"]
