@@ -197,7 +197,7 @@ HEADLINE += [
     "emb_prefix_dim_recall",
     "eth_erc20_balances",
 ]
-HEADLINE_FREEZE = "r11"
+HEADLINE_FREEZE = "r12"
 # r11 freeze bump: the 13 round-10 INCOMING entries graduate (below); the
 # first R10_HEADLINE_N names are exactly the r10-frozen set, so the
 # r10-comparable subtotal is still reported (r10_headline_subtotal).
@@ -218,31 +218,34 @@ HEADLINE += [
     "doc_shingle_novelty",
     "doc_source_vocab_overlap",
 ]
-INCOMING: list[str] = [
-    # round-11: the balance pipeline fed by the RPC source's raw-log table
+# r12 freeze bump: the 14 round-11 INCOMING entries graduate (below); the
+# first R11_HEADLINE_N names are exactly the r11-frozen set, so the
+# r11-comparable subtotal (raw + probe-normalized) is still reported.
+R11_HEADLINE_N = len(HEADLINE)
+HEADLINE += [
+    # graduated r11 incoming (order preserved from the r11 INCOMING list)
     "stream_balance_rpc_tail",
-    # round-11: REAL PNG decode — batch stats, quarantine screen, and the
-    # standing 3-micro-batch ingest
     "multimodal_png_decode_stats",
     "multimodal_png_corrupt_screen",
     "stream_png_ingest",
-    # round-11: A/B statistics (Welch t, rank-sum AUC) + basket lift
     "rel_welch_ttest",
     "rel_mann_whitney_auc",
     "rel_basket_lift",
-    # round-11: LSH index load-balance pre-flight
     "emb_bucket_balance",
-    # round-11: code-vs-prose screen + packing boundary leakage
     "doc_code_prose_screen",
     "doc_boundary_leakage",
-    # round-11: EIP-1559-style burn/tip decomposition
     "eth_fee_burn_split",
-    # round-11: REAL WAV/PCM16 audio decode
     "multimodal_wav_decode_stats",
-    # round-11: RFM segmentation on exact percentile_disc thresholds
     "rel_rfm_segments",
-    # round-11: exact integer-scaled PERCENTILE_CONT
     "rel_percentile_cont",
+]
+INCOMING: list[str] = [
+    # round-12: full-range exact uint256 balance ledger (5-limb decode)
+    "eth_erc20_balances_u256",
+    # round-12: durable kill-and-resume for the balance pipeline
+    "stream_balance_restart",
+    # round-12: server-side single-token address pushdown
+    "eth_single_token_tail",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -508,6 +511,12 @@ def main() -> None:
         ),
         "r10_headline_subtotal": round(
             sum(times[n] for n in HEADLINE[:R10_HEADLINE_N]), 3
+        ),
+        "r11_headline_subtotal": round(
+            sum(times[n] for n in HEADLINE[:R11_HEADLINE_N]), 3
+        ),
+        "r11_headline_norm_subtotal": round(
+            sum(times_norm[n] for n in HEADLINE[:R11_HEADLINE_N]), 3
         ),
         "headline_freeze": HEADLINE_FREEZE,
         "incoming": INCOMING,
