@@ -76,6 +76,10 @@ def main() -> None:
     # limbs are all zero exercise the zero-padded rendering path
     dust = [rand_addr() for _ in range(3)]
     balances: dict[tuple[str, str], int] = {}
+    # a real ERC-20's totalSupply is itself a uint256: cap cumulative
+    # net mints per token, not just per-holder balances (the supply
+    # entry's outstanding read-out must be a valid uint256)
+    supply: dict[str, int] = {}
     rows: list[dict] = []
 
     def emit(token: str, frm: str, to: str, value: int, bn: int) -> None:
@@ -89,8 +93,12 @@ def main() -> None:
         )
         if frm != ZERO20:
             balances[(token, frm)] -= value
+        else:
+            supply[token] = supply.get(token, 0) + value  # mint
         if to != ZERO20:
             balances[(token, to)] = balances.get((token, to), 0) + value
+        else:
+            supply[token] = supply.get(token, 0) - value  # burn
 
     for i in range(N_EVENTS):
         bn = rng.randrange(N_BLOCKS)
@@ -102,11 +110,14 @@ def main() -> None:
             # mint: zero address -> holder, full-range uint256 amount
             # clamped so the recipient balance stays a valid uint256
             to = rng.choice(holders)
-            headroom = 2**256 - 1 - balances.get((token, to), 0)
+            headroom = min(
+                2**256 - 1 - balances.get((token, to), 0),
+                2**256 - 1 - supply.get(token, 0),
+            )
             amt = min(mint_value(), headroom)
             if amt > 0:
                 emit(token, ZERO20, to, amt, bn)
-            if rng.random() < 0.25:
+            if rng.random() < 0.25 and supply.get(token, 0) < 2**256 - 2**41:
                 emit(token, ZERO20, rng.choice(dust), rng.getrandbits(40) + 1, bn)
         elif kind < 0.90:
             # transfer bounded by the sender's running balance (ledger
@@ -115,7 +126,9 @@ def main() -> None:
                 h for (t, h), v in balances.items() if t == token and v > 0
             ]
             frm = rng.choice(funded)
-            to = rng.choice(holders)
+            # ~15% burns (transfer to the zero address) so the supply
+            # entry's burned leg has real coverage
+            to = ZERO20 if rng.random() < 0.15 else rng.choice(holders)
             # bounded by BOTH the sender's balance and the recipient's
             # uint256 headroom (a self-transfer has full headroom)
             cap = balances[(token, frm)]
@@ -186,6 +199,11 @@ def main() -> None:
         for (t, h), v in sorted(balances.items())
     ]
     assert all(0 <= v < 2**256 for v in balances.values())
+    assert all(0 <= v < 2**256 for v in supply.values())
+    assert supply == {
+        t: sum(v for (tt, _), v in balances.items() if tt == t)
+        for t in tokens
+    }
     assert any(v > 2**200 for v in balances.values()), "fixture must cover >2^120"
     bal_schema = pa.schema(
         [

@@ -1347,10 +1347,15 @@ def eth_balance_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "eth_erc20_balances_u256",
-    f"""
-    WITH tr AS (
+# Shared DuckDB-side u256 limb machinery (the oracle half of the 5-limb
+# representation; the Spark half is sources/decode.hex_to_u256_limb_cols).
+# _U256_TR_CTE: wire logs -> per-transfer limbs; _u256_carry_chain: floored
+# carry normalization over grouped limb sums (DuckDB // truncates, so the
+# floored div is built from the non-negative mod); _U256_HEX: canonical
+# 0x + 64-hex read-out.  Base 16^15 = 1152921504606846976; every
+# intermediate fits HUGEINT.
+_U256_TR_CTE = f"""
+    tr AS (
       SELECT address AS token_address,
              concat('0x', substr(topics[2], length(topics[2]) - 39, 40))
                AS from_addr,
@@ -1371,7 +1376,52 @@ def eth_balance_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
             '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'
         AND len(topics) >= 3
         AND length(data) = 66
+    )"""
+
+_U256_B = "1152921504606846976"
+
+
+def _u256_carry_chain(src: str) -> str:
+    """CTE chain n0..n4 over ``src`` (which must expose s0..s4 limb sums):
+    floored carries low->top, yielding m0..m3 in [0, 16^15) and v4."""
+    B = _U256_B
+    return f"""
+    n0 AS (
+      SELECT *, ((s0 % {B} + {B}) % {B}) AS m0 FROM {src}
     ),
+    n1 AS (
+      SELECT *, s1 + (s0 - m0) // {B} AS v1 FROM n0
+    ),
+    n2 AS (
+      SELECT *,
+             ((v1 % {B} + {B}) % {B}) AS m1,
+             s2 + (v1 - ((v1 % {B} + {B}) % {B})) // {B} AS v2
+      FROM n1
+    ),
+    n3 AS (
+      SELECT *,
+             ((v2 % {B} + {B}) % {B}) AS m2,
+             s3 + (v2 - ((v2 % {B} + {B}) % {B})) // {B} AS v3
+      FROM n2
+    ),
+    n4 AS (
+      SELECT *,
+             ((v3 % {B} + {B}) % {B}) AS m3,
+             s4 + (v3 - ((v3 % {B} + {B}) % {B})) // {B} AS v4
+      FROM n3
+    )"""
+
+
+_U256_HEX = """
+           concat('0x',
+                  lpad(printf('%x', CAST(v4 AS BIGINT)), 4, '0'),
+                  lpad(printf('%x', CAST(m3 AS BIGINT)), 15, '0'),
+                  lpad(printf('%x', CAST(m2 AS BIGINT)), 15, '0'),
+                  lpad(printf('%x', CAST(m1 AS BIGINT)), 15, '0'),
+                  lpad(printf('%x', CAST(m0 AS BIGINT)), 15, '0'))"""
+
+_U256_BALANCES_ORACLE = f"""
+    WITH {_U256_TR_CTE},
     d AS (
       SELECT token_address, to_addr AS holder, l4, l3, l2, l1, l0 FROM tr
       UNION ALL
@@ -1386,54 +1436,15 @@ def eth_balance_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
       WHERE holder <> concat('0x', repeat('0', 40))
       GROUP BY token_address, holder
     ),
-    -- floored carry chain (DuckDB // truncates, so build floored div
-    -- from the non-negative mod), base 16^15 = 1152921504606846976,
-    -- all intermediates inside HUGEINT
-    n0 AS (
-      SELECT *,
-             ((s0 % 1152921504606846976 + 1152921504606846976)
-               % 1152921504606846976) AS m0
-      FROM s
-    ),
-    n1 AS (
-      SELECT *, s1 + (s0 - m0) // 1152921504606846976 AS v1 FROM n0
-    ),
-    n2 AS (
-      SELECT *,
-             ((v1 % 1152921504606846976 + 1152921504606846976)
-               % 1152921504606846976) AS m1,
-             s2 + (v1 - ((v1 % 1152921504606846976 + 1152921504606846976)
-               % 1152921504606846976)) // 1152921504606846976 AS v2
-      FROM n1
-    ),
-    n3 AS (
-      SELECT *,
-             ((v2 % 1152921504606846976 + 1152921504606846976)
-               % 1152921504606846976) AS m2,
-             s3 + (v2 - ((v2 % 1152921504606846976 + 1152921504606846976)
-               % 1152921504606846976)) // 1152921504606846976 AS v3
-      FROM n2
-    ),
-    n4 AS (
-      SELECT *,
-             ((v3 % 1152921504606846976 + 1152921504606846976)
-               % 1152921504606846976) AS m3,
-             s4 + (v3 - ((v3 % 1152921504606846976 + 1152921504606846976)
-               % 1152921504606846976)) // 1152921504606846976 AS v4
-      FROM n3
-    )
+    {_u256_carry_chain('s')}
     SELECT token_address, holder,
-           concat('0x',
-                  lpad(printf('%x', CAST(v4 AS BIGINT)), 4, '0'),
-                  lpad(printf('%x', CAST(m3 AS BIGINT)), 15, '0'),
-                  lpad(printf('%x', CAST(m2 AS BIGINT)), 15, '0'),
-                  lpad(printf('%x', CAST(m1 AS BIGINT)), 15, '0'),
-                  lpad(printf('%x', CAST(m0 AS BIGINT)), 15, '0'))
-             AS balance_hex,
+           {_U256_HEX} AS balance_hex,
            n_transfers
     FROM n4
-    """,
-)
+    """
+
+
+@q("eth_erc20_balances_u256", _U256_BALANCES_ORACLE)
 def eth_erc20_balances_u256(spark: SparkSession, sf: str) -> DataFrame:
     """FULL-RANGE exact uint256 balance ledger (VERDICT r11 #3): decode
     Transfer values as five base-16^15 limbs (hex_to_u256_limb_cols — pure
@@ -1472,6 +1483,144 @@ def eth_erc20_balances_u256(spark: SparkSession, sf: str) -> DataFrame:
             "balance_hex"
         ),
         "n_transfers",
+    )
+
+
+@q(
+    "eth_u256_top_holders",
+    f"""
+    WITH b AS ({_U256_BALANCES_ORACLE})
+    SELECT * FROM (
+      SELECT token_address, holder, balance_hex,
+             CAST(row_number() OVER (
+               PARTITION BY token_address
+               ORDER BY balance_hex DESC, holder
+             ) AS BIGINT) AS rnk
+      FROM b
+    ) WHERE rnk <= 5
+    """,
+)
+def eth_u256_top_holders(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 holders per token ORDERED BY a 256-bit quantity: the
+    canonical fixed-width lowercase hex read-out is order-isomorphic to
+    the unsigned integer it encodes, so ranking the hex STRING ranks the
+    u256 balance exactly — no 256-bit comparator needed in either engine
+    (the 5-limb analogue of the DECIMAL family's digit-string bridge
+    contract).  Plan: the one balance aggregation, then a per-token
+    rank window (WindowGroupLimit-eligible top-k, partition count =
+    token count); holder tie-break keeps the output deterministic."""
+    from presto_ethereum_spark.sources.decode import (
+        erc20_transfer_deltas_u256,
+        u256_limb_sums_to_hex,
+    )
+
+    logs = spark.read.parquet(str(ETH / "u256_logs.parquet"))
+    d = erc20_transfer_deltas_u256(logs)
+    bal = (
+        d.where(F.col("holder") != "0x" + "0" * 40)
+        .groupBy("token_address", "holder")
+        .agg(*[F.sum(f"l{i}").alias(f"s{i}") for i in range(5)])
+        .select(
+            "token_address",
+            "holder",
+            u256_limb_sums_to_hex([F.col(f"s{i}") for i in range(5)]).alias(
+                "balance_hex"
+            ),
+        )
+    )
+    w = Window.partitionBy("token_address").orderBy(
+        F.col("balance_hex").desc(), "holder"
+    )
+    return bal.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= 5
+    )
+
+
+@q(
+    "eth_u256_supply",
+    f"""
+    WITH {_U256_TR_CTE},
+    legs AS (
+      SELECT token_address,
+             CASE WHEN from_addr = concat('0x', repeat('0', 40))
+                  THEN 1 ELSE 0 END AS is_mint,
+             CASE WHEN to_addr = concat('0x', repeat('0', 40))
+                  THEN 1 ELSE 0 END AS is_burn,
+             l4, l3, l2, l1, l0
+      FROM tr
+      WHERE from_addr = concat('0x', repeat('0', 40))
+         OR to_addr = concat('0x', repeat('0', 40))
+    ),
+    s AS (
+      SELECT token_address,
+             sum((is_mint - is_burn) * l4) AS s4,
+             sum((is_mint - is_burn) * l3) AS s3,
+             sum((is_mint - is_burn) * l2) AS s2,
+             sum((is_mint - is_burn) * l1) AS s1,
+             sum((is_mint - is_burn) * l0) AS s0,
+             CAST(sum(is_mint) AS BIGINT) AS n_mints,
+             CAST(sum(is_burn) AS BIGINT) AS n_burns
+      FROM legs GROUP BY token_address
+    ),
+    {_u256_carry_chain('s')}
+    SELECT token_address,
+           {_U256_HEX} AS outstanding_hex,
+           n_mints, n_burns
+    FROM n4
+    """,
+)
+def eth_u256_supply(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-token OUTSTANDING SUPPLY at full uint256 exactness: net of
+    zero-address flows (mints credit supply, burns debit it), summed as
+    signed limbs and read out canonically — the token-level consistency
+    companion to the holder ledger (sum of holder balances == outstanding
+    supply, an invariant the unit test checks across both entries).
+    Scale: filters to zero-address legs BEFORE the shuffle (mint/burn
+    events are a sliver of transfer volume), then one token-keyed
+    aggregation."""
+    from presto_ethereum_spark.sources.decode import (
+        hex_to_u256_limb_cols,
+        u256_limb_sums_to_hex,
+    )
+    from presto_ethereum_spark.sources.decode import (
+        TRANSFER_EVENT_TOPIC,
+        h32_to_h20_col,
+    )
+
+    zero = "0x" + "0" * 40
+    logs = spark.read.parquet(str(ETH / "u256_logs.parquet"))
+    limbs = hex_to_u256_limb_cols(F.col("data"))
+    tr = logs.where(
+        (F.lower(F.col("topics")[0]) == TRANSFER_EVENT_TOPIC)
+        & (F.size("topics") >= 3)
+        & (F.length("data") == 66)
+    ).select(
+        F.col("address").alias("token_address"),
+        h32_to_h20_col(F.col("topics")[1]).alias("from_addr"),
+        h32_to_h20_col(F.col("topics")[2]).alias("to_addr"),
+        *[limb.alias(f"l{i}") for i, limb in enumerate(limbs)],
+    )
+    legs = tr.where(
+        (F.col("from_addr") == zero) | (F.col("to_addr") == zero)
+    ).select(
+        "token_address",
+        F.when(F.col("from_addr") == zero, 1).otherwise(0).alias("is_mint"),
+        F.when(F.col("to_addr") == zero, 1).otherwise(0).alias("is_burn"),
+        *[f"l{i}" for i in range(5)],
+    )
+    sign = (F.col("is_mint") - F.col("is_burn")).cast("decimal(38,0)")
+    s = legs.groupBy("token_address").agg(
+        *[F.sum(sign * F.col(f"l{i}")).alias(f"s{i}") for i in range(5)],
+        F.sum("is_mint").cast("long").alias("n_mints"),
+        F.sum("is_burn").cast("long").alias("n_burns"),
+    )
+    return s.select(
+        "token_address",
+        u256_limb_sums_to_hex([F.col(f"s{i}") for i in range(5)]).alias(
+            "outstanding_hex"
+        ),
+        "n_mints",
+        "n_burns",
     )
 
 

@@ -234,3 +234,48 @@ class TestU256Limbs:
         }
         assert got == truth and len(truth) > 30
         assert any(int(b, 16) > 2**200 for b in truth.values())
+
+    def test_supply_equals_sum_of_holder_balances(self, spark):
+        """Cross-entry consistency: eth_u256_supply's outstanding figure
+        must equal the holder ledger summed per token (exact Python-int
+        arithmetic over both entries' hex read-outs)."""
+        from presto_ethereum_spark.plans import battery
+
+        bal = battery.queries()["eth_erc20_balances_u256"](spark, "x").collect()
+        sup = {
+            r.token_address: (int(r.outstanding_hex, 16), r.n_mints, r.n_burns)
+            for r in battery.queries()["eth_u256_supply"](spark, "x").collect()
+        }
+        agg: dict[str, int] = {}
+        for r in bal:
+            agg[r.token_address] = agg.get(r.token_address, 0) + int(
+                r.balance_hex, 16
+            )
+        assert agg == {t: v for t, (v, _, _) in sup.items()}
+        assert all(m > 0 for _, m, _ in sup.values())
+        assert any(b > 0 for _, _, b in sup.values())  # burns covered
+
+    def test_top_holders_hex_rank_is_numeric_rank(self, spark):
+        """The fixed-width hex string is order-isomorphic to the uint256 it
+        encodes: the entry's per-token rank must equal a rank computed on
+        Python ints."""
+        from presto_ethereum_spark.plans import battery
+
+        bal = battery.queries()["eth_erc20_balances_u256"](spark, "x").collect()
+        by_tok: dict[str, list] = {}
+        for r in bal:
+            by_tok.setdefault(r.token_address, []).append(
+                (int(r.balance_hex, 16), r.holder)
+            )
+        want = set()
+        for t, hs in by_tok.items():
+            hs.sort(key=lambda p: (-p[0], p[1]))
+            for i, (_, h) in enumerate(hs[:5], start=1):
+                want.add((t, h, i))
+        got = {
+            (r.token_address, r.holder, r.rnk)
+            for r in battery.queries()["eth_u256_top_holders"](
+                spark, "x"
+            ).collect()
+        }
+        assert got == want
