@@ -699,6 +699,48 @@ def rel_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "rel_lateral_topn",
+    """
+    SELECT n.n_name, t.o_orderkey, t.o_totalprice
+    FROM nation n,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    """,
+)
+def rel_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table; Spark
+    3.4+ lateral join support): per-nation top-2 orders by total price,
+    expressed as a dependent subquery instead of a rank window — the
+    other standard spelling of grouped top-k, exercised so users
+    migrating LATERAL-heavy SQL keep their queries verbatim.  Catalyst
+    rewrites the correlated limit into a window-style grouped-limit plan
+    (no per-row re-execution); o_totalprice passes through unmodified
+    (stored doubles, bit-stable on both engines); tie-break on orderkey
+    keeps the top-2 deterministic."""
+    t(spark, sf, "nation").createOrReplaceTempView("v_nation")
+    t(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    t(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM v_nation n,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+@q(
     "rel_in_exists_subqueries",
     """
     SELECT c_custkey, c_mktsegment FROM customer
