@@ -246,6 +246,12 @@ INCOMING: list[str] = [
     "stream_balance_restart",
     # round-12: server-side single-token address pushdown
     "eth_single_token_tail",
+    # round-12: u256 family extensions + streaming u256 state
+    "eth_u256_top_holders",
+    "eth_u256_supply",
+    "stream_u256_balance_upsert",
+    # round-12: correlated LATERAL subquery
+    "rel_lateral_topn",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state
@@ -267,6 +273,8 @@ ITERATIVE = {
     "stream_erc20_balance_upsert",
     "stream_balance_rpc_tail",
     "stream_png_ingest",
+    "stream_balance_restart",
+    "stream_u256_balance_upsert",
     # kmeans_convergence collects a codebook per Lloyd round (multi-job)
     "emb_kmeans_convergence",
     "eth_tx_pagerank",
