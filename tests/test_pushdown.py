@@ -385,3 +385,91 @@ class TestSqlRangesReviewFixes:
 
         with _pytest.raises(ValueError, match="non-integer"):
             ranges_from_sql("block_number = 'abc'")
+
+
+class TestPushFiltersDisjunctionWatch:
+    """STANDING SPARK-RELEASE WATCH (VERDICT r11 #7, automated): the
+    Python DataSource pushFilters API delivers only the top-level
+    CONJUNCTION — a raw OR-of-ranges predicate reaches the source as no
+    block_number filter at all, which is why read_ethereum_where /
+    block_ranges exist.  If a PySpark upgrade starts delivering
+    disjunctive (or otherwise block_number-bearing) filters for the OR
+    query below, the second assertion FAILS — that failure is the signal
+    to wire native OR pushdown into EthereumPushdownReader and retire the
+    SQL-rewrite workaround, not a regression."""
+
+    def _watch_source(self):
+        from presto_ethereum_spark.sources.rpc import (
+            EthereumPushdownDataSource,
+            EthereumPushdownReader,
+        )
+
+        class WatchSource(EthereumPushdownDataSource):
+            @classmethod
+            def name(cls) -> str:
+                return "ethereum-pushdown-watch"
+
+            def reader(self, schema):
+                r = EthereumPushdownReader(dict(self.options), schema)
+                watch = self.options["watch_path"]
+                orig = r.pushFilters
+
+                def recording(filters):
+                    with open(watch, "a") as fh:
+                        for f in filters:
+                            fh.write(repr(f) + "\n")
+                    return orig(filters)
+
+                r.pushFilters = recording
+                return r
+
+        return WatchSource
+
+    def test_or_predicate_delivery_and_correctness(self, spark, tmp_path):
+        from tests.conftest import ETH_FIXTURES
+
+        spark.dataSource.register(self._watch_source())
+        watch = str(tmp_path / "filters.txt")
+
+        # sanity leg: a plain conjunct IS delivered (the recorder works)
+        df = (
+            spark.read.format("ethereum-pushdown-watch")
+            .option("table", "block")
+            .option("path", str(ETH_FIXTURES / "chain_blocks.parquet"))
+            .option("watch_path", watch)
+            .load()
+            .where("block_number <= 15")
+        )
+        assert df.count() == 15
+        import os
+
+        recorded = open(watch).read() if os.path.exists(watch) else ""
+        assert "block_number" in recorded, (
+            "recorder saw no filters for a plain conjunct — watch broken"
+        )
+
+        # watch leg: the OR-of-ranges predicate must still arrive with NO
+        # block_number filter (conjunction-only API), while Spark
+        # re-applies it post-scan so the RESULT is exact
+        watch2 = str(tmp_path / "filters_or.txt")
+        pred = (
+            "block_number BETWEEN 10 AND 20 OR block_number BETWEEN 100 AND 110"
+        )
+        df2 = (
+            spark.read.format("ethereum-pushdown-watch")
+            .option("table", "block")
+            .option("path", str(ETH_FIXTURES / "chain_blocks.parquet"))
+            .option("watch_path", watch2)
+            .load()
+            .where(pred)
+        )
+        got = sorted(r["block_number"] for r in df2.select("block_number").collect())
+        assert got == list(range(10, 21)) + list(range(100, 111))
+        recorded2 = open(watch2).read() if os.path.exists(watch2) else ""
+        assert "block_number" not in recorded2, (
+            "Spark now delivers block_number filters for a disjunctive "
+            "predicate — the pushFilters conjunction-only gap has closed: "
+            "wire native OR pushdown into EthereumPushdownReader and "
+            "retire the read_ethereum_where workaround.  Delivered:\n"
+            + recorded2
+        )
