@@ -252,6 +252,8 @@ INCOMING: list[str] = [
     "stream_u256_balance_upsert",
     # round-12: correlated LATERAL subquery
     "rel_lateral_topn",
+    # round-12: time-travel u256 ledger checkpoints
+    "eth_u256_balance_asof",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -100,8 +100,14 @@ def main() -> None:
         else:
             supply[token] = supply.get(token, 0) - value  # burn
 
+    bn = 0
     for i in range(N_EVENTS):
-        bn = rng.randrange(N_BLOCKS)
+        # block numbers are MONOTONE in emission order (a real chain is
+        # causal): a random-per-event block let a checkpoint cut include
+        # a spend while excluding the earlier mint that funded it, making
+        # as-of balances negative — impossible on-chain
+        bn += rng.choice((0, 0, 1, 1, 1, 2))
+        bn = min(bn, N_BLOCKS - 1)
         token = rng.choice(tokens)
         kind = rng.random()
         if kind < 0.35 or not any(

@@ -1412,7 +1412,8 @@ _U256_TR_CTE = f"""
              CAST(CAST(concat('0x', substr(data, 37, 15)) AS BIGINT)
                   AS HUGEINT) AS l1,
              CAST(CAST(concat('0x', substr(data, 52, 15)) AS BIGINT)
-                  AS HUGEINT) AS l0
+                  AS HUGEINT) AS l0,
+             blocknumber
       FROM read_parquet('{ETH}/u256_logs.parquet')
       WHERE lower(topics[1]) =
             '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'
@@ -1651,6 +1652,80 @@ def eth_u256_top_holders(spark: SparkSession, sf: str) -> DataFrame:
     )
     return bal.withColumn("rnk", F.row_number().over(w).cast("long")).where(
         F.col("rnk") <= 5
+    )
+
+
+@q(
+    "eth_u256_balance_asof",
+    f"""
+    WITH {_U256_TR_CTE},
+    d AS (
+      SELECT token_address, to_addr AS holder, blocknumber,
+             l4, l3, l2, l1, l0
+      FROM tr
+      UNION ALL
+      SELECT token_address, from_addr, blocknumber,
+             -l4, -l3, -l2, -l1, -l0 FROM tr
+    ),
+    ck(asof_block) AS (VALUES (100), (200), (300)),
+    s AS (
+      SELECT token_address, holder, CAST(asof_block AS BIGINT) AS asof_block,
+             sum(l4) AS s4, sum(l3) AS s3, sum(l2) AS s2,
+             sum(l1) AS s1, sum(l0) AS s0,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM d CROSS JOIN ck
+      WHERE holder <> concat('0x', repeat('0', 40))
+        AND blocknumber < asof_block
+      GROUP BY token_address, holder, asof_block
+    ),
+    {_u256_carry_chain('s')}
+    SELECT token_address, holder, asof_block,
+           {_U256_HEX} AS balance_hex,
+           n_events
+    FROM n4
+    """,
+)
+def eth_u256_balance_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-TRAVEL ledger read-out at full uint256 exactness: each
+    (token, holder) balance AS OF three block checkpoints — the audit /
+    reconciliation query ("what did this wallet hold at block N") that a
+    balance table must answer without replaying history per request.
+    Plan: the signed limb deltas broadcast-join a 3-row checkpoint spine
+    (each delta contributes to every checkpoint past its block), then ONE
+    hash aggregation on (token, holder, checkpoint) — at scale the spine
+    join multiplies rows by |checkpoints| before the shuffle, the
+    standard cumulative-snapshot trade (for many checkpoints, switch to a
+    cumulative window over block-ordered partials; the 3-point spine is
+    the broadcast-cheap shape).  Carry normalization and hex read-out per
+    group, as in the balances entry; holders funded only later are
+    correctly ABSENT from earlier checkpoints (no zero-backfill —
+    n_events counts contributing legs)."""
+    from presto_ethereum_spark.sources.decode import (
+        erc20_transfer_deltas_u256,
+        u256_limb_sums_to_hex,
+    )
+
+    logs = spark.read.parquet(str(ETH / "u256_logs.parquet"))
+    d = erc20_transfer_deltas_u256(logs)
+    ck = spark.createDataFrame([(100,), (200,), (300,)], "asof_block long")
+    s = (
+        d.where(F.col("holder") != "0x" + "0" * 40)
+        .crossJoin(F.broadcast(ck))
+        .where(F.col("block_number") < F.col("asof_block"))
+        .groupBy("token_address", "holder", "asof_block")
+        .agg(
+            *[F.sum(f"l{i}").alias(f"s{i}") for i in range(5)],
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+    return s.select(
+        "token_address",
+        "holder",
+        "asof_block",
+        u256_limb_sums_to_hex([F.col(f"s{i}") for i in range(5)]).alias(
+            "balance_hex"
+        ),
+        "n_events",
     )
 
 
