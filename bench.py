@@ -254,6 +254,8 @@ INCOMING: list[str] = [
     "rel_lateral_topn",
     # round-12: time-travel u256 ledger checkpoints
     "eth_u256_balance_asof",
+    # round-12: whale-alert top-k straight off the wire (no value decode)
+    "eth_u256_largest_transfers",
 ]
 
 # Iterative / stateful / micro-batch entries carry multi-job session state

@@ -1656,6 +1656,66 @@ def eth_u256_top_holders(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "eth_u256_largest_transfers",
+    f"""
+    SELECT address AS token_address,
+           concat('0x', substr(topics[2], length(topics[2]) - 39, 40))
+             AS from_addr,
+           concat('0x', substr(topics[3], length(topics[3]) - 39, 40))
+             AS to_addr,
+           concat('0x', lower(substr(data, 3, 64))) AS value_hex,
+           blocknumber,
+           CAST(row_number() OVER (
+             PARTITION BY address
+             ORDER BY lower(substr(data, 3, 64)) DESC, blocknumber,
+                      topics[2], topics[3]
+           ) AS BIGINT) AS rnk
+    FROM read_parquet('{ETH}/u256_logs.parquet')
+    WHERE lower(topics[1]) =
+          '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'
+      AND len(topics) >= 3
+      AND length(data) = 66
+    QUALIFY rnk <= 3
+    """,
+)
+def eth_u256_largest_transfers(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 transfers per token by RAW uint256 value, with zero value
+    arithmetic anywhere: a standard Transfer's data word is already the
+    zero-padded 64-hex big-endian value, so lowercasing it IS the sortable
+    canonical form (the same order isomorphism the top-holders entry uses
+    after aggregation, applied here straight off the wire — whale-alert
+    monitoring without decoding).  One rank window per token,
+    WindowGroupLimit-eligible; deterministic tie-break on
+    (block, from, to)."""
+    from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+    from presto_ethereum_spark.sources.decode import h32_to_h20_col
+
+    logs = spark.read.parquet(str(ETH / "u256_logs.parquet"))
+    tr = logs.where(
+        (F.lower(F.col("topics")[0]) == TRANSFER_EVENT_TOPIC)
+        & (F.size("topics") >= 3)
+        & (F.length("data") == 66)
+    ).select(
+        F.col("address").alias("token_address"),
+        h32_to_h20_col(F.col("topics")[1]).alias("from_addr"),
+        h32_to_h20_col(F.col("topics")[2]).alias("to_addr"),
+        F.concat(
+            F.lit("0x"), F.lower(F.substring("data", 3, 64))
+        ).alias("value_hex"),
+        "blocknumber",
+    )
+    w = Window.partitionBy("token_address").orderBy(
+        F.col("value_hex").desc(),
+        "blocknumber",
+        F.col("from_addr"),
+        F.col("to_addr"),
+    )
+    return tr.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= 3
+    )
+
+
+@q(
     "eth_u256_balance_asof",
     f"""
     WITH {_U256_TR_CTE},
