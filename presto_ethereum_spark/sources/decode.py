@@ -38,6 +38,7 @@ __all__ = [
     "hex_to_double_col",
     "hex_to_u256_limb_cols",
     "u256_limb_sums_to_hex",
+    "u256_limb_sums_to_signed_hex",
     "erc20_transfer_deltas_u256",
     "token_symbol_col",
     "truncate_varchar_bounds",
@@ -213,15 +214,15 @@ def hex_to_u256_limb_cols(col: Column) -> list[Column]:
     ]
 
 
-def u256_limb_sums_to_hex(limbs: list[Column]) -> Column:
-    """Carry-normalize SIGNED per-limb sums (low->top, DECIMAL(38,0)) and
-    render the canonical ``0x`` + 64-hex-digit uint256 read-out.  Floored
-    carry semantics (pmod + exactly-divisible quotient) so negative
-    intermediate limbs borrow correctly; after normalization every limb is
-    in [0, 16^15) and only the TOP limb can be negative — iff the total is
-    negative, which a consistent ERC-20 ledger (mint-from-zero, zero
-    address excluded) never produces.  A negative or >=2^256 total raises
-    (raise_error) rather than rendering a wrong wrap-around."""
+def _u256_carry_normalize(limbs: list[Column]) -> tuple[Column, Column]:
+    """Floored carry normalization of SIGNED per-limb sums (low->top,
+    DECIMAL(38,0)): pmod gives the non-negative residue and the exactly-
+    divisible quotient propagates (possibly negative) carries upward, so
+    after the chain every rendered limb is in [0, 16^15) and only the TOP
+    limb can be negative — iff the total is negative.  Returns
+    (rendered_hex_without_sign_check, top_limb): the 0x+64-hex string
+    assuming top in [0, 16^4), and the raw top limb for the caller's
+    sign/overflow policy (strict vs signed read-out)."""
     B = F.lit(U256_LIMB_BASE).cast("decimal(38,0)")
     parts: list[Column] = []
     carry: Column = F.lit(0).cast("decimal(38,0)")
@@ -231,8 +232,22 @@ def u256_limb_sums_to_hex(limbs: list[Column]) -> Column:
         carry = ((v - m) / B).cast("decimal(38,0)")
         parts.append(F.lpad(F.lower(F.conv(m.cast("string"), 10, 16)), 15, "0"))
     top = limbs[4] + carry
-    bad = (top < 0) | (top >= F.lit(16**4).cast("decimal(38,0)"))
     top_hex = F.lpad(F.lower(F.conv(top.cast("string"), 10, 16)), 4, "0")
+    return F.concat(F.lit("0x"), top_hex, *reversed(parts)), top
+
+
+def u256_limb_sums_to_hex(limbs: list[Column]) -> Column:
+    """STRICT carry-normalized canonical ``0x`` + 64-hex-digit uint256
+    read-out of signed per-limb sums (see _u256_carry_normalize).  A
+    negative or >=2^256 total raises (raise_error) rather than rendering
+    a wrong wrap-around — correct for FULL-HISTORY consistent ledgers
+    (mint-from-zero, zero address excluded), where a negative position is
+    data corruption, not a result.  For PARTIAL-RANGE scans (the
+    reference's canonical ``BETWEEN x AND y`` access pattern,
+    README.md:15), where outflows legitimately precede in-range inflows,
+    use u256_limb_sums_to_signed_hex instead."""
+    rendered, top = _u256_carry_normalize(limbs)
+    bad = (top < 0) | (top >= F.lit(16**4).cast("decimal(38,0)"))
     return F.when(
         bad,
         F.raise_error(
@@ -240,7 +255,38 @@ def u256_limb_sums_to_hex(limbs: list[Column]) -> Column:
                 "u256 read-out outside [0, 2^256): top limb %s", top.cast("string")
             )
         ).cast("string"),
-    ).otherwise(F.concat(F.lit("0x"), top_hex, *reversed(parts)))
+    ).otherwise(rendered)
+
+
+def u256_limb_sums_to_signed_hex(limbs: list[Column]) -> Column:
+    """SIGNED carry-normalized read-out: sign + magnitude hex, for
+    partial-range ledger scans (VERDICT r12 #1).  A block-range predicate
+    (``BETWEEN x AND y``) routinely sees a holder's outflows before its
+    in-range inflows, so the net position is legitimately negative; the
+    strict read-out's raise_error would kill the whole query.  Here a
+    negative total renders as ``-0x`` + 64-hex MAGNITUDE (two's-
+    complement-free: the magnitude normalization runs over the negated
+    limbs, which is exact because limb negation distributes over the
+    value), non-negative totals render identically to the strict path.
+    Totals at or beyond ±2^256 still raise — sums of valid uint256
+    deltas over a range can only reach that with >2^60-row groups, at
+    which point an honest failure beats a silent wrap.  Pure JVM
+    expressions; both normalizations are branch arms of one projection
+    (no extra shuffle, no UDF)."""
+    pos_hex, pos_top = _u256_carry_normalize(limbs)
+    neg_hex, neg_top = _u256_carry_normalize([-limb for limb in limbs])
+    is_neg = pos_top < 0
+    lim = F.lit(16**4).cast("decimal(38,0)")
+    overflow = F.when(is_neg, neg_top).otherwise(pos_top) >= lim
+    return F.when(
+        overflow,
+        F.raise_error(
+            F.format_string(
+                "u256 magnitude >= 2^256: top limb %s",
+                F.when(is_neg, neg_top).otherwise(pos_top).cast("string"),
+            )
+        ).cast("string"),
+    ).when(is_neg, F.concat(F.lit("-"), neg_hex)).otherwise(pos_hex)
 
 
 def erc20_transfer_deltas_u256(logs: DataFrame) -> DataFrame:
@@ -252,12 +298,18 @@ def erc20_transfer_deltas_u256(logs: DataFrame) -> DataFrame:
     DECIMAL(38,0) family by the leading-zero guard) are in scope.
     Output: (token_address, holder, l0..l4 signed limb deltas, is_in,
     block_number); aggregate with per-limb SUM (commutative, map-side
-    partial) and read out via u256_limb_sums_to_hex."""
+    partial) and read out via u256_limb_sums_to_hex.
+
+    The value word must be FULLY hex (ADVICE r12 #3): a right-length but
+    non-hex data word would decode to all-NULL limbs yet still count in
+    n_transfers/n_in/n_out — a silently inconsistent ledger row, and a
+    divergence from the DuckDB oracle whose CAST hard-errors on the same
+    input.  The rlike gate excludes it from the ledger entirely."""
     limbs = hex_to_u256_limb_cols(F.col("data"))
     tr = logs.where(
         (F.lower(F.col("topics")[0]) == TRANSFER_EVENT_TOPIC)
         & (F.size("topics") >= 3)
-        & (F.length("data") == 66)
+        & F.lower(F.col("data")).rlike("^0x[0-9a-f]{64}$")
     ).select(
         F.col("address").alias("token_address"),
         h32_to_h20_col(F.col("topics")[1]).alias("from_addr"),

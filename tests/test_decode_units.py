@@ -279,3 +279,144 @@ class TestU256Limbs:
             ).collect()
         }
         assert got == want
+
+    def test_signed_readout_roundtrip(self, spark):
+        """u256_limb_sums_to_signed_hex renders sign + 64-hex magnitude for
+        ANY total in (-2^256, 2^256): property-checked against Python-int
+        arithmetic, including negatives (the partial-range case the strict
+        read-out raises on), zero, and near-boundary magnitudes."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.sources.decode import (
+            hex_to_u256_limb_cols,
+            u256_limb_sums_to_signed_hex,
+        )
+
+        rng = random.Random(23)
+        vals = [0, 1, -1, 2**256 - 1, -(2**256 - 1), 2**60, -(2**60)] + [
+            (1 if rng.random() < 0.5 else -1) * rng.getrandbits(rng.randint(1, 256))
+            for _ in range(60)
+        ]
+        rows = [("0x" + format(abs(v), "x"), 1 if v >= 0 else -1) for v in vals]
+        df = spark.createDataFrame(rows, "h string, sign int")
+        limbs = hex_to_u256_limb_cols(F.col("h"))
+        out = df.select(
+            "h",
+            "sign",
+            u256_limb_sums_to_signed_hex(
+                [(F.col("sign") * limb) for limb in limbs]
+            ).alias("back"),
+        ).collect()
+        for r in out:
+            want = int(r.h, 16) * r.sign
+            got = -int(r.back[1:], 16) if r.back.startswith("-") else int(r.back, 16)
+            assert got == want, (r.h, r.sign, r.back)
+            body = r.back[3:] if r.back.startswith("-") else r.back[2:]
+            assert len(body) == 64  # fixed-width magnitude in both signs
+
+    def test_signed_readout_overflow_raises(self, spark):
+        """Magnitudes at/above 2^256 still raise in signed mode — both
+        directions (the signed variant relaxes ONLY the sign, not the
+        width)."""
+        import pytest
+        from pyspark.errors import PySparkException
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.sources.decode import (
+            u256_limb_sums_to_signed_hex,
+        )
+
+        for limbvals in ([(0, 0, 0, 0, 16**4)], [(0, 0, 0, 0, -(16**4))]):
+            df = spark.createDataFrame(
+                limbvals, "l0 long, l1 long, l2 long, l3 long, l4 long"
+            ).select(*[F.col(f"l{i}").cast("decimal(38,0)") for i in range(5)])
+            with pytest.raises(PySparkException):
+                df.select(
+                    u256_limb_sums_to_signed_hex(
+                        [F.col(f"l{i}") for i in range(5)]
+                    ).alias("b")
+                ).collect()
+
+    def test_range_positions_matches_python_ledger(self, spark):
+        """eth_u256_range_positions must equal a Python-int signed ledger
+        over the same truncated block range — and the range must actually
+        contain net-negative holders, or the entry isn't testing the
+        signed path."""
+        from presto_ethereum_spark.plans import battery
+
+        rows = spark.read.parquet("fixtures/eth/u256_logs.parquet").collect()
+        zero = "0x" + "0" * 40
+        topic = (
+            "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+        )
+        led: dict[tuple, int] = {}
+        cnt: dict[tuple, int] = {}
+        for r in rows:
+            if not (150 <= r.blocknumber <= 299):
+                continue
+            if (
+                len(r.topics) < 3
+                or r.topics[0].lower() != topic
+                or len(r.data) != 66
+            ):
+                continue
+            v = int(r.data[2:], 16)
+            frm, to = "0x" + r.topics[1][-40:], "0x" + r.topics[2][-40:]
+            for addr, d in ((frm, -v), (to, v)):
+                if addr == zero:
+                    continue
+                k = (r.address, addr)
+                led[k] = led.get(k, 0) + d
+                cnt[k] = cnt.get(k, 0) + 1
+        got = {
+            (r.token_address, r.holder): (r.position_hex, r.sign, r.n_transfers)
+            for r in battery.queries()["eth_u256_range_positions"](
+                spark, "x"
+            ).collect()
+        }
+        assert set(got) == set(led)
+        n_neg = 0
+        for k, v in led.items():
+            hexs, sign, n = got[k]
+            want_sign = -1 if v < 0 else (0 if v == 0 else 1)
+            assert sign == want_sign, (k, v, hexs)
+            mag = int(hexs[1:], 16) if hexs.startswith("-") else int(hexs, 16)
+            assert mag == abs(v) and n == cnt[k], (k, v, hexs)
+            n_neg += sign == -1
+        assert n_neg >= 5  # the fixture slice genuinely nets negative
+
+    def test_nonhex_right_length_data_excluded(self, spark):
+        """ADVICE r12 #3: a right-length (66-char) but non-hex data word
+        must be EXCLUDED from the u256 ledger, not counted with all-NULL
+        limbs (which would inflate n_transfers while adding zero value —
+        and diverge from the oracle, whose CAST hard-errors)."""
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+        from presto_ethereum_spark.sources.decode import (
+            erc20_transfer_deltas_u256,
+        )
+
+        h32 = lambda a: "0x" + a[2:].rjust(64, "0")  # noqa: E731
+        a1, a2 = "0x" + "1" * 40, "0x" + "2" * 40
+        tok = "0x" + "e" * 40
+        good = "0x" + "5" * 64
+        bad = "0x" + "g" * 64  # length 66, not hex
+        upper = "0x" + "A" * 64  # uppercase hex is VALID wire data
+        rows = [
+            (tok, [TRANSFER_EVENT_TOPIC, h32(a1), h32(a2)], good, 1),
+            (tok, [TRANSFER_EVENT_TOPIC, h32(a1), h32(a2)], bad, 2),
+            (tok, [TRANSFER_EVENT_TOPIC, h32(a1), h32(a2)], upper, 3),
+        ]
+        logs = spark.createDataFrame(
+            rows,
+            "address string, topics array<string>, data string,"
+            " blocknumber long",
+        )
+        out = erc20_transfer_deltas_u256(logs).collect()
+        assert {r.block_number for r in out} == {1, 3}  # bad row dropped
+        assert all(
+            all(r[f"l{i}"] is not None for i in range(5)) for r in out
+        )  # surviving rows decode fully — no NULL-limb ledger rows
