@@ -1567,6 +1567,42 @@ def stream_u256_balance_upsert(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@q("stream_u256_balance_restart", _U256_STREAM_ORACLE)
+def stream_u256_balance_restart(spark: SparkSession, sf: str) -> DataFrame:
+    """KILL-AND-RESUME for the FULL-uint256 ledger (VERDICT r12 #3): the
+    durable-restart contract graded for the DECIMAL(38,0) algebra by
+    stream_balance_restart, re-run with the u256 state spec — 4 staged
+    wire-log micro-batches, a hard kill after 2 (query object and driver-
+    side generation list discarded; only the on-disk checkpoint + the
+    _SUCCESS-marked generation chain survive), then a brand-new
+    run_balance_upsert call resumes from the same state root.  The
+    settled ledger must hash-equal the one-pass DuckDB HUGEINT batch
+    oracle: dropped generations lose early transfers, a replayed file
+    double-counts limbs — either is a mismatch, so the gate covers both
+    halves of durability ON the 5-limb algebra (whose merge is plain
+    per-limb SUM; carry normalization happens once, at read-out, AFTER
+    the resume).  Scale: recovery is one directory listing; steady-state
+    per-batch work is identical to stream_u256_balance_upsert."""
+    from presto_ethereum_spark.sources.decode import erc20_transfer_deltas_u256
+    from presto_ethereum_spark.streaming.chain import (
+        run_balance_restart,
+        u256_state_spec,
+    )
+
+    zero = "0x" + "0" * 40
+    return run_balance_restart(
+        spark,
+        str(ETH / "u256_logs.parquet"),
+        split_ranges=4,
+        kill_after=2,
+        deltas_fn=lambda df: erc20_transfer_deltas_u256(df).where(
+            F.col("holder") != zero
+        ),
+        state_spec=u256_state_spec(),
+        block_col="blocknumber",
+    )
+
+
 @q("eth_erc20_balances_u256", _U256_BALANCES_ORACLE)
 def eth_erc20_balances_u256(spark: SparkSession, sf: str) -> DataFrame:
     """FULL-RANGE exact uint256 balance ledger (VERDICT r11 #3): decode

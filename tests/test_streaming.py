@@ -1721,3 +1721,40 @@ class TestDrainOverProvisioning:
             )
         )
         assert got == want and len(got) > 0
+
+    def test_state_root_without_source_raises(self, spark, tmp_path):
+        """ADVICE r12 #2: durable mode + the default re-staged input is a
+        silent double-count trap (overwrite re-staging mints new part-file
+        names, so a resumed checkpoint replays every range).  The
+        combination must refuse loudly up front."""
+        import pytest
+
+        from presto_ethereum_spark.streaming.chain import run_balance_upsert
+
+        with pytest.raises(ValueError, match="stable"):
+            run_balance_upsert(
+                spark, self.CHAIN, state_root=str(tmp_path / "state")
+            )
+
+    def test_u256_kill_and_resume_settles_to_batch_ledger(self, spark):
+        """VERDICT r12 #3: the durability contract on the 5-limb u256
+        algebra — the resumed pipeline's settled ledger must equal the
+        one-pass batch u256 ledger (itself differentially pinned against
+        the generator's Python-int ledger and the DuckDB oracle)."""
+        from presto_ethereum_spark.plans import battery
+
+        got = sorted(
+            map(
+                tuple,
+                battery.queries()["stream_u256_balance_restart"](
+                    spark, "x"
+                ).collect(),
+            )
+        )
+        want = sorted(
+            (r.token_address, r.holder, r.n_in, r.n_out, r.balance_hex)
+            for r in battery.queries()["stream_u256_balance_upsert"](
+                spark, "x"
+            ).collect()
+        )
+        assert got == want and len(got) > 30
