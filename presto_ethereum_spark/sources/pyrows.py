@@ -18,7 +18,13 @@ from presto_ethereum_spark.constants import (
     lookup_token,
 )
 
-__all__ = ["block_row", "transaction_rows", "erc20_rows", "erc20_row_from_log"]
+__all__ = [
+    "block_row",
+    "transaction_rows",
+    "erc20_rows",
+    "erc20_row_from_log",
+    "erc20_value_hex",
+]
 
 
 def block_row(b: dict) -> dict:
@@ -65,13 +71,35 @@ def transaction_rows(b: dict) -> list[dict]:
     ]
 
 
-def erc20_row_from_log(log: dict) -> dict | None:
+_HEX_DIGITS = frozenset("0123456789abcdef")
+
+
+def erc20_value_hex(data: str | None) -> str | None:
+    """Canonical exact uint256 read-out of a (post-promotion) value word:
+    ``0x`` + 64 lowercase hex digits, or None when the word carries no
+    exact uint256 (empty ERC-721 id-in-data payloads, non-hex bodies,
+    >64-digit bodies — the same inputs the limb decode
+    (sources/decode.hex_to_u256_limb_cols) NULLs).  The double column's
+    0.0/lossy fallbacks stay reference-parity; this column is the exact
+    sibling surfaced by the ``value_mode=u256_hex`` read option."""
+    if not data:
+        return None
+    body = data[2:].lower()
+    if not 1 <= len(body) <= 64 or not _HEX_DIGITS.issuperset(body):
+        return None
+    return "0x" + body.rjust(64, "0")
+
+
+def erc20_row_from_log(log: dict, value_hex: bool = False) -> dict | None:
     """Decode ONE log into an erc20 row, or None for non-Transfer / "weird"
     events (EthereumRecordCursor.java:151-189): case-insensitive topic
     match, weird-event drop, unindexed-param promotion, h32->h20 narrowing,
     hex->double with 0.0 fallback.  Shared by the per-block receipt decode
     (:func:`erc20_rows`) and the bulk ``eth_getLogs`` scan, which must
-    agree row-for-row."""
+    agree row-for-row.  ``value_hex=True`` adds the exact
+    ``erc20_value_hex`` column (the ``value_mode=u256_hex`` option; OFF by
+    default so the golden fixture's byte-stability contract is
+    untouched)."""
     topics = list(log["topics"])
     data = log["data"]
     if not topics or topics[0].lower() != TRANSFER_EVENT_TOPIC:
@@ -88,7 +116,7 @@ def erc20_row_from_log(log: dict) -> dict | None:
             topics.append("0x" + fields[i])
             i += 1
         data = "0x" + fields[i]
-    return {
+    row = {
         "erc20_token": lookup_token(log["address"]),
         "erc20_from": h32_to_h20(topics[1]),
         "erc20_to": h32_to_h20(topics[2]),
@@ -96,14 +124,17 @@ def erc20_row_from_log(log: dict) -> dict | None:
         "erc20_txhash": log["transactionhash"],
         "erc20_blocknumber": log["blocknumber"],
     }
+    if value_hex:
+        row["erc20_value_hex"] = erc20_value_hex(data)
+    return row
 
 
-def erc20_rows(b: dict) -> list[dict]:
+def erc20_rows(b: dict, value_hex: bool = False) -> list[dict]:
     """ERC-20 Transfer decode over a block's embedded receipt logs."""
     rows = []
     for t in b["transactions"]:
         for log in t.get("logs") or []:
-            row = erc20_row_from_log(log)
+            row = erc20_row_from_log(log, value_hex=value_hex)
             if row is not None:
                 rows.append(row)
     return rows

@@ -563,6 +563,27 @@ class EthereumDataSource(DataSource):
             raise ValueError(
                 f"Unknown table: {table!r} (expected block|transaction|erc20)"
             )
+        value_mode = self.options.get("value_mode", "double").lower()
+        if value_mode not in ("double", "u256_hex"):
+            raise ValueError(
+                f"value_mode must be 'double' or 'u256_hex' "
+                f"(got {self.options.get('value_mode')!r})"
+            )
+        if value_mode == "u256_hex":
+            # Exact-value surface for SQL users (VERDICT r12 #4): the
+            # reference-parity lossy double column stays, and the exact
+            # uint256 value arrives alongside as the canonical 0x + 64-hex
+            # string — the same representation the limb-ledger family
+            # renders, so it feeds hex_to_u256_limb_cols / hex-order
+            # ranking directly, no Python helpers needed.
+            if table != "erc20":
+                raise ValueError("value_mode=u256_hex applies to table=erc20")
+            from pyspark.sql.types import StringType, StructField
+
+            return StructType(
+                SCHEMAS[table].fields
+                + [StructField("erc20_value_hex", StringType())]
+            )
         return SCHEMAS[table]
 
     def reader(self, schema: StructType) -> "EthereumReader":
@@ -590,6 +611,7 @@ class EthereumReader(DataSourceReader):
             options.get("blocks_per_partition", DEFAULT_BLOCKS_PER_PARTITION)
         )
         self.rpc_batch = int(options.get("rpc_batch_size", DEFAULT_RPC_BATCH))
+        self.value_hex = options.get("value_mode", "double").lower() == "u256_hex"
         self.logs_mode = options.get("logs_mode", "receipts").lower()
         if self.logs_mode not in ("receipts", "eth_getlogs"):
             raise ValueError(
@@ -666,7 +688,7 @@ class EthereumReader(DataSourceReader):
             # (EthereumRecordSet.java:48-56, EthereumLogLazyIterator.java:39-42).
             cols = self.columns
             for lg in self._logs_adaptive(partition.start, partition.end):
-                row = pyrows.erc20_row_from_log(lg)
+                row = pyrows.erc20_row_from_log(lg, value_hex=self.value_hex)
                 if row is not None:
                     yield tuple(row[c] for c in cols)
             return
@@ -684,7 +706,7 @@ class EthereumReader(DataSourceReader):
                     for row in pyrows.transaction_rows(b):
                         yield tuple(row[c] for c in cols)
                 else:
-                    for row in pyrows.erc20_rows(b):
+                    for row in pyrows.erc20_rows(b, value_hex=self.value_hex):
                         yield tuple(row[c] for c in cols)
 
     def _logs_adaptive(self, start: int, end: int) -> Iterator[dict]:

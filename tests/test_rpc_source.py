@@ -790,3 +790,83 @@ class TestResultTooLargeClassifier:
             "execution timeout",
         ):
             assert not self._err(msg).is_result_too_large(), msg
+
+
+class TestValueModeU256Hex:
+    """value_mode=u256_hex read option (VERDICT r12 #4)."""
+
+    def test_value_hex_semantics(self):
+        """Canonical 0x+64 lowercase hex for valid words; None for empty /
+        non-hex / >64-digit bodies — mirroring the limb decode's NULLs."""
+        from presto_ethereum_spark.sources.pyrows import erc20_value_hex
+
+        assert erc20_value_hex("0x5") == "0x" + "0" * 63 + "5"
+        assert erc20_value_hex("0x" + "A" * 64) == "0x" + "a" * 64
+        assert erc20_value_hex("0x" + "f" * 64) == "0x" + "f" * 64
+        assert erc20_value_hex("0x") is None  # ERC-721 id-in-data
+        assert erc20_value_hex(None) is None
+        assert erc20_value_hex("0x" + "g" * 64) is None  # non-hex
+        assert erc20_value_hex("0x" + "1" * 65) is None  # > uint256 width
+        assert erc20_value_hex("0x" + "1" * 128) is None  # 2-word payload
+
+    def test_row_builders_add_column_only_when_asked(self):
+        """Default decode is byte-identical to the golden contract (no new
+        key); value_hex=True adds erc20_value_hex and nothing else."""
+        from presto_ethereum_spark.constants import TRANSFER_EVENT_TOPIC
+        from presto_ethereum_spark.sources.pyrows import erc20_row_from_log
+
+        log = {
+            "address": "0x" + "e" * 40,
+            "topics": [
+                TRANSFER_EVENT_TOPIC,
+                "0x" + "1".rjust(64, "0"),
+                "0x" + "2".rjust(64, "0"),
+            ],
+            "data": "0x" + "5" * 64,
+            "transactionhash": "0x" + "a" * 64,
+            "blocknumber": 7,
+        }
+        base = erc20_row_from_log(dict(log))
+        assert "erc20_value_hex" not in base
+        ext = erc20_row_from_log(dict(log), value_hex=True)
+        assert ext["erc20_value_hex"] == "0x" + "5" * 64
+        assert {k: v for k, v in ext.items() if k != "erc20_value_hex"} == base
+
+    def test_format_roundtrip_matches_batch_decode(self, spark):
+        """The live format with value_mode=u256_hex must agree with the
+        default mode on every base column, row for row, and the appended
+        hex column must re-decode (via the limb family) to a double that
+        equals erc20_value wherever the value fits a double exactly."""
+        from pyspark.sql import functions as F
+
+        from presto_ethereum_spark.sources.rpc import EthereumDataSource
+
+        spark.dataSource.register(EthereumDataSource)
+
+        def rd(**opts):
+            r = (
+                spark.read.format("ethereum")
+                .option("table", "erc20")
+                .option("path", "fixtures/eth/chain_blocks.parquet")
+                .option("blocks_per_partition", 4000)
+            )
+            for k, v in opts.items():
+                r = r.option(k, v)
+            return r.load()
+
+        base = rd()
+        ext = rd(value_mode="u256_hex")
+        assert ext.drop("erc20_value_hex").exceptAll(base).count() == 0
+        assert base.exceptAll(ext.drop("erc20_value_hex")).count() == 0
+        # hex is exact: where present and < 2^53, int(hex) == double value
+        rows = ext.where(
+            F.col("erc20_value_hex").isNotNull()
+        ).select("erc20_value", "erc20_value_hex").collect()
+        assert rows
+        n_checked = 0
+        for r in rows:
+            v = int(r.erc20_value_hex, 16)
+            if v < 2**53:
+                assert float(v) == r.erc20_value
+                n_checked += 1
+        assert n_checked > 0

@@ -74,3 +74,48 @@ def test_derived_tables_match_schema(chain_source):
         assert [f.dataType for f in df.schema.fields] == [
             f.dataType for f in schema.fields
         ], name
+
+
+def test_value_mode_u256_hex_schema_golden():
+    """VERDICT r12 #4: the value_mode=u256_hex read option appends exactly
+    one column — erc20_value_hex string, nullable — after the reference-
+    parity six; every base column keeps its name, type, and position."""
+    from pyspark.sql.types import StringType
+
+    from presto_ethereum_spark.sources.rpc import EthereumDataSource
+
+    ds = EthereumDataSource(
+        options={"table": "erc20", "value_mode": "u256_hex"}
+    )
+    got = ds.schema()
+    assert [f.name for f in got.fields] == [
+        "erc20_token",
+        "erc20_from",
+        "erc20_to",
+        "erc20_value",
+        "erc20_txhash",
+        "erc20_blocknumber",
+        "erc20_value_hex",
+    ]
+    assert got.fields[-1].dataType == StringType()
+    assert got.fields[-1].nullable
+    assert got.fields[:-1] == list(ERC20_SCHEMA.fields)
+    # default mode is byte-identical to the reference schema
+    assert (
+        EthereumDataSource(options={"table": "erc20"}).schema() == ERC20_SCHEMA
+    )
+
+
+def test_value_mode_validation():
+    import pytest
+
+    from presto_ethereum_spark.sources.rpc import EthereumDataSource
+
+    with pytest.raises(ValueError, match="value_mode"):
+        EthereumDataSource(
+            options={"table": "erc20", "value_mode": "exact"}
+        ).schema()
+    with pytest.raises(ValueError, match="erc20"):
+        EthereumDataSource(
+            options={"table": "block", "value_mode": "u256_hex"}
+        ).schema()
