@@ -20,9 +20,17 @@ PRE-ENCODE pixel array (png.nn_resize on raw source bytes); the Spark side
 recomputes it from the DECODED bytes, pinning decode + resize end-to-end.
 
 Content mix: gradients, checkerboards, stripes, solids, and seeded noise;
-sizes 5x5..48x33; every PNG filter type 0..4 and both color types (grey /
-RGB) cycle through the corpus, so all decoder reconstruction branches are
-exercised by graded data, not just unit tests.
+every PNG filter type 0..4 and both color types (grey / RGB) cycle through
+the corpus, so all decoder reconstruction branches are exercised by graded
+data, not just unit tests.
+
+Sizes (VERDICT r12 #5): 7 of every 8 images are 48x44..96x72 — ABOVE the
+numpy unfilter dispatch threshold (png._NP_MIN_BYTES = 2048 pixel bytes)
+even in grayscale, so the graded decode entries exercise the VECTORIZED
+kernel on the hot path; every 8th image stays 5x5..20x16 (below the
+threshold) so auto-dispatch's reference-loop arm keeps graded coverage
+too.  The kernel mix is pinned by tests/test_png.py
+(test_fixture_exercises_numpy_kernel_on_hot_path).
 
 Also fixtures/media/audio.parquet — one row per PCM16 WAV clip
 (operators/wav.py encoder): sine / square / sawtooth / chirp / noise
@@ -91,7 +99,27 @@ def main() -> None:
         kind = kinds[i % len(kinds)]
         gray = i % 7 == 3
         filt = i % 5
-        w, h = rng.randint(5, 48), rng.randint(5, 33)
+        if i % 30 == 7:
+            # real-corpus-size cohort (8 images, 224-320 px): the regime
+            # where the vectorized kernels win big (512x512 Paeth measured
+            # 6.8x; see SCALE.md §6e) — graded, not just property-tested
+            w, h = rng.randint(224, 320), rng.randint(224, 288)
+        elif i % 8 == 5:  # sub-threshold tail: grades the reference-loop arm
+            w, h = rng.randint(5, 20), rng.randint(5, 16)
+        elif filt == 4 and not gray:
+            # wavefront class dispatches on VECTOR WIDTH: Paeth-present
+            # needs min(h,w)*nch >= png._NP_MIN_WAVE_WIDTH (160) —
+            # min dim >= 56 keeps min(h,w)*3 >= 168, so RGB Paeth rows
+            # grade the numpy wavefront; grey wavefront rows grade its
+            # reference-loop arm
+            w, h = rng.randint(56, 96), rng.randint(56, 84)
+        elif filt == 3 and not gray:
+            # Average-only wavefronts cross over later
+            # (png._NP_MIN_AVG_WIDTH = 288): min dim >= 96 keeps
+            # min(h,w)*3 >= 288
+            w, h = rng.randint(96, 128), rng.randint(96, 120)
+        else:  # >= 2048 pixel bytes even at nch=1: grades the numpy arm
+            w, h = rng.randint(48, 96), rng.randint(44, 72)
         px = _pixels(rng, kind, w, h, gray)
         if gray:
             flat = bytes(v for row in px for v in row)

@@ -653,10 +653,12 @@ def png_decode_screen(
                         else "decode-error"
                     )
                     recs.append((int(mid), False, kind, None, None))
-                except (struct.error, zlib.error):
+                except (struct.error, zlib.error, MemoryError):
                     # blobs truncated mid-chunk hit struct.unpack on a
-                    # short slice; garbage IDAT hits zlib.decompress —
-                    # both are exactly the dirty-corpus corruption this
+                    # short slice; garbage IDAT hits zlib.decompress; a
+                    # forged IHDR declaring absurd dimensions can push an
+                    # allocation past the executor (ADVICE r12 #1) —
+                    # all exactly the dirty-corpus corruption this
                     # screen exists to quarantine, not task-killers
                     recs.append((int(mid), False, "decode-error", None, None))
             yield pd.DataFrame(

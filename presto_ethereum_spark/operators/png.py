@@ -28,7 +28,7 @@ import zlib
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
-__all__ = ["encode_png", "decode_png", "nn_resize"]
+__all__ = ["encode_png", "decode_png", "nn_resize", "_nn_resize_py"]
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -247,6 +247,23 @@ def _unfilter_np(raw: bytes, w: int, h: int, nch: int) -> bytes:
     #   left (Y, C-1)      -> Q[D-1, Y]
     #   up (Y-1, C)        -> Q[D-1, Y-1]
     #   up-left (Y-1, C-1) -> Q[D-2, Y-1]
+    #
+    # The plane is (h+w+1, h+1, nch): O(h*(h+w)) — quadratic in h for
+    # tall-narrow images (ADVICE r12 #1: a 100000x1 Paeth PNG would try
+    # tens of GB).  Index along the SHORTER axis instead: when h > w,
+    # TRANSPOSE the pixel grid.  Transposition swaps the left and up
+    # dependencies (left_t = up, up_t = left), so the predictors remap
+    # exactly — Sub and Up swap, Average is symmetric in (a, b), Paeth
+    # swaps its (left, up) arguments (the spec's tie-break order prefers
+    # LEFT, so the argument swap, not a symmetric call, preserves
+    # bit-exactness) — and the per-ROW filter byte becomes a per-COLUMN
+    # selector, indexed ft[D - Y - 1] within a diagonal.  The plane is
+    # then (h+w+1, min(h,w)+1, nch): linear in the long axis, bounded by
+    # ~8x the pixel bytes for any aspect ratio.
+    swapped = h > w
+    if swapped:
+        R = np.ascontiguousarray(R.transpose(1, 0, 2))
+        h, w = w, h
     Q = np.zeros((h + w + 1, h + 1, nch), dtype=np.int16)
     Rq = np.zeros_like(Q)
     # skew by per-diagonal strided gather (sequential writes, strided
@@ -301,18 +318,27 @@ def _unfilter_np(raw: bytes, w: int, h: int, nch: int) -> bytes:
         u = slice(Y0 - 1, Y1)
         a = Q[D - 1, t]
         b = Q[D - 1, u]
+        # in the transposed plane the roles invert: transposed-left IS the
+        # original up neighbor and vice versa
+        left, up = (b, a) if swapped else (a, b)
         r = Rq[D, t]
         if uniform == 4:
-            pred = paeth_pred(a, b, Q[D - 2, u], n)
+            pred = paeth_pred(left, up, Q[D - 2, u], n)
         elif uniform == 3:
             pred = np.add(a, b, out=s1[:n])
             np.right_shift(pred, 1, out=pred)
         elif uniform is None:  # per-row filter mix on this diagonal
-            paeth = paeth_pred(a, b, Q[D - 2, u], n).copy()
-            f = fcol[Y0 - 1 : Y1]
+            paeth = paeth_pred(left, up, Q[D - 2, u], n).copy()
+            if swapped:
+                # original scanline of element (D, Y) is y = D - Y - 1:
+                # a DESCENDING slice of the filter column within the
+                # diagonal
+                f = fcol[D - 1 - Y1 : D - Y0][::-1]
+            else:
+                f = fcol[Y0 - 1 : Y1]
             pred = np.select(
                 [f == 0, f == 1, f == 2, f == 3],
-                [np.int16(0), a, b, (a + b) >> 1],
+                [np.int16(0), left, up, (a + b) >> 1],
                 default=paeth,
             )
         else:  # uniform 0/1/2 never reaches here (row path above)
@@ -333,12 +359,44 @@ def _unfilter_np(raw: bytes, w: int, h: int, nch: int) -> bytes:
             strides=(ostride, out.itemsize),
         )
         v[:] = Q[D, Y0 : Y1 + 1]  # int16 -> uint8 narrowing copy
+    if swapped:
+        out = np.ascontiguousarray(out.transpose(1, 0, 2))
     return out.tobytes()
 
 
 # below this many pixel-bytes the per-step numpy dispatch overhead beats
-# the vector win; measured crossover is ~2-4k on this host class
+# the vector win; measured crossover is ~2-4k on this host class.  Applies
+# to the ROW-PATH filter class (None/Sub/Up: one vector op per scanline).
 _NP_MIN_BYTES = 2048
+# the WAVEFRONT class (any Average/Paeth row) pays h+w-1 dispatch steps of
+# min(h,w)*nch-wide vectors, so its crossover is governed by the vector
+# WIDTH, not total bytes — and by which predictor the Python loop pays
+# for: Paeth's 3-branch predictor makes the reference loop ~2.4x/byte
+# slower than Average's, so the vector win arrives earlier.  Measured r13
+# on this host class (sweep recorded in SCALE.md §6e): Paeth-present wins
+# from ~150 elements (64x64 RGB 1.10x, 48x72 RGB 1.08x, 192x192 grey
+# 1.17x; loses at 96x72 grey 0.41x), Average-only from ~280 (96x96 RGB
+# width 288 1.14x, 128x128 RGB width 384 1.45x, 160x160 width 480 2.38x).
+_NP_MIN_WAVE_WIDTH = 160
+_NP_MIN_AVG_WIDTH = 288
+
+
+def _auto_use_np(raw: bytes, w: int, h: int, nch: int) -> bool:
+    """The ``kernel='auto'`` dispatch decision, filter-aware: peek at the
+    h filter bytes (an O(h) strided slice) and apply the measured
+    per-class crossover — row-path images go vectorized from
+    _NP_MIN_BYTES pixel bytes; wavefront images (any Average/Paeth
+    scanline) go vectorized only when the anti-diagonal vector clears the
+    class's width crossover (_NP_MIN_WAVE_WIDTH with Paeth present,
+    _NP_MIN_AVG_WIDTH for Average-only).  Pinned against the graded
+    fixture in tests/test_png.py."""
+    if w * h * nch < _NP_MIN_BYTES:
+        return False
+    fts = raw[0 :: w * nch + 1]
+    if max(fts) <= 2:
+        return True
+    bound = _NP_MIN_WAVE_WIDTH if 4 in fts else _NP_MIN_AVG_WIDTH
+    return min(h, w) * nch >= bound
 
 
 def decode_png(blob: bytes, kernel: str = "auto") -> tuple[int, int, int, bytes]:
@@ -347,20 +405,37 @@ def decode_png(blob: bytes, kernel: str = "auto") -> tuple[int, int, int, bytes]
     and 2 (RGB), no interlace — the profile the fixture generator emits;
     anything else raises ValueError (honest failure, not a fake).
 
-    ``kernel``: ``auto`` (numpy unfilter when importable and the image is
-    big enough to amortize vector dispatch, else the reference loop),
-    ``numpy``, or ``py`` (the frozen pure-stdlib reference)."""
+    ``kernel``: ``auto`` (numpy unfilter when importable and the image's
+    filter class + size clear the measured crossover, else the reference
+    loop — see _auto_use_np), ``numpy``, or ``py`` (the frozen
+    pure-stdlib reference)."""
     w, h, nch, raw = _parse_png(blob)
     use_np = kernel == "numpy"
-    if kernel == "auto" and h * w * nch >= _NP_MIN_BYTES:
+    if kernel == "auto":
         try:
             import numpy  # noqa: F401
 
-            use_np = True
+            use_np = _auto_use_np(raw, w, h, nch)
         except ImportError:
             use_np = False
     unfilter = _unfilter_np if use_np else _unfilter_py
     return w, h, nch, unfilter(raw, w, h, nch)
+
+
+def _nn_resize_py(
+    raw: bytes, w: int, h: int, nch: int, tw: int, th: int
+) -> bytes:
+    """REFERENCE nearest-neighbor kernel: the per-pixel loop, frozen as
+    the differential baseline for the numpy fast path (the _unfilter_py
+    pattern)."""
+    out = bytearray()
+    for ty in range(th):
+        sy = ty * h // th
+        base = sy * w * nch
+        for tx in range(tw):
+            sx = tx * w // tw
+            out += raw[base + sx * nch : base + (sx + 1) * nch]
+    return bytes(out)
 
 
 def nn_resize(
@@ -370,12 +445,17 @@ def nn_resize(
     sample index floor(i * src / dst), the standard NN grid.  Shared by
     the Spark thumbnail stage and the fixture generator (which runs it on
     the PRE-ENCODE pixel array, so the graded comparison still proves the
-    decode)."""
-    out = bytearray()
-    for ty in range(th):
-        sy = ty * h // th
-        base = sy * w * nch
-        for tx in range(tw):
-            sx = tx * w // tw
-            out += raw[base + sx * nch : base + (sx + 1) * nch]
-    return bytes(out)
+    decode).
+
+    Vectorized (VERDICT r12 #6 — the last per-pixel Python loop in the
+    media path): two integer index vectors + one fancy-index gather,
+    bit-equal to the frozen reference kernel by construction (identical
+    floor-division index math; property-tested in tests/test_png.py)."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is baked into this env
+        return _nn_resize_py(raw, w, h, nch, tw, th)
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, nch)
+    sy = (np.arange(th, dtype=np.int64) * h) // th
+    sx = (np.arange(tw, dtype=np.int64) * w) // tw
+    return a[sy][:, sx].tobytes()
