@@ -432,6 +432,70 @@ def run_chunk(names: list[str], sf_dir: str, repeats: int, iter_repeats: int) ->
     }
 
 
+def adjudication_queue(
+    times: dict[str, float], prev: dict[str, float]
+) -> list[str]:
+    """SCALE.md §6d's adjudication policy, SELF-EXECUTING (VERDICT r12
+    #2): any headline entry whose cross-round RAW ratio exceeds 2x AND
+    whose current median exceeds 2 s is queued for
+    ``scripts/adjudicate_movers.py --queries <q> --baseline <prev round's
+    closing commit>``.  Sub-2 s entries stay un-queued however hard they
+    swing — the measured same-day noise floor (§6e/§6f: single-query
+    swings to 2.97x on identical code) makes paired sessions on them pure
+    cost; multi-second 2x movers are exactly the class r11's
+    `eth_tx_hits` fell into, where only the paired protocol separates
+    environment drift from a real regression."""
+    return [
+        name
+        for name in HEADLINE
+        if name in times
+        and prev.get(name)
+        and times[name] > 2.0
+        and times[name] / prev[name] > 2.0
+    ]
+
+
+def _refresh_baseline() -> tuple[int | None, dict[str, float]]:
+    """Cross-round comparison base for the adjudication queue.
+
+    The driver's BENCH_r{N}.json records only a 2,000-char stdout tail —
+    the per-query map lives in BENCH_DETAIL.json, which every bench run
+    OVERWRITES.  So the first bench run after a new BENCH_r{N} appears
+    (i.e. the first run of round N+1, while the on-disk DETAIL is still
+    round N's committed closing copy) snapshots that map into
+    BENCH_BASELINE.json tagged with N; every later run this round
+    compares against the snapshot, giving a stable round-over-round base
+    instead of run-over-run drift."""
+    import re
+
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for f in here.glob("BENCH_r*.json")
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f.name))
+    ]
+    n = max(rounds, default=None)
+    bpath = here / "BENCH_BASELINE.json"
+    try:
+        cur = json.loads(bpath.read_text())
+    except (OSError, json.JSONDecodeError):
+        cur = {}
+    if cur.get("round") != n:
+        try:
+            detail = json.loads((here / "BENCH_DETAIL.json").read_text())
+        except (OSError, json.JSONDecodeError):
+            return n, {}
+        cur = {
+            "round": n,
+            "note": "closing per-query medians of the round named above,"
+            " snapshotted from its committed BENCH_DETAIL.json by the"
+            " first bench run of the following round",
+            "queries": detail.get("queries", {}),
+        }
+        bpath.write_text(json.dumps(cur, indent=1) + "\n")
+    return cur.get("round"), cur.get("queries", {})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -555,6 +619,22 @@ def main() -> None:
         # so spreads are not comparable to <=r7 recordings
         "gc_drain": "driver-jvm-only (local mode); warm-median since r8",
     }
+    # §6d policy made self-executing: compare against the newest
+    # driver-recorded round and queue multi-second >2x raw movers for the
+    # paired-worktree protocol.  Recorded in the detail artifact (the
+    # judge and the next round's builder both read it) and echoed to
+    # stderr so an interactive run can't miss it.
+    prev_round, prev_times = _refresh_baseline()
+    queue = adjudication_queue(times, prev_times)
+    detail["adjudicate_vs_round"] = prev_round
+    detail["adjudicate_queue"] = queue
+    if queue:
+        print(
+            f"# ADJUDICATE (>2x raw vs r{prev_round}, >2s median): "
+            f"{','.join(queue)} -> python3 scripts/adjudicate_movers.py "
+            f"--queries {','.join(queue)} --baseline <r{prev_round} commit>",
+            file=sys.stderr,
+        )
     out_path = here / "BENCH_DETAIL.json"
     out_path.write_text(json.dumps(detail, indent=1) + "\n")
     # Full per-query map on an EARLIER line for humans/logs ...

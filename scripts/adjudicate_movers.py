@@ -145,6 +145,7 @@ def run_child(root: str, query: str, sf_dir: str, repeats: int) -> dict:
 def main() -> None:
     queries = MOVERS
     repeats = 9
+    baseline = R10_COMMIT
     argv = sys.argv[1:]
     if argv and argv[0] == "--child":
         child(argv[1], argv[2], argv[3], int(argv[4]))
@@ -155,37 +156,44 @@ def main() -> None:
             queries = argv.pop(0).split(",")
         elif flag == "--repeats":
             repeats = int(argv.pop(0))
+        elif flag == "--baseline":
+            # any prior round's closing commit — the tree HEAD is paired
+            # against (r13+: bench.py's adjudicate_queue names the movers,
+            # this flag names the round they moved FROM)
+            baseline = argv.pop(0)
         else:
             raise SystemExit(f"unknown flag {flag}")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    r10_root = "/tmp/adjudicate_r10tree"
-    if not os.path.isdir(r10_root):
+    base_root = f"/tmp/adjudicate_{baseline}tree"
+    if not os.path.isdir(base_root):
         subprocess.run(
-            ["git", "worktree", "add", "--detach", r10_root, R10_COMMIT],
+            ["git", "worktree", "add", "--detach", base_root, baseline],
             cwd=HEAD_ROOT,
             check=True,
         )
 
     results = []
     for q in queries:
-        # back-to-back pairing: HEAD then r10, same host window
+        # back-to-back pairing: HEAD then the baseline tree, same host
+        # window
         head = run_child(HEAD_ROOT, q, sf_dir, repeats)
-        r10 = run_child(r10_root, q, sf_dir, repeats)
+        base = run_child(base_root, q, sf_dir, repeats)
         head_norm = head["median"] / head["probe_median"]
-        r10_norm = r10["median"] / r10["probe_median"]
+        base_norm = base["median"] / base["probe_median"]
         results.append(
             {
                 "query": q,
+                "baseline_commit": baseline,
                 "head_median": head["median"],
                 "head_probe": head["probe_median"],
                 "head_norm": round(head_norm, 3),
                 "head_samples": head["samples"],
-                "r10_median": r10["median"],
-                "r10_probe": r10["probe_median"],
-                "r10_norm": round(r10_norm, 3),
-                "r10_samples": r10["samples"],
-                "paired_normalized_ratio": round(head_norm / r10_norm, 3),
+                "base_median": base["median"],
+                "base_probe": base["probe_median"],
+                "base_norm": round(base_norm, 3),
+                "base_samples": base["samples"],
+                "paired_normalized_ratio": round(head_norm / base_norm, 3),
             }
         )
         print(json.dumps(results[-1]))

@@ -70,17 +70,69 @@ def test_adjudicate_probe_copy_is_byte_equal():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    def body(fn):
-        lines = inspect.getsource(fn).splitlines()
-        # drop decorator/def line and the docstring: compare executable body
-        src = "\n".join(lines)
-        doc = inspect.getdoc(fn) or ""
-        for frag in doc.splitlines():
-            src = src.replace(frag, "")
-        return [
-            ln.strip()
-            for ln in src.splitlines()
-            if ln.strip() and not ln.strip().startswith(('"""', "def "))
-        ]
+    def body_dump(fn):
+        # ADVICE r12 #4: compare the PARSED function bodies (docstring
+        # Expr dropped), not line-stripped source — str.replace of
+        # docstring fragments could mangle code lines that coincide with
+        # a fragment, and line stripping tolerated real drift
+        # (whitespace-significant changes, constants edited in both
+        # docstring and code).  ast.dump is exact on structure and
+        # constants and blind only to comments/formatting, which cannot
+        # change what the probe measures.
+        import ast
+        import textwrap
 
-    assert body(mod.calibration_probe) == body(bench.calibration_probe)
+        tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+        fdef = tree.body[0]
+        body = fdef.body
+        if (
+            body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            body = body[1:]
+        return [ast.dump(node) for node in body]
+
+    assert body_dump(mod.calibration_probe) == body_dump(
+        bench.calibration_probe
+    )
+
+
+def test_adjudication_queue_policy():
+    """VERDICT r12 #2: the §6d trigger is code, not prose — >2x raw AND
+    >2s median queues; sub-2s swings and sub-2x drifts don't; entries
+    missing on either side are skipped."""
+    times = {
+        "big_mover": 4.9,        # 2.59x, multi-second -> queued
+        "small_mover": 1.9,      # 4x but sub-2s -> noise floor, skipped
+        "steady": 5.0,           # 1.25x -> skipped
+        "new_entry": 9.0,        # no previous recording -> skipped
+        "zero_prev": 3.0,        # prev 0.0 (falsy) -> skipped, no div/0
+    }
+    prev = {
+        "big_mover": 1.89,
+        "small_mover": 0.47,
+        "steady": 4.0,
+        "zero_prev": 0.0,
+        "gone_entry": 2.0,       # not in this run -> skipped
+    }
+    orig = bench.HEADLINE
+    bench.HEADLINE = list(times) + ["gone_entry"]
+    try:
+        assert bench.adjudication_queue(times, prev) == ["big_mover"]
+        assert bench.adjudication_queue(times, {}) == []
+    finally:
+        bench.HEADLINE = orig
+
+
+def test_refresh_baseline_snapshots_previous_round():
+    """_refresh_baseline must tag the snapshot with the newest driver
+    round (r01..r12 committed) and carry the previous round's per-query
+    medians; a second call must read the SAME snapshot back (stable
+    within a round, not run-over-run)."""
+    n, qmap = bench._refresh_baseline()
+    assert n is not None and n >= 12
+    assert isinstance(qmap, dict) and "eth_tx_hits" in qmap
+    n2, qmap2 = bench._refresh_baseline()
+    assert (n2, qmap2) == (n, qmap)
