@@ -2094,6 +2094,163 @@ def eth_u256_range_positions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _symmap_values() -> str:
+    from presto_ethereum_spark.constants import ERC20_TOKEN_BY_ADDRESS
+
+    return ", ".join(
+        f"('{a}', '{s}')" for a, s in sorted(ERC20_TOKEN_BY_ADDRESS.items())
+    )
+
+
+@q(
+    "eth_u256_balances_via_table",
+    f"""
+    WITH lg AS (
+      SELECT unnest(t.logs) AS l
+      FROM (SELECT unnest(transactions) AS t
+            FROM read_parquet('{ETH}/chain_blocks.parquet'))
+    ),
+    raw AS (
+      SELECT l.address AS address, l.topics AS topics, l.data AS data,
+             len(l.topics) AS nt, (length(l.data) - 2) // 64 AS nw
+      FROM lg
+      WHERE lower(l.topics[1]) =
+            '0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef'
+    ),
+    kept AS (
+      SELECT *,
+             CASE WHEN nt >= 3 THEN data
+                  ELSE concat('0x', substr(data, 3 + 64 * (3 - nt), 64))
+             END AS vword,
+             CASE WHEN nt >= 2 THEN topics[2]
+                  ELSE concat('0x', substr(data, 3, 64)) END AS from32,
+             CASE WHEN nt >= 3 THEN topics[3]
+                  WHEN nt = 2 THEN concat('0x', substr(data, 3, 64))
+                  ELSE concat('0x', substr(data, 67, 64)) END AS to32
+      FROM raw
+      WHERE nt >= 3 OR nt + nw = 4
+    ),
+    symmap(addr, sym) AS (VALUES {_symmap_values()}),
+    hx AS (
+      SELECT coalesce(m.sym, concat('ERC20(', k.address, ')')) AS token,
+             concat('0x', substr(from32, length(from32) - 39, 40))
+               AS from_addr,
+             concat('0x', substr(to32, length(to32) - 39, 40)) AS to_addr,
+             concat('0x', lpad(lower(substr(vword, 3)), 64, '0')) AS vhex
+      FROM kept k LEFT JOIN symmap m ON lower(k.address) = m.addr
+      WHERE regexp_matches(lower(substr(vword, 3)), '^[0-9a-f]{{1,64}}$')
+    ),
+    tr AS (
+      SELECT token, from_addr, to_addr,
+             CAST(CAST(concat('0x', substr(vhex, 3, 4)) AS BIGINT)
+                  AS HUGEINT) AS l4,
+             CAST(CAST(concat('0x', substr(vhex, 7, 15)) AS BIGINT)
+                  AS HUGEINT) AS l3,
+             CAST(CAST(concat('0x', substr(vhex, 22, 15)) AS BIGINT)
+                  AS HUGEINT) AS l2,
+             CAST(CAST(concat('0x', substr(vhex, 37, 15)) AS BIGINT)
+                  AS HUGEINT) AS l1,
+             CAST(CAST(concat('0x', substr(vhex, 52, 15)) AS BIGINT)
+                  AS HUGEINT) AS l0
+      FROM hx
+    ),
+    d AS (
+      SELECT token, to_addr AS holder, l4, l3, l2, l1, l0 FROM tr
+      UNION ALL
+      SELECT token, from_addr, -l4, -l3, -l2, -l1, -l0 FROM tr
+    ),
+    s AS (
+      SELECT token AS erc20_token, holder,
+             sum(l4) AS s4, sum(l3) AS s3, sum(l2) AS s2,
+             sum(l1) AS s1, sum(l0) AS s0,
+             CAST(count(*) AS BIGINT) AS n_transfers
+      FROM d
+      WHERE holder <> concat('0x', repeat('0', 40))
+      GROUP BY token, holder
+    ),
+    sg AS (
+      SELECT *, -s0 AS g0, -s1 AS g1, -s2 AS g2, -s3 AS g3, -s4 AS g4
+      FROM s
+    ),
+    {_u256_carry_chain('sg')},
+    {_u256_carry_chain('n4', s='g', m='p', v='w', n='k')}
+    SELECT erc20_token, holder,
+           CASE WHEN v4 < 0 THEN {_U256_HEX_NEG}
+                ELSE {_U256_HEX} END AS position_hex,
+           n_transfers
+    FROM k4
+    """,
+)
+def eth_u256_balances_via_table(spark: SparkSession, sf: str) -> DataFrame:
+    """The EXACT LEDGER fed entirely from the REGISTERED TABLE SURFACE —
+    the r13 pieces composed: the live ``ethereum`` format with
+    ``value_mode=u256_hex`` supplies canonical value hex per transfer (no
+    raw-log plumbing, no Python helpers), hex_to_u256_limb_cols decodes
+    the COLUMN, and the SIGNED read-out renders each (token symbol,
+    holder) net position — signed because the main chain fixture's
+    synthetic transfers (unlike the mint-disciplined u256 fixture) give
+    holders net-negative books, i.e. this entry grades the signed path on
+    a SECOND, independent fixture.  Rows the wire gives no exact uint256
+    for (ERC-721 id-in-data, >64-digit payloads) are excluded by the
+    value_hex NULL contract — exactly the rows whose double decode is
+    0.0/lossy.  The DuckDB oracle re-derives everything from the nested
+    chain parquet: cursor semantics, the 42-entry symbol map as an
+    inline VALUES table, HUGEINT limbs, and the dual floored carry chain
+    for sign + magnitude.  Scale: scan -> narrow projection -> one
+    (token, holder) hash aggregation with map-side limb partials — the
+    balance-family plan shape on the SQL-user surface."""
+    from presto_ethereum_spark.sources.decode import (
+        hex_to_u256_limb_cols,
+        u256_limb_sums_to_signed_hex,
+    )
+    from presto_ethereum_spark.sources.rpc import EthereumDataSource
+
+    spark.dataSource.register(EthereumDataSource)
+    erc20 = (
+        spark.read.format("ethereum")
+        .option("table", "erc20")
+        .option("path", str(ETH / "chain_blocks.parquet"))
+        .option("value_mode", "u256_hex")
+        # one partition: the parquet transport loads the nested fixture
+        # per task (see eth_erc20_movement_getlogs)
+        .option("blocks_per_partition", 4000)
+        .load()
+    )
+    limbs = hex_to_u256_limb_cols(F.col("erc20_value_hex"))
+    tr = erc20.where(F.col("erc20_value_hex").isNotNull()).select(
+        "erc20_token",
+        "erc20_from",
+        "erc20_to",
+        *[limb.alias(f"l{i}") for i, limb in enumerate(limbs)],
+    )
+    names = [f"l{i}" for i in range(5)]
+    d = tr.select(
+        "erc20_token", F.col("erc20_to").alias("holder"), *names
+    ).unionByName(
+        tr.select(
+            "erc20_token",
+            F.col("erc20_from").alias("holder"),
+            *[(-F.col(n)).alias(n) for n in names],
+        )
+    )
+    s = (
+        d.where(F.col("holder") != "0x" + "0" * 40)
+        .groupBy("erc20_token", "holder")
+        .agg(
+            *[F.sum(f"l{i}").alias(f"s{i}") for i in range(5)],
+            F.count("*").cast("long").alias("n_transfers"),
+        )
+    )
+    return s.select(
+        "erc20_token",
+        "holder",
+        u256_limb_sums_to_signed_hex(
+            [F.col(f"s{i}") for i in range(5)]
+        ).alias("position_hex"),
+        "n_transfers",
+    )
+
+
 @q(
     "eth_log_topic_profile",
     f"""
