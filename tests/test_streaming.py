@@ -1722,6 +1722,13 @@ class TestDrainOverProvisioning:
         )
         assert got == want and len(got) > 0
 
+class TestBalanceRestartR13:
+    """r13 additions to the balance-restart family (placed in their own
+    class — the r13 first cut appended them into whatever class happened
+    to end the file, which lacked the CHAIN constant)."""
+
+    CHAIN = "fixtures/eth/chain_blocks.parquet"
+
     def test_state_root_without_source_raises(self, spark, tmp_path):
         """ADVICE r12 #2: durable mode + the default re-staged input is a
         silent double-count trap (overwrite re-staging mints new part-file
