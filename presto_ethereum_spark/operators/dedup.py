@@ -194,15 +194,28 @@ def _minhash_banded(
     """(id, band, key) rows from the MinHash signature banding — the
     shared front half of :func:`minhash_candidates` and
     :func:`minhash_candidate_bands`."""
-    shingled = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")).withColumn(
-        "sh", F.array_distinct(word_shingles(F.col("txt"), 3))
+    from presto_ethereum_spark.operators.text import tokens
+
+    # The no-empty-shingles gate is expressed on the RAW token count, not
+    # ``size(sh) > 0``: the two are equivalent (word_shingles yields a
+    # non-empty array iff the document has >= n tokens; concat_ws never
+    # returns null, so array_distinct of a non-empty input is non-empty),
+    # but a filter phrased on ``sh`` gets alias-substituted by predicate
+    # pushdown into a full re-shingling below t_spread's repartition —
+    # the single-core duplicated-work trap documented in _shingle_postings.
+    # The token-count predicate pushes down as one cheap split() per row.
+    shingled = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .where(F.size(tokens(F.col("txt"))) >= 3)
+        .withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), 3)))
     )
-    sigs = (
-        shingled.where(F.size("sh") > 0)  # == "no null sig entries" below
-        .withColumn("sig", minhash_signature_from_shingles(F.col("sh")))
-    )
+    sigs = shingled.withColumn("sig", minhash_signature_from_shingles(F.col("sh")))
+    # posexplode_outer is row-identical to posexplode here (band_keys is a
+    # literal 4-element array of md5 outputs — never null, never empty) and
+    # keeps InferFiltersFromGenerate from re-deriving the signature below
+    # the spread exchange (see _shingle_postings).
     return sigs.select(
-        "id", F.posexplode(minhash_band_keys(F.col("sig"))).alias("band", "key")
+        "id", F.posexplode_outer(minhash_band_keys(F.col("sig"))).alias("band", "key")
     )
 
 
@@ -377,10 +390,16 @@ def simhash_candidates(
     at least one band w.h.p.; one shuffle on (band, key)."""
     width = bits // bands
     sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    # posexplode_outer: row-identical (the band array is a literal
+    # ``bands``-element F.array — never null, never empty; null signatures
+    # yield null keys either way, which the equi-join drops), and it keeps
+    # InferFiltersFromGenerate from inferring size(array(...)) > 0 — a
+    # predicate whose alias substitution re-runs the FULL simhash fold per
+    # row below t_spread's repartition (the _shingle_postings trap).
     banded = sh.select(
         "id",
         "sh",
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.shiftright(F.col("sh"), b * width)
@@ -452,10 +471,13 @@ def simhash_hamming_truth(
     sh = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sh")
     )
+    # posexplode_outer for the same reason as simhash_candidates: identical
+    # rows, no inferred size() filter re-running the simhash fold below the
+    # spread exchange.
     chunked = sh.select(
         "id",
         "sh",
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.shiftright(F.col("sh"), offs[c]).bitwiseAND(
@@ -536,7 +558,19 @@ def _shingle_postings(
         .withColumn("sz", F.size("sh"))
         .drop("txt")
     )
-    ex = d.select("id", "sz", *blocks, F.explode("sh").alias("s"))
+    # explode_outer + isnotnull instead of plain explode: identical rows
+    # (empty/null arrays yield one null-s row that the filter drops, which
+    # is exactly the row set explode drops), but InferFiltersFromGenerate
+    # cannot fire on an outer generate — with plain explode it infers
+    # ``size(sh) > 0`` and predicate pushdown substitutes the FULL shingle
+    # expression below t_spread's repartition, re-shingling every document
+    # on the unspread (often single-partition) scan stage.  Measured at
+    # sf0.1: the doc pair-join family's 1-task scan stages carried 1.5-2.8 s
+    # of duplicated shingle+md5 work each (r13; same class as the
+    # winnow_overlap_pairs explode_outer, which predates this note).
+    ex = d.select("id", "sz", *blocks, F.explode_outer("sh").alias("s")).where(
+        F.col("s").isNotNull()
+    )
     if max_df is not None:
         w = Window.partitionBy("s", *blocks)
         ex = (
@@ -676,11 +710,18 @@ def minhash_calibration(
     join pays anyway; signatures join candidate-sized on id; the exact
     side is the df-capped inverted index (linear).  The report is 17
     rows max."""
+    from presto_ethereum_spark.operators.text import tokens
+
+    # token-count gate instead of size(sh) > 0 — equivalent, but pushes
+    # down as a cheap split() instead of a full re-shingling (see
+    # _minhash_banded / _shingle_postings for the measured trap)
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), 3)).alias("sh"),
+        F.col(text_col).alias("txt"),
+    ).where(F.size(tokens(F.col("txt"))) >= 3).select(
+        "id", F.array_distinct(word_shingles(F.col("txt"), 3)).alias("sh")
     )
-    sigs = sh.where(F.size("sh") > 0).select(
+    sigs = sh.select(
         "id", minhash_signature_from_shingles(F.col("sh")).alias("sig")
     )
     cand = minhash_candidates(df, text_col, id_col)

@@ -11978,23 +11978,28 @@ def _minhash_recall_report(d: DataFrame) -> DataFrame:
         .otherwise(F.lit("0.2-0.3"))
         .alias("bucket"),
     )
-    cand = minhash_candidates(d)
-    hits = (
-        truth.join(cand, ["id_a", "id_b"], "left_semi")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_caught"))
-    )
+    # ONE pass over truth (r13): a left join against the distinct candidate
+    # set marks each truth pair caught/missed, so n_truth (count(*)) and
+    # n_caught (count of markers) come from a single aggregation.  The old
+    # two-branch shape (left_semi for hits + separate groupBy for totals)
+    # referenced the truth subtree twice, and Spark physically re-computed
+    # the whole shingle->postings->pair pipeline for each branch (plan
+    # audit: 2x "Scan parquet -> ... -> Window -> BroadcastHashJoin" trees).
+    # Exactly equivalent: cand is distinct pairs, so the left join never
+    # duplicates a truth row and count(_hit) == the semi-join count.
+    cand = minhash_candidates(d).withColumn("_hit", F.lit(1))
     return (
-        truth.groupBy("bucket")
-        .agg(F.count("*").alias("n_truth"))
-        .join(hits, "bucket", "left")
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.count("_hit").alias("n_caught"),
+        )
         .select(
             "bucket",
             F.col("n_truth").cast("long").alias("n_truth"),
-            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
-            round6_ratio(
-                F.coalesce("n_caught", F.lit(0)), F.col("n_truth")
-            ).alias("recall"),
+            F.col("n_caught").cast("long").alias("n_caught"),
+            round6_ratio(F.col("n_caught"), F.col("n_truth")).alias("recall"),
         )
     )
 
@@ -12407,23 +12412,25 @@ def _simhash_recall_report(d: DataFrame) -> DataFrame:
         .otherwise(F.lit("5-6"))
         .alias("bucket"),
     )
-    cand = simhash_candidates(d).select("id_a", "id_b")
-    hits = (
-        truth.join(cand, ["id_a", "id_b"], "left_semi")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_caught"))
+    # ONE pass over truth via left join + single aggregation — same
+    # restructure (and same equivalence argument: cand is distinct) as
+    # _minhash_recall_report; the old two-branch shape re-computed the
+    # pigeonhole truth join once per branch.
+    cand = simhash_candidates(d).select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
     )
     return (
-        truth.groupBy("bucket")
-        .agg(F.count("*").alias("n_truth"))
-        .join(hits, "bucket", "left")
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.count("_hit").alias("n_caught"),
+        )
         .select(
             "bucket",
             F.col("n_truth").cast("long").alias("n_truth"),
-            F.coalesce("n_caught", F.lit(0)).cast("long").alias("n_caught"),
-            round6_ratio(
-                F.coalesce("n_caught", F.lit(0)), F.col("n_truth")
-            ).alias("recall"),
+            F.col("n_caught").cast("long").alias("n_caught"),
+            round6_ratio(F.col("n_caught"), F.col("n_truth")).alias("recall"),
         )
     )
 
@@ -15692,34 +15699,45 @@ def doc_minhash_band_curve(spark: SparkSession, sf: str) -> DataFrame:
 
     d = t_spread(spark, sf, "documents")
     truth = jaccard_truth_pairs(d).select("id_a", "id_b")
-    n_truth = truth.groupBy().agg(F.count("*").alias("n_truth"))
     candm = minhash_candidate_bands(d)
+    # ONE pass over truth AND over the min_band histogram (r13): the old
+    # shape referenced the truth subtree twice (scalar n_truth + the hist
+    # join) and Spark re-computed the whole postings pipeline per branch.
+    # A left join marks every truth pair with its min_band (null = never a
+    # candidate; candm is unique per pair so counts are preserved), and the
+    # <= 5-row histogram is collapsed to ONE row carrying both the total
+    # and the per-band counts, so every per-budget figure derives from a
+    # single broadcast row with integer HOF arithmetic — no second
+    # evaluation of anything corpus-sized.  A null min_band fails the
+    # ``h < n_bands`` predicate, exactly like the old inner-join-then-
+    # range-join shape; empty truth still reports n_truth 0 / NULL recall.
     hist = (
-        truth.join(candm, ["id_a", "id_b"])
+        truth.join(candm, ["id_a", "id_b"], "left")
         .groupBy("min_band")
         .agg(F.count("*").alias("n"))
     )
-    spine = spark.range(1, 5).select(F.col("id").cast("int").alias("n_bands"))
-    caught = (
-        spine.join(F.broadcast(hist), F.col("min_band") < F.col("n_bands"), "left")
-        .groupBy("n_bands")
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_caught"))
+    stats = hist.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_truth"),
+        F.collect_list(F.struct("min_band", "n")).alias("hist"),
     )
-    return (
-        caught.crossJoin(F.broadcast(n_truth))
-        .select(
-            "n_bands",
-            F.col("n_truth").cast("bigint").alias("n_truth"),
-            F.col("n_caught").cast("bigint").alias("n_caught"),
-            # empty truth (possible on corpora where no pair clears the
-            # shared cutoff under the df-capped contract; NOT the graded
-            # SFs since the r9 threshold fix) reports NULL recall
-            # instead of dividing by zero
-            F.when(
-                F.col("n_truth") > 0,
-                round6_ratio(F.col("n_caught"), F.col("n_truth")),
-            ).alias("recall"),
-        )
+    spine = spark.range(1, 5).select(F.col("id").cast("int").alias("n_bands"))
+    caught = F.aggregate(
+        F.filter(F.col("hist"), lambda h: h["min_band"] < F.col("n_bands")),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: acc + h["n"],
+    )
+    return spine.crossJoin(F.broadcast(stats)).select(
+        "n_bands",
+        F.col("n_truth").cast("bigint").alias("n_truth"),
+        caught.cast("bigint").alias("n_caught"),
+        # empty truth (possible on corpora where no pair clears the
+        # shared cutoff under the df-capped contract; NOT the graded
+        # SFs since the r9 threshold fix) reports NULL recall
+        # instead of dividing by zero
+        F.when(
+            F.col("n_truth") > 0,
+            round6_ratio(caught, F.col("n_truth")),
+        ).alias("recall"),
     )
 
 
