@@ -588,30 +588,39 @@ def _overlap_pair_counts(
     shingle_n: int,
     blocks: list[str],
     max_df: int | None,
+    cap_both: bool = False,
 ) -> DataFrame:
     """Shared inverted-index pair-count core behind :func:`jaccard_pairs`,
     :func:`containment_pairs`, and :func:`jaccard_threshold_curve`:
     ``(id_a, id_b, sz_a, sz_b, inter)`` for every pair of same-block
     documents sharing at least one (kept) shingle, id_a < id_b.
 
-    Cap is applied to ONE side only — result-identical to capping both:
+    The cap is result-identical whether applied to one side or both:
     eviction is all-or-nothing per shingle (every posting of an over-cap
     shingle carries the same window count), so an evicted shingle
     produces zero join rows whatever the other side holds, and a KEPT
     shingle (df <= max_df globally per block) is complete on both sides —
-    ``inter`` is unchanged.  The join-work bound is also unchanged (per
-    kept shingle the uncapped side holds the same df <= max_df
-    postings), and the uncapped alias skips the window pass entirely:
-    the capped plan pays exactly ONE extra window over the uncapped
-    plan's shuffles (measured at sf0.1: containment 8.9 s with the r7
-    both-sides groupBy+join cap -> 4.3 s)."""
-    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, None)
-    exa = (
-        _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
-        if max_df is not None
-        else ex
+    ``inter`` is unchanged.  ``cap_both`` picks the plan shape:
+
+    - ``False`` (default): one capped + one uncapped alias — skips one
+      window pass, the cheapest shape WHEN no downstream filter forces a
+      constraint onto the uncapped side's ``sz`` alias (containment's OR
+      predicate yields no isnotnull constraints, so it qualifies).
+    - ``True``: both aliases are the SAME capped subtree — one extra
+      window, but the window's (s, *blocks) exchange is materialized once
+      and reused, and the window is a predicate-pushdown barrier.  Callers
+      whose downstream threshold filter is a plain comparison over
+      ``sz_a/sz_b`` (jaccard_pairs, jaccard_threshold_curve) need this:
+      the inferred ``isnotnull(sz)`` otherwise alias-substitutes into a
+      FULL re-shingling below the spread repartition on the uncapped side
+      (measured r13: 2.6 s of single-task duplicated work at sf0.1)."""
+    ex = _shingle_postings(df, text_col, id_col, shingle_n, blocks, max_df)
+    exb = (
+        ex
+        if cap_both or max_df is None
+        else _shingle_postings(df, text_col, id_col, shingle_n, blocks, None)
     )
-    a, b = exa.alias("a"), ex.alias("b")
+    a, b = ex.alias("a"), exb.alias("b")
     cond = (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
     for c in blocks:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
@@ -659,9 +668,9 @@ def jaccard_truth_pairs(
     subtrees), both aliases here are the SAME plan, so ReuseExchange
     materializes the capped index once and the second alias reads the
     shuffle files (measured at sf0.1: 3.9-4.2 s vs 4.4-4.7 s one-sided —
-    for the diagnostic family the shared-subtree win beats skipping the
-    window on one side; containment keeps the one-side form because its
-    probe side is a DIFFERENT subtree anyway).  Truth-join work is
+    the shared-subtree win beats skipping the window on one side; since
+    r13 :func:`_overlap_pair_counts` uses the same both-sides shape for
+    the same reason).  Truth-join work is
     bounded by ``max_df x total postings``: linear in corpus size, the
     CCNet df-cap trade every graded dedup join makes.  Capped shingles
     do not count toward ``inter`` while sizes stay full, so truth
@@ -809,7 +818,9 @@ def jaccard_pairs(
             "(zero-overlap pairs are never materialized)"
         )
     blocks = list(blocking_cols or [])
-    inter = _overlap_pair_counts(df, text_col, id_col, shingle_n, blocks, max_df)
+    inter = _overlap_pair_counts(
+        df, text_col, id_col, shingle_n, blocks, max_df, cap_both=True
+    )
     # same exact-integer division as jaccard_from_shingles -> same double
     uni = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
@@ -852,7 +863,9 @@ def jaccard_threshold_curve(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     blocks = list(blocking_cols or [])
-    inter = _overlap_pair_counts(df, text_col, id_col, shingle_n, blocks, max_df)
+    inter = _overlap_pair_counts(
+        df, text_col, id_col, shingle_n, blocks, max_df, cap_both=True
+    )
     hist = (
         inter.select(
             F.expr(f"(inter * {int(n_buckets)}) div (sz_a + sz_b - inter)")
@@ -1350,7 +1363,14 @@ def substring_duplicates(
     base = df.select(
         F.col(id_col).alias("doc_id"), whashes.alias("wh")
     )
-    sites = base.select("doc_id", F.explode("wh").alias("h"))
+    # explode_outer + isnotnull: row-identical to explode (window hashes
+    # are non-null longs; empty arrays yield one null row the filter
+    # drops), but keeps InferFiltersFromGenerate from re-deriving the full
+    # window-hash transform below the spread exchange (_shingle_postings
+    # trap).
+    sites = base.select("doc_id", F.explode_outer("wh").alias("h")).where(
+        F.col("h").isNotNull()
+    )
     shared = (
         sites.dropDuplicates(["h", "doc_id"])
         .groupBy("h")
@@ -1402,15 +1422,25 @@ def delta_dup_pairs(
     """
 
     def _bands(df: DataFrame, side: str) -> DataFrame:
-        shingled = df.select(
-            F.col(id_col).alias(f"id_{side}"), F.col(text_col).alias("txt")
-        ).withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), 3)))
-        sigs = shingled.where(F.size("sh") > 0).withColumn(
+        from presto_ethereum_spark.operators.text import tokens
+
+        # token-count gate + posexplode_outer: same equivalences and same
+        # pushed-filter trap as _minhash_banded (see the notes there)
+        shingled = (
+            df.select(
+                F.col(id_col).alias(f"id_{side}"), F.col(text_col).alias("txt")
+            )
+            .where(F.size(tokens(F.col("txt"))) >= 3)
+            .withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), 3)))
+        )
+        sigs = shingled.withColumn(
             "sig", minhash_signature_from_shingles(F.col("sh"))
         )
         return sigs.select(
             f"id_{side}",
-            F.posexplode(minhash_band_keys(F.col("sig"))).alias("band", "key"),
+            F.posexplode_outer(minhash_band_keys(F.col("sig"))).alias(
+                "band", "key"
+            ),
         )
 
     cand = (
@@ -1485,8 +1515,12 @@ def duplicate_chunk_filter(
         ),
     )
     docs = df.select(F.col(id_col).alias("doc_id"), chunk_arr.alias("chunks"))
+    # posexplode_outer: row-identical (chunks is never empty — split yields
+    # >= 1 token, so n_chunks >= 1 — and array_join never yields null), and
+    # immune to the inferred size(chunks) > 0 filter that would re-chunk
+    # every document below the spread exchange (_shingle_postings trap)
     sites = docs.select(
-        "doc_id", F.posexplode("chunks").alias("cidx", "chunk")
+        "doc_id", F.posexplode_outer("chunks").alias("cidx", "chunk")
     ).select("doc_id", "cidx", F.md5("chunk").alias("h"))
     boiler = (
         sites.groupBy("h")
@@ -1569,9 +1603,13 @@ def edit_distance_pairs(
         .where(F.length("pfx") == prefix_len)
     )
     idx = F.sequence(F.lit(0), F.lit(segs - 1))
+    # explode_outer on both key expansions: row-identical (the chunk
+    # arrays are constant-length, never empty, struct elements non-null),
+    # and immune to the inferred size() filter that would re-run the
+    # normalize+substring chain below the spread exchange
     a_keys = f.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.transform(
                 idx,
                 lambda i: F.struct(
@@ -1587,7 +1625,7 @@ def edit_distance_pairs(
     b_keys = f.select(
         "id",
         "pfx",
-        F.explode(
+        F.explode_outer(
             F.flatten(
                 F.transform(
                     idx,
@@ -1829,7 +1867,13 @@ def ppjoin_pairs(
     # all run on longs, never shingle strings (distinct AFTER hashing so a
     # 2^-60 collision merges identically in both engines)
     elems = F.array_distinct(F.transform(raw, lambda e: hash60(e)))
-    toks = base.select("id", F.explode(elems).alias("tok"))
+    # explode_outer + isnotnull: identical rows (hash60 never yields null
+    # for non-null input; empty element arrays drop either way), and no
+    # inferred size(elems) > 0 filter re-hashing every document below the
+    # spread exchange (_shingle_postings trap)
+    toks = base.select("id", F.explode_outer(elems).alias("tok")).where(
+        F.col("tok").isNotNull()
+    )
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("dfq"))
     arr = (
         toks.join(dfreq, "tok")
@@ -1869,6 +1913,18 @@ def ppjoin_pairs(
             & (F.col("sa") * t_den >= F.col("sb") * t_num)
         )
         .select("id_a", "id_b")
+        # explicit pair-keyed repartition ahead of the distinct: the
+        # distinct's own exchange satisfies its requirement (same keys), so
+        # this adds NO extra shuffle — but a user-specified partition count
+        # is exempt from AQE partition coalescing, which otherwise folds
+        # the byte-tiny candidate list into ONE partition and runs the
+        # CPU-dense array_intersect verification single-core (measured r13:
+        # a 2.4 s 1-task AQEShuffleRead stage at sf0.1).  Bytes are the
+        # wrong cost model for the verify stage at any scale; parallelism
+        # follows the cluster via defaultParallelism.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+        )
         .distinct()
     )
     sets = staged.select("id", "ts")
@@ -1918,10 +1974,12 @@ def count_cosine_pairs(
     rare by construction (the jaccard_pairs observation), so no
     stopword-sized posting list exists."""
     t_num, t_den = int(threshold_num), int(threshold_den)
+    # explode_outer + isnotnull: identical rows, no inferred size() filter
+    # re-shingling below the spread exchange (_shingle_postings trap)
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
-    )
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+    ).where(F.col("s").isNotNull())
     c = sh.select("id", hash60(F.col("s")).alias("hs")).groupBy(
         "id", "hs"
     ).agg(F.count("*").alias("c"))
@@ -1987,9 +2045,14 @@ def shingle_novelty(
     key-hash shuffles either way (the join reuses the groupBy's
     partitioning); only the per-key buffering changes."""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("txt"))
-    ex = d.withColumn(
-        "sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n))
-    ).select("doc_id", F.explode("sh").alias("s"))
+    # explode_outer + isnotnull: row-identical (see _shingle_postings) but
+    # immune to the inferred size(sh) > 0 filter that re-shingles every
+    # document below the spread exchange.
+    ex = (
+        d.withColumn("sh", F.array_distinct(word_shingles(F.col("txt"), shingle_n)))
+        .select("doc_id", F.explode_outer("sh").alias("s"))
+        .where(F.col("s").isNotNull())
+    )
     firsts = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     return (
         ex.join(firsts, "s")
