@@ -1306,15 +1306,23 @@ def _centroid_scores(
     one dot fold per centroid.  Arithmetic is bit-identical (same
     elementwise casts, same in-order accumulation, Python floats ARE
     fp64)."""
-    cents = F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cvec"),
-                F.lit(_py_l2([float(x) for x in cv])).alias("cn"),
+    # The codebook is baked in as ONE parsed SQL literal rather than nested
+    # F.lit calls: n_cells x dim double literals cost ~4 py4j round-trips
+    # each the nested way — measured 2-3 s of pure driver time per build
+    # for an 8x64 codebook (r13).  The `D` suffix parses directly to a
+    # DOUBLE literal and repr() is the shortest round-trip form, so the
+    # parsed tree (and every downstream fold) is bit-identical.
+    cents = F.expr(
+        "array({})".format(
+            ",".join(
+                "named_struct('cid', {cid}, 'cvec', array({cv}), 'cn', {cn!r}D)".format(
+                    cid=int(cid),
+                    cv=",".join(f"{float(x)!r}D" for x in cv),
+                    cn=_py_l2([float(x) for x in cv]),
+                )
+                for cid, cv in centroids
             )
-            for cid, cv in centroids
-        ]
+        )
     )
     staged = F.struct(_d(vec).alias("vd"), l2_norm(vec).alias("vn"))
     return F.transform(
@@ -2182,19 +2190,19 @@ def jl_project_quantized(
         lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
     )
     staged = df.select(F.col(id_col).alias("id"), vq.alias("vq"))
-    projs = [
-        F.aggregate(
-            F.zip_with(
-                F.col("vq"),
-                F.array(*[F.lit(w) for w in mat[d]]),
-                lambda x, r: x * r.cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias(f"p{d}")
+    # The projection expressions are built as ONE parsed SQL string instead
+    # of nested Column ops: the matrix is out_dim x in_dim literals, and
+    # driving each through F.lit/F.zip_with costs ~4 py4j round-trips per
+    # literal — measured 5-7 s of pure driver time PER BUILD at 16x64
+    # (r13; the parsed tree is identical, so results are byte-equal).
+    rows = ", ".join(
+        "aggregate(zip_with(vq, array({arr}), (x, r) -> x * CAST(r AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)".format(
+            arr=",".join(str(w) for w in mat[d])
+        )
         for d in range(out_dim)
-    ]
-    return staged.select("id", F.array(*projs).alias("jl"))
+    )
+    return staged.select("id", F.expr(f"array({rows})").alias("jl"))
 
 
 def _l2sq(a: Column, b: Column) -> Column:
