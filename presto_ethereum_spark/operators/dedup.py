@@ -229,6 +229,12 @@ def minhash_candidates(
     Never materializes the full O(n^2) pair space.
     """
     banded = _minhash_banded(df, text_col, id_col)
+    # NOTE (r13): a shuffle_hash hint here (to share one signature build
+    # across the self-join, like jaccard_truth_pairs) was measured 3x
+    # SLOWER: AQE coalesces the byte-tiny (band, key) exchange to one
+    # partition and the per-bucket pair expansion goes single-core, which
+    # costs far more than the duplicated (fully parallel) signature pass
+    # the broadcast join pays.  Keep the planner's choice.
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -677,6 +683,11 @@ def jaccard_truth_pairs(
     similarity is a LOWER BOUND on raw Jaccard — the documented reason
     the threshold is a named contract rather than a per-call literal."""
     ex = _shingle_postings(df, text_col, id_col, shingle_n, [], max_df)
+    # r13 note: forcing shuffle_hash here (to share one postings build)
+    # measured within the host noise floor of the planner's broadcast
+    # choice — AQE already reuses the window's (s) exchange under the
+    # broadcast build, so the expensive shingle+md5 map side runs once
+    # either way.  Keep the planner's choice.
     a, b = ex.alias("a"), ex.alias("b")
     tp = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))

@@ -766,8 +766,14 @@ def rake_keywords(
     ph = m.withColumn("pid", F.sum("is_stop").over(w_doc)).where(
         F.col("is_stop") == 0
     )
-    plen = ph.groupBy("doc", "pid").agg(F.count("*").alias("len"))
-    nw = ph.join(plen, ["doc", "pid"])
+    # phrase length as a second window over the SAME doc-hash partitioning
+    # (hash(doc) already clusters (doc, pid) — no new exchange, only a
+    # sort), replacing the r7 groupBy+self-join which re-evaluated the
+    # whole explode+window subtree for the length table (r13: one fewer
+    # exchange and one fewer subtree execution; identical counts)
+    nw = ph.withColumn(
+        "len", F.count("*").over(Window.partitionBy("doc", "pid"))
+    )
     wscore = (
         nw.groupBy("word")
         .agg(F.count("*").alias("freq"), F.sum("len").alias("deg"))
