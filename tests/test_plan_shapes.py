@@ -350,3 +350,31 @@ def test_lsh_band_curve_no_sort_merge(spark):
     plan = _plan(spark, "emb_lsh_band_curve")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_reshingle_in_pushed_filters(spark):
+    """r13 optimization pin: InferFiltersFromGenerate + predicate pushdown
+    must NOT re-derive the shingle/signature array below t_spread's
+    repartition — the duplicated expression runs the whole shingle+md5
+    pipeline per row on the unspread single-partition scan stage
+    (measured 1.5-2.8 s single-task stages at sf0.1 before the
+    explode_outer/token-count-gate fixes).  Pins the optimized plans of
+    the inverted-index family: no Filter anywhere in the plan may carry
+    the shingle-construction expression (the cheap token-count gate
+    `size(split(...))` is allowed; building shingles via
+    transform(sequence(...)) inside a Filter is not)."""
+    for name in (
+        "doc_minhash_recall",
+        "doc_containment_pairs",
+        "doc_shingle_df_profile",
+        "doc_shingle_novelty",
+        "doc_dup_rate_by_source",
+        "doc_simhash_recall",
+    ):
+        plan = _plan(spark, name)
+        bad = [
+            line
+            for line in plan.split("\n")
+            if "Filter" in line and "transform(sequence(" in line
+        ]
+        assert not bad, f"{name}: shingle expression re-derived in a Filter:\n" + "\n".join(bad[:2])
