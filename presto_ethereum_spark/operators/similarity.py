@@ -1312,6 +1312,21 @@ def _centroid_scores(
     # for an 8x64 codebook (r13).  The `D` suffix parses directly to a
     # DOUBLE literal and repr() is the shortest round-trip form, so the
     # parsed tree (and every downstream fold) is bit-identical.
+    # Literal-formatting precondition (ADVICE r13): repr() of a non-finite
+    # double renders 'nanD'/'infD', which the SQL parser REJECTS where the
+    # old F.lit path would have built a valid literal — fail loud with the
+    # real cause instead of a ParseException if pathological upstream
+    # embeddings ever produce one.
+    import math as _math
+
+    for _cid, _cv in centroids:
+        if not all(_math.isfinite(float(_x)) for _x in _cv) or not _math.isfinite(
+            _py_l2([float(_x) for _x in _cv])
+        ):
+            raise ValueError(
+                f"centroid {_cid} has a non-finite component or norm; cannot"
+                " be rendered as a SQL double literal"
+            )
     cents = F.expr(
         "array({})".format(
             ",".join(

@@ -770,7 +770,14 @@ def rake_keywords(
     # (hash(doc) already clusters (doc, pid) — no new exchange, only a
     # sort), replacing the r7 groupBy+self-join which re-evaluated the
     # whole explode+window subtree for the length table (r13: one fewer
-    # exchange and one fewer subtree execution; identical counts)
+    # exchange and one fewer subtree execution; identical counts).
+    # Null-id caveat (ADVICE r13): "identical counts" assumes non-null doc
+    # ids — the old inner join on ['doc','pid'] dropped null-doc rows
+    # (null keys never equi-match) while partitionBy groups nulls together
+    # and keeps them.  Out of contract here: every caller feeds doc_id
+    # from the generated corpus (NOT NULL by construction), and the first
+    # window (w_doc) already grouped nulls the same way, so the two
+    # windows agree with each other in either regime.
     nw = ph.withColumn(
         "len", F.count("*").over(Window.partitionBy("doc", "pid"))
     )
